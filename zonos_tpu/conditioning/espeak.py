@@ -1,0 +1,116 @@
+"""Grapheme → phoneme conversion (host-side).
+
+The reference drives the eSpeak NG C library through the ``phonemizer``
+package (/root/reference/zonos/conditioning.py:291-335). Here we bind
+libespeak-ng directly via ctypes when it is present on the TPU-VM host —
+no wrapper package needed — and fall back to a grapheme pass-through when it
+isn't (letters are part of the model's symbol table, reference
+conditioning.py:230-236, so grapheme input is representable; quality is
+degraded but the pipeline stays functional for development and testing).
+
+eSpeak NG is NOT thread-safe; all calls are serialized behind a module lock
+(SURVEY.md §7.3 item 6).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import os
+import threading
+
+from zonos_tpu.conditioning.text import clean
+
+_LOCK = threading.Lock()
+_LIB = None
+_INITIALIZED = False
+_CURRENT_VOICE: str | None = None
+
+# espeak_TextToPhonemes phoneme modes: bit0 = include ties/ZWJ, bits 4-7
+# separator. mode 0x02 → IPA output.
+_PHONEME_MODE_IPA = 0x02
+_TEXT_MODE_UTF8 = 1
+
+
+def _find_library() -> str | None:
+    for name in ("espeak-ng", "espeak"):
+        path = ctypes.util.find_library(name)
+        if path:
+            return path
+    for path in (
+        os.environ.get("PHONEMIZER_ESPEAK_LIBRARY", ""),
+        "/usr/lib/x86_64-linux-gnu/libespeak-ng.so.1",
+        "/usr/local/lib/libespeak-ng.so",
+        "/opt/homebrew/lib/libespeak-ng.dylib",
+    ):
+        if path and os.path.exists(path):
+            return path
+    return None
+
+
+def _load() -> "ctypes.CDLL | None":
+    global _LIB, _INITIALIZED
+    if _LIB is not None:
+        return _LIB
+    path = _find_library()
+    if path is None:
+        return None
+    lib = ctypes.cdll.LoadLibrary(path)
+    # espeak_Initialize(AUDIO_OUTPUT_SYNCHRONOUS=1? we use 0x02 RETRIEVAL? —
+    # phoneme-only use wants AUDIO_OUTPUT_PLAYBACK off; 0x01 = SYNCH playback.
+    # Use AUDIO_OUTPUT_RETRIEVAL (1) with null callback: no audio generated.
+    lib.espeak_Initialize.restype = ctypes.c_int
+    rate = lib.espeak_Initialize(1, 0, None, 0)
+    if rate <= 0:
+        return None
+    lib.espeak_TextToPhonemes.restype = ctypes.c_char_p
+    lib.espeak_TextToPhonemes.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.espeak_SetVoiceByName.restype = ctypes.c_int
+    lib.espeak_SetVoiceByName.argtypes = [ctypes.c_char_p]
+    _LIB = lib
+    _INITIALIZED = True
+    return lib
+
+
+def espeak_available() -> bool:
+    with _LOCK:
+        return _load() is not None
+
+
+def _phonemize_one(lib, text: str, language: str) -> str:
+    global _CURRENT_VOICE
+    if _CURRENT_VOICE != language:
+        if lib.espeak_SetVoiceByName(language.encode()) != 0:
+            # Retry with the base language code ("en-us" → "en").
+            lib.espeak_SetVoiceByName(language.split("-")[0].encode())
+        _CURRENT_VOICE = language
+    buf = ctypes.create_string_buffer(text.encode("utf-8"))
+    ptr = ctypes.c_void_p(ctypes.addressof(buf))
+    pieces = []
+    # espeak advances the pointer across clause boundaries; loop until done.
+    while ptr.value:
+        out = lib.espeak_TextToPhonemes(
+            ctypes.byref(ptr), _TEXT_MODE_UTF8, _PHONEME_MODE_IPA
+        )
+        if out is None:
+            break
+        pieces.append(out.decode("utf-8", errors="ignore"))
+    return " ".join(p.strip() for p in pieces if p.strip())
+
+
+def phonemize(texts: list[str], languages: list[str]) -> list[str]:
+    """Clean + phonemize a batch (reference conditioning.py:307-335).
+
+    Uses libespeak-ng when available; otherwise returns cleaned lowercase
+    graphemes (representable in the model symbol table).
+    """
+    texts = clean(texts, languages)
+    with _LOCK:
+        lib = _load()
+        if lib is None:
+            return [t.lower() for t in texts]
+        return [_phonemize_one(lib, t, lang) for t, lang in zip(texts, languages)]

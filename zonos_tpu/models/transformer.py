@@ -1,0 +1,152 @@
+"""Transformer backbone: layer-stacked params, scan-over-layers, static KV cache.
+
+TPU-native redesign of the reference torch backbone
+(/root/reference/zonos/backbone/_torch.py:110-474): pre-LN blocks, GQA
+attention with RoPE, gated-SiLU MLP. Differences by design:
+
+* Params are a pytree whose leaves carry a leading ``n_layer`` axis; the
+  forward pass is a single ``lax.scan`` over layers → one layer is traced
+  once regardless of depth (fast compiles, tiny HLO).
+* The KV cache is a static-shape array carried through the jitted decode
+  loop — the JAX analogue of the reference's preallocated cache
+  (_torch.py:157-211) without any in-place mutation semantics.
+* The reference's double ``out_proj`` application (_torch.py:419-420) is a
+  fork bug and is intentionally NOT replicated (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from zonos_tpu.config import BackboneConfig
+from zonos_tpu.ops.attention import causal_prefix_mask, decode_mask, gqa_attention
+from zonos_tpu.ops.norms import layer_norm
+from zonos_tpu.ops.rope import apply_rope, rope_rows
+
+
+@struct.dataclass
+class KVCache:
+    """Static-shape KV cache for all attention layers.
+
+    k, v: [n_layer, batch, max_seqlen, n_heads_kv, head_dim].
+    For hybrid backbones only attention layers use their slice; SSM layers
+    carry their own state (see models/hybrid.py).
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @classmethod
+    def create(
+        cls, cfg: BackboneConfig, batch_size: int, max_seqlen: int, dtype=jnp.bfloat16
+    ) -> "KVCache":
+        shape = (cfg.n_layer, batch_size, max_seqlen, cfg.attn_cfg.num_heads_kv, cfg.head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def max_seqlen(self) -> int:
+        return self.k.shape[2]
+
+
+def init_transformer_params(key: jax.Array, cfg: BackboneConfig, dtype=jnp.bfloat16) -> dict:
+    """Random-init params with leading layer axis on every leaf."""
+    d = cfg.d_model
+    hq, hkv, dh = cfg.attn_cfg.num_heads, cfg.attn_cfg.num_heads_kv, cfg.head_dim
+    f = cfg.attn_mlp_d_intermediate
+    L = cfg.n_layer
+    ks = jax.random.split(key, 4)
+
+    def init(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) / jnp.sqrt(fan_in)).astype(dtype)
+
+    layers = {
+        "norm1": {"scale": jnp.ones((L, d), dtype), "bias": jnp.zeros((L, d), dtype)},
+        "attn": {
+            "in_proj": init(ks[0], (L, d, (hq + 2 * hkv) * dh), d),
+            "out_proj": init(ks[1], (L, hq * dh, d), hq * dh),
+        },
+        "norm2": {"scale": jnp.ones((L, d), dtype), "bias": jnp.zeros((L, d), dtype)},
+        "mlp": {"fc1": init(ks[2], (L, d, 2 * f), d), "fc2": init(ks[3], (L, f, d), f)},
+    }
+    return {
+        "layers": layers,
+        "norm_f": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+    }
+
+
+def _attn_block(
+    layer_p: dict,
+    cfg: BackboneConfig,
+    x: jnp.ndarray,  # [B, S, D]
+    freqs: jnp.ndarray,  # [S, Dh//2, 2]
+    k_cache_l: jnp.ndarray,  # [B, Smax, Hkv, Dh]
+    v_cache_l: jnp.ndarray,
+    write_start: jnp.ndarray,  # scalar int32: cache slot of x[:, 0]
+    mask: jnp.ndarray,  # [B, S, Sk] bool over the attended cache span
+    attend_len: int,  # static length of cache span attended to
+):
+    """Shared attention sub-block for prefill (S>1) and decode (S=1)."""
+    b, s, d = x.shape
+    hq, hkv, dh = cfg.attn_cfg.num_heads, cfg.attn_cfg.num_heads_kv, cfg.head_dim
+
+    h = layer_norm(x, layer_p["norm1"]["scale"], layer_p["norm1"]["bias"], cfg.norm_epsilon)
+    qkv = jnp.einsum("bsd,de->bse", h, layer_p["attn"]["in_proj"])
+    q, k, v = jnp.split(qkv, [hq * dh, (hq + hkv) * dh], axis=-1)
+    q = q.reshape(b, s, hq, dh)
+    k = k.reshape(b, s, hkv, dh)
+    v = v.reshape(b, s, hkv, dh)
+    q = apply_rope(q, freqs)
+    k = apply_rope(k, freqs)
+
+    k_cache_l = jax.lax.dynamic_update_slice(k_cache_l, k, (0, write_start, 0, 0))
+    v_cache_l = jax.lax.dynamic_update_slice(v_cache_l, v, (0, write_start, 0, 0))
+
+    k_all = jax.lax.dynamic_slice_in_dim(k_cache_l, 0, attend_len, axis=1)
+    v_all = jax.lax.dynamic_slice_in_dim(v_cache_l, 0, attend_len, axis=1)
+
+    att = gqa_attention(q, k_all, v_all, mask)
+    att = att.reshape(b, s, hq * dh)
+    x = x + jnp.einsum("bse,ed->bsd", att, layer_p["attn"]["out_proj"])
+
+    h2 = layer_norm(x, layer_p["norm2"]["scale"], layer_p["norm2"]["bias"], cfg.norm_epsilon)
+    yg = jnp.einsum("bsd,de->bse", h2, layer_p["mlp"]["fc1"])
+    y, gate = jnp.split(yg, 2, axis=-1)
+    x = x + jnp.einsum("bsf,fd->bsd", y * jax.nn.silu(gate), layer_p["mlp"]["fc2"])
+    return x, k_cache_l, v_cache_l
+
+
+def transformer_forward(
+    params: dict,
+    cfg: BackboneConfig,
+    x: jnp.ndarray,  # [B, S, D]
+    cache: KVCache,
+    write_start: jnp.ndarray,  # scalar int32 cache slot for x[:, 0]
+    pad_amount: jnp.ndarray,  # [B] invalid leading cache slots
+    attend_len: int,  # static: number of cache slots visible (>= write_start+S)
+) -> tuple[jnp.ndarray, KVCache]:
+    """Run all layers over x, updating the cache. Works for prefill and decode.
+
+    For prefill call with write_start=0, attend_len=S and a causal+pad mask.
+    For decode call with S=1, write_start=t, attend_len=allocated span.
+
+    Returns (normed hidden states [B, S, D], updated cache).
+    """
+    b, s, _ = x.shape
+    positions = write_start + jnp.arange(s)
+    freqs = rope_rows(positions, cfg.head_dim)
+
+    if s > 1:
+        mask = causal_prefix_mask(s, pad_amount)  # [B, S, S]; attend_len == s
+    else:
+        mask = decode_mask(attend_len, pad_amount, write_start)  # [B, 1, attend_len]
+
+    def body(xc, layer_in):
+        layer_p, kl, vl = layer_in
+        xc, kl, vl = _attn_block(layer_p, cfg, xc, freqs, kl, vl, write_start, mask, attend_len)
+        return xc, (kl, vl)
+
+    xo, (k_new, v_new) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    xo = layer_norm(xo, params["norm_f"]["scale"], params["norm_f"]["bias"], cfg.norm_epsilon)
+    return xo, KVCache(k=k_new, v=v_new)

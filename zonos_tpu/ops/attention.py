@@ -1,0 +1,88 @@
+"""Attention ops: masked-causal prefill and single-token cached decode.
+
+TPU-first replacements for the reference's SDPA + flash-attention path
+(/root/reference/zonos/backbone/_torch.py:397-420, requirements flash-attn).
+Sequence lengths here are short (<= ~4K: conditioning prefix + 30 s of audio
+tokens), so plain XLA einsum attention saturates the MXU; a Pallas
+splash-attention kernel is an optional later optimization, not a parity item.
+
+GQA is expressed by reshaping queries to [B, Hkv, G, ...] and broadcasting
+K/V over the group axis — XLA keeps K/V unreplicated in HBM.
+
+Softmax is computed in fp32 regardless of input dtype.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import nn as jnn
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def gqa_attention(
+    q: jnp.ndarray,  # [B, Sq, Hq, Dh]
+    k: jnp.ndarray,  # [B, Sk, Hkv, Dh]
+    v: jnp.ndarray,  # [B, Sk, Hkv, Dh]
+    mask: jnp.ndarray | None,  # broadcastable to [B, 1, 1, Sq, Sk] after expand
+) -> jnp.ndarray:
+    """Grouped-query attention. Returns [B, Sq, Hq, Dh] in q.dtype."""
+    b, sq, hq, dh = q.shape
+    hkv = k.shape[2]
+    g = hq // hkv
+    scale = 1.0 / jnp.sqrt(jnp.float32(dh))
+
+    qg = q.reshape(b, sq, hkv, g, dh)
+    # scores: [B, Hkv, G, Sq, Sk]
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if mask is not None:
+        # mask: [B, Sq, Sk] boolean, True = attend.
+        scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
+    probs = jnn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v)
+    return out.reshape(b, sq, hq, dh)
+
+
+def causal_prefix_mask(seq_len: int, pad_amount: jnp.ndarray) -> jnp.ndarray:
+    """Causal mask that also hides left-padding columns.
+
+    The runtime left-pads the conditioning prefix to a bucketed length so the
+    prefill jit compiles once per bucket; padded positions hold garbage K/V
+    and must never be attended to.
+
+    Args:
+        seq_len: static prefill length (bucketed).
+        pad_amount: int array [B] — number of invalid positions at the start
+            of each sample's sequence.
+
+    Returns:
+        bool [B, S, S]; True where attention is allowed.
+    """
+    rows = jnp.arange(seq_len)[None, :, None]
+    cols = jnp.arange(seq_len)[None, None, :]
+    causal = cols <= rows
+    valid_col = cols >= pad_amount[:, None, None]
+    return causal & valid_col
+
+
+def decode_mask(
+    cache_len: int,
+    pad_amount: jnp.ndarray,
+    write_index: jnp.ndarray,
+) -> jnp.ndarray:
+    """KV-validity mask for single-token decode against a static cache.
+
+    Valid cache slots are [pad_amount, write_index] (the current token's K/V
+    has just been written at ``write_index``).
+
+    Args:
+        cache_len: static allocated cache length.
+        pad_amount: int array [B].
+        write_index: scalar int — slot where the current token was written.
+
+    Returns:
+        bool [B, 1, cache_len].
+    """
+    cols = jnp.arange(cache_len)[None, None, :]
+    return (cols >= pad_amount[:, None, None]) & (cols <= write_index)

@@ -1,0 +1,400 @@
+"""Autoregressive generation runtime: jitted prefill + on-device decode loop.
+
+TPU-native replacement for the reference's generate() machinery
+(/root/reference/zonos/model.py:354-548, zonos/utilities/generation_utils.py,
+zonos/utilities/tensor_ops.py). Where the reference fights CUDA launch
+overhead with CUDA-graph capture, torch.compile, preallocated workspaces and
+sync-throttled early-exit checks, the TPU design is one ``jax.jit`` containing:
+
+    prefill → first sample → lax.while_loop(decode step)
+
+so the entire multi-thousand-step loop runs on device with zero host
+round-trips, static shapes, and early exit expressed as the loop condition.
+
+Shape policy (recompile-avoidance):
+* the conditioning prefix is LEFT-padded to a bucketed length; RoPE's shift
+  invariance makes the uniform position offset harmless, and a single
+  per-sample ``pad_amount`` masks the garbage cache slots;
+* the audio length is bucketed; the *requested* max_new_tokens is a dynamic
+  scalar bound in the loop condition.
+
+EOS semantics mirror the reference exactly: sampling EOS in codebook 0 caps
+remaining_steps at 9 and drains an EOS/MASK staircase down the delayed
+codebooks (model.py:483-497, tensor_ops.py:155-211).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from zonos_tpu.config import ZonosConfig
+from zonos_tpu.models.transformer import KVCache, transformer_forward
+from zonos_tpu.ops.delay_pattern import apply_delay_pattern, revert_delay_pattern
+from zonos_tpu.ops.sampling import SamplingParams, sample_from_logits
+
+UNKNOWN_TOKEN = -1
+MAX_REP_WINDOW = 8  # static ring size for the repetition-penalty context
+
+
+def _bucket(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Embeddings / heads (reference zonos/utilities/codec_utils.py:15-79)
+# ---------------------------------------------------------------------------
+
+def embed_codes(embeddings: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
+    """Sum per-codebook embeddings.
+
+    Args:
+        embeddings: [n_q, vocab, D].
+        codes: int [B, n_q, S].
+    Returns:
+        [B, S, D] in embeddings.dtype.
+    """
+    codes = jnp.clip(codes, 0, embeddings.shape[1] - 1)
+    # One fused gather from a flattened table, then sum over codebooks.
+    n_q, vocab, d = embeddings.shape
+    flat = embeddings.reshape(n_q * vocab, d)
+    idx = codes + (jnp.arange(n_q, dtype=codes.dtype) * vocab)[None, :, None]
+    emb = flat[idx]  # [B, n_q, S, D]
+    return jnp.sum(emb, axis=1)
+
+
+def apply_heads(head_weight: jnp.ndarray, hidden: jnp.ndarray, n_q: int) -> jnp.ndarray:
+    """Fused output heads.
+
+    Args:
+        head_weight: [D, n_q * Vh].
+        hidden: [B, S, D].
+    Returns:
+        logits [B, n_q, S, Vh] (fp32).
+    """
+    b, s, _ = hidden.shape
+    logits = jnp.einsum(
+        "bsd,dv->bsv", hidden, head_weight, preferred_element_type=jnp.float32
+    )
+    vh = head_weight.shape[1] // n_q
+    return logits.reshape(b, s, n_q, vh).transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Generation state
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class DecodeCarry:
+    delayed_codes: jnp.ndarray  # [B, n_q, S_delayed] int32
+    offset: jnp.ndarray  # scalar int32: frame index being written next
+    cache: KVCache  # batch axis = 2B (cond ++ uncond)
+    stopping: jnp.ndarray  # [B] bool
+    remaining_steps: jnp.ndarray  # [B] int32
+    steps_done: jnp.ndarray  # scalar int32
+    key: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerateStatics:
+    """Static (compile-time) arguments of the jitted generate."""
+
+    cfg: ZonosConfig
+    sampling: SamplingParams
+    prefill_len: int  # bucketed Lc + Lp + 1
+    delayed_len: int  # bucketed audio_seq_len + n_q
+    cache_len: int
+    batch_size: int
+
+
+def _decode_logits(
+    params: dict,
+    statics: GenerateStatics,
+    x_tokens: jnp.ndarray,  # [B, n_q, 1] input frame
+    cache: KVCache,
+    write_index: jnp.ndarray,
+    pad_amount: jnp.ndarray,  # [2B]
+    cfg_scale: jnp.ndarray,
+) -> tuple[jnp.ndarray, KVCache]:
+    """One backbone step with CFG batch doubling → guided logits [B, n_q, Vh]."""
+    cfg = statics.cfg
+    x = embed_codes(params["embeddings"], x_tokens)  # [B, 1, D]
+    x = jnp.concatenate([x, x], axis=0)  # [2B, 1, D]
+    h, cache = transformer_forward(
+        params["backbone"], cfg.backbone, x, cache,
+        write_start=write_index, pad_amount=pad_amount, attend_len=statics.cache_len,
+    )
+    logits = apply_heads(params["heads"], h, cfg.codebook_dimension)[:, :, 0]  # [2B, n_q, Vh]
+    cond, uncond = jnp.split(logits, 2, axis=0)
+    return uncond + (cond - uncond) * cfg_scale, cache
+
+
+def _context_slice(delayed: jnp.ndarray, offset: jnp.ndarray, window: int):
+    """Last `window` delayed-stream positions before `offset`, with valid count.
+
+    Start index is clamped by dynamic_slice; a valid-length scalar masks the
+    overhang so early steps match the reference's shrinking context
+    (model.py:478-481).
+    """
+    b, n_q, s = delayed.shape
+    start = offset - window
+    ctx = jax.lax.dynamic_slice(delayed, (0, 0, start), (b, n_q, window))
+    valid = jnp.minimum(offset, window)
+    return ctx, valid
+
+
+def build_generate_fn(statics: GenerateStatics):
+    """Build the jitted generate function for one static configuration."""
+
+    cfg = statics.cfg
+    n_q = cfg.codebook_dimension
+    vh = cfg.head_vocab_size  # 1025
+    window = min(statics.sampling.repetition_penalty_window, MAX_REP_WINDOW)
+    use_rep = statics.sampling.repetition_penalty != 1.0 and window > 0
+
+    def generate_fn(
+        params: dict,
+        cond_emb: jnp.ndarray,  # [2B, prefill_len - Lp - 1 ... ] see below
+        delayed_init: jnp.ndarray,  # [B, n_q, delayed_len] int32 (prefix inserted)
+        prefix_frames: jnp.ndarray,  # scalar int32: Lp + 1 (# delayed frames prefilled)
+        pad_amount: jnp.ndarray,  # [2B] int32 left-pad of the prefill
+        max_steps: jnp.ndarray,  # scalar int32 dynamic bound (max_new + n_q - 1)
+        cfg_scale: jnp.ndarray,  # scalar fp32
+        key: jax.Array,
+    ):
+        b = statics.batch_size
+
+        # ---- Prefill ----------------------------------------------------
+        # cond_emb is already left-padded+concatenated with the embedded
+        # delayed audio prefix on the host side of the jit boundary? No:
+        # embed here to keep everything on device.
+        delayed_prefix = jax.lax.dynamic_slice(
+            delayed_init, (0, 0, 0), (b, n_q, statics.prefill_len)
+        )  # only the first prefix_frames columns are real; rest masked below
+        # Build prefill input: [pad | cond | audio-prefix frames]. cond_emb
+        # comes in as [2B, Lc_pad, D] ALREADY left-padded; audio prefix
+        # embeddings are appended after it.
+        prefix_emb = embed_codes(params["embeddings"], delayed_prefix)  # [B, prefill_len, D]
+        prefix_emb = jnp.concatenate([prefix_emb, prefix_emb], axis=0)
+        lc_pad = cond_emb.shape[1]
+        x = jnp.concatenate([cond_emb, prefix_emb[:, : statics.prefill_len - lc_pad]], axis=1)
+        assert x.shape[1] == statics.prefill_len
+
+        cache = KVCache.create(cfg.backbone, 2 * b, statics.cache_len, dtype=cond_emb.dtype)
+        h, cache = transformer_forward(
+            params["backbone"], cfg.backbone, x, cache,
+            write_start=jnp.int32(0), pad_amount=pad_amount,
+            attend_len=statics.prefill_len,
+        )
+        # Last *valid* position: with right-aligned audio prefix the final
+        # real frame sits at prefill_len-1 only when the audio prefix ends
+        # the sequence — the runtime guarantees this by construction.
+        last_h = h[:, -1:, :]
+        logits0 = apply_heads(params["heads"], last_h, n_q)[:, :, 0]
+        cond0, uncond0 = jnp.split(logits0, 2, axis=0)
+        logits0 = uncond0 + (cond0 - uncond0) * cfg_scale
+
+        key0, key_loop = jax.random.split(key)
+        next_token = sample_from_logits(key0, logits0, statics.sampling)  # [B, n_q]
+
+        # Write the first frame at offset = prefix_frames (only unknowns).
+        offset0 = prefix_frames
+        frame = jax.lax.dynamic_slice(delayed_init, (0, 0, 0), (b, n_q, 1))  # placeholder
+        delayed = _write_frame(delayed_init, offset0, next_token)
+
+        # EOS logit bias (model.py:433-437).
+        bias = jnp.zeros((b, n_q, vh), jnp.float32)
+        bias = bias.at[:, 1:, cfg.eos_token_id].set(-jnp.inf)
+        bias = bias.at[:, 0, cfg.eos_token_id].add(-jnp.log(2.0))
+
+        carry = DecodeCarry(
+            delayed_codes=delayed,
+            offset=offset0 + 1,
+            cache=cache,
+            stopping=jnp.zeros((b,), bool),
+            remaining_steps=jnp.full((b,), statics.delayed_len, jnp.int32),
+            steps_done=jnp.int32(0),
+            key=key_loop,
+        )
+
+        def cond_fn(c: DecodeCarry):
+            return (
+                (c.offset < statics.delayed_len)
+                & (c.steps_done < max_steps)
+                & jnp.any(c.remaining_steps > 0)
+            )
+
+        def body_fn(c: DecodeCarry) -> DecodeCarry:
+            key, subkey = jax.random.split(c.key)
+            input_frame = jax.lax.dynamic_slice(
+                c.delayed_codes, (0, 0, c.offset - 1), (b, n_q, 1)
+            )
+            write_index = statics.prefill_len + c.steps_done
+            logits, cache = _decode_logits(
+                params, statics, input_frame, c.cache, write_index, pad_amount, cfg_scale
+            )
+            logits = logits + bias
+
+            if use_rep:
+                ctx, valid = _context_slice(c.delayed_codes, c.offset, window)
+                next_token = sample_from_logits(
+                    subkey, logits, statics.sampling,
+                    generated_tokens=ctx, generated_valid_len=valid,
+                )
+            else:
+                next_token = sample_from_logits(subkey, logits, statics.sampling)
+
+            # EOS bookkeeping (model.py:483-497).
+            eos_in_cb0 = next_token[:, 0] == cfg.eos_token_id
+            remaining = jnp.where(
+                eos_in_cb0, jnp.minimum(c.remaining_steps, n_q), c.remaining_steps
+            )
+            stopping = c.stopping | eos_in_cb0
+            eos_idx = jnp.clip(n_q - remaining, max=n_q - 1)
+
+            cb = jnp.arange(n_q)[None, :]
+            stop_b = stopping[:, None]
+            next_token = jnp.where(
+                stop_b & (cb < eos_idx[:, None]),
+                cfg.masked_token_id,
+                jnp.where(stop_b & (cb == eos_idx[:, None]), cfg.eos_token_id, next_token),
+            ).astype(jnp.int32)
+
+            delayed = _write_frame(c.delayed_codes, c.offset, next_token)
+
+            return DecodeCarry(
+                delayed_codes=delayed,
+                offset=c.offset + 1,
+                cache=cache,
+                stopping=stopping,
+                remaining_steps=remaining - 1,
+                steps_done=c.steps_done + 1,
+                key=key,
+            )
+
+        final = jax.lax.while_loop(cond_fn, body_fn, carry)
+        return final.delayed_codes, final.offset, final.stopping
+
+    return generate_fn
+
+
+def _write_frame(delayed: jnp.ndarray, offset: jnp.ndarray, next_token: jnp.ndarray) -> jnp.ndarray:
+    """Write next_token into frame `offset`, only where the slot is UNKNOWN
+    (preserves audio-prefix frames; reference tensor_ops.py:12-53)."""
+    b, n_q, _ = delayed.shape
+    cur = jax.lax.dynamic_slice(delayed, (0, 0, offset), (b, n_q, 1))
+    new = jnp.where(cur == UNKNOWN_TOKEN, next_token[..., None], cur)
+    return jax.lax.dynamic_update_slice(delayed, new, (0, 0, offset))
+
+
+# ---------------------------------------------------------------------------
+# Host-side orchestration
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _compiled_generate(statics: GenerateStatics):
+    return jax.jit(build_generate_fn(statics))
+
+
+def generate(
+    params: dict,
+    cfg: ZonosConfig,
+    prefix_conditioning: np.ndarray,  # [2B, Lc, D] (cond ++ uncond)
+    audio_prefix_codes: np.ndarray | None = None,  # [B, n_q, Lp]
+    max_new_tokens: int = 86 * 30,
+    cfg_scale: float = 2.0,
+    batch_size: int = 1,
+    sampling_params: SamplingParams | dict | None = None,
+    seed: int | jax.Array | None = None,
+    prefill_bucket: int = 64,
+    audio_bucket: int = 512,
+    dtype=jnp.bfloat16,
+) -> np.ndarray:
+    """Generate audio codes (API mirror of reference Zonos.generate, model.py:354).
+
+    Returns sanitized codes [B, n_q, valid_length] as numpy int32.
+    """
+    if isinstance(sampling_params, dict):
+        sampling_params = SamplingParams(**sampling_params)
+    sampling_params = sampling_params or SamplingParams(min_p=0.1)
+    assert cfg_scale != 1.0, "cfg_scale=1 not supported (matches reference model.py:399)"
+
+    n_q = cfg.codebook_dimension
+    lp = 0 if audio_prefix_codes is None else int(audio_prefix_codes.shape[2])
+    lc = int(prefix_conditioning.shape[1])
+
+    # Bucketed static dims.
+    t0 = lc + lp + 1
+    prefill_len = _bucket(t0, prefill_bucket)
+    audio_seq_len = lp + max_new_tokens
+    delayed_len = _bucket(audio_seq_len + n_q, audio_bucket)
+    cache_len = _bucket(prefill_len + (delayed_len - (lp + 1)) + 1, 128)
+
+    statics = GenerateStatics(
+        cfg=cfg,
+        sampling=sampling_params,
+        prefill_len=prefill_len,
+        delayed_len=delayed_len,
+        cache_len=cache_len,
+        batch_size=batch_size,
+    )
+
+    # Host-side prep: delayed codes buffer with audio prefix inserted.
+    codes = np.full((batch_size, n_q, delayed_len - n_q), UNKNOWN_TOKEN, np.int32)
+    if audio_prefix_codes is not None:
+        codes[..., :lp] = np.asarray(audio_prefix_codes, np.int32)
+    delayed_init = np.asarray(apply_delay_pattern(jnp.asarray(codes), cfg.masked_token_id))
+
+    # Left-pad cond embeddings to make total prefill length == prefill_len:
+    # [pad A | cond Lc | audio prefix Lp+1].
+    pad = prefill_len - t0
+    cond = np.asarray(prefix_conditioning, np.float32)
+    cond_padded = np.concatenate(
+        [np.zeros((cond.shape[0], pad, cond.shape[2]), np.float32), cond], axis=1
+    ).astype(jnp.bfloat16 if dtype == jnp.bfloat16 else np.float32)
+    pad_amount = np.full((2 * batch_size,), pad, np.int32)
+
+    if seed is None:
+        seed = np.random.randint(0, 2**31 - 1)
+    key = seed if isinstance(seed, jax.Array) else jax.random.key(int(seed))
+
+    fn = _compiled_generate(statics)
+    delayed_out, offset, _stopping = fn(
+        params,
+        jnp.asarray(cond_padded, dtype),
+        jnp.asarray(delayed_init),
+        jnp.int32(lp + 1),
+        jnp.asarray(pad_amount),
+        jnp.int32(max_new_tokens + n_q - 1),
+        jnp.float32(cfg_scale),
+        key,
+    )
+
+    delayed_out = np.asarray(delayed_out)
+    offset = int(offset)
+    return postprocess_codes(delayed_out, offset, cfg)
+
+
+def postprocess_codes(delayed_out: np.ndarray, offset: int, cfg: ZonosConfig) -> np.ndarray:
+    """Revert delay, find trailing EOS boundary, sanitize (model.py:511-539)."""
+    n_q = cfg.codebook_dimension
+    out = np.asarray(revert_delay_pattern(jnp.asarray(delayed_out)))
+    valid_length = max(offset - n_q, 0)
+
+    # Trailing-EOS boundary vote (model.py:516-529).
+    search_window = min(50, valid_length // 4)
+    search_start = max(0, valid_length - search_window)
+    for pos in range(search_start, valid_length):
+        if (out[:, :, pos] == cfg.eos_token_id).sum() >= n_q // 2:
+            valid_length = pos
+            break
+
+    out = np.where(out > cfg.eos_token_id, 512, out)
+    out = np.where(out == cfg.eos_token_id, 0, out)
+    out = np.clip(out[..., :valid_length], 0, cfg.eos_token_id - 1)
+    return out.astype(np.int32)
