@@ -1,0 +1,66 @@
+"""End-to-end generation smoke tests on a tiny random-init transformer.
+
+Mirrors the reference E2E script behavior (test_zonos.py:543-571) at unit-test
+scale: conditioning dict → prefix conditioner → jitted prefill+decode loop →
+sanitized codes. Checks shapes, value ranges, determinism under a fixed seed,
+and audio-prefix continuation.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from zonos_tpu.conditioning.cond_dict import make_cond_dict
+from zonos_tpu.config import tiny_transformer_config
+from zonos_tpu.models.zonos import Zonos
+
+
+@pytest.fixture(scope="module")
+def model():
+    return Zonos.from_config(tiny_transformer_config(), seed=0, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def cond(model):
+    cd = make_cond_dict(text="hello world", language="en-us", speaker=np.zeros((1, 1, 128), np.float32))
+    return model.prepare_conditioning(cd, cfg_scale=2.0)
+
+
+def test_conditioning_shapes(model, cond):
+    # cond ++ uncond stacked on batch.
+    assert cond.ndim == 3
+    assert cond.shape[0] == 2
+    assert cond.shape[2] == model.config.backbone.d_model
+
+
+def test_generate_shapes_and_range(model, cond):
+    codes = model.generate(cond, max_new_tokens=30, seed=1)
+    assert codes.ndim == 3
+    assert codes.shape[0] == 1 and codes.shape[1] == 9
+    assert codes.shape[2] <= 30
+    assert codes.min() >= 0 and codes.max() <= 1023
+
+
+def test_generate_deterministic_with_seed(model, cond):
+    a = model.generate(cond, max_new_tokens=20, seed=7)
+    b = model.generate(cond, max_new_tokens=20, seed=7)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_generate_audio_prefix(model, cond):
+    prefix = np.ones((1, 9, 8), np.int32) * 5
+    codes = model.generate(cond, audio_prefix_codes=prefix, max_new_tokens=16, seed=3)
+    # The audio prefix is preserved verbatim at the start of the output.
+    np.testing.assert_array_equal(codes[..., :8], prefix)
+
+
+def test_conditioning_cache(model):
+    cd = make_cond_dict(text="cache me", speaker=np.zeros((1, 1, 128), np.float32))
+    a = model.prepare_conditioning(cd, use_cache=True)
+    assert model._conditioning_cache.size() == 1
+    b = model.prepare_conditioning(cd, use_cache=True)
+    assert a is b  # cache hit returns the same buffer
+    # Different cfg_scale must be a different cache entry (reference bug fixed).
+    model.prepare_conditioning(cd, use_cache=True, cfg_scale=3.0)
+    assert model._conditioning_cache.size() == 2

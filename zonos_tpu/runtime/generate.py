@@ -170,19 +170,16 @@ def build_generate_fn(statics: GenerateStatics):
         b = statics.batch_size
 
         # ---- Prefill ----------------------------------------------------
-        # cond_emb is already left-padded+concatenated with the embedded
-        # delayed audio prefix on the host side of the jit boundary? No:
-        # embed here to keep everything on device.
-        delayed_prefix = jax.lax.dynamic_slice(
-            delayed_init, (0, 0, 0), (b, n_q, statics.prefill_len)
-        )  # only the first prefix_frames columns are real; rest masked below
-        # Build prefill input: [pad | cond | audio-prefix frames]. cond_emb
-        # comes in as [2B, Lc_pad, D] ALREADY left-padded; audio prefix
-        # embeddings are appended after it.
-        prefix_emb = embed_codes(params["embeddings"], delayed_prefix)  # [B, prefill_len, D]
-        prefix_emb = jnp.concatenate([prefix_emb, prefix_emb], axis=0)
+        # Prefill input layout: [pad A | cond Lc | audio-prefix frames Lp+1].
+        # cond_emb arrives as [2B, A+Lc, D] (left-padded on host); the
+        # audio-prefix frame embeddings are appended on device.
         lc_pad = cond_emb.shape[1]
-        x = jnp.concatenate([cond_emb, prefix_emb[:, : statics.prefill_len - lc_pad]], axis=1)
+        n_prefix_frames = statics.prefill_len - lc_pad  # == Lp + 1, static
+        prefix_emb = embed_codes(
+            params["embeddings"], delayed_init[:, :, :n_prefix_frames]
+        )  # [B, Lp+1, D]
+        prefix_emb = jnp.concatenate([prefix_emb, prefix_emb], axis=0)
+        x = jnp.concatenate([cond_emb, prefix_emb], axis=1)
         assert x.shape[1] == statics.prefill_len
 
         cache = KVCache.create(cfg.backbone, 2 * b, statics.cache_len, dtype=cond_emb.dtype)
@@ -204,7 +201,6 @@ def build_generate_fn(statics: GenerateStatics):
 
         # Write the first frame at offset = prefix_frames (only unknowns).
         offset0 = prefix_frames
-        frame = jax.lax.dynamic_slice(delayed_init, (0, 0, 0), (b, n_q, 1))  # placeholder
         delayed = _write_frame(delayed_init, offset0, next_token)
 
         # EOS logit bias (model.py:433-437).
@@ -278,7 +274,7 @@ def build_generate_fn(statics: GenerateStatics):
             )
 
         final = jax.lax.while_loop(cond_fn, body_fn, carry)
-        return final.delayed_codes, final.offset, final.stopping
+        return final.delayed_codes, final.offset, final.remaining_steps
 
     return generate_fn
 
@@ -364,19 +360,25 @@ def generate(
     key = seed if isinstance(seed, jax.Array) else jax.random.key(int(seed))
 
     fn = _compiled_generate(statics)
-    delayed_out, offset, _stopping = fn(
+    delayed_out, offset, remaining = fn(
         params,
         jnp.asarray(cond_padded, dtype),
         jnp.asarray(delayed_init),
         jnp.int32(lp + 1),
         jnp.asarray(pad_amount),
-        jnp.int32(max_new_tokens + n_q - 1),
+        jnp.int32(max_new_tokens + n_q - 2),
         jnp.float32(cfg_scale),
         key,
     )
 
     delayed_out = np.asarray(delayed_out)
     offset = int(offset)
+    # The carry offset is one past the last written frame. On exhaustion this
+    # matches the reference's final offset (model.py:467-471 increments then
+    # breaks); on EOS-drain exit the reference's offset IS the last written
+    # frame, so step back one (model.py:502-504).
+    if np.all(np.asarray(remaining) <= 0):
+        offset -= 1
     return postprocess_codes(delayed_out, offset, cfg)
 
 
