@@ -1,0 +1,440 @@
+"""Descript Audio Codec (DAC, 44.1 kHz) in JAX.
+
+TPU-native reimplementation of the codec the reference wraps via
+``transformers.DacModel`` (/root/reference/zonos/autoencoder.py:49-170):
+Snake-activated conv encoder, residual vector quantizer (9 codebooks,
+codebook_dim 8, latent 1024), and a transposed-conv decoder with upsampling
+ratios (8, 8, 4, 2) → hop 512.
+
+Design choices for TPU:
+* channels-last ([B, T, C]) layout everywhere — features ride the 128-wide
+  lane dimension, convs lower to MXU matmuls;
+* decode runs under one jit at bucketed frame lengths in bfloat16 (the
+  reference autocasts to bf16 on CUDA, autoencoder.py:137-140);
+* quantizer ``from_codes`` is one fused gather+matmul over all 9 codebooks.
+
+Numerical parity against ``transformers.DacModel`` is covered by
+tests/test_dac_parity.py using a randomly-initialized torch model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DACConfig:
+    """Architecture of descript/dac_44khz (HF DacConfig field names)."""
+
+    encoder_hidden_size: int = 64
+    downsampling_ratios: tuple[int, ...] = (2, 4, 8, 8)
+    decoder_hidden_size: int = 1536
+    upsampling_ratios: tuple[int, ...] = (8, 8, 4, 2)
+    n_codebooks: int = 9
+    codebook_size: int = 1024
+    codebook_dim: int = 8
+    hidden_size: int = 1024
+    sampling_rate: int = 44100
+
+    @property
+    def hop_length(self) -> int:
+        return int(np.prod(self.downsampling_ratios))
+
+
+# ---------------------------------------------------------------------------
+# Primitive ops (NTC layout)
+# ---------------------------------------------------------------------------
+
+def snake(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Snake activation: x + (1/α)·sin²(αx), α per channel (last axis)."""
+    a = alpha.astype(x.dtype)
+    return x + jnp.square(jnp.sin(a * x)) / (a + 1e-9)
+
+
+def conv1d(
+    x: jnp.ndarray,  # [B, T, Cin]
+    w: jnp.ndarray,  # [K, Cin, Cout]
+    b: jnp.ndarray | None,
+    stride: int = 1,
+    dilation: int = 1,
+    padding: int = 0,
+) -> jnp.ndarray:
+    out = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def conv_transpose1d(
+    x: jnp.ndarray,  # [B, T, Cin]
+    w: jnp.ndarray,  # [K, Cin, Cout] — already flipped from torch layout
+    b: jnp.ndarray | None,
+    stride: int,
+    padding: int,
+) -> jnp.ndarray:
+    """Torch ConvTranspose1d semantics via input-dilated convolution.
+
+    output length = (T-1)*stride - 2*padding + K.
+    """
+    k = w.shape[0]
+    out = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1,),
+        padding=[(k - 1 - padding, k - 1 - padding)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _res_unit(p: dict, x: jnp.ndarray, dilation: int) -> jnp.ndarray:
+    """Snake→dilated conv k7→Snake→conv k1 with center-trimmed residual."""
+    y = snake(x, p["snake1"])
+    y = conv1d(y, p["conv1"]["w"], p["conv1"]["b"], dilation=dilation, padding=((7 - 1) * dilation) // 2)
+    y = snake(y, p["snake2"])
+    y = conv1d(y, p["conv2"]["w"], p["conv2"]["b"])
+    trim = (x.shape[1] - y.shape[1]) // 2
+    if trim > 0:
+        x = x[:, trim:-trim]
+    return x + y
+
+
+# ---------------------------------------------------------------------------
+# Decoder / Encoder / Quantizer
+# ---------------------------------------------------------------------------
+
+def decoder_forward(params: dict, z: jnp.ndarray, ratios: tuple[int, ...]) -> jnp.ndarray:
+    """z [B, T, 1024] → waveform [B, T*hop] in (-1, 1)."""
+    h = conv1d(z, params["conv1"]["w"], params["conv1"]["b"], padding=3)
+    for blk, stride in zip(params["blocks"], ratios):
+        h = snake(h, blk["snake1"])
+        h = conv_transpose1d(
+            h, blk["conv_t"]["w"], blk["conv_t"]["b"], stride=stride,
+            padding=math.ceil(stride / 2),
+        )
+        for i, dil in enumerate((1, 3, 9)):
+            h = _res_unit(blk["res"][i], h, dil)
+    h = snake(h, params["snake_out"])
+    h = conv1d(h, params["conv2"]["w"], params["conv2"]["b"], padding=3)
+    return jnp.tanh(h)[..., 0]
+
+
+def encoder_forward(params: dict, wav: jnp.ndarray, ratios: tuple[int, ...]) -> jnp.ndarray:
+    """wav [B, T] → latent [B, T/hop, 1024]."""
+    h = conv1d(wav[..., None], params["conv1"]["w"], params["conv1"]["b"], padding=3)
+    for blk, stride in zip(params["blocks"], ratios):
+        for i, dil in enumerate((1, 3, 9)):
+            h = _res_unit(blk["res"][i], h, dil)
+        h = snake(h, blk["snake1"])
+        h = conv1d(
+            h, blk["conv"]["w"], blk["conv"]["b"], stride=stride,
+            padding=math.ceil(stride / 2),
+        )
+    h = snake(h, params["snake_out"])
+    return conv1d(h, params["conv2"]["w"], params["conv2"]["b"], padding=1)
+
+
+def quantizer_from_codes(params: dict, codes: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """codes [B, n_q, T] → latent z [B, T, hidden] (HF from_codes semantics).
+
+    One gather per codebook into the low-dim codebook space, then a single
+    batched matmul through the stacked out-projections.
+    """
+    cb = params["codebooks"].astype(dtype)  # [n_q, V, d]
+    emb = jnp.take_along_axis(
+        cb[None], codes.transpose(0, 1, 2)[..., None].astype(jnp.int32), axis=2
+    )  # [B, n_q, T, d]
+    # out_proj: per-quantizer [d, hidden] matmul + bias, summed over quantizers.
+    z = jnp.einsum("bqtd,qdh->bth", emb, params["out_proj_w"].astype(dtype))
+    z = z + jnp.sum(params["out_proj_b"], axis=0).astype(dtype)
+    return z
+
+
+def quantizer_encode(params: dict, z: jnp.ndarray) -> jnp.ndarray:
+    """Latent z [B, T, hidden] → codes [B, n_q, T] (residual VQ, eval mode).
+
+    Matches DacVectorQuantize.decode_latents: L2-normalized nearest-neighbor
+    in the 8-dim projected space (argmax of negative distance).
+    """
+    n_q = params["codebooks"].shape[0]
+    residual = z.astype(jnp.float32)
+    codes = []
+    for i in range(n_q):
+        lat = (
+            jnp.einsum("bth,hd->btd", residual, params["in_proj_w"][i].astype(jnp.float32))
+            + params["in_proj_b"][i]
+        )
+        cb = params["codebooks"][i].astype(jnp.float32)  # [V, d]
+        e = lat / jnp.linalg.norm(lat, axis=-1, keepdims=True).clip(1e-12)
+        c = cb / jnp.linalg.norm(cb, axis=-1, keepdims=True).clip(1e-12)
+        # dist = -(|e|² - 2 e·c) + |c|² ; argmax over V.
+        dist = 2 * jnp.einsum("btd,vd->btv", e, c) - jnp.sum(e * e, -1, keepdims=True) + jnp.sum(c * c, -1)[None, None]
+        idx = jnp.argmax(dist, axis=-1)  # [B, T]
+        codes.append(idx)
+        quant = cb[idx]  # [B, T, d]
+        residual = residual - (
+            jnp.einsum("btd,dh->bth", quant, params["out_proj_w"][i].astype(jnp.float32))
+            + params["out_proj_b"][i]
+        )
+    return jnp.stack(codes, axis=1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Init / conversion
+# ---------------------------------------------------------------------------
+
+def _conv_init(key, k, cin, cout, dtype):
+    w = jax.random.truncated_normal(key, -2, 2, (k, cin, cout)) * 0.02
+    return {"w": w.astype(dtype), "b": jnp.zeros((cout,), dtype)}
+
+
+def init_dac_params(key: jax.Array, cfg: DACConfig = DACConfig(), dtype=jnp.float32) -> dict:
+    """Random init with the exact shapes of descript/dac_44khz."""
+    keys = iter(jax.random.split(key, 128))
+    dh = cfg.decoder_hidden_size
+
+    def res_params(c):
+        return {
+            "snake1": jnp.ones((c,), dtype),
+            "conv1": _conv_init(next(keys), 7, c, c, dtype),
+            "snake2": jnp.ones((c,), dtype),
+            "conv2": _conv_init(next(keys), 1, c, c, dtype),
+        }
+
+    dec_blocks = []
+    for si, stride in enumerate(cfg.upsampling_ratios):
+        cin, cout = dh // 2**si, dh // 2 ** (si + 1)
+        dec_blocks.append(
+            {
+                "snake1": jnp.ones((cin,), dtype),
+                "conv_t": _conv_init(next(keys), 2 * stride, cin, cout, dtype),
+                "res": [res_params(cout) for _ in range(3)],
+            }
+        )
+    c_last = dh // 2 ** len(cfg.upsampling_ratios)
+    decoder = {
+        "conv1": _conv_init(next(keys), 7, cfg.hidden_size, dh, dtype),
+        "blocks": dec_blocks,
+        "snake_out": jnp.ones((c_last,), dtype),
+        "conv2": _conv_init(next(keys), 7, c_last, 1, dtype),
+    }
+
+    eh = cfg.encoder_hidden_size
+    enc_blocks = []
+    for si, stride in enumerate(cfg.downsampling_ratios):
+        c = eh * 2**si
+        enc_blocks.append(
+            {
+                "res": [res_params(c) for _ in range(3)],
+                "snake1": jnp.ones((c,), dtype),
+                "conv": _conv_init(next(keys), 2 * stride, c, 2 * c, dtype),
+            }
+        )
+    c_enc = eh * 2 ** len(cfg.downsampling_ratios)
+    encoder = {
+        "conv1": _conv_init(next(keys), 7, 1, eh, dtype),
+        "blocks": enc_blocks,
+        "snake_out": jnp.ones((c_enc,), dtype),
+        "conv2": _conv_init(next(keys), 3, c_enc, cfg.hidden_size, dtype),
+    }
+
+    quantizer = {
+        "codebooks": (jax.random.normal(next(keys), (cfg.n_codebooks, cfg.codebook_size, cfg.codebook_dim)) * 0.02).astype(dtype),
+        "in_proj_w": (jax.random.normal(next(keys), (cfg.n_codebooks, cfg.hidden_size, cfg.codebook_dim)) * 0.02).astype(dtype),
+        "in_proj_b": jnp.zeros((cfg.n_codebooks, cfg.codebook_dim), dtype),
+        "out_proj_w": (jax.random.normal(next(keys), (cfg.n_codebooks, cfg.codebook_dim, cfg.hidden_size)) * 0.02).astype(dtype),
+        "out_proj_b": jnp.zeros((cfg.n_codebooks, cfg.hidden_size), dtype),
+    }
+    return {"decoder": decoder, "encoder": encoder, "quantizer": quantizer}
+
+
+def convert_hf_dac_state_dict(sd: dict, cfg: DACConfig = DACConfig(), dtype=jnp.float32) -> dict:
+    """Convert a ``transformers.DacModel`` state dict (numpy values) to our pytree.
+
+    torch conv weight [O, I, K] → ours [K, I, O];
+    torch conv-transpose weight [I, O, K] → flipped-k [K, I, O].
+    """
+    cw = lambda w: jnp.asarray(np.ascontiguousarray(w.transpose(2, 1, 0)), dtype)
+    ctw = lambda w: jnp.asarray(np.ascontiguousarray(w[:, :, ::-1].transpose(2, 0, 1)), dtype)
+    bias = lambda b: jnp.asarray(b, dtype)
+    alpha = lambda a: jnp.asarray(a.reshape(-1), dtype)
+
+    def conv(prefix):
+        return {"w": cw(sd[f"{prefix}.weight"]), "b": bias(sd[f"{prefix}.bias"])}
+
+    def res(prefix, _c):
+        return {
+            "snake1": alpha(sd[f"{prefix}.snake1.alpha"]),
+            "conv1": conv(f"{prefix}.conv1"),
+            "snake2": alpha(sd[f"{prefix}.snake2.alpha"]),
+            "conv2": conv(f"{prefix}.conv2"),
+        }
+
+    dec_blocks = []
+    for si, _ in enumerate(cfg.upsampling_ratios):
+        p = f"decoder.block.{si}"
+        dec_blocks.append(
+            {
+                "snake1": alpha(sd[f"{p}.snake1.alpha"]),
+                "conv_t": {"w": ctw(sd[f"{p}.conv_t1.weight"]), "b": bias(sd[f"{p}.conv_t1.bias"])},
+                "res": [res(f"{p}.res_unit{i + 1}", None) for i in range(3)],
+            }
+        )
+    decoder = {
+        "conv1": conv("decoder.conv1"),
+        "blocks": dec_blocks,
+        "snake_out": alpha(sd["decoder.snake1.alpha"]),
+        "conv2": conv("decoder.conv2"),
+    }
+
+    enc_blocks = []
+    for si, _ in enumerate(cfg.downsampling_ratios):
+        p = f"encoder.block.{si}"
+        enc_blocks.append(
+            {
+                "res": [res(f"{p}.res_unit{i + 1}", None) for i in range(3)],
+                "snake1": alpha(sd[f"{p}.snake1.alpha"]),
+                "conv": conv(f"{p}.conv1"),
+            }
+        )
+    encoder = {
+        "conv1": conv("encoder.conv1"),
+        "blocks": enc_blocks,
+        "snake_out": alpha(sd["encoder.snake1.alpha"]),
+        "conv2": conv("encoder.conv2"),
+    }
+
+    n_q = cfg.n_codebooks
+    quantizer = {
+        "codebooks": jnp.stack(
+            [jnp.asarray(sd[f"quantizer.quantizers.{i}.codebook.weight"], dtype) for i in range(n_q)]
+        ),
+        "in_proj_w": jnp.stack(
+            [jnp.asarray(sd[f"quantizer.quantizers.{i}.in_proj.weight"][:, :, 0].T, dtype) for i in range(n_q)]
+        ),
+        "in_proj_b": jnp.stack(
+            [jnp.asarray(sd[f"quantizer.quantizers.{i}.in_proj.bias"], dtype) for i in range(n_q)]
+        ),
+        "out_proj_w": jnp.stack(
+            [jnp.asarray(sd[f"quantizer.quantizers.{i}.out_proj.weight"][:, :, 0].T, dtype) for i in range(n_q)]
+        ),
+        "out_proj_b": jnp.stack(
+            [jnp.asarray(sd[f"quantizer.quantizers.{i}.out_proj.bias"], dtype) for i in range(n_q)]
+        ),
+    }
+    return {"decoder": decoder, "encoder": encoder, "quantizer": quantizer}
+
+
+# ---------------------------------------------------------------------------
+# Public autoencoder API (reference autoencoder.py:49-170)
+# ---------------------------------------------------------------------------
+
+def _bucket(n: int, m: int) -> int:
+    return max(m, ((n + m - 1) // m) * m)
+
+
+class DACAutoencoder:
+    """Host-side handle; decode/encode are jitted per bucketed length.
+
+    API mirrors the reference DACAutoencoder (preprocess/encode/decode/
+    decode_to_int16) with numpy in/out at the boundary.
+    """
+
+    def __init__(
+        self,
+        params: dict | None = None,
+        cfg: DACConfig = DACConfig(),
+        dtype=jnp.bfloat16,
+        frame_bucket: int = 128,
+    ):
+        self.config = cfg
+        self.dtype = dtype
+        self.frame_bucket = frame_bucket
+        self.codebook_size = cfg.codebook_size
+        self.num_codebooks = cfg.n_codebooks
+        self.sampling_rate = cfg.sampling_rate
+        if params is None:
+            params = self._try_load_pretrained() or init_dac_params(jax.random.key(0), cfg)
+        self.params = params
+
+        @functools.partial(jax.jit, static_argnums=())
+        def _decode(qp, dp, codes):
+            z = quantizer_from_codes(qp, codes, dtype=dtype)
+            return decoder_forward(dp, z.astype(dtype), cfg.upsampling_ratios).astype(jnp.float32)
+
+        self._decode_jit = _decode
+
+        @functools.partial(jax.jit, static_argnums=())
+        def _encode(ep, qp, wav):
+            z = encoder_forward(ep, wav.astype(jnp.float32), cfg.downsampling_ratios)
+            return quantizer_encode(qp, z)
+
+        self._encode_jit = _encode
+
+    def _try_load_pretrained(self):
+        """Load descript/dac_44khz from the local HF cache if present."""
+        try:
+            from transformers.models.dac import DacModel
+
+            m = DacModel.from_pretrained("descript/dac_44khz", local_files_only=True)
+            sd = {k: v.numpy() for k, v in m.state_dict().items()}
+            return convert_hf_dac_state_dict(sd, self.config)
+        except Exception:
+            return None
+
+    # -- reference-compatible API ---------------------------------------
+
+    def preprocess(self, wav: np.ndarray, sr: int) -> np.ndarray:
+        """Resample to 44.1 kHz and left-pad to a multiple of 512
+        (reference autoencoder.py:80-100)."""
+        from zonos_tpu.audio.resample import resample_poly
+
+        wav = np.asarray(wav, np.float32)
+        if sr != self.sampling_rate:
+            wav = resample_poly(wav, sr, self.sampling_rate)
+        hop = self.config.hop_length
+        left_pad = math.ceil(wav.shape[-1] / hop) * hop - wav.shape[-1]
+        pad_width = [(0, 0)] * (wav.ndim - 1) + [(left_pad, 0)]
+        return np.pad(wav, pad_width)
+
+    def encode(self, wav: np.ndarray) -> np.ndarray:
+        """wav [B, T] (44.1 kHz, multiple of 512) → codes [B, n_q, T/512]."""
+        wav = np.atleast_2d(np.asarray(wav, np.float32))
+        if wav.ndim == 3:  # [B, 1, T]
+            wav = wav[:, 0]
+        codes = self._encode_jit(self.params["encoder"], self.params["quantizer"], jnp.asarray(wav))
+        return np.asarray(codes)
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        """codes [B, n_q, T] → float32 waveform [B, 1, T*512] in (-1, 1)."""
+        codes = np.asarray(codes, np.int32)
+        t = codes.shape[-1]
+        t_pad = _bucket(t, self.frame_bucket)
+        padded = np.pad(codes, [(0, 0), (0, 0), (0, t_pad - t)])
+        wav = self._decode_jit(self.params["quantizer"], self.params["decoder"], jnp.asarray(padded))
+        wav = np.asarray(wav)[:, : t * self.config.hop_length]
+        return wav[:, None, :]
+
+    def decode_to_int16(self, codes: np.ndarray) -> np.ndarray:
+        """Decode and clamp to int16 PCM, shape [T, 1] (autoencoder.py:142-170)."""
+        wav = self.decode(codes)[:, 0]
+        pcm = np.clip(wav * 32767.0, -32767.0, 32767.0).astype(np.int16)
+        return pcm[0][:, None]
