@@ -1,0 +1,142 @@
+"""Mamba2 SSD correctness: chunked prefill vs naive recurrence vs step decode.
+
+mamba-ssm (the reference's CUDA implementation) is not installable here, so
+the oracle is the SSD recurrence itself written naively in numpy — the
+definition both implementations must satisfy:
+
+    h_t = exp(dt_t A) h_{t-1} + dt_t · B_t ⊗ x_t ;  y_t = C_t · h_t
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zonos_tpu.config import SSMConfig
+from zonos_tpu.ops import mamba2 as M
+
+
+def naive_ssd(x, dt, A, B_, C_):
+    b, l, h, p = x.shape
+    g, n = B_.shape[2], B_.shape[3]
+    rep = h // g
+    state = np.zeros((b, h, n, p), np.float64)
+    y = np.zeros_like(x, dtype=np.float64)
+    for t in range(l):
+        for hh in range(h):
+            gg = hh // rep
+            decay = np.exp(dt[:, t, hh] * A[hh])
+            state[:, hh] = state[:, hh] * decay[:, None, None] + np.einsum(
+                "bn,bp->bnp", B_[:, t, gg], x[:, t, hh] * dt[:, t, hh][:, None]
+            )
+            y[:, t, hh] = np.einsum("bn,bnp->bp", C_[:, t, gg], state[:, hh])
+    return y, state
+
+
+@pytest.fixture
+def data(rng):
+    b, l, h, p, g, n = 2, 24, 4, 8, 2, 16
+    x = rng.normal(size=(b, l, h, p)).astype(np.float32)
+    dt = rng.uniform(0.01, 0.3, size=(b, l, h)).astype(np.float32)
+    A = -rng.uniform(0.5, 4.0, size=(h,)).astype(np.float32)
+    B_ = rng.normal(size=(b, l, g, n)).astype(np.float32)
+    C_ = rng.normal(size=(b, l, g, n)).astype(np.float32)
+    return x, dt, A, B_, C_
+
+
+def test_chunked_matches_naive(data):
+    x, dt, A, B_, C_ = data
+    ref_y, ref_state = naive_ssd(x, dt, A, B_, C_)
+    y, state = M.ssd_chunked(
+        jnp.asarray(x), jnp.asarray(dt), jnp.asarray(A), jnp.asarray(B_), jnp.asarray(C_),
+        chunk_size=8,
+    )
+    np.testing.assert_allclose(np.asarray(y), ref_y, atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(state), ref_state, atol=1e-4, rtol=1e-3)
+
+
+def test_chunked_chunk_size_invariance(data):
+    x, dt, A, B_, C_ = data
+    args = [jnp.asarray(v) for v in (x, dt, A, B_, C_)]
+    y1, s1 = M.ssd_chunked(*args, chunk_size=4)
+    y2, s2 = M.ssd_chunked(*args, chunk_size=24)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-4, rtol=1e-3)
+
+
+def test_step_matches_chunked(data):
+    x, dt, A, B_, C_ = data
+    y_ref, s_ref = M.ssd_chunked(
+        jnp.asarray(x), jnp.asarray(dt), jnp.asarray(A), jnp.asarray(B_), jnp.asarray(C_),
+        chunk_size=8,
+    )
+    state = jnp.zeros_like(s_ref)
+    ys = []
+    for t in range(x.shape[1]):
+        y, state = M.ssd_step(
+            jnp.asarray(x[:, t]), jnp.asarray(dt[:, t]), jnp.asarray(A),
+            jnp.asarray(B_[:, t]), jnp.asarray(C_[:, t]), state,
+        )
+        ys.append(np.asarray(y))
+    np.testing.assert_allclose(np.stack(ys, 1), np.asarray(y_ref), atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(state), np.asarray(s_ref), atol=1e-4, rtol=1e-3)
+
+
+def test_conv_prefill_matches_step(rng):
+    b, l, c, k = 2, 10, 6, 4
+    x = rng.normal(size=(b, l, c)).astype(np.float32)
+    w = rng.normal(size=(k, c)).astype(np.float32)
+    bias = rng.normal(size=(c,)).astype(np.float32)
+    state0 = np.zeros((b, k - 1, c), np.float32)
+
+    y_full, state_full = M.causal_conv1d_prefill(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias), jnp.asarray(state0)
+    )
+    state = jnp.asarray(state0)
+    ys = []
+    for t in range(l):
+        y, state = M.causal_conv1d_step(jnp.asarray(x[:, t]), jnp.asarray(w), jnp.asarray(bias), state)
+        ys.append(np.asarray(y))
+    np.testing.assert_allclose(np.stack(ys, 1), np.asarray(y_full), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state), np.asarray(state_full), atol=1e-6)
+
+
+def test_mamba2_mixer_prefill_vs_step(rng):
+    cfg = SSMConfig(d_state=16, headdim=8, d_conv=4, expand=2, chunk_size=8)
+    d_model = 32
+    p = M.init_mamba2_params(jax.random.key(0), d_model, cfg, dtype=jnp.float32)
+    b, l = 2, 16
+    x = rng.normal(size=(b, l, d_model)).astype(np.float32) * 0.5
+
+    y_full, conv_full, ssm_full = M.mamba2_prefill(p, jnp.asarray(x), cfg)
+
+    dims = M.mamba2_dims(d_model, cfg)
+    conv_state = jnp.zeros((b, cfg.d_conv - 1, dims["conv_dim"]), jnp.float32)
+    ssm_state = jnp.zeros((b, dims["nheads"], cfg.d_state, cfg.headdim), jnp.float32)
+    ys = []
+    for t in range(l):
+        y, conv_state, ssm_state = M.mamba2_step(p, jnp.asarray(x[:, t : t + 1]), cfg, conv_state, ssm_state)
+        ys.append(np.asarray(y)[:, 0])
+    np.testing.assert_allclose(np.stack(ys, 1), np.asarray(y_full), atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(conv_state), np.asarray(conv_full), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ssm_state), np.asarray(ssm_full), atol=2e-4, rtol=2e-3)
+
+
+def test_mamba2_left_pad_mask(rng):
+    """Left-padded prefill with seq_mask must equal unpadded prefill."""
+    cfg = SSMConfig(d_state=16, headdim=8, d_conv=4, expand=2, chunk_size=8)
+    d_model = 32
+    p = M.init_mamba2_params(jax.random.key(0), d_model, cfg, dtype=jnp.float32)
+    b, l, pad = 1, 12, 6
+    x = rng.normal(size=(b, l, d_model)).astype(np.float32) * 0.5
+
+    y_ref, conv_ref, ssm_ref = M.mamba2_prefill(p, jnp.asarray(x), cfg)
+
+    x_pad = np.concatenate([rng.normal(size=(b, pad, d_model)).astype(np.float32), x], axis=1)
+    mask = np.concatenate([np.zeros((b, pad), bool), np.ones((b, l), bool)], axis=1)
+    y_pad, conv_pad, ssm_pad = M.mamba2_prefill(p, jnp.asarray(x_pad), cfg, seq_mask=jnp.asarray(mask))
+
+    np.testing.assert_allclose(np.asarray(y_pad)[:, pad:], np.asarray(y_ref), atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(ssm_pad), np.asarray(ssm_ref), atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(conv_pad), np.asarray(conv_ref), atol=1e-5)

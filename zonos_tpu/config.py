@@ -36,7 +36,13 @@ class AttentionConfig:
     num_heads: int = 16
     num_heads_kv: int = 4
     head_dim: int | None = None  # derived from d_model when None
-    # Extra keys from config.json we accept but don't need (e.g. qkv_proj_bias).
+    # Rotary dims per head. None → framework default: full head_dim in the
+    # pure-transformer backbone (reference _torch.py applies full RoPE),
+    # 0 (= NoPE) in hybrid attention layers (mamba-ssm MHA default).
+    rotary_emb_dim: int | None = None
+    qkv_proj_bias: bool = False
+    out_proj_bias: bool = False
+    # Extra keys from config.json we accept but don't need.
     extra: tuple = ()
 
     @classmethod
@@ -44,7 +50,12 @@ class AttentionConfig:
         if not d:
             return None
         d = dict(d)
-        known = {k: d.pop(k) for k in ("num_heads", "num_heads_kv", "head_dim") if k in d}
+        known = {
+            k: d.pop(k)
+            for k in ("num_heads", "num_heads_kv", "head_dim", "rotary_emb_dim",
+                      "qkv_proj_bias", "out_proj_bias")
+            if k in d
+        }
         return cls(extra=_freeze(d), **known)
 
 
@@ -199,9 +210,8 @@ class ZonosConfig:
 # ---------------------------------------------------------------------------
 
 def _default_conditioners() -> tuple[ConditionerSpec, ...]:
-    """Conditioner set of Zonos-v0.1 (reference conditioning.py:545-644 defaults
-    + CONDITIONING_README.md). The hybrid model additionally uses
-    vqscore_8 / ctc_loss / dnsmos_ovrl / speaker_noised."""
+    """Conditioner set of Zonos-v0.1-transformer (reference
+    conditioning.py:545-644 defaults + CONDITIONING_README.md attributes)."""
     return (
         ConditionerSpec(type="EspeakPhonemeConditioner", name="espeak"),
         ConditionerSpec(
@@ -226,6 +236,29 @@ def _default_conditioners() -> tuple[ConditionerSpec, ...]:
         ),
         ConditionerSpec(
             type="IntegerConditioner", name="language_id", min_val=-1, max_val=126,
+            uncond_type="learned",
+        ),
+    )
+
+
+def _hybrid_conditioners() -> tuple[ConditionerSpec, ...]:
+    """Hybrid model adds vqscore_8 / ctc_loss / dnsmos_ovrl / speaker_noised
+    (CONDITIONING_README.md, all 'Only applicable for the hybrid model')."""
+    return _default_conditioners() + (
+        ConditionerSpec(
+            type="FourierConditioner", name="vqscore_8", input_dim=8,
+            min_val=0.5, max_val=0.8, uncond_type="learned",
+        ),
+        ConditionerSpec(
+            type="FourierConditioner", name="ctc_loss", min_val=-1.0, max_val=1000.0,
+            uncond_type="learned",
+        ),
+        ConditionerSpec(
+            type="FourierConditioner", name="dnsmos_ovrl", min_val=1.0, max_val=5.0,
+            uncond_type="learned",
+        ),
+        ConditionerSpec(
+            type="IntegerConditioner", name="speaker_noised", min_val=0, max_val=1,
             uncond_type="learned",
         ),
     )
@@ -273,7 +306,7 @@ def zonos_v01_hybrid_config() -> ZonosConfig:
             norm_epsilon=1e-5,
         ),
         prefix_conditioner=PrefixConditionerConfig(
-            conditioners=_default_conditioners(), projection="none"
+            conditioners=_hybrid_conditioners(), projection="none"
         ),
     )
 
@@ -307,6 +340,6 @@ def tiny_hybrid_config(n_layer: int = 3, d_model: int = 64) -> ZonosConfig:
             attn_cfg=AttentionConfig(num_heads=4, num_heads_kv=2),
         ),
         prefix_conditioner=PrefixConditionerConfig(
-            conditioners=_default_conditioners(), projection="none"
+            conditioners=_hybrid_conditioners(), projection="none"
         ),
     )

@@ -1,0 +1,33 @@
+"""Backbone dispatch: one interface over the transformer and hybrid stacks.
+
+Mirrors the reference's backbone registry (zonos/backbone/__init__.py:26-36)
+— selection by ``ssm_cfg`` emptiness (model.py:154-157) — but as a functional
+dispatch instead of a class registry.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from zonos_tpu.config import BackboneConfig
+from zonos_tpu.models.hybrid import HybridCache, hybrid_forward, init_hybrid_params
+from zonos_tpu.models.transformer import KVCache, init_transformer_params, transformer_forward
+
+
+def init_backbone_params(key, cfg: BackboneConfig, dtype=jnp.bfloat16) -> dict:
+    if cfg.is_hybrid:
+        return init_hybrid_params(key, cfg, dtype)
+    return init_transformer_params(key, cfg, dtype)
+
+
+def create_cache(cfg: BackboneConfig, batch_size: int, max_seqlen: int, dtype=jnp.bfloat16):
+    if cfg.is_hybrid:
+        return HybridCache.create(cfg, batch_size, max_seqlen, dtype)
+    return KVCache.create(cfg, batch_size, max_seqlen, dtype)
+
+
+def backbone_forward(params, cfg: BackboneConfig, x, cache, write_start, pad_amount, attend_len):
+    """(x [B,S,D], cache) → (normed hidden [B,S,D], cache'). S>1 ⇒ prefill."""
+    if cfg.is_hybrid:
+        return hybrid_forward(params, cfg, x, cache, write_start, pad_amount, attend_len)
+    return transformer_forward(params, cfg, x, cache, write_start, pad_amount, attend_len)

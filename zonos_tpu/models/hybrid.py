@@ -1,16 +1,208 @@
-"""Hybrid Mamba2 + attention backbone (reference zonos/backbone/_mamba_ssm.py).
+"""Hybrid Mamba2 + attention backbone.
 
-Placeholder module — the Mamba2 SSD kernels and the hybrid layer stack land
-in a later milestone (SURVEY.md §7.2 step 7). The transformer path is fully
-functional without it.
+TPU-native rebuild of the reference hybrid backbone
+(/root/reference/zonos/backbone/_mamba_ssm.py:8-119), which stacks
+``mamba_ssm.create_block`` layers: pre-norm residual blocks whose mixer is a
+Mamba2 SSD (most layers) or causal MHA (layers listed in ``attn_layer_idx``),
+each optionally followed by a gated-SiLU MLP sub-block, with a final
+residual-add + LayerNorm.
+
+Layers are heterogeneous, so the stack is unrolled in Python (the pure
+transformer uses lax.scan over stacked params instead); n_layer ≤ ~50 keeps
+the HLO manageable. All sequence state (per-layer KV cache / conv state /
+SSD state) lives in one HybridCache pytree carried through the jitted decode
+loop.
 """
 
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
+from flax import struct
+
+from zonos_tpu.config import BackboneConfig
+from zonos_tpu.ops.attention import causal_prefix_mask, decode_mask, gqa_attention
+from zonos_tpu.ops.mamba2 import (
+    init_mamba2_params,
+    mamba2_dims,
+    mamba2_prefill,
+    mamba2_step,
+)
+from zonos_tpu.ops.norms import layer_norm, rms_norm
+from zonos_tpu.ops.rope import apply_rope, rope_rows
 
 
-def init_hybrid_params(key: jax.Array, cfg, dtype):  # pragma: no cover - stub
-    raise NotImplementedError(
-        "Hybrid (Mamba2) backbone is not implemented yet; use a transformer config."
-    )
+@struct.dataclass
+class HybridCache:
+    """Per-layer sequence state. Entries are None for the other layer kind."""
+
+    kv_k: tuple  # per layer: [B, Smax, Hkv, Dh] or None
+    kv_v: tuple
+    conv: tuple  # per layer: [B, K-1, conv_dim] or None
+    ssm: tuple  # per layer: [B, H, N, P] or None
+
+    @classmethod
+    def create(cls, cfg: BackboneConfig, batch_size: int, max_seqlen: int, dtype=jnp.bfloat16) -> "HybridCache":
+        kv_k, kv_v, conv, ssm = [], [], [], []
+        for i in range(cfg.n_layer):
+            if i in cfg.attn_layer_idx:
+                shape = (batch_size, max_seqlen, cfg.attn_cfg.num_heads_kv, cfg.head_dim)
+                kv_k.append(jnp.zeros(shape, dtype))
+                kv_v.append(jnp.zeros(shape, dtype))
+                conv.append(None)
+                ssm.append(None)
+            else:
+                dims = mamba2_dims(cfg.d_model, cfg.ssm_cfg)
+                kv_k.append(None)
+                kv_v.append(None)
+                conv.append(jnp.zeros((batch_size, cfg.ssm_cfg.d_conv - 1, dims["conv_dim"]), dtype))
+                ssm.append(
+                    jnp.zeros(
+                        (batch_size, dims["nheads"], cfg.ssm_cfg.d_state, cfg.ssm_cfg.headdim),
+                        jnp.float32,
+                    )
+                )
+        return cls(kv_k=tuple(kv_k), kv_v=tuple(kv_v), conv=tuple(conv), ssm=tuple(ssm))
+
+
+def _norm(x, p, cfg: BackboneConfig):
+    if cfg.rms_norm:
+        return rms_norm(x, p["scale"], cfg.norm_epsilon)
+    return layer_norm(x, p["scale"], p.get("bias"), cfg.norm_epsilon)
+
+
+def _mlp(p, x):
+    yg = jnp.einsum("bsd,de->bse", x, p["fc1"])
+    y, gate = jnp.split(yg, 2, axis=-1)
+    return jnp.einsum("bsf,fd->bsd", y * jax.nn.silu(gate), p["fc2"])
+
+
+def _rotary_dim(cfg: BackboneConfig) -> int:
+    r = cfg.attn_cfg.rotary_emb_dim
+    return 0 if r is None else r
+
+
+def _attn_mixer(
+    p: dict,
+    cfg: BackboneConfig,
+    x: jnp.ndarray,  # [B, S, D] (normed)
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    write_start: jnp.ndarray,
+    mask: jnp.ndarray,
+    attend_len: int,
+):
+    b, s, _ = x.shape
+    hq, hkv, dh = cfg.attn_cfg.num_heads, cfg.attn_cfg.num_heads_kv, cfg.head_dim
+    qkv = jnp.einsum("bsd,de->bse", x, p["in_proj"])
+    if p.get("in_proj_b") is not None:
+        qkv = qkv + p["in_proj_b"].astype(qkv.dtype)
+    q, k, v = jnp.split(qkv, [hq * dh, (hq + hkv) * dh], axis=-1)
+    q = q.reshape(b, s, hq, dh)
+    k = k.reshape(b, s, hkv, dh)
+    v = v.reshape(b, s, hkv, dh)
+
+    rdim = _rotary_dim(cfg)
+    if rdim > 0:
+        positions = write_start + jnp.arange(s)
+        freqs = rope_rows(positions, rdim)
+        q = q.at[..., :rdim].set(apply_rope(q[..., :rdim], freqs))
+        k = k.at[..., :rdim].set(apply_rope(k[..., :rdim], freqs))
+
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, write_start, 0, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, write_start, 0, 0))
+    k_all = jax.lax.dynamic_slice_in_dim(k_cache, 0, attend_len, axis=1)
+    v_all = jax.lax.dynamic_slice_in_dim(v_cache, 0, attend_len, axis=1)
+
+    att = gqa_attention(q, k_all, v_all, mask).reshape(b, s, hq * dh)
+    out = jnp.einsum("bse,ed->bsd", att, p["out_proj"])
+    if p.get("out_proj_b") is not None:
+        out = out + p["out_proj_b"].astype(out.dtype)
+    return out, k_cache, v_cache
+
+
+def hybrid_forward(
+    params: dict,
+    cfg: BackboneConfig,
+    x: jnp.ndarray,  # [B, S, D]
+    cache: HybridCache,
+    write_start: jnp.ndarray,
+    pad_amount: jnp.ndarray,  # [B]
+    attend_len: int,
+) -> tuple[jnp.ndarray, HybridCache]:
+    """Run all hybrid layers; S > 1 = prefill, S == 1 = decode step."""
+    b, s, _ = x.shape
+    prefill = s > 1
+    if prefill:
+        attn_mask = causal_prefix_mask(s, pad_amount)
+        seq_mask = jnp.arange(s)[None, :] >= pad_amount[:, None]
+    else:
+        attn_mask = decode_mask(attend_len, pad_amount, write_start)
+        seq_mask = None
+
+    kv_k, kv_v = list(cache.kv_k), list(cache.kv_v)
+    conv, ssm = list(cache.conv), list(cache.ssm)
+
+    for i, layer_p in enumerate(params["layers"]):
+        h = _norm(x, layer_p["norm"], cfg)
+        if i in cfg.attn_layer_idx:
+            out, kv_k[i], kv_v[i] = _attn_mixer(
+                layer_p["mixer"], cfg, h, kv_k[i], kv_v[i], write_start, attn_mask, attend_len
+            )
+        else:
+            if prefill:
+                out, conv[i], ssm_new = mamba2_prefill(layer_p["mixer"], h, cfg.ssm_cfg, seq_mask)
+                ssm[i] = ssm_new
+                conv[i] = conv[i].astype(cache.conv[i].dtype)
+            else:
+                out, conv[i], ssm[i] = mamba2_step(layer_p["mixer"], h, cfg.ssm_cfg, conv[i], ssm[i])
+        x = x + out
+        if layer_p.get("mlp") is not None:
+            x = x + _mlp(layer_p["mlp"], _norm(x, layer_p["norm2"], cfg))
+
+    x = layer_norm(x, params["norm_f"]["scale"], params["norm_f"]["bias"], cfg.norm_epsilon)
+    return x, HybridCache(kv_k=tuple(kv_k), kv_v=tuple(kv_v), conv=tuple(conv), ssm=tuple(ssm))
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_hybrid_params(key: jax.Array, cfg: BackboneConfig, dtype=jnp.bfloat16) -> dict:
+    d = cfg.d_model
+    hq, hkv, dh = cfg.attn_cfg.num_heads, cfg.attn_cfg.num_heads_kv, cfg.head_dim
+    keys = iter(jax.random.split(key, 4 * cfg.n_layer + 1))
+
+    def lin(k, cin, cout):
+        return (jax.random.normal(k, (cin, cout)) / jnp.sqrt(cin)).astype(dtype)
+
+    def norm_p():
+        p = {"scale": jnp.ones((d,), dtype)}
+        if not cfg.rms_norm:
+            p["bias"] = jnp.zeros((d,), dtype)
+        return p
+
+    layers = []
+    for i in range(cfg.n_layer):
+        is_attn = i in cfg.attn_layer_idx
+        if is_attn:
+            mixer = {
+                "in_proj": lin(next(keys), d, (hq + 2 * hkv) * dh),
+                "in_proj_b": jnp.zeros(((hq + 2 * hkv) * dh,), dtype) if cfg.attn_cfg.qkv_proj_bias else None,
+                "out_proj": lin(next(keys), hq * dh, d),
+                "out_proj_b": jnp.zeros((d,), dtype) if cfg.attn_cfg.out_proj_bias else None,
+            }
+            d_mlp = cfg.attn_mlp_d_intermediate
+        else:
+            mixer = init_mamba2_params(next(keys), d, cfg.ssm_cfg, dtype)
+            d_mlp = cfg.d_intermediate
+        layer = {"norm": norm_p(), "mixer": mixer, "norm2": None, "mlp": None}
+        if d_mlp:
+            layer["norm2"] = norm_p()
+            layer["mlp"] = {"fc1": lin(next(keys), d, 2 * d_mlp), "fc2": lin(next(keys), d_mlp, d)}
+        layers.append(layer)
+
+    return {
+        "layers": tuple(layers),
+        "norm_f": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+    }

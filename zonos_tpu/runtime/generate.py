@@ -34,7 +34,7 @@ import numpy as np
 from flax import struct
 
 from zonos_tpu.config import ZonosConfig
-from zonos_tpu.models.transformer import KVCache, transformer_forward
+from zonos_tpu.models.backbone import backbone_forward, create_cache
 from zonos_tpu.ops.delay_pattern import apply_delay_pattern, revert_delay_pattern
 from zonos_tpu.ops.sampling import SamplingParams, sample_from_logits
 
@@ -93,7 +93,7 @@ def apply_heads(head_weight: jnp.ndarray, hidden: jnp.ndarray, n_q: int) -> jnp.
 class DecodeCarry:
     delayed_codes: jnp.ndarray  # [B, n_q, S_delayed] int32
     offset: jnp.ndarray  # scalar int32: frame index being written next
-    cache: KVCache  # batch axis = 2B (cond ++ uncond)
+    cache: object  # KVCache | HybridCache, batch axis = 2B (cond ++ uncond)
     stopping: jnp.ndarray  # [B] bool
     remaining_steps: jnp.ndarray  # [B] int32
     steps_done: jnp.ndarray  # scalar int32
@@ -116,16 +116,16 @@ def _decode_logits(
     params: dict,
     statics: GenerateStatics,
     x_tokens: jnp.ndarray,  # [B, n_q, 1] input frame
-    cache: KVCache,
+    cache,
     write_index: jnp.ndarray,
     pad_amount: jnp.ndarray,  # [2B]
     cfg_scale: jnp.ndarray,
-) -> tuple[jnp.ndarray, KVCache]:
+):
     """One backbone step with CFG batch doubling → guided logits [B, n_q, Vh]."""
     cfg = statics.cfg
     x = embed_codes(params["embeddings"], x_tokens)  # [B, 1, D]
     x = jnp.concatenate([x, x], axis=0)  # [2B, 1, D]
-    h, cache = transformer_forward(
+    h, cache = backbone_forward(
         params["backbone"], cfg.backbone, x, cache,
         write_start=write_index, pad_amount=pad_amount, attend_len=statics.cache_len,
     )
@@ -182,8 +182,8 @@ def build_generate_fn(statics: GenerateStatics):
         x = jnp.concatenate([cond_emb, prefix_emb], axis=1)
         assert x.shape[1] == statics.prefill_len
 
-        cache = KVCache.create(cfg.backbone, 2 * b, statics.cache_len, dtype=cond_emb.dtype)
-        h, cache = transformer_forward(
+        cache = create_cache(cfg.backbone, 2 * b, statics.cache_len, dtype=cond_emb.dtype)
+        h, cache = backbone_forward(
             params["backbone"], cfg.backbone, x, cache,
             write_start=jnp.int32(0), pad_amount=pad_amount,
             attend_len=statics.prefill_len,
