@@ -100,11 +100,14 @@ def _attn_block(
     q = apply_rope(q, freqs)
     k = apply_rope(k, freqs)
 
-    k_cache_l = jax.lax.dynamic_update_slice(k_cache_l, k, (0, write_start, 0, 0))
-    v_cache_l = jax.lax.dynamic_update_slice(v_cache_l, v, (0, write_start, 0, 0))
-
-    k_all = jax.lax.dynamic_slice_in_dim(k_cache_l, 0, attend_len, axis=1)
-    v_all = jax.lax.dynamic_slice_in_dim(v_cache_l, 0, attend_len, axis=1)
+    if k_cache_l is None:
+        # Cache-free full-sequence path (training / throughput prefill).
+        k_all, v_all = k, v
+    else:
+        k_cache_l = jax.lax.dynamic_update_slice(k_cache_l, k, (0, write_start, 0, 0))
+        v_cache_l = jax.lax.dynamic_update_slice(v_cache_l, v, (0, write_start, 0, 0))
+        k_all = jax.lax.dynamic_slice_in_dim(k_cache_l, 0, attend_len, axis=1)
+        v_all = jax.lax.dynamic_slice_in_dim(v_cache_l, 0, attend_len, axis=1)
 
     att = gqa_attention(q, k_all, v_all, mask)
     att = att.reshape(b, s, hq * dh)
@@ -121,15 +124,16 @@ def transformer_forward(
     params: dict,
     cfg: BackboneConfig,
     x: jnp.ndarray,  # [B, S, D]
-    cache: KVCache,
+    cache: KVCache | None,
     write_start: jnp.ndarray,  # scalar int32 cache slot for x[:, 0]
     pad_amount: jnp.ndarray,  # [B] invalid leading cache slots
     attend_len: int,  # static: number of cache slots visible (>= write_start+S)
-) -> tuple[jnp.ndarray, KVCache]:
+) -> tuple[jnp.ndarray, KVCache | None]:
     """Run all layers over x, updating the cache. Works for prefill and decode.
 
     For prefill call with write_start=0, attend_len=S and a causal+pad mask.
     For decode call with S=1, write_start=t, attend_len=allocated span.
+    With cache=None (training) attention runs cache-free over x itself.
 
     Returns (normed hidden states [B, S, D], updated cache).
     """
@@ -141,6 +145,15 @@ def transformer_forward(
         mask = causal_prefix_mask(s, pad_amount)  # [B, S, S]; attend_len == s
     else:
         mask = decode_mask(attend_len, pad_amount, write_start)  # [B, 1, attend_len]
+
+    if cache is None:
+        def body_nc(xc, layer_p):
+            xc, _, _ = _attn_block(layer_p, cfg, xc, freqs, None, None, write_start, mask, s)
+            return xc, None
+
+        xo, _ = jax.lax.scan(body_nc, x, params["layers"])
+        xo = layer_norm(xo, params["norm_f"]["scale"], params["norm_f"]["bias"], cfg.norm_epsilon)
+        return xo, None
 
     def body(xc, layer_in):
         layer_p, kl, vl = layer_in

@@ -1,0 +1,114 @@
+"""Device mesh and sharding layouts.
+
+The reference has NO distributed layer (SURVEY.md §2.5 / §5.8 — single-GPU
+inference only); this module is the greenfield TPU-native scale-out design:
+
+* mesh axes ``("dp", "tp")`` over ICI;
+* **dp** shards the generation/training batch (multi-stream serving);
+* **tp** (megatron-style) shards attention heads and MLP hidden dims —
+  column-parallel in_proj/fc1, row-parallel out_proj/fc2, so each block
+  incurs one all-reduce inserted automatically by XLA (psum over tp);
+* small per-model weights (norms, embeddings) replicate.
+
+All sharding is declarative: NamedSharding trees passed to jax.jit
+in_shardings/out_shardings; XLA inserts the collectives (scaling-book
+recipe). No explicit collective calls are needed at this model scale.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from zonos_tpu.config import BackboneConfig
+
+
+def make_mesh(devices=None, dp: int | None = None, tp: int | None = None) -> Mesh:
+    """Build a ("dp", "tp") mesh. Defaults: all devices on tp."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None and tp is None:
+        dp, tp = 1, n
+    elif dp is None:
+        dp = n // tp
+    elif tp is None:
+        tp = n // dp
+    assert dp * tp == n, f"dp({dp})*tp({tp}) != {n}"
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def transformer_param_specs(cfg: BackboneConfig) -> dict:
+    """PartitionSpec tree matching init_transformer_params' layout.
+
+    Layer-stacked leaves carry a leading L axis (never sharded). Projections
+    are tensor-parallel along the head/hidden dimension.
+    """
+    return {
+        "layers": {
+            "norm1": {"scale": P(), "bias": P()},
+            "attn": {
+                # column-parallel: qkv output features over tp
+                "in_proj": P(None, None, "tp"),
+                # row-parallel: contraction dim over tp → psum on output
+                "out_proj": P(None, "tp", None),
+            },
+            "norm2": {"scale": P(), "bias": P()},
+            "mlp": {"fc1": P(None, None, "tp"), "fc2": P(None, "tp", None)},
+        },
+        "norm_f": {"scale": P(), "bias": P()},
+    }
+
+
+def zonos_param_specs(cfg) -> dict:
+    """Specs for the full Zonos params pytree (transformer backbone)."""
+    return {
+        "embeddings": P(),  # [n_q, vocab, D] — small, replicate
+        # heads output dim is 9*1025 (odd) — not tp-divisible; replicate
+        # (37 MB bf16 at flagship scale).
+        "heads": P(),
+        "backbone": transformer_param_specs(cfg.backbone),
+        # conditioner params are tiny → replicate (match pytree by prefix-map)
+        "prefix_conditioner": None,  # filled by shard_params via tree mapping
+    }
+
+
+def named(mesh: Mesh, spec_tree, param_tree):
+    """Build a NamedSharding tree shaped like param_tree.
+
+    spec_tree entries of None (or missing) → replicated.
+    """
+    def build(spec, leaf):
+        s = spec if isinstance(spec, P) else P()
+        return NamedSharding(mesh, s)
+
+    # Walk param_tree; align with spec_tree where present.
+    def walk(spec, tree):
+        if isinstance(tree, dict):
+            return {
+                k: walk(spec.get(k) if isinstance(spec, dict) else None, v)
+                for k, v in tree.items()
+            }
+        if isinstance(tree, (tuple, list)):
+            return type(tree)(walk(None, v) for v in tree)
+        if tree is None:
+            return None
+        return build(spec, tree)
+
+    return walk(spec_tree, param_tree)
+
+
+def shard_params(mesh: Mesh, cfg, params: dict) -> dict:
+    """Device-put params with tp/replicated layouts."""
+    shardings = named(mesh, zonos_param_specs(cfg), params)
+    return jax.device_put(params, shardings)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

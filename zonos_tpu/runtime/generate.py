@@ -110,6 +110,9 @@ class GenerateStatics:
     delayed_len: int  # bucketed audio_seq_len + n_q
     cache_len: int
     batch_size: int
+    # Forbid EOS entirely (fixed-length generation; benchmarking with random
+    # weights and min-length control).
+    forbid_eos: bool = False
 
 
 def _decode_logits(
@@ -206,7 +209,10 @@ def build_generate_fn(statics: GenerateStatics):
         # EOS logit bias (model.py:433-437).
         bias = jnp.zeros((b, n_q, vh), jnp.float32)
         bias = bias.at[:, 1:, cfg.eos_token_id].set(-jnp.inf)
-        bias = bias.at[:, 0, cfg.eos_token_id].add(-jnp.log(2.0))
+        if statics.forbid_eos:
+            bias = bias.at[:, 0, cfg.eos_token_id].set(-jnp.inf)
+        else:
+            bias = bias.at[:, 0, cfg.eos_token_id].add(-jnp.log(2.0))
 
         carry = DecodeCarry(
             delayed_codes=delayed,
@@ -310,6 +316,7 @@ def generate(
     prefill_bucket: int = 64,
     audio_bucket: int = 512,
     dtype=jnp.bfloat16,
+    forbid_eos: bool = False,
 ) -> np.ndarray:
     """Generate audio codes (API mirror of reference Zonos.generate, model.py:354).
 
@@ -338,6 +345,7 @@ def generate(
         delayed_len=delayed_len,
         cache_len=cache_len,
         batch_size=batch_size,
+        forbid_eos=forbid_eos,
     )
 
     # Host-side prep: delayed codes buffer with audio prefix inserted.

@@ -1,0 +1,189 @@
+"""Generation pipeline: request params → conditioning → codes → wav file.
+
+Reimplements /root/reference/utilities/audio_generation_pipeline.py:
+PerformanceTimer (:19-35), prepare_generation_params with the text-length →
+token-budget heuristic (:38-75), speaker/prefix conditioning setup (:78-120),
+and generate_and_save_audio (:138-170) with per-request RTF logging
+(reference SkyrimNet-Zonos.py:173-174).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+import random
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from zonos_tpu.audio.io import write_wav
+from zonos_tpu.conditioning.cond_dict import make_cond_dict
+from zonos_tpu.serving import constants as C
+from zonos_tpu.serving.caches import get_output_dir
+
+logger = logging.getLogger("zonos_tpu")
+
+
+class PerformanceTimer:
+    """Wall-clock span logger with a millisecond reporting threshold."""
+
+    def __init__(self, name: str, threshold_ms: float = 1.0):
+        self.name = name
+        self.threshold_ms = threshold_ms
+        self.elapsed_ms = 0.0
+
+    def __enter__(self):
+        self._t0 = time.perf_counter_ns()
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed_ms = (time.perf_counter_ns() - self._t0) / 1e6
+        if self.elapsed_ms >= self.threshold_ms:
+            logger.debug(f"{self.name}: {self.elapsed_ms:.1f} ms")
+        return False
+
+
+@dataclass
+class GenerationParams:
+    seed: int
+    max_new_tokens: int
+    cfg_scale: float = 2.0
+    sampling: dict = field(default_factory=lambda: {"min_p": 0.1})
+
+
+def prepare_generation_params(
+    text: str,
+    seed: int = C.DEFAULT_SEED,
+    randomize_seed: bool = True,
+    cfg_scale: float = 2.0,
+    min_p: float = 0.1,
+    linear: float = 0.0,
+    conf: float = 0.0,
+    quad: float = 0.0,
+) -> GenerationParams:
+    """Seed handling + token budget (reference pipeline.py:38-75):
+    max_new_tokens = clamp(86, 2 + ceil(len(text) * 6.5), 2580)."""
+    if randomize_seed:
+        seed = random.randint(C.SEED_MIN, C.SEED_MAX)
+    est = C.TOKEN_SAFETY_MARGIN + math.ceil(len(text) * C.TEXT_TO_TOKENS_MULTIPLIER)
+    max_new = max(C.MIN_NEW_TOKENS, min(est, C.MAX_NEW_TOKENS_CEILING))
+    sampling = {"min_p": min_p}
+    if linear > 0:
+        sampling = {"linear": linear, "conf": conf, "quad": quad, "min_p": 0.0}
+    return GenerationParams(seed=int(seed), max_new_tokens=max_new, cfg_scale=cfg_scale, sampling=sampling)
+
+
+def setup_speaker_conditioning(
+    model_name: str,
+    speaker_audio_path: str | None,
+    use_cache: bool = True,
+) -> np.ndarray | None:
+    if not speaker_audio_path:
+        return None
+    from zonos_tpu.serving.audio_prep import process_speaker_audio
+
+    with PerformanceTimer("speaker_conditioning"):
+        return process_speaker_audio(speaker_audio_path, model_name, use_cache=use_cache)
+
+
+def setup_prefix_audio(prefix_audio_path: str | None, autoencoder, use_cache: bool = True):
+    if not prefix_audio_path:
+        return None
+    from zonos_tpu.serving.audio_prep import process_prefix_audio
+
+    with PerformanceTimer("prefix_audio"):
+        return process_prefix_audio(prefix_audio_path, autoencoder, use_cache=use_cache)
+
+
+def generate_and_save_audio(
+    model,
+    cond_dict: dict,
+    params: GenerationParams,
+    audio_prefix_codes: np.ndarray | None = None,
+    output_path: str | None = None,
+    use_cond_cache: bool = True,
+) -> tuple[str, np.ndarray, int, float]:
+    """Full request: conditioning → generate → DAC decode → wav file.
+
+    Returns (wav_path, waveform [T], sample_rate, rtf).
+    """
+    t_start = time.perf_counter_ns()
+
+    conditioning = model.prepare_conditioning(
+        cond_dict, use_cache=use_cond_cache, cfg_scale=params.cfg_scale
+    )
+    codes = model.generate(
+        conditioning,
+        audio_prefix_codes=audio_prefix_codes,
+        max_new_tokens=params.max_new_tokens,
+        cfg_scale=params.cfg_scale,
+        sampling_params=params.sampling,
+        seed=params.seed,
+    )
+    wav = model.autoencoder.decode(codes)[0, 0]
+    sr = model.autoencoder.sampling_rate
+
+    if output_path is None:
+        output_path = os.path.join(get_output_dir(), f"zonos_{time.time_ns() // 1_000_000}.wav")
+    write_wav(output_path, wav, sr)
+
+    wall_s = (time.perf_counter_ns() - t_start) / 1e9
+    audio_s = wav.shape[-1] / sr
+    rtf = audio_s / wall_s if wall_s > 0 else 0.0
+    logger.info(
+        f"generated {audio_s:.2f}s audio in {wall_s:.2f}s "
+        f"({rtf:.2f}x realtime, seed={params.seed}, tokens={codes.shape[-1]})"
+    )
+    return output_path, wav, sr, rtf
+
+
+def tts(
+    model,
+    text: str,
+    language: str = "en-us",
+    speaker_audio: str | None = None,
+    prefix_audio: str | None = None,
+    model_name: str = C.MODEL_TRANSFORMER,
+    emotion: list | None = None,
+    fmax: float = 22050.0,
+    pitch_std: float = 20.0,
+    speaking_rate: float = 15.0,
+    vqscore_8: list | None = None,
+    ctc_loss: float = 0.0,
+    dnsmos_ovrl: float = 4.0,
+    speaker_noised: bool = False,
+    unconditional_keys=frozenset({"vqscore_8", "dnsmos_ovrl"}),
+    seed: int = C.DEFAULT_SEED,
+    randomize_seed: bool = True,
+    cfg_scale: float = 2.0,
+    min_p: float = 0.1,
+    output_path: str | None = None,
+) -> tuple[str, np.ndarray, int, float]:
+    """One-call convenience API covering the reference server's request surface."""
+    params = prepare_generation_params(
+        text, seed=seed, randomize_seed=randomize_seed, cfg_scale=cfg_scale, min_p=min_p
+    )
+    speaker = setup_speaker_conditioning(model_name, speaker_audio)
+    prefix_codes = setup_prefix_audio(prefix_audio, model.autoencoder)
+    cond = make_cond_dict(
+        text=text,
+        language=language,
+        speaker=speaker,
+        emotion=list(emotion) if emotion is not None else list(C.DEFAULT_EMOTION),
+        fmax=fmax,
+        pitch_std=pitch_std,
+        speaking_rate=speaking_rate,
+        vqscore_8=list(vqscore_8) if vqscore_8 is not None else [0.78] * 8,
+        ctc_loss=ctc_loss,
+        dnsmos_ovrl=dnsmos_ovrl,
+        speaker_noised=speaker_noised,
+        unconditional_keys=unconditional_keys,
+    )
+    # Drop conditioner inputs the loaded model doesn't have.
+    known = set(model.conditioner_names)
+    cond = {k: v for k, v in cond.items() if k in known}
+    return generate_and_save_audio(
+        model, cond, params, audio_prefix_codes=prefix_codes, output_path=output_path
+    )

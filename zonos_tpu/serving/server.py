@@ -1,0 +1,208 @@
+"""HTTP TTS server (SkyrimNet-compatible surface).
+
+Replaces the reference Gradio app (/root/reference/SkyrimNet-Zonos.py) with a
+dependency-free stdlib ``ThreadingHTTPServer`` exposing the same request
+surface:
+
+  GET  /health                → liveness
+  POST /generate  (JSON body) → WAV bytes; body fields mirror the reference
+       generate_audio handler (text, language, speaker_audio, prefix_audio,
+       emotion sliders, fmax, pitch_std, speaking_rate, vqscore_8, ctc_loss,
+       dnsmos_ovrl, speaker_noised, cfg_scale, min_p, seed, randomize_seed,
+       unconditional_keys, model_choice)
+  POST /generate with text="ping" → canned 100 ms silence WAV, the SkyrimNet
+       health-check protocol (reference SkyrimNet-Zonos.py:114-119)
+  GET  /models                → supported model list
+  GET  /conditioners          → loaded model's conditioner names (drives the
+       reference UI's dynamic visibility, SkyrimNet-Zonos.py:99-103)
+
+Requests are serialized through a semaphore (concurrency_limit=2 in the
+reference, app_constants.py:18) — generation itself is single-stream per
+chip; batched multi-stream serving goes through the batch axis instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import struct
+import threading
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from zonos_tpu.serving import constants as C
+from zonos_tpu.serving.app_config import load_config, setup_logging
+from zonos_tpu.serving.model_manager import get_supported_models, load_model_if_needed
+from zonos_tpu.serving.pipeline import tts
+
+_GEN_SEMAPHORE = threading.Semaphore(C.CONCURRENCY_LIMIT)
+_APP_CONFIG: dict = {}
+
+
+def _silence_wav(ms: int = 100, sr: int = 44100) -> bytes:
+    """Canned silence for the "ping" protocol."""
+    n = int(sr * ms / 1000)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(b"\x00\x00" * n)
+    return buf.getvalue()
+
+
+def _wav_bytes(wav: np.ndarray, sr: int) -> bytes:
+    pcm = np.clip(wav * 32767.0, -32767.0, 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def handle_generate(body: dict) -> tuple[bytes, dict]:
+    """Core request handler; returns (wav_bytes, metadata)."""
+    text = str(body.get("text", ""))
+    if text.strip().lower() == "ping":
+        return _silence_wav(), {"ping": True}
+
+    model_name = body.get("model_choice", C.MODEL_TRANSFORMER)
+    model = load_model_if_needed(model_name, _APP_CONFIG)
+
+    emotion = body.get("emotion")
+    if emotion is None:
+        emotion = [
+            float(body.get(f"e_{name}", d))
+            for name, d in zip(C.EMOTION_NAMES, C.DEFAULT_EMOTION)
+        ]
+
+    with _GEN_SEMAPHORE:
+        path, wav, sr, rtf = tts(
+            model,
+            text=text,
+            language=body.get("language", "en-us"),
+            speaker_audio=body.get("speaker_audio"),
+            prefix_audio=body.get("prefix_audio"),
+            model_name=model_name,
+            emotion=emotion,
+            fmax=float(body.get("fmax", 22050.0)),
+            pitch_std=float(body.get("pitch_std", 20.0)),
+            speaking_rate=float(body.get("speaking_rate", 15.0)),
+            vqscore_8=body.get("vqscore_8"),
+            ctc_loss=float(body.get("ctc_loss", 0.0)),
+            dnsmos_ovrl=float(body.get("dnsmos_ovrl", 4.0)),
+            speaker_noised=bool(body.get("speaker_noised", False)),
+            unconditional_keys=frozenset(
+                body.get("unconditional_keys", ["vqscore_8", "dnsmos_ovrl"])
+            ),
+            seed=int(body.get("seed", C.DEFAULT_SEED)),
+            randomize_seed=bool(body.get("randomize_seed", True)),
+            cfg_scale=float(body.get("cfg_scale", 2.0)),
+            min_p=float(body.get("min_p", 0.1)),
+        )
+    return _wav_bytes(wav, sr), {"path": path, "rtf": rtf, "sample_rate": sr}
+
+
+class Handler(BaseHTTPRequestHandler):
+    server_version = "ZonosTPU/0.1"
+
+    def _send(self, code: int, content_type: str, payload: bytes, headers: dict | None = None):
+        self.send_response(code)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(payload)))
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def _json(self, code: int, obj):
+        self._send(code, "application/json", json.dumps(obj).encode())
+
+    def do_GET(self):
+        if self.path == "/health":
+            self._json(200, {"status": "ok"})
+        elif self.path == "/models":
+            self._json(200, {"models": get_supported_models()})
+        elif self.path == "/conditioners":
+            model = load_model_if_needed(config=_APP_CONFIG)
+            self._json(200, {"conditioners": model.conditioner_names})
+        else:
+            self._json(404, {"error": "not found"})
+
+    def do_POST(self):
+        if self.path != "/generate":
+            self._json(404, {"error": "not found"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length) or b"{}")
+            wav_bytes, meta = handle_generate(body)
+            self._send(200, "audio/wav", wav_bytes, {"X-Zonos-Meta": json.dumps(meta)})
+        except Exception as e:
+            import traceback
+
+            traceback.print_exc()
+            self._json(500, {"error": str(e)})
+
+    def log_message(self, fmt, *args):  # route to our logger
+        import logging
+
+        logging.getLogger("zonos_tpu").debug("http: " + fmt % args)
+
+
+def main(argv=None):
+    import os
+
+    if os.environ.get("ZONOS_PLATFORM"):
+        # Dev override (the ambient JAX_PLATFORMS may be pinned to the TPU
+        # tunnel); must run before the first jax backend initialization.
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["ZONOS_PLATFORM"])
+
+    parser = argparse.ArgumentParser(description="Zonos-TPU TTS server")
+    parser.add_argument("--server", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=7860)
+    parser.add_argument("--model", default=C.MODEL_TRANSFORMER)
+    parser.add_argument("--checkmodels", action="store_true")
+    parser.add_argument("--sysreport", action="store_true")
+    parser.add_argument("--no-preload", action="store_true")
+    args = parser.parse_args(argv)
+
+    global _APP_CONFIG
+    _APP_CONFIG = load_config()
+    logger = setup_logging(_APP_CONFIG)
+
+    if args.sysreport:
+        from zonos_tpu.utils.sysinfo import generate_report
+
+        print(generate_report(_APP_CONFIG))
+        return
+    if args.checkmodels:
+        from zonos_tpu.utils.sysinfo import check_models
+
+        print(check_models(_APP_CONFIG))
+        return
+
+    if not args.no_preload:
+        model = load_model_if_needed(args.model, _APP_CONFIG)
+        from zonos_tpu.serving.audio_prep import init_latent_cache
+
+        init_latent_cache("speakers/en", args.model)
+        logger.info(f"model preloaded: {args.model}")
+
+    server = ThreadingHTTPServer((args.server, args.port), Handler)
+    logger.info(f"Zonos-TPU serving on http://{args.server}:{args.port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()
