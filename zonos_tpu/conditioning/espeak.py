@@ -105,12 +105,20 @@ def _phonemize_one(lib, text: str, language: str) -> str:
 def phonemize(texts: list[str], languages: list[str]) -> list[str]:
     """Clean + phonemize a batch (reference conditioning.py:307-335).
 
-    Uses libespeak-ng when available; otherwise returns cleaned lowercase
-    graphemes (representable in the model symbol table).
+    Backend order: libespeak-ng (all 127 languages) → native C++ rule engine
+    (English, native/zonos_text) → lowercase graphemes (representable in the
+    model symbol table, degraded quality).
     """
     texts = clean(texts, languages)
     with _LOCK:
         lib = _load()
-        if lib is None:
-            return [t.lower() for t in texts]
-        return [_phonemize_one(lib, t, lang) for t, lang in zip(texts, languages)]
+        if lib is not None:
+            return [_phonemize_one(lib, t, lang) for t, lang in zip(texts, languages)]
+
+    from zonos_tpu.conditioning import native_g2p
+
+    out = []
+    for t, lang in zip(texts, languages):
+        ipa = native_g2p.phonemize_en(t) if lang.startswith("en") else None
+        out.append(ipa if ipa else t.lower())
+    return out

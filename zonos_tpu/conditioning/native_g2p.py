@@ -1,0 +1,75 @@
+"""ctypes loader for the native C++ G2P library (native/zonos_text).
+
+Build-on-demand: compiles ``libzonos_text.so`` with g++ the first time it's
+needed (cached next to the source). Falls back cleanly when no compiler is
+available. English only — other languages go through eSpeak when present,
+else grapheme passthrough (zonos_tpu/conditioning/espeak.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import shutil
+import subprocess
+import threading
+
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+_SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native", "zonos_text")
+_SO_PATH = os.path.join(_SRC_DIR, "libzonos_text.so")
+
+
+def _build() -> bool:
+    gxx = shutil.which("g++")
+    src = os.path.join(_SRC_DIR, "g2p.cpp")
+    if gxx is None or not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            [gxx, "-O2", "-fPIC", "-shared", src, "-o", _SO_PATH],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.cdll.LoadLibrary(_SO_PATH)
+        lib.ztx_phonemize.restype = ctypes.c_void_p
+        lib.ztx_phonemize.argtypes = [ctypes.c_char_p]
+        lib.ztx_free.argtypes = [ctypes.c_void_p]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    with _LOCK:
+        return _load() is not None
+
+
+def phonemize_en(text: str) -> str | None:
+    """English text → IPA via the native rule engine; None if unavailable."""
+    with _LOCK:
+        lib = _load()
+        if lib is None:
+            return None
+        ptr = lib.ztx_phonemize(text.encode("utf-8"))
+        if not ptr:
+            return None
+        try:
+            return ctypes.string_at(ptr).decode("utf-8", errors="ignore")
+        finally:
+            lib.ztx_free(ptr)

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import nn as jnn
 
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = -1e30  # python float: no device allocation at import time
 
 
 def gqa_attention(
