@@ -1,0 +1,90 @@
+"""Int8 weight-only quantization: numerics + quantized e2e generation."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zonos_tpu.config import tiny_transformer_config
+from zonos_tpu.models.zonos import Zonos
+from zonos_tpu.ops.quant import dequantize, qeinsum, quantize_int8
+
+
+def test_quantize_roundtrip_error(rng):
+    w = rng.normal(size=(64, 48)).astype(np.float32)
+    q = quantize_int8(jnp.asarray(w))
+    assert q["q"].dtype == jnp.int8
+    # f32 dequant: max error bounded by scale/2 per channel (dequantize()
+    # itself returns bf16, which adds its own rounding — not under test here).
+    deq = np.asarray(q["q"], np.float32) * np.asarray(q["s"])
+    err = np.abs(deq - w)
+    bound = np.abs(w).max(axis=0, keepdims=True) / 127.0
+    assert np.all(err <= bound * 0.51 + 1e-6)
+    # bf16 dequant stays within ~1% relative of the original.
+    deq16 = np.asarray(dequantize(q), np.float32)
+    rel = np.abs(deq16 - w) / (np.abs(w) + 1e-2)
+    assert np.median(rel) < 0.01
+
+
+def test_qeinsum_matches_dense(rng):
+    x = rng.normal(size=(2, 3, 64)).astype(np.float32)
+    w = rng.normal(size=(64, 48)).astype(np.float32)
+    dense = np.einsum("bsd,de->bse", x, w)
+    q = qeinsum("bsd,de->bse", jnp.asarray(x), quantize_int8(jnp.asarray(w)))
+    rel = np.abs(np.asarray(q) - dense) / (np.abs(dense) + 1e-3)
+    assert np.median(rel) < 0.02
+
+
+def test_layer_stacked_scales(rng):
+    """Quantized [L, D, E] weights must work through scan-style slicing."""
+    w = rng.normal(size=(3, 16, 24)).astype(np.float32)
+    q = quantize_int8(jnp.asarray(w))
+    assert q["s"].shape == (3, 1, 24)
+    x = rng.normal(size=(2, 1, 16)).astype(np.float32)
+    for layer in range(3):
+        ql = jax.tree.map(lambda a: a[layer], q)
+        got = np.asarray(qeinsum("bsd,de->bse", jnp.asarray(x), ql))
+        want = np.einsum("bsd,de->bse", x, w[layer])
+        rel = np.abs(got - want) / (np.abs(want) + 1e-3)
+        assert np.median(rel) < 0.02
+
+
+def test_quantized_backbone_logits_close():
+    """Quantized backbone forward stays close to dense (single pass —
+    token-level AR comparison is meaningless on random weights where argmax
+    sits in near-uniform noise)."""
+    from zonos_tpu.models.transformer import KVCache, transformer_forward
+    from zonos_tpu.ops.quant import quantize_transformer_params
+    from zonos_tpu.runtime.generate import apply_heads
+
+    cfg = tiny_transformer_config()
+    model = Zonos.from_config(cfg, seed=0, dtype=jnp.float32)
+    qparams = quantize_transformer_params(model.params)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 6, cfg.backbone.d_model)).astype(np.float32) * 0.3)
+    pad = jnp.zeros((2,), jnp.int32)
+
+    cache = KVCache.create(cfg.backbone, 2, 16, jnp.float32)
+    h_dense, _ = transformer_forward(model.params["backbone"], cfg.backbone, x, cache, jnp.int32(0), pad, 6)
+    cache = KVCache.create(cfg.backbone, 2, 16, jnp.float32)
+    h_quant, _ = transformer_forward(qparams["backbone"], cfg.backbone, x, cache, jnp.int32(0), pad, 6)
+
+    l_dense = np.asarray(apply_heads(model.params["heads"], h_dense, 9))
+    l_quant = np.asarray(apply_heads(qparams["heads"], h_quant, 9))
+    corr = np.corrcoef(l_dense.ravel(), l_quant.ravel())[0, 1]
+    assert corr > 0.995, f"logit correlation {corr}"
+
+
+def test_quantized_generate_runs():
+    model = Zonos.from_config(tiny_transformer_config(), seed=0, dtype=jnp.float32)
+    qmodel = model.quantize()
+
+    from zonos_tpu.conditioning.cond_dict import make_cond_dict
+
+    cond_dict = make_cond_dict(text="hello", speaker=np.zeros((1, 1, 128), np.float32))
+    cond = qmodel.prepare_conditioning(cond_dict)
+    out = qmodel.generate(cond, max_new_tokens=12, seed=1)
+    assert out.shape[:2] == (1, 9)
+    assert out.min() >= 0 and out.max() <= 1023

@@ -15,4 +15,29 @@ from zonos_tpu.config import (  # noqa: F401
     PrefixConditionerConfig,
     SSMConfig,
     ZonosConfig,
+    tiny_hybrid_config,
+    tiny_transformer_config,
+    zonos_v01_hybrid_config,
+    zonos_v01_transformer_config,
 )
+
+
+def __getattr__(name):
+    # Lazy imports: keep `import zonos_tpu` light (no jax device init).
+    if name == "Zonos":
+        from zonos_tpu.models.zonos import Zonos
+
+        return Zonos
+    if name == "make_cond_dict":
+        from zonos_tpu.conditioning.cond_dict import make_cond_dict
+
+        return make_cond_dict
+    if name == "DACAutoencoder":
+        from zonos_tpu.codec.dac import DACAutoencoder
+
+        return DACAutoencoder
+    if name == "SpeakerEmbeddingLDA":
+        from zonos_tpu.speaker.embedding import SpeakerEmbeddingLDA
+
+        return SpeakerEmbeddingLDA
+    raise AttributeError(name)

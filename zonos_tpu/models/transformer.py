@@ -23,6 +23,7 @@ from flax import struct
 from zonos_tpu.config import BackboneConfig
 from zonos_tpu.ops.attention import causal_prefix_mask, decode_mask, gqa_attention
 from zonos_tpu.ops.norms import layer_norm
+from zonos_tpu.ops.quant import qeinsum
 from zonos_tpu.ops.rope import apply_rope, rope_rows
 
 
@@ -92,7 +93,7 @@ def _attn_block(
     hq, hkv, dh = cfg.attn_cfg.num_heads, cfg.attn_cfg.num_heads_kv, cfg.head_dim
 
     h = layer_norm(x, layer_p["norm1"]["scale"], layer_p["norm1"]["bias"], cfg.norm_epsilon)
-    qkv = jnp.einsum("bsd,de->bse", h, layer_p["attn"]["in_proj"])
+    qkv = qeinsum("bsd,de->bse", h, layer_p["attn"]["in_proj"])
     q, k, v = jnp.split(qkv, [hq * dh, (hq + hkv) * dh], axis=-1)
     q = q.reshape(b, s, hq, dh)
     k = k.reshape(b, s, hkv, dh)
@@ -111,12 +112,12 @@ def _attn_block(
 
     att = gqa_attention(q, k_all, v_all, mask)
     att = att.reshape(b, s, hq * dh)
-    x = x + jnp.einsum("bse,ed->bsd", att, layer_p["attn"]["out_proj"])
+    x = x + qeinsum("bse,ed->bsd", att, layer_p["attn"]["out_proj"])
 
     h2 = layer_norm(x, layer_p["norm2"]["scale"], layer_p["norm2"]["bias"], cfg.norm_epsilon)
-    yg = jnp.einsum("bsd,de->bse", h2, layer_p["mlp"]["fc1"])
+    yg = qeinsum("bsd,de->bse", h2, layer_p["mlp"]["fc1"])
     y, gate = jnp.split(yg, 2, axis=-1)
-    x = x + jnp.einsum("bsf,fd->bsd", y * jax.nn.silu(gate), layer_p["mlp"]["fc2"])
+    x = x + qeinsum("bsf,fd->bsd", y * jax.nn.silu(gate), layer_p["mlp"]["fc2"])
     return x, k_cache_l, v_cache_l
 
 

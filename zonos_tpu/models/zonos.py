@@ -143,6 +143,20 @@ class Zonos:
         model_path = hf_hub_download(repo_id=repo_id, filename="model.safetensors", revision=revision)
         return cls.from_local(config_path, model_path, dtype)
 
+    def quantize(self) -> "Zonos":
+        """Weight-only int8 quantization of the decode hot path.
+
+        Halves HBM bytes per decode step (the single-stream bottleneck on
+        TPU). Transformer backbones only; embeddings/norms stay bf16.
+        """
+        if self.config.backbone.is_hybrid:
+            raise NotImplementedError("int8 decode currently covers the transformer backbone")
+        from zonos_tpu.ops.quant import quantize_transformer_params
+
+        m = Zonos(self.config, quantize_transformer_params(self.params), self.dtype)
+        m._autoencoder = self._autoencoder
+        return m
+
     # ------------------------------------------------------------------
     # Conditioning
     # ------------------------------------------------------------------

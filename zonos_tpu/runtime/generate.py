@@ -68,20 +68,29 @@ def embed_codes(embeddings: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(emb, axis=1)
 
 
-def apply_heads(head_weight: jnp.ndarray, hidden: jnp.ndarray, n_q: int) -> jnp.ndarray:
-    """Fused output heads.
+def apply_heads(head_weight, hidden: jnp.ndarray, n_q: int) -> jnp.ndarray:
+    """Fused output heads (plain bf16 or int8-quantized weight).
 
     Args:
-        head_weight: [D, n_q * Vh].
+        head_weight: [D, n_q * Vh] array or {"q","s"} quantized dict.
         hidden: [B, S, D].
     Returns:
         logits [B, n_q, S, Vh] (fp32).
     """
+    from zonos_tpu.ops.quant import is_quantized
+
     b, s, _ = hidden.shape
-    logits = jnp.einsum(
-        "bsd,dv->bsv", hidden, head_weight, preferred_element_type=jnp.float32
-    )
-    vh = head_weight.shape[1] // n_q
+    if is_quantized(head_weight):
+        logits = jnp.einsum(
+            "bsd,dv->bsv", hidden, head_weight["q"].astype(hidden.dtype),
+            preferred_element_type=jnp.float32,
+        ) * head_weight["s"].reshape(1, 1, -1)
+        vh = head_weight["q"].shape[1] // n_q
+    else:
+        logits = jnp.einsum(
+            "bsd,dv->bsv", hidden, head_weight, preferred_element_type=jnp.float32
+        )
+        vh = head_weight.shape[1] // n_q
     return logits.reshape(b, s, n_q, vh).transpose(0, 2, 1, 3)
 
 
