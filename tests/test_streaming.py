@@ -1,0 +1,70 @@
+"""Streaming generation tests: chunk equivalence and incremental audio."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zonos_tpu.codec import dac as D
+from zonos_tpu.conditioning.cond_dict import make_cond_dict
+from zonos_tpu.config import tiny_transformer_config
+from zonos_tpu.models.zonos import Zonos
+from zonos_tpu.runtime import generate as G
+from zonos_tpu.runtime.streaming import generate_stream
+
+
+@pytest.fixture(scope="module")
+def model():
+    m = Zonos.from_config(tiny_transformer_config(), seed=0, dtype=jnp.float32)
+    cfg = D.DACConfig(
+        encoder_hidden_size=8, downsampling_ratios=(2, 4), decoder_hidden_size=32,
+        upsampling_ratios=(4, 2), n_codebooks=9, codebook_size=1024, codebook_dim=4,
+        hidden_size=24,
+    )
+    m._autoencoder = D.DACAutoencoder(
+        params=D.init_dac_params(jax.random.key(0), cfg), cfg=cfg,
+        dtype=jnp.float32, frame_bucket=8,
+    )
+    return m
+
+
+@pytest.fixture(scope="module")
+def cond(model):
+    cd = make_cond_dict(text="stream me", speaker=np.zeros((1, 1, 128), np.float32))
+    return model.prepare_conditioning(cd)
+
+
+def test_stream_codes_match_generate(model, cond):
+    """Chunked decode must produce the same token stream as the single jit."""
+    ref = G.generate(
+        model.params, model.config, cond, max_new_tokens=24, cfg_scale=2.0,
+        sampling_params={"min_p": 0.1}, seed=11, dtype=jnp.float32,
+    )
+    chunks = list(
+        generate_stream(
+            model.params, model.config, cond, autoencoder=None,
+            max_new_tokens=24, cfg_scale=2.0, sampling_params={"min_p": 0.1},
+            seed=11, first_chunk_frames=4, chunk_frames=8, dtype=jnp.float32,
+        )
+    )
+    final_codes = [c for c, _ in chunks if c is not None][-1]
+    np.testing.assert_array_equal(final_codes, ref)
+
+
+def test_stream_yields_incremental_audio(model, cond):
+    hop = model.autoencoder.config.hop_length
+    got = []
+    for wav, sr in model.stream(
+        cond, max_new_tokens=20, seed=3, first_chunk_frames=4, chunk_frames=8,
+        sampling_params={"min_p": 0.1},
+    ):
+        assert sr == 44100
+        got.append(wav)
+    assert len(got) >= 2, "expected multiple chunks"
+    total = np.concatenate(got)
+    assert total.shape[0] % hop == 0
+    assert np.isfinite(total).all()
+    # The delay pattern defers the first complete frame by n_q (9) steps, so
+    # the first yield arrives within the first two segments and stays small.
+    assert got[0].shape[0] <= (4 + 8) * hop

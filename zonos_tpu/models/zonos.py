@@ -245,6 +245,40 @@ class Zonos:
             callback(out, out.shape[-1], max_new_tokens)
         return out
 
+    def stream(
+        self,
+        prefix_conditioning,
+        audio_prefix_codes=None,
+        max_new_tokens: int = 86 * 30,
+        cfg_scale: float = 2.0,
+        sampling_params=None,
+        seed=None,
+        first_chunk_frames: int = 16,
+        chunk_frames: int = 64,
+    ):
+        """Streaming generation: yields (pcm float32 [T], sample_rate) chunks.
+
+        First audio arrives after prefill + ``first_chunk_frames`` decode
+        steps (≈186 ms of audio at 16 frames) instead of after the full
+        loop — the low-TTFA serving path (BASELINE.md target <250 ms).
+        """
+        from zonos_tpu.runtime.streaming import generate_stream
+
+        return generate_stream(
+            self.params,
+            self.config,
+            prefix_conditioning,
+            autoencoder=self.autoencoder,
+            audio_prefix_codes=audio_prefix_codes,
+            max_new_tokens=max_new_tokens,
+            cfg_scale=cfg_scale,
+            sampling_params=sampling_params,
+            seed=seed,
+            first_chunk_frames=first_chunk_frames,
+            chunk_frames=chunk_frames,
+            dtype=self.dtype,
+        )
+
     # ------------------------------------------------------------------
     # Codec
     # ------------------------------------------------------------------

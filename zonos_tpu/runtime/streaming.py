@@ -1,0 +1,273 @@
+"""Streaming generation: chunked decode + incremental DAC for low TTFA.
+
+The reference returns audio only after the full decode loop finishes
+(model.py:354-548) — time-to-first-audio equals total generation time. The
+BASELINE north star asks for <250 ms TTFA. This module splits the jitted
+runtime into a prefill step and a resumable decode segment, so the host can:
+
+    prefill → decode 16 frames → DAC-decode → yield ~190 ms of audio
+            → decode next segment → yield …
+
+The decode-segment jit donates its carry (the KV cache stays on device,
+no copies between segments); DAC decoding of each chunk re-decodes a small
+left-context window and trims it, hiding the codec's convolutional edge
+effects at chunk boundaries.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zonos_tpu.config import ZonosConfig
+from zonos_tpu.models.backbone import backbone_forward, create_cache
+from zonos_tpu.ops.delay_pattern import apply_delay_pattern
+from zonos_tpu.ops.sampling import SamplingParams, sample_from_logits
+from zonos_tpu.runtime.generate import (
+    UNKNOWN_TOKEN,
+    DecodeCarry,
+    GenerateStatics,
+    _bucket,
+    _context_slice,
+    _decode_logits,
+    _write_frame,
+    apply_heads,
+    embed_codes,
+    postprocess_codes,
+)
+
+MAX_REP_WINDOW = 8
+
+
+def _make_bias(statics: GenerateStatics) -> jnp.ndarray:
+    cfg = statics.cfg
+    b, n_q, vh = statics.batch_size, cfg.codebook_dimension, cfg.head_vocab_size
+    bias = jnp.zeros((b, n_q, vh), jnp.float32)
+    bias = bias.at[:, 1:, cfg.eos_token_id].set(-jnp.inf)
+    if statics.forbid_eos:
+        bias = bias.at[:, 0, cfg.eos_token_id].set(-jnp.inf)
+    else:
+        bias = bias.at[:, 0, cfg.eos_token_id].add(-jnp.log(2.0))
+    return bias
+
+
+def build_prefill_fn(statics: GenerateStatics):
+    cfg = statics.cfg
+    n_q = cfg.codebook_dimension
+
+    def prefill_fn(params, cond_emb, delayed_init, prefix_frames, pad_amount, cfg_scale, key):
+        b = statics.batch_size
+        lc_pad = cond_emb.shape[1]
+        n_prefix = statics.prefill_len - lc_pad
+        prefix_emb = embed_codes(params["embeddings"], delayed_init[:, :, :n_prefix])
+        prefix_emb = jnp.concatenate([prefix_emb, prefix_emb], axis=0)
+        x = jnp.concatenate([cond_emb, prefix_emb], axis=1)
+
+        cache = create_cache(cfg.backbone, 2 * b, statics.cache_len, dtype=cond_emb.dtype)
+        h, cache = backbone_forward(
+            params["backbone"], cfg.backbone, x, cache,
+            write_start=jnp.int32(0), pad_amount=pad_amount,
+            attend_len=statics.prefill_len,
+        )
+        logits0 = apply_heads(params["heads"], h[:, -1:, :], n_q)[:, :, 0]
+        c0, u0 = jnp.split(logits0, 2, axis=0)
+        logits0 = u0 + (c0 - u0) * cfg_scale
+
+        key0, key_loop = jax.random.split(key)
+        next_token = sample_from_logits(key0, logits0, statics.sampling)
+        delayed = _write_frame(delayed_init, prefix_frames, next_token)
+
+        return DecodeCarry(
+            delayed_codes=delayed,
+            offset=prefix_frames + 1,
+            cache=cache,
+            stopping=jnp.zeros((b,), bool),
+            remaining_steps=jnp.full((b,), statics.delayed_len, jnp.int32),
+            steps_done=jnp.int32(0),
+            key=key_loop,
+        )
+
+    return prefill_fn
+
+
+def build_segment_fn(statics: GenerateStatics):
+    """Decode until min(segment_end, max_steps) or EOS-drain exhaustion."""
+    cfg = statics.cfg
+    n_q = cfg.codebook_dimension
+    window = min(statics.sampling.repetition_penalty_window, MAX_REP_WINDOW)
+    use_rep = statics.sampling.repetition_penalty != 1.0 and window > 0
+    bias_template = None  # built lazily inside jit (depends only on statics)
+
+    def segment_fn(params, carry: DecodeCarry, pad_amount, cfg_scale, max_steps, segment_end):
+        bias = _make_bias(statics)
+        b = statics.batch_size
+
+        def cond_fn(c: DecodeCarry):
+            return (
+                (c.offset < statics.delayed_len)
+                & (c.steps_done < max_steps)
+                & (c.steps_done < segment_end)
+                & jnp.any(c.remaining_steps > 0)
+            )
+
+        def body_fn(c: DecodeCarry) -> DecodeCarry:
+            key, subkey = jax.random.split(c.key)
+            input_frame = jax.lax.dynamic_slice(c.delayed_codes, (0, 0, c.offset - 1), (b, n_q, 1))
+            write_index = statics.prefill_len + c.steps_done
+            logits, cache = _decode_logits(params, statics, input_frame, c.cache, write_index, pad_amount, cfg_scale)
+            logits = logits + bias
+
+            if use_rep:
+                ctx, valid = _context_slice(c.delayed_codes, c.offset, window)
+                next_token = sample_from_logits(
+                    subkey, logits, statics.sampling,
+                    generated_tokens=ctx, generated_valid_len=valid,
+                )
+            else:
+                next_token = sample_from_logits(subkey, logits, statics.sampling)
+
+            eos_in_cb0 = next_token[:, 0] == cfg.eos_token_id
+            remaining = jnp.where(eos_in_cb0, jnp.minimum(c.remaining_steps, n_q), c.remaining_steps)
+            stopping = c.stopping | eos_in_cb0
+            eos_idx = jnp.clip(n_q - remaining, max=n_q - 1)
+            cb = jnp.arange(n_q)[None, :]
+            stop_b = stopping[:, None]
+            next_token = jnp.where(
+                stop_b & (cb < eos_idx[:, None]), cfg.masked_token_id,
+                jnp.where(stop_b & (cb == eos_idx[:, None]), cfg.eos_token_id, next_token),
+            ).astype(jnp.int32)
+
+            delayed = _write_frame(c.delayed_codes, c.offset, next_token)
+            return DecodeCarry(
+                delayed_codes=delayed, offset=c.offset + 1, cache=cache,
+                stopping=stopping, remaining_steps=remaining - 1,
+                steps_done=c.steps_done + 1, key=key,
+            )
+
+        return jax.lax.while_loop(cond_fn, body_fn, carry)
+
+    return segment_fn
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled_stream_fns(statics: GenerateStatics):
+    prefill = jax.jit(build_prefill_fn(statics))
+    segment = jax.jit(build_segment_fn(statics), donate_argnums=(1,))
+    return prefill, segment
+
+
+def generate_stream(
+    params: dict,
+    cfg: ZonosConfig,
+    prefix_conditioning: np.ndarray,  # [2B, Lc, D]
+    autoencoder=None,
+    audio_prefix_codes: np.ndarray | None = None,
+    max_new_tokens: int = 86 * 30,
+    cfg_scale: float = 2.0,
+    batch_size: int = 1,
+    sampling_params: SamplingParams | dict | None = None,
+    seed: int | jax.Array | None = None,
+    first_chunk_frames: int = 16,
+    chunk_frames: int = 64,
+    dac_context_frames: int = 16,
+    prefill_bucket: int = 64,
+    audio_bucket: int = 512,
+    dtype=jnp.bfloat16,
+    forbid_eos: bool = False,
+):
+    """Yield (pcm_chunk [T] float32, sample_rate) as audio becomes available.
+
+    The first chunk is small (default 16 frames ≈ 186 ms of audio) to
+    minimize time-to-first-audio; later chunks are larger for efficiency.
+    The final yield truncates at the EOS boundary exactly like the
+    non-streaming path.
+    """
+    if isinstance(sampling_params, dict):
+        sampling_params = SamplingParams(**sampling_params)
+    sampling_params = sampling_params or SamplingParams(min_p=0.1)
+    assert cfg_scale != 1.0
+
+    n_q = cfg.codebook_dimension
+    lp = 0 if audio_prefix_codes is None else int(audio_prefix_codes.shape[2])
+    lc = int(prefix_conditioning.shape[1])
+    t0 = lc + lp + 1
+    prefill_len = _bucket(t0, prefill_bucket)
+    delayed_len = _bucket(lp + max_new_tokens + n_q, audio_bucket)
+    cache_len = _bucket(prefill_len + (delayed_len - (lp + 1)) + 1, 128)
+
+    statics = GenerateStatics(
+        cfg=cfg, sampling=sampling_params, prefill_len=prefill_len,
+        delayed_len=delayed_len, cache_len=cache_len, batch_size=batch_size,
+        forbid_eos=forbid_eos,
+    )
+    prefill, segment = _compiled_stream_fns(statics)
+
+    codes = np.full((batch_size, n_q, delayed_len - n_q), UNKNOWN_TOKEN, np.int32)
+    if audio_prefix_codes is not None:
+        codes[..., :lp] = np.asarray(audio_prefix_codes, np.int32)
+    delayed_init = np.asarray(apply_delay_pattern(jnp.asarray(codes), cfg.masked_token_id))
+
+    pad = prefill_len - t0
+    cond = np.asarray(prefix_conditioning, np.float32)
+    cond_padded = np.concatenate(
+        [np.zeros((cond.shape[0], pad, cond.shape[2]), np.float32), cond], axis=1
+    )
+    pad_amount = jnp.full((2 * batch_size,), pad, jnp.int32)
+
+    if seed is None:
+        seed = np.random.randint(0, 2**31 - 1)
+    key = seed if isinstance(seed, jax.Array) else jax.random.key(int(seed))
+
+    carry = prefill(
+        params, jnp.asarray(cond_padded, dtype), jnp.asarray(delayed_init),
+        jnp.int32(lp + 1), pad_amount, jnp.float32(cfg_scale), key,
+    )
+
+    max_steps = jnp.int32(max_new_tokens + n_q - 2)
+    hop = autoencoder.config.hop_length if autoencoder is not None else 512
+    sr = autoencoder.sampling_rate if autoencoder is not None else 44100
+
+    emitted_frames = lp  # de-delayed frames already emitted as audio
+    segment_end = first_chunk_frames
+    while True:
+        carry = segment(params, carry, pad_amount, jnp.float32(cfg_scale), max_steps, jnp.int32(segment_end))
+        offset = int(carry.offset)
+        steps = int(carry.steps_done)
+        remaining = np.asarray(carry.remaining_steps)
+        done = (
+            offset >= statics.delayed_len
+            or steps >= int(max_steps)
+            or bool(np.all(remaining <= 0))
+        )
+
+        if done:
+            final_offset = offset - 1 if np.all(remaining <= 0) else offset
+            out_codes = postprocess_codes(np.asarray(carry.delayed_codes), final_offset, cfg)
+            total = out_codes.shape[-1]
+        else:
+            # Complete (de-delayed) frames available so far: offset - n_q.
+            out_codes = None
+            total = max(offset - n_q, 0)
+
+        if autoencoder is not None and total > emitted_frames:
+            src = out_codes
+            if src is None:
+                from zonos_tpu.ops.delay_pattern import revert_delay_pattern
+
+                src = np.asarray(revert_delay_pattern(jnp.asarray(np.asarray(carry.delayed_codes))))
+                src = np.clip(np.where(src > cfg.eos_token_id, 512, np.where(src == cfg.eos_token_id, 0, src)), 0, cfg.eos_token_id - 1)
+            ctx = min(dac_context_frames, emitted_frames)
+            chunk_codes = src[..., emitted_frames - ctx : total]
+            wav = autoencoder.decode(chunk_codes)[0, 0]
+            yield wav[ctx * hop :], sr
+            emitted_frames = total
+        elif autoencoder is None and total > emitted_frames:
+            yield (out_codes if done else None), sr
+            emitted_frames = total
+
+        if done:
+            return
+        segment_end = steps + chunk_frames
