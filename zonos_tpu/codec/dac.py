@@ -423,13 +423,20 @@ class DACAutoencoder:
         codes = self._encode_jit(self.params["encoder"], self.params["quantizer"], jnp.asarray(wav))
         return np.asarray(codes)
 
-    def decode(self, codes: np.ndarray) -> np.ndarray:
-        """codes [B, n_q, T] → float32 waveform [B, 1, T*512] in (-1, 1)."""
-        codes = np.asarray(codes, np.int32)
+    def decode(self, codes) -> np.ndarray:
+        """codes [B, n_q, T] → float32 waveform [B, 1, T*512] in (-1, 1).
+
+        Accepts numpy or jax arrays; jax inputs stay on device until the PCM
+        readback (streaming path: no host round-trip for the codes).
+        """
         t = codes.shape[-1]
         t_pad = _bucket(t, self.frame_bucket)
-        padded = np.pad(codes, [(0, 0), (0, 0), (0, t_pad - t)])
-        wav = self._decode_jit(self.params["quantizer"], self.params["decoder"], jnp.asarray(padded))
+        if isinstance(codes, jax.Array):
+            padded = jnp.pad(codes.astype(jnp.int32), [(0, 0), (0, 0), (0, t_pad - t)])
+        else:
+            codes = np.asarray(codes, np.int32)
+            padded = jnp.asarray(np.pad(codes, [(0, 0), (0, 0), (0, t_pad - t)]))
+        wav = self._decode_jit(self.params["quantizer"], self.params["decoder"], padded)
         wav = np.asarray(wav)[:, : t * self.config.hop_length]
         return wav[:, None, :]
 

@@ -399,10 +399,16 @@ def generate(
     return postprocess_codes(delayed_out, offset, cfg)
 
 
+def revert_delay_pattern_np(codes: np.ndarray) -> np.ndarray:
+    """Host-side (numpy) revert — pure slicing, no device round-trip."""
+    _, n_q, s = codes.shape
+    return np.stack([codes[:, k, k + 1 : s - n_q + k + 1] for k in range(n_q)], axis=1)
+
+
 def postprocess_codes(delayed_out: np.ndarray, offset: int, cfg: ZonosConfig) -> np.ndarray:
     """Revert delay, find trailing EOS boundary, sanitize (model.py:511-539)."""
     n_q = cfg.codebook_dimension
-    out = np.asarray(revert_delay_pattern(jnp.asarray(delayed_out)))
+    out = revert_delay_pattern_np(np.asarray(delayed_out))
     valid_length = max(offset - n_q, 0)
 
     # Trailing-EOS boundary vote (model.py:516-529).

@@ -147,7 +147,22 @@ def build_segment_fn(statics: GenerateStatics):
                 steps_done=c.steps_done + 1, key=key,
             )
 
-        return jax.lax.while_loop(cond_fn, body_fn, carry)
+        c = jax.lax.while_loop(cond_fn, body_fn, carry)
+
+        # Device-side status + sanitized de-delayed codes: the host reads one
+        # tiny status array and slices chunks on device — critical when
+        # device round-trips are expensive (remote-TPU serving).
+        all_stopped = jnp.all(c.remaining_steps <= 0)
+        status = jnp.stack(
+            [c.offset, c.steps_done, all_stopped.astype(jnp.int32)]
+        )
+        from zonos_tpu.ops.delay_pattern import revert_delay_pattern
+
+        out = revert_delay_pattern(c.delayed_codes)
+        out = jnp.where(out > cfg.eos_token_id, 512, out)
+        out = jnp.where(out == cfg.eos_token_id, 0, out)
+        out = jnp.clip(out, 0, cfg.eos_token_id - 1)
+        return c, status, out
 
     return segment_fn
 
@@ -233,34 +248,28 @@ def generate_stream(
     emitted_frames = lp  # de-delayed frames already emitted as audio
     segment_end = first_chunk_frames
     while True:
-        carry = segment(params, carry, pad_amount, jnp.float32(cfg_scale), max_steps, jnp.int32(segment_end))
-        offset = int(carry.offset)
-        steps = int(carry.steps_done)
-        remaining = np.asarray(carry.remaining_steps)
-        done = (
-            offset >= statics.delayed_len
-            or steps >= int(max_steps)
-            or bool(np.all(remaining <= 0))
+        carry, status, device_codes = segment(
+            params, carry, pad_amount, jnp.float32(cfg_scale), max_steps, jnp.int32(segment_end)
         )
+        offset, steps, all_stopped = (int(v) for v in np.asarray(status))
+        done = offset >= statics.delayed_len or steps >= int(max_steps) or bool(all_stopped)
 
         if done:
-            final_offset = offset - 1 if np.all(remaining <= 0) else offset
+            # Trailing-EOS boundary search needs host logic; one final readback.
+            final_offset = offset - 1 if all_stopped else offset
             out_codes = postprocess_codes(np.asarray(carry.delayed_codes), final_offset, cfg)
             total = out_codes.shape[-1]
         else:
-            # Complete (de-delayed) frames available so far: offset - n_q.
             out_codes = None
-            total = max(offset - n_q, 0)
+            total = max(offset - n_q, 0)  # complete de-delayed frames so far
 
         if autoencoder is not None and total > emitted_frames:
-            src = out_codes
-            if src is None:
-                from zonos_tpu.ops.delay_pattern import revert_delay_pattern
-
-                src = np.asarray(revert_delay_pattern(jnp.asarray(np.asarray(carry.delayed_codes))))
-                src = np.clip(np.where(src > cfg.eos_token_id, 512, np.where(src == cfg.eos_token_id, 0, src)), 0, cfg.eos_token_id - 1)
             ctx = min(dac_context_frames, emitted_frames)
-            chunk_codes = src[..., emitted_frames - ctx : total]
+            # Slice the chunk on device; DAC decode consumes it without a
+            # host round-trip (only the PCM comes back).
+            chunk_codes = jax.lax.dynamic_slice_in_dim(
+                device_codes, emitted_frames - ctx, total - (emitted_frames - ctx), axis=2
+            )
             wav = autoencoder.decode(chunk_codes)[0, 0]
             yield wav[ctx * hop :], sr
             emitted_frames = total
