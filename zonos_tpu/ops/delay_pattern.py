@@ -31,6 +31,15 @@ def apply_delay_pattern(codes: jnp.ndarray, mask_token: int) -> jnp.ndarray:
     return jnp.stack(rows, axis=1)
 
 
+def apply_delay_pattern_np(codes, mask_token: int):
+    """Host-side (numpy) apply — request setup without a device round-trip."""
+    import numpy as np
+
+    b, n_q, s = codes.shape
+    padded = np.pad(codes, ((0, 0), (0, 0), (0, n_q)), constant_values=mask_token)
+    return np.stack([np.roll(padded[:, k], k + 1, axis=-1) for k in range(n_q)], axis=1)
+
+
 def revert_delay_pattern(codes: jnp.ndarray) -> jnp.ndarray:
     """Inverse of :func:`apply_delay_pattern`.
 

@@ -35,7 +35,7 @@ from flax import struct
 
 from zonos_tpu.config import ZonosConfig
 from zonos_tpu.models.backbone import backbone_forward, create_cache
-from zonos_tpu.ops.delay_pattern import apply_delay_pattern, revert_delay_pattern
+from zonos_tpu.ops.delay_pattern import apply_delay_pattern_np, revert_delay_pattern
 from zonos_tpu.ops.sampling import SamplingParams, sample_from_logits
 
 UNKNOWN_TOKEN = -1
@@ -361,7 +361,7 @@ def generate(
     codes = np.full((batch_size, n_q, delayed_len - n_q), UNKNOWN_TOKEN, np.int32)
     if audio_prefix_codes is not None:
         codes[..., :lp] = np.asarray(audio_prefix_codes, np.int32)
-    delayed_init = np.asarray(apply_delay_pattern(jnp.asarray(codes), cfg.masked_token_id))
+    delayed_init = apply_delay_pattern_np(codes, cfg.masked_token_id)
 
     # Left-pad cond embeddings to make total prefill length == prefill_len:
     # [pad A | cond Lc | audio prefix Lp+1].

@@ -24,7 +24,7 @@ import numpy as np
 
 from zonos_tpu.config import ZonosConfig
 from zonos_tpu.models.backbone import backbone_forward, create_cache
-from zonos_tpu.ops.delay_pattern import apply_delay_pattern
+from zonos_tpu.ops.delay_pattern import apply_delay_pattern_np
 from zonos_tpu.ops.sampling import SamplingParams, sample_from_logits
 from zonos_tpu.runtime.generate import (
     UNKNOWN_TOKEN,
@@ -223,7 +223,7 @@ def generate_stream(
     codes = np.full((batch_size, n_q, delayed_len - n_q), UNKNOWN_TOKEN, np.int32)
     if audio_prefix_codes is not None:
         codes[..., :lp] = np.asarray(audio_prefix_codes, np.int32)
-    delayed_init = np.asarray(apply_delay_pattern(jnp.asarray(codes), cfg.masked_token_id))
+    delayed_init = apply_delay_pattern_np(codes, cfg.masked_token_id)
 
     pad = prefill_len - t0
     cond = np.asarray(prefix_conditioning, np.float32)
