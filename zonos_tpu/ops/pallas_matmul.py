@@ -1,0 +1,82 @@
+"""Pallas TPU kernel: int8 weight-streaming matmul for the decode step.
+
+Single-stream decode is HBM-bound: each step streams every weight matrix
+once. This kernel keeps that stream int8 end-to-end — int8 tiles DMA from
+HBM into VMEM, dequantize in-register, hit the MXU in bf16, accumulate f32 —
+with the grid tiled over output columns so weight tiles prefetch while the
+previous tile computes (Pallas double-buffers grid inputs automatically).
+
+Status (measured on v5e over the axon tunnel, tools/bench_quant.py with
+ZONOS_PALLAS_DECODE=1): the in-loop decode runs at 4.14 ms/frame with this
+kernel vs 3.29 ms/frame with XLA's own convert+dot fusion — XLA pipelines the
+int8 weight stream better than this single-level tiling, so the kernel stays
+OFF by default (env ZONOS_PALLAS_DECODE=1 enables it). Kept as the starting
+point for a K-tiled, manually double-buffered variant.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, wq_ref, s_ref, o_ref):
+    # x: [Bp, K] bf16 · wq: [K, BN] int8 · s: [1, BN] f32 → o: [Bp, BN] f32
+    w = wq_ref[:].astype(jnp.bfloat16)
+    acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    o_ref[:] = acc * s_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def int8_matmul(
+    x: jnp.ndarray,  # [B, K] bf16/f32
+    wq: jnp.ndarray,  # [K, N] int8
+    scale: jnp.ndarray,  # [1, N] or [N] f32
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y[b, n] = Σ_k x[b,k] · wq[k,n] · scale[n]  → [B, N] f32."""
+    b, k = x.shape
+    n = wq.shape[1]
+    scale = scale.reshape(1, n)
+
+    # Pad batch to the sublane tile (8 for f32 accumulation output).
+    bp = max(8, ((b + 7) // 8) * 8)
+    if bp != b:
+        x = jnp.pad(x, ((0, bp - b), (0, 0)))
+
+    assert n % block_n == 0, (n, block_n)
+    grid = (n // block_n,)
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bp, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bp, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * k * n, bytes_accessed=k * n + bp * k * 2 + bp * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), wq, scale.astype(jnp.float32))
+    return out[:b]
+
+
+def pick_block_n(n: int, k: int, vmem_budget: int = 6 * 2**20) -> int | None:
+    """Largest block_n ≤ 1024 dividing n whose weight tile fits VMEM.
+
+    Budget accounts for Pallas double-buffering grid inputs (2 tiles live),
+    plus the x/out blocks, within the ~16 MB scoped VMEM limit.
+    """
+    for bn in (1024, 512, 256, 128):
+        if n % bn == 0 and 2 * k * bn <= vmem_budget:
+            return bn
+    return None

@@ -37,6 +37,13 @@ def dequantize(w) -> jnp.ndarray:
     return (w["q"].astype(jnp.float32) * w["s"]).astype(jnp.bfloat16)
 
 
+import os
+
+# Route decode-step quantized matmuls through the Pallas int8 kernel
+# (ops/pallas_matmul.py) instead of the XLA convert+dot fusion.
+PALLAS_DECODE = os.environ.get("ZONOS_PALLAS_DECODE", "0") == "1"
+
+
 def qeinsum(eq: str, x: jnp.ndarray, w) -> jnp.ndarray:
     """einsum(eq, x, w) for plain or quantized w.
 
@@ -46,6 +53,16 @@ def qeinsum(eq: str, x: jnp.ndarray, w) -> jnp.ndarray:
     """
     if not is_quantized(w):
         return jnp.einsum(eq, x, w)
+
+    if PALLAS_DECODE and x.ndim == 3 and x.shape[1] == 1 and w["q"].ndim == 2:
+        from zonos_tpu.ops.pallas_matmul import int8_matmul, pick_block_n
+
+        k, n = w["q"].shape
+        bn = pick_block_n(n, k)
+        if bn is not None:
+            y = int8_matmul(x[:, 0], w["q"], w["s"], block_n=bn)
+            return y[:, None, :].astype(x.dtype)
+
     y = jnp.einsum(eq, x, w["q"].astype(x.dtype))
     return (y.astype(jnp.float32) * _out_scale(eq, w["s"], y.ndim)).astype(x.dtype)
 
