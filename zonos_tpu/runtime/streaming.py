@@ -27,6 +27,7 @@ from zonos_tpu.models.backbone import backbone_forward, create_cache
 from zonos_tpu.ops.delay_pattern import apply_delay_pattern_np
 from zonos_tpu.ops.sampling import SamplingParams, sample_from_logits
 from zonos_tpu.runtime.generate import (
+    MAX_REP_WINDOW,
     UNKNOWN_TOKEN,
     DecodeCarry,
     GenerateStatics,
@@ -38,8 +39,6 @@ from zonos_tpu.runtime.generate import (
     embed_codes,
     postprocess_codes,
 )
-
-MAX_REP_WINDOW = 8
 
 
 def _make_bias(statics: GenerateStatics) -> jnp.ndarray:
@@ -99,7 +98,6 @@ def build_segment_fn(statics: GenerateStatics):
     n_q = cfg.codebook_dimension
     window = min(statics.sampling.repetition_penalty_window, MAX_REP_WINDOW)
     use_rep = statics.sampling.repetition_penalty != 1.0 and window > 0
-    bias_template = None  # built lazily inside jit (depends only on statics)
 
     def segment_fn(params, carry: DecodeCarry, pad_amount, cfg_scale, max_steps, segment_end):
         bias = _make_bias(statics)
