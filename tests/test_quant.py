@@ -88,3 +88,19 @@ def test_quantized_generate_runs():
     out = qmodel.generate(cond, max_new_tokens=12, seed=1)
     assert out.shape[:2] == (1, 9)
     assert out.min() >= 0 and out.max() <= 1023
+
+
+def test_quantized_hybrid_generate_runs():
+    from zonos_tpu.config import tiny_hybrid_config
+    from zonos_tpu.conditioning.cond_dict import make_cond_dict
+
+    model = Zonos.from_config(tiny_hybrid_config(), seed=0, dtype=jnp.float32)
+    qmodel = model.quantize()
+    cd = make_cond_dict(
+        text="hybrid int8", speaker=np.zeros((1, 1, 128), np.float32),
+        unconditional_keys=(),
+    )
+    cond = qmodel.prepare_conditioning(cd)
+    out = qmodel.generate(cond, max_new_tokens=12, seed=2)
+    assert out.shape[:2] == (1, 9)
+    assert out.min() >= 0 and out.max() <= 1023

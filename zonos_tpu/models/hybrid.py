@@ -29,6 +29,7 @@ from zonos_tpu.ops.mamba2 import (
     mamba2_step,
 )
 from zonos_tpu.ops.norms import layer_norm, rms_norm
+from zonos_tpu.ops.quant import qeinsum
 from zonos_tpu.ops.rope import apply_rope, rope_rows
 
 
@@ -72,9 +73,9 @@ def _norm(x, p, cfg: BackboneConfig):
 
 
 def _mlp(p, x):
-    yg = jnp.einsum("bsd,de->bse", x, p["fc1"])
+    yg = qeinsum("bsd,de->bse", x, p["fc1"])
     y, gate = jnp.split(yg, 2, axis=-1)
-    return jnp.einsum("bsf,fd->bsd", y * jax.nn.silu(gate), p["fc2"])
+    return qeinsum("bsf,fd->bsd", y * jax.nn.silu(gate), p["fc2"])
 
 
 def _rotary_dim(cfg: BackboneConfig) -> int:
@@ -94,7 +95,7 @@ def _attn_mixer(
 ):
     b, s, _ = x.shape
     hq, hkv, dh = cfg.attn_cfg.num_heads, cfg.attn_cfg.num_heads_kv, cfg.head_dim
-    qkv = jnp.einsum("bsd,de->bse", x, p["in_proj"])
+    qkv = qeinsum("bsd,de->bse", x, p["in_proj"])
     if p.get("in_proj_b") is not None:
         qkv = qkv + p["in_proj_b"].astype(qkv.dtype)
     q, k, v = jnp.split(qkv, [hq * dh, (hq + hkv) * dh], axis=-1)
@@ -115,7 +116,7 @@ def _attn_mixer(
     v_all = jax.lax.dynamic_slice_in_dim(v_cache, 0, attend_len, axis=1)
 
     att = gqa_attention(q, k_all, v_all, mask).reshape(b, s, hq * dh)
-    out = jnp.einsum("bse,ed->bsd", att, p["out_proj"])
+    out = qeinsum("bse,ed->bsd", att, p["out_proj"])
     if p.get("out_proj_b") is not None:
         out = out + p["out_proj_b"].astype(out.dtype)
     return out, k_cache, v_cache

@@ -147,13 +147,19 @@ class Zonos:
         """Weight-only int8 quantization of the decode hot path.
 
         Halves HBM bytes per decode step (the single-stream bottleneck on
-        TPU). Transformer backbones only; embeddings/norms stay bf16.
+        TPU). Embeddings, norms, conv taps and SSD scalars stay bf16/f32.
         """
-        if self.config.backbone.is_hybrid:
-            raise NotImplementedError("int8 decode currently covers the transformer backbone")
-        from zonos_tpu.ops.quant import quantize_transformer_params
+        from zonos_tpu.ops.quant import (
+            quantize_hybrid_params,
+            quantize_transformer_params,
+        )
 
-        m = Zonos(self.config, quantize_transformer_params(self.params), self.dtype)
+        qfn = (
+            quantize_hybrid_params
+            if self.config.backbone.is_hybrid
+            else quantize_transformer_params
+        )
+        m = Zonos(self.config, qfn(self.params), self.dtype)
         m._autoencoder = self._autoencoder
         return m
 

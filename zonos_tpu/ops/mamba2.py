@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from zonos_tpu.config import SSMConfig
+from zonos_tpu.ops.quant import qeinsum
 
 
 # ---------------------------------------------------------------------------
@@ -204,7 +205,7 @@ def mamba2_prefill(
     d_inner, nheads = dims["d_inner"], dims["nheads"]
     gn = cfg.ngroups * cfg.d_state
 
-    zxbcdt = jnp.einsum("bld,de->ble", x, p["in_proj"])
+    zxbcdt = qeinsum("bld,de->ble", x, p["in_proj"])
     z, xbc, dt_raw = _split_proj(zxbcdt, d_model, cfg)
 
     if seq_mask is not None:
@@ -238,7 +239,7 @@ def mamba2_prefill(
     y = y.reshape(b, l, d_inner).astype(x.dtype)
 
     y = _gated_rms_norm(y, z, p["norm_w"], 1e-5)
-    out = jnp.einsum("ble,ed->bld", y, p["out_proj"])
+    out = qeinsum("ble,ed->bld", y, p["out_proj"])
     return out, conv_state, ssm_state.astype(jnp.float32)
 
 
@@ -255,7 +256,7 @@ def mamba2_step(
     d_inner, nheads = dims["d_inner"], dims["nheads"]
     gn = cfg.ngroups * cfg.d_state
 
-    zxbcdt = jnp.einsum("bd,de->be", x[:, 0], p["in_proj"])
+    zxbcdt = qeinsum("bd,de->be", x[:, 0], p["in_proj"])
     z, xbc, dt_raw = _split_proj(zxbcdt, d_model, cfg)
 
     xbc, conv_state = causal_conv1d_step(xbc, p["conv_w"], p["conv_b"], conv_state)
@@ -272,7 +273,7 @@ def mamba2_step(
     y = y.reshape(b, d_inner).astype(x.dtype)
 
     y = _gated_rms_norm(y, z, p["norm_w"], 1e-5)
-    out = jnp.einsum("be,ed->bd", y, p["out_proj"])
+    out = qeinsum("be,ed->bd", y, p["out_proj"])
     return out[:, None, :], conv_state, ssm_state
 
 

@@ -78,6 +78,31 @@ def _out_scale(eq: str, s: jnp.ndarray, y_ndim: int) -> jnp.ndarray:
     return s.reshape((1,) * (y_ndim - s.ndim) + s.shape)
 
 
+def quantize_hybrid_params(params: dict) -> dict:
+    """Quantize the hybrid backbone's big matmuls (Mamba2 + attention mixers
+    and MLPs) + heads. Conv taps, norms, SSD scalars stay as-is."""
+    out = dict(params)
+    bb = {**params["backbone"]}
+    new_layers = []
+    for layer in bb["layers"]:
+        layer = dict(layer)
+        mixer = dict(layer["mixer"])
+        for k in ("in_proj", "out_proj"):
+            if k in mixer and mixer[k] is not None and not is_quantized(mixer[k]):
+                mixer[k] = quantize_int8(mixer[k])
+        layer["mixer"] = mixer
+        if layer.get("mlp") is not None:
+            mlp = dict(layer["mlp"])
+            mlp["fc1"] = quantize_int8(mlp["fc1"])
+            mlp["fc2"] = quantize_int8(mlp["fc2"])
+            layer["mlp"] = mlp
+        new_layers.append(layer)
+    bb["layers"] = tuple(new_layers)
+    out["backbone"] = bb
+    out["heads"] = quantize_int8(params["heads"])
+    return out
+
+
 def quantize_transformer_params(params: dict) -> dict:
     """Quantize the big backbone matmuls + heads of a Zonos params pytree.
 
