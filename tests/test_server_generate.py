@@ -1,0 +1,38 @@
+"""Server handler end-to-end with the tiny dev model (ZONOS_TINY_MODEL)."""
+
+import io
+import json
+import os
+import wave
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def tiny_env(tmp_path_factory):
+    os.environ["ZONOS_TINY_MODEL"] = "1"
+    # Point caches at a temp dir to avoid polluting the repo.
+    cwd = os.getcwd()
+    os.chdir(tmp_path_factory.mktemp("server"))
+    yield
+    os.chdir(cwd)
+    os.environ.pop("ZONOS_TINY_MODEL", None)
+
+
+def test_generate_handler_full_path():
+    from zonos_tpu.serving.server import handle_generate
+
+    wav_bytes, meta = handle_generate(
+        {"text": "hi", "randomize_seed": False, "seed": 3}
+    )
+    assert wav_bytes[:4] == b"RIFF"
+    with wave.open(io.BytesIO(wav_bytes)) as w:
+        assert w.getframerate() == 44100
+        assert w.getnframes() > 0
+    assert meta["rtf"] > 0
+    assert os.path.exists(meta["path"])
+
+    # Same request again → conditioning + model caches hit, still works.
+    wav2, meta2 = handle_generate({"text": "hi", "randomize_seed": False, "seed": 3})
+    assert wav2 == wav_bytes  # fixed seed → byte-identical audio
