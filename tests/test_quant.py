@@ -104,3 +104,34 @@ def test_quantized_hybrid_generate_runs():
     out = qmodel.generate(cond, max_new_tokens=12, seed=2)
     assert out.shape[:2] == (1, 9)
     assert out.min() >= 0 and out.max() <= 1023
+
+
+def test_int4_group_quantization(rng):
+    from zonos_tpu.ops.quant import q4einsum_lastdim, quantize_int4
+
+    x = rng.normal(size=(2, 1, 256)).astype(np.float32)
+    w = rng.normal(size=(256, 64)).astype(np.float32)
+    q = quantize_int4(jnp.asarray(w), group=128)
+    assert q["q4"].shape == (2, 128, 64)
+    dense = x @ w
+    got = np.asarray(q4einsum_lastdim(jnp.asarray(x), q))
+    rel = np.abs(got - dense) / (np.abs(dense) + 1e-2)
+    # int4 on iid-Gaussian weights is the worst case (~11% noise); real
+    # checkpoints are more peaked. Bound sanity, not fidelity.
+    assert np.median(rel) < 0.15, np.median(rel)
+    # Dequantized weights themselves stay within the group-scale step bound.
+    deq = (np.asarray(q["q4"], np.float32) * np.asarray(q["s4"])).reshape(w.shape)
+    step = np.abs(w).reshape(2, 128, 64).max(axis=1, keepdims=True) / 7.0
+    assert np.all(np.abs(deq - w).reshape(2, 128, 64) <= step * 0.51 + 1e-6)
+
+
+def test_int4_generate_runs():
+    from zonos_tpu.conditioning.cond_dict import make_cond_dict
+
+    model = Zonos.from_config(tiny_transformer_config(), seed=0, dtype=jnp.float32)
+    q4 = model.quantize(bits=4)
+    cd = make_cond_dict(text="four bits", speaker=np.zeros((1, 1, 128), np.float32))
+    cond = q4.prepare_conditioning(cd)
+    out = q4.generate(cond, max_new_tokens=12, seed=4)
+    assert out.shape[:2] == (1, 9)
+    assert out.min() >= 0 and out.max() <= 1023

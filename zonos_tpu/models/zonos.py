@@ -143,23 +143,24 @@ class Zonos:
         model_path = hf_hub_download(repo_id=repo_id, filename="model.safetensors", revision=revision)
         return cls.from_local(config_path, model_path, dtype)
 
-    def quantize(self) -> "Zonos":
-        """Weight-only int8 quantization of the decode hot path.
+    def quantize(self, bits: int = 8) -> "Zonos":
+        """Weight-only quantization of the decode hot path (int8 or int4).
 
-        Halves HBM bytes per decode step (the single-stream bottleneck on
-        TPU). Embeddings, norms, conv taps and SSD scalars stay bf16/f32.
+        Cuts HBM bytes per decode step — the single-stream bottleneck on
+        TPU. Embeddings, norms, conv taps and SSD scalars stay bf16/f32.
+        bits=4 uses group-wise scales (group 128) on the backbone matmuls.
         """
         from zonos_tpu.ops.quant import (
             quantize_hybrid_params,
             quantize_transformer_params,
         )
 
-        qfn = (
-            quantize_hybrid_params
-            if self.config.backbone.is_hybrid
-            else quantize_transformer_params
-        )
-        m = Zonos(self.config, qfn(self.params), self.dtype)
+        if self.config.backbone.is_hybrid:
+            assert bits == 8, "hybrid int4 not wired yet"
+            qparams = quantize_hybrid_params(self.params)
+        else:
+            qparams = quantize_transformer_params(self.params, bits=bits)
+        m = Zonos(self.config, qparams, self.dtype)
         m._autoencoder = self._autoencoder
         return m
 

@@ -51,6 +51,9 @@ def qeinsum(eq: str, x: jnp.ndarray, w) -> jnp.ndarray:
     the matmul (XLA fuses the convert into the operand load — only int8 bytes
     cross HBM), then the per-channel scale is applied to the product.
     """
+    if is_quantized4(w):
+        # All call sites contract x's last dim against w's first: [..., K] @ [K, N].
+        return q4einsum_lastdim(x, w)
     if not is_quantized(w):
         return jnp.einsum(eq, x, w)
 
@@ -78,6 +81,41 @@ def _out_scale(eq: str, s: jnp.ndarray, y_ndim: int) -> jnp.ndarray:
     return s.reshape((1,) * (y_ndim - s.ndim) + s.shape)
 
 
+def quantize_int4(w: jnp.ndarray, group: int = 128) -> dict:
+    """Group-wise symmetric int4 over the contraction axis.
+
+    K is split into groups of ``group``; each (group, out-channel) gets its
+    own scale, recovering most of the accuracy int4 loses vs int8. Layout:
+    q int4 [..., G, group, N], s f32 [..., G, 1, N].
+    """
+    *lead, k, n = w.shape
+    group = min(group, k)
+    assert k % group == 0, (k, group)
+    g = k // group
+    wf = w.astype(jnp.float32).reshape(*lead, g, group, n)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int4)
+    return {"q4": q, "s4": scale.astype(jnp.float32)}
+
+
+def is_quantized4(w) -> bool:
+    return isinstance(w, dict) and "q4" in w
+
+
+def q4einsum_lastdim(x: jnp.ndarray, w: dict) -> jnp.ndarray:
+    """y = x @ dequant(w) for int4 group-quantized w; x [..., K] → [..., N].
+
+    Computed as Σ_g (x_g @ q_g) · s_g so the int4 payload is what crosses HBM.
+    """
+    q, s = w["q4"], w["s4"]  # [G, group, N], [G, 1, N]
+    g, grp, n = q.shape[-3:]
+    xg = x.reshape(*x.shape[:-1], g, grp)
+    y = jnp.einsum("...gk,gkn->...gn", xg, q.astype(x.dtype))
+    y = (y.astype(jnp.float32) * s[..., 0, :]).sum(axis=-2)
+    return y.astype(x.dtype)
+
+
 def quantize_hybrid_params(params: dict) -> dict:
     """Quantize the hybrid backbone's big matmuls (Mamba2 + attention mixers
     and MLPs) + heads. Conv taps, norms, SSD scalars stay as-is."""
@@ -103,21 +141,23 @@ def quantize_hybrid_params(params: dict) -> dict:
     return out
 
 
-def quantize_transformer_params(params: dict) -> dict:
+def quantize_transformer_params(params: dict, bits: int = 8) -> dict:
     """Quantize the big backbone matmuls + heads of a Zonos params pytree.
 
     Embeddings and norms stay bf16 (gathers / tiny). Works on the
-    layer-stacked transformer layout.
+    layer-stacked transformer layout. bits=4 uses group-wise int4 for the
+    backbone matmuls (heads stay int8 — logit fidelity matters most there).
     """
+    quant = quantize_int8 if bits == 8 else quantize_int4
     out = dict(params)
     bb = {**params["backbone"]}
     layers = {**bb["layers"]}
     attn = {**layers["attn"]}
     mlp = {**layers["mlp"]}
-    attn["in_proj"] = quantize_int8(attn["in_proj"])
-    attn["out_proj"] = quantize_int8(attn["out_proj"])
-    mlp["fc1"] = quantize_int8(mlp["fc1"])
-    mlp["fc2"] = quantize_int8(mlp["fc2"])
+    attn["in_proj"] = quant(attn["in_proj"])
+    attn["out_proj"] = quant(attn["out_proj"])
+    mlp["fc1"] = quant(mlp["fc1"])
+    mlp["fc2"] = quant(mlp["fc2"])
     layers["attn"], layers["mlp"] = attn, mlp
     bb["layers"] = layers
     out["backbone"] = bb
