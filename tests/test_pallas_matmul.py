@@ -28,5 +28,5 @@ def test_int8_matmul_matches_reference(rng):
 def test_pick_block_n():
     assert pick_block_n(3072, 2048) == 1024
     assert pick_block_n(16384, 2048) == 1024
-    assert pick_block_n(2048, 8192) == 1024
+    assert pick_block_n(2048, 8192) == 256  # double-buffered tile fits 6MB
     assert pick_block_n(130, 64) is None

@@ -112,17 +112,20 @@ def test_int4_group_quantization(rng):
     x = rng.normal(size=(2, 1, 256)).astype(np.float32)
     w = rng.normal(size=(256, 64)).astype(np.float32)
     q = quantize_int4(jnp.asarray(w), group=128)
-    assert q["q4"].shape == (2, 128, 64)
+    assert q["q4"].shape == (2, 64, 64) and q["q4"].dtype == jnp.uint8
     dense = x @ w
     got = np.asarray(q4einsum_lastdim(jnp.asarray(x), q))
     rel = np.abs(got - dense) / (np.abs(dense) + 1e-2)
     # int4 on iid-Gaussian weights is the worst case (~11% noise); real
     # checkpoints are more peaked. Bound sanity, not fidelity.
     assert np.median(rel) < 0.15, np.median(rel)
-    # Dequantized weights themselves stay within the group-scale step bound.
-    deq = (np.asarray(q["q4"], np.float32) * np.asarray(q["s4"])).reshape(w.shape)
+    # Unpacked dequantized weights stay within the group-scale step bound.
+    from zonos_tpu.ops.quant import _unpack_nibbles
+
+    vals = np.asarray(_unpack_nibbles(q["q4"], jnp.float32))  # [2, 128, 64]
+    deq = vals * np.asarray(q["s4"])
     step = np.abs(w).reshape(2, 128, 64).max(axis=1, keepdims=True) / 7.0
-    assert np.all(np.abs(deq - w).reshape(2, 128, 64) <= step * 0.51 + 1e-6)
+    assert np.all(np.abs(deq - w.reshape(2, 128, 64)) <= step * 0.51 + 1e-6)
 
 
 def test_int4_generate_runs():

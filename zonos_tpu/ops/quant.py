@@ -82,36 +82,53 @@ def _out_scale(eq: str, s: jnp.ndarray, y_ndim: int) -> jnp.ndarray:
 
 
 def quantize_int4(w: jnp.ndarray, group: int = 128) -> dict:
-    """Group-wise symmetric int4 over the contraction axis.
+    """Group-wise symmetric int4 over the contraction axis, nibble-packed.
 
     K is split into groups of ``group``; each (group, out-channel) gets its
-    own scale, recovering most of the accuracy int4 loses vs int8. Layout:
-    q int4 [..., G, group, N], s f32 [..., G, 1, N].
+    own scale, recovering most of the accuracy int4 loses vs int8. The int4
+    values are packed two-per-byte into uint8 (the native jnp.int4 dtype
+    trips a host→device layout bug on this stack), unpacked on the VPU at
+    matmul time. Layout: q4 uint8 [..., G, group/2, N], s4 f32 [..., G, 1, N].
     """
     *lead, k, n = w.shape
     group = min(group, k)
-    assert k % group == 0, (k, group)
+    assert k % group == 0 and group % 2 == 0, (k, group)
     g = k // group
     wf = w.astype(jnp.float32).reshape(*lead, g, group, n)
     amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
     scale = jnp.where(amax > 0, amax / 7.0, 1.0)
-    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int4)
-    return {"q4": q, "s4": scale.astype(jnp.float32)}
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int32)
+    u = jnp.where(q < 0, q + 16, q).astype(jnp.uint8)  # two's-complement nibble
+    packed = (u[..., 0::2, :] | (u[..., 1::2, :] << 4)).astype(jnp.uint8)
+    return {"q4": packed, "s4": scale.astype(jnp.float32)}
 
 
 def is_quantized4(w) -> bool:
     return isinstance(w, dict) and "q4" in w
 
 
-def q4einsum_lastdim(x: jnp.ndarray, w: dict) -> jnp.ndarray:
-    """y = x @ dequant(w) for int4 group-quantized w; x [..., K] → [..., N].
+def _unpack_nibbles(packed: jnp.ndarray, dtype) -> jnp.ndarray:
+    """uint8 [..., group/2, N] → values [..., group, N] in ``dtype``."""
+    lo = (packed & 0xF).astype(jnp.int32)
+    hi = ((packed >> 4) & 0xF).astype(jnp.int32)
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    # Interleave back: even group rows came from lo, odd from hi.
+    both = jnp.stack([lo, hi], axis=-2)  # [..., group/2, 2, N]
+    shape = (*packed.shape[:-2], packed.shape[-2] * 2, packed.shape[-1])
+    return both.reshape(shape).astype(dtype)
 
-    Computed as Σ_g (x_g @ q_g) · s_g so the int4 payload is what crosses HBM.
+
+def q4einsum_lastdim(x: jnp.ndarray, w: dict) -> jnp.ndarray:
+    """y = x @ dequant(w) for packed-int4 group-quantized w; [..., K] → [..., N].
+
+    Computed as Σ_g (x_g @ q_g) · s_g so only the nibble payload crosses HBM.
     """
-    q, s = w["q4"], w["s4"]  # [G, group, N], [G, 1, N]
-    g, grp, n = q.shape[-3:]
+    q, s = w["q4"], w["s4"]  # [G, group/2, N] uint8, [G, 1, N]
+    vals = _unpack_nibbles(q, x.dtype)  # [G, group, N]
+    g, grp, n = vals.shape[-3:]
     xg = x.reshape(*x.shape[:-1], g, grp)
-    y = jnp.einsum("...gk,gkn->...gn", xg, q.astype(x.dtype))
+    y = jnp.einsum("...gk,gkn->...gn", xg, vals)
     y = (y.astype(jnp.float32) * s[..., 0, :]).sum(axis=-2)
     return y.astype(x.dtype)
 
