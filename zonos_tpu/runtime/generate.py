@@ -34,9 +34,9 @@ import numpy as np
 from flax import struct
 
 from zonos_tpu.config import ZonosConfig
-from zonos_tpu.models.backbone import backbone_forward, create_cache
+from zonos_tpu.models.backbone import backbone_forward
 from zonos_tpu.ops.delay_pattern import apply_delay_pattern_np, revert_delay_pattern
-from zonos_tpu.ops.sampling import SamplingParams, sample_from_logits
+from zonos_tpu.ops.sampling import SamplingParams
 
 UNKNOWN_TOKEN = -1
 MAX_REP_WINDOW = 8  # static ring size for the repetition-penalty context
@@ -161,134 +161,32 @@ def _context_slice(delayed: jnp.ndarray, offset: jnp.ndarray, window: int):
 
 
 def build_generate_fn(statics: GenerateStatics):
-    """Build the jitted generate function for one static configuration."""
+    """Jitted full-request generate: prefill + unbounded decode segment.
 
-    cfg = statics.cfg
-    n_q = cfg.codebook_dimension
-    vh = cfg.head_vocab_size  # 1025
-    window = min(statics.sampling.repetition_penalty_window, MAX_REP_WINDOW)
-    use_rep = statics.sampling.repetition_penalty != 1.0 and window > 0
+    Composes the same prefill/segment builders the streaming runtime uses
+    (zonos_tpu/runtime/streaming.py) inside one jit — single source of truth
+    for the loop body, one dispatch per request.
+    """
+    from zonos_tpu.runtime.streaming import build_prefill_fn, build_segment_fn
+
+    prefill = build_prefill_fn(statics)
+    segment = build_segment_fn(statics)
 
     def generate_fn(
         params: dict,
-        cond_emb: jnp.ndarray,  # [2B, prefill_len - Lp - 1 ... ] see below
+        cond_emb: jnp.ndarray,  # [2B, A+Lc, D] left-padded conditioning
         delayed_init: jnp.ndarray,  # [B, n_q, delayed_len] int32 (prefix inserted)
-        prefix_frames: jnp.ndarray,  # scalar int32: Lp + 1 (# delayed frames prefilled)
+        prefix_frames: jnp.ndarray,  # scalar int32: Lp + 1
         pad_amount: jnp.ndarray,  # [2B] int32 left-pad of the prefill
-        max_steps: jnp.ndarray,  # scalar int32 dynamic bound (max_new + n_q - 1)
+        max_steps: jnp.ndarray,  # scalar int32 dynamic bound (max_new + n_q - 2)
         cfg_scale: jnp.ndarray,  # scalar fp32
         key: jax.Array,
     ):
-        b = statics.batch_size
-
-        # ---- Prefill ----------------------------------------------------
-        # Prefill input layout: [pad A | cond Lc | audio-prefix frames Lp+1].
-        # cond_emb arrives as [2B, A+Lc, D] (left-padded on host); the
-        # audio-prefix frame embeddings are appended on device.
-        lc_pad = cond_emb.shape[1]
-        n_prefix_frames = statics.prefill_len - lc_pad  # == Lp + 1, static
-        prefix_emb = embed_codes(
-            params["embeddings"], delayed_init[:, :, :n_prefix_frames]
-        )  # [B, Lp+1, D]
-        prefix_emb = jnp.concatenate([prefix_emb, prefix_emb], axis=0)
-        x = jnp.concatenate([cond_emb, prefix_emb], axis=1)
-        assert x.shape[1] == statics.prefill_len
-
-        cache = create_cache(cfg.backbone, 2 * b, statics.cache_len, dtype=cond_emb.dtype)
-        h, cache = backbone_forward(
-            params["backbone"], cfg.backbone, x, cache,
-            write_start=jnp.int32(0), pad_amount=pad_amount,
-            attend_len=statics.prefill_len,
+        carry = prefill(params, cond_emb, delayed_init, prefix_frames, pad_amount, cfg_scale, key)
+        final, _status, _codes = segment(
+            params, carry, pad_amount, cfg_scale, max_steps,
+            segment_end=jnp.int32(2**30),
         )
-        # Last *valid* position: with right-aligned audio prefix the final
-        # real frame sits at prefill_len-1 only when the audio prefix ends
-        # the sequence — the runtime guarantees this by construction.
-        last_h = h[:, -1:, :]
-        logits0 = apply_heads(params["heads"], last_h, n_q)[:, :, 0]
-        cond0, uncond0 = jnp.split(logits0, 2, axis=0)
-        logits0 = uncond0 + (cond0 - uncond0) * cfg_scale
-
-        key0, key_loop = jax.random.split(key)
-        next_token = sample_from_logits(key0, logits0, statics.sampling)  # [B, n_q]
-
-        # Write the first frame at offset = prefix_frames (only unknowns).
-        offset0 = prefix_frames
-        delayed = _write_frame(delayed_init, offset0, next_token)
-
-        # EOS logit bias (model.py:433-437).
-        bias = jnp.zeros((b, n_q, vh), jnp.float32)
-        bias = bias.at[:, 1:, cfg.eos_token_id].set(-jnp.inf)
-        if statics.forbid_eos:
-            bias = bias.at[:, 0, cfg.eos_token_id].set(-jnp.inf)
-        else:
-            bias = bias.at[:, 0, cfg.eos_token_id].add(-jnp.log(2.0))
-
-        carry = DecodeCarry(
-            delayed_codes=delayed,
-            offset=offset0 + 1,
-            cache=cache,
-            stopping=jnp.zeros((b,), bool),
-            remaining_steps=jnp.full((b,), statics.delayed_len, jnp.int32),
-            steps_done=jnp.int32(0),
-            key=key_loop,
-        )
-
-        def cond_fn(c: DecodeCarry):
-            return (
-                (c.offset < statics.delayed_len)
-                & (c.steps_done < max_steps)
-                & jnp.any(c.remaining_steps > 0)
-            )
-
-        def body_fn(c: DecodeCarry) -> DecodeCarry:
-            key, subkey = jax.random.split(c.key)
-            input_frame = jax.lax.dynamic_slice(
-                c.delayed_codes, (0, 0, c.offset - 1), (b, n_q, 1)
-            )
-            write_index = statics.prefill_len + c.steps_done
-            logits, cache = _decode_logits(
-                params, statics, input_frame, c.cache, write_index, pad_amount, cfg_scale
-            )
-            logits = logits + bias
-
-            if use_rep:
-                ctx, valid = _context_slice(c.delayed_codes, c.offset, window)
-                next_token = sample_from_logits(
-                    subkey, logits, statics.sampling,
-                    generated_tokens=ctx, generated_valid_len=valid,
-                )
-            else:
-                next_token = sample_from_logits(subkey, logits, statics.sampling)
-
-            # EOS bookkeeping (model.py:483-497).
-            eos_in_cb0 = next_token[:, 0] == cfg.eos_token_id
-            remaining = jnp.where(
-                eos_in_cb0, jnp.minimum(c.remaining_steps, n_q), c.remaining_steps
-            )
-            stopping = c.stopping | eos_in_cb0
-            eos_idx = jnp.clip(n_q - remaining, max=n_q - 1)
-
-            cb = jnp.arange(n_q)[None, :]
-            stop_b = stopping[:, None]
-            next_token = jnp.where(
-                stop_b & (cb < eos_idx[:, None]),
-                cfg.masked_token_id,
-                jnp.where(stop_b & (cb == eos_idx[:, None]), cfg.eos_token_id, next_token),
-            ).astype(jnp.int32)
-
-            delayed = _write_frame(c.delayed_codes, c.offset, next_token)
-
-            return DecodeCarry(
-                delayed_codes=delayed,
-                offset=c.offset + 1,
-                cache=cache,
-                stopping=stopping,
-                remaining_steps=remaining - 1,
-                steps_done=c.steps_done + 1,
-                key=key,
-            )
-
-        final = jax.lax.while_loop(cond_fn, body_fn, carry)
         return final.delayed_codes, final.offset, final.remaining_steps
 
     return generate_fn
