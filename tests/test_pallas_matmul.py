@@ -30,3 +30,23 @@ def test_pick_block_n():
     assert pick_block_n(16384, 2048) == 1024
     assert pick_block_n(2048, 8192) == 256  # double-buffered tile fits 6MB
     assert pick_block_n(130, 64) is None
+
+
+def test_int4_matmul_matches_reference(rng):
+    from zonos_tpu.ops.quant import _unpack_nibbles, quantize_int4
+    from zonos_tpu.ops.pallas_matmul import int4_matmul
+
+    b, k, n, group = 2, 256, 256, 128
+    x = rng.normal(size=(b, k)).astype(np.float32)
+    w = rng.normal(size=(k, n)).astype(np.float32)
+    q = quantize_int4(jnp.asarray(w), group=group)
+
+    vals = np.asarray(_unpack_nibbles(q["q4"], jnp.float32))  # [G, group, N]
+    deq = (vals * np.asarray(q["s4"])).reshape(k, n)
+    ref = x @ deq
+
+    got = np.asarray(
+        int4_matmul(jnp.asarray(x), q["q4"], q["s4"], group=group, block_n=128, interpret=True)
+    )
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-2)
+    assert np.median(rel) < 0.01, np.median(rel)

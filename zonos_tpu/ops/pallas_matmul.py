@@ -70,6 +70,77 @@ def int8_matmul(
     return out[:b]
 
 
+def _int4_kernel(x_ref, wq_ref, s_ref, o_ref, *, group: int):
+    # x: [Bp, K] bf16 · wq: [K/2, BN] uint8 (packed nibbles) · s: [G, BN] f32
+    w = wq_ref[:].astype(jnp.int32)
+    lo = w & 0xF
+    hi = (w >> 4) & 0xF
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    k2, bn = w.shape
+    vals = jnp.stack([lo, hi], axis=1).reshape(k2 * 2, bn)  # row k = packed row k//2
+    s = s_ref[:]  # [G, BN]
+    g = s.shape[0]
+    scales = jnp.broadcast_to(s[:, None, :], (g, group, bn)).reshape(g * group, bn)
+    wd = (vals.astype(jnp.float32) * scales).astype(jnp.bfloat16)
+    o_ref[:] = jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "block_n", "interpret"))
+def int4_matmul(
+    x: jnp.ndarray,  # [B, K]
+    wq: jnp.ndarray,  # [G, group/2, N] packed uint8 (contiguous == [K/2, N])
+    scale: jnp.ndarray,  # [G, 1, N] f32
+    group: int = 128,
+    block_n: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y = x @ dequant_int4(wq, scale) → [B, N] f32.
+
+    The nibble unpack + group-scale dequant happen in VMEM per weight tile —
+    only the 0.5-byte/weight payload crosses HBM. (The XLA fallback
+    materializes dequantized weights to HBM and is ~10× slower.)
+    """
+    b, k = x.shape
+    g = wq.shape[0]
+    n = wq.shape[-1]
+    assert g * group == k, (g, group, k)
+    wq2 = wq.reshape(k // 2, n)
+    s2 = scale.reshape(g, n)
+
+    bp = max(8, ((b + 7) // 8) * 8)
+    if bp != b:
+        x = jnp.pad(x, ((0, bp - b), (0, 0)))
+    assert n % block_n == 0, (n, block_n)
+
+    out = pl.pallas_call(
+        functools.partial(_int4_kernel, group=group),
+        grid=(n // block_n,),
+        in_specs=[
+            pl.BlockSpec((bp, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // 2, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bp, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * k * n, bytes_accessed=k * n // 2 + bp * k * 2 + bp * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), wq2, s2)
+    return out[:b]
+
+
+def pick_block_n_int4(n: int, k: int, vmem_budget: int = 8 * 2**20) -> int | None:
+    """block_n so that the unpacked bf16 tile (the VMEM high-water mark)
+    plus the double-buffered packed tile fit comfortably."""
+    for bn in (512, 256, 128):
+        if n % bn == 0 and (2 * k * bn + k * bn) <= vmem_budget * 2 and k * bn * 2 <= vmem_budget:
+            return bn
+    return None
+
+
 def pick_block_n(n: int, k: int, vmem_budget: int = 6 * 2**20) -> int | None:
     """Largest block_n ≤ 1024 dividing n whose weight tile fits VMEM.
 

@@ -122,11 +122,29 @@ def _unpack_nibbles(packed: jnp.ndarray, dtype) -> jnp.ndarray:
 def q4einsum_lastdim(x: jnp.ndarray, w: dict) -> jnp.ndarray:
     """y = x @ dequant(w) for packed-int4 group-quantized w; [..., K] → [..., N].
 
-    Computed as Σ_g (x_g @ q_g) · s_g so only the nibble payload crosses HBM.
+    Decode-shaped inputs (≤8 rows) on TPU route through the Pallas kernel
+    (ops/pallas_matmul.int4_matmul), which unpacks nibbles in VMEM — XLA's
+    fallback materializes the dequantized weights to HBM and is ~10× slower
+    (see NOTES.md measurements).
     """
     q, s = w["q4"], w["s4"]  # [G, group/2, N] uint8, [G, 1, N]
+    g = q.shape[-3]
+    grp = q.shape[-2] * 2
+    n = q.shape[-1]
+
+    lead = x.shape[:-1]
+    rows = 1
+    for d in lead:
+        rows *= d
+    if q.ndim == 3 and rows <= 8 and jax.default_backend() != "cpu":
+        from zonos_tpu.ops.pallas_matmul import int4_matmul, pick_block_n_int4
+
+        bn = pick_block_n_int4(n, g * grp)
+        if bn is not None:
+            y = int4_matmul(x.reshape(rows, g * grp), q, s, group=grp, block_n=bn)
+            return y.reshape(*lead, n).astype(x.dtype)
+
     vals = _unpack_nibbles(q, x.dtype)  # [G, group, N]
-    g, grp, n = vals.shape[-3:]
     xg = x.reshape(*x.shape[:-1], g, grp)
     y = jnp.einsum("...gk,gkn->...gn", xg, vals)
     y = (y.astype(jnp.float32) * s[..., 0, :]).sum(axis=-2)
