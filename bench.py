@@ -32,6 +32,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from zonos_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+
     from zonos_tpu.codec.dac import DACAutoencoder
     from zonos_tpu.config import zonos_v01_transformer_config
     from zonos_tpu.models.zonos import Zonos

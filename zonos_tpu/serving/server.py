@@ -165,6 +165,10 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", os.environ["ZONOS_PLATFORM"])
 
+    from zonos_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+
     parser = argparse.ArgumentParser(description="Zonos-TPU TTS server")
     parser.add_argument("--server", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=7860)
