@@ -72,17 +72,18 @@ def int8_matmul(
 
 def _int4_kernel(x_ref, wq_ref, s_ref, o_ref, *, group: int):
     # x: [Bp, K] bf16 · wq: [K/2, BN] uint8 (packed nibbles) · s: [G, BN] f32
-    w = wq_ref[:].astype(jnp.int32)
-    lo = w & 0xF
-    hi = (w >> 4) & 0xF
+    # Keep intermediates narrow (int8/bf16) — VMEM peak is the constraint.
+    w = wq_ref[:]
+    lo = (w & 0xF).astype(jnp.int8)
+    hi = ((w >> 4) & 0xF).astype(jnp.int8)
     lo = jnp.where(lo > 7, lo - 16, lo)
     hi = jnp.where(hi > 7, hi - 16, hi)
     k2, bn = w.shape
     vals = jnp.stack([lo, hi], axis=1).reshape(k2 * 2, bn)  # row k = packed row k//2
-    s = s_ref[:]  # [G, BN]
-    g = s.shape[0]
-    scales = jnp.broadcast_to(s[:, None, :], (g, group, bn)).reshape(g * group, bn)
-    wd = (vals.astype(jnp.float32) * scales).astype(jnp.bfloat16)
+    g = s_ref.shape[0]
+    # Per-group scaling without materializing a [K, BN] f32 tensor.
+    vg = vals.reshape(g, group, bn).astype(jnp.bfloat16)
+    wd = (vg * s_ref[:][:, None, :].astype(jnp.bfloat16)).reshape(k2 * 2, bn)
     o_ref[:] = jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
 
 
@@ -132,11 +133,14 @@ def int4_matmul(
     return out[:b]
 
 
-def pick_block_n_int4(n: int, k: int, vmem_budget: int = 8 * 2**20) -> int | None:
-    """block_n so that the unpacked bf16 tile (the VMEM high-water mark)
-    plus the double-buffered packed tile fit comfortably."""
+def pick_block_n_int4(n: int, k: int, vmem_budget: int = 12 * 2**20) -> int | None:
+    """block_n bounding the kernel's VMEM high-water mark.
+
+    Peak ≈ packed (k/2·bn, ×2 double-buffered) + int8 lo/hi/stacked (3·k·bn)
+    + bf16 dequant tiles (2·2·k·bn)."""
     for bn in (512, 256, 128):
-        if n % bn == 0 and (2 * k * bn + k * bn) <= vmem_budget * 2 and k * bn * 2 <= vmem_budget:
+        peak = k * bn + 3 * k * bn + 4 * k * bn
+        if n % bn == 0 and peak <= vmem_budget:
             return bn
     return None
 
