@@ -72,8 +72,8 @@ def int8_matmul(
 
 def _int4_kernel(x_ref, wq_ref, s_ref, o_ref, *, group: int):
     # x: [Bp, K] bf16 · wq: [K/2, BN] uint8 (packed nibbles) · s: [G, BN] f32
-    # Keep intermediates narrow (int8/bf16) — VMEM peak is the constraint.
-    w = wq_ref[:]
+    # Unpack via int32 ops (Mosaic legalizes i32 shifts, not u8), then narrow.
+    w = wq_ref[:].astype(jnp.int32)
     lo = (w & 0xF).astype(jnp.int8)
     hi = ((w >> 4) & 0xF).astype(jnp.int8)
     lo = jnp.where(lo > 7, lo - 16, lo)
@@ -136,10 +136,10 @@ def int4_matmul(
 def pick_block_n_int4(n: int, k: int, vmem_budget: int = 12 * 2**20) -> int | None:
     """block_n bounding the kernel's VMEM high-water mark.
 
-    Peak ≈ packed (k/2·bn, ×2 double-buffered) + int8 lo/hi/stacked (3·k·bn)
-    + bf16 dequant tiles (2·2·k·bn)."""
+    Peak ≈ packed ×2 (double-buffer) + i32 unpack intermediates (2·k/2·bn·4)
+    + int8 (2·k·bn) + bf16 dequant (2·2·k·bn)."""
     for bn in (512, 256, 128):
-        peak = k * bn + 3 * k * bn + 4 * k * bn
+        peak = k * bn + 4 * k * bn + 2 * k * bn + 4 * k * bn
         if n % bn == 0 and peak <= vmem_budget:
             return bn
     return None
