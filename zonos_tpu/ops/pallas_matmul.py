@@ -72,18 +72,21 @@ def int8_matmul(
 
 def _int4_kernel(x_ref, wq_ref, s_ref, o_ref, *, group: int):
     # x: [Bp, K] bf16 · wq: [K/2, BN] uint8 (packed nibbles) · s: [G, BN] f32
-    # Unpack via int32 ops (Mosaic legalizes i32 shifts, not u8), then narrow.
+    # Unpack in i32 (Mosaic: u8 shifts / i8 compares don't legalize), narrow
+    # at the bf16 dequant. Packing pairs row j with j+group/2, so the unpack
+    # is a contiguous per-group concat — no sublane interleave.
     w = wq_ref[:].astype(jnp.int32)
-    lo = (w & 0xF).astype(jnp.int8)
-    hi = ((w >> 4) & 0xF).astype(jnp.int8)
+    lo = w & 0xF
+    hi = (w >> 4) & 0xF
     lo = jnp.where(lo > 7, lo - 16, lo)
     hi = jnp.where(hi > 7, hi - 16, hi)
     k2, bn = w.shape
-    vals = jnp.stack([lo, hi], axis=1).reshape(k2 * 2, bn)  # row k = packed row k//2
     g = s_ref.shape[0]
-    # Per-group scaling without materializing a [K, BN] f32 tensor.
-    vg = vals.reshape(g, group, bn).astype(jnp.bfloat16)
-    wd = (vg * s_ref[:][:, None, :].astype(jnp.bfloat16)).reshape(k2 * 2, bn)
+    half = group // 2
+    lo_g = lo.reshape(g, half, bn)
+    hi_g = hi.reshape(g, half, bn)
+    vals = jnp.concatenate([lo_g, hi_g], axis=1).astype(jnp.bfloat16)  # [G, group, BN]
+    wd = (vals * s_ref[:][:, None, :].astype(jnp.bfloat16)).reshape(k2 * 2, bn)
     o_ref[:] = jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
 
 

@@ -99,7 +99,11 @@ def quantize_int4(w: jnp.ndarray, group: int = 128) -> dict:
     scale = jnp.where(amax > 0, amax / 7.0, 1.0)
     q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int32)
     u = jnp.where(q < 0, q + 16, q).astype(jnp.uint8)  # two's-complement nibble
-    packed = (u[..., 0::2, :] | (u[..., 1::2, :] << 4)).astype(jnp.uint8)
+    # Pack row j with row j+group/2 (same group): the unpack is then a
+    # contiguous concat, not a row interleave (which forces a slow sublane
+    # relayout in the Pallas kernel).
+    half = group // 2
+    packed = (u[..., :half, :] | (u[..., half:, :] << 4)).astype(jnp.uint8)
     return {"q4": packed, "s4": scale.astype(jnp.float32)}
 
 
@@ -108,15 +112,16 @@ def is_quantized4(w) -> bool:
 
 
 def _unpack_nibbles(packed: jnp.ndarray, dtype) -> jnp.ndarray:
-    """uint8 [..., group/2, N] → values [..., group, N] in ``dtype``."""
-    lo = (packed & 0xF).astype(jnp.int32)
-    hi = ((packed >> 4) & 0xF).astype(jnp.int32)
+    """uint8 [..., group/2, N] → values [..., group, N] in ``dtype``.
+
+    Low nibbles are group rows [0, group/2); high nibbles are [group/2, group).
+    """
+    p = packed.astype(jnp.int32)
+    lo = p & 0xF
+    hi = (p >> 4) & 0xF
     lo = jnp.where(lo > 7, lo - 16, lo)
     hi = jnp.where(hi > 7, hi - 16, hi)
-    # Interleave back: even group rows came from lo, odd from hi.
-    both = jnp.stack([lo, hi], axis=-2)  # [..., group/2, 2, N]
-    shape = (*packed.shape[:-2], packed.shape[-2] * 2, packed.shape[-1])
-    return both.reshape(shape).astype(dtype)
+    return jnp.concatenate([lo, hi], axis=-2).astype(dtype)
 
 
 def q4einsum_lastdim(x: jnp.ndarray, w: dict) -> jnp.ndarray:
@@ -136,7 +141,11 @@ def q4einsum_lastdim(x: jnp.ndarray, w: dict) -> jnp.ndarray:
     rows = 1
     for d in lead:
         rows *= d
-    if q.ndim == 3 and rows <= 8 and jax.default_backend() != "cpu":
+    # Experimental: the Pallas unpack kernel is numerically correct but the
+    # i32 nibble ops run far below VPU speed under current Mosaic (see
+    # NOTES.md) — opt-in only. int8 remains the production quant path.
+    use_pallas_int4 = os.environ.get("ZONOS_PALLAS_INT4", "0") == "1"
+    if use_pallas_int4 and q.ndim == 3 and rows <= 8 and jax.default_backend() != "cpu":
         from zonos_tpu.ops.pallas_matmul import int4_matmul, pick_block_n_int4
 
         bn = pick_block_n_int4(n, g * grp)
