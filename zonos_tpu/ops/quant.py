@@ -162,24 +162,26 @@ def q4einsum_lastdim(x: jnp.ndarray, w: dict) -> jnp.ndarray:
 
 def quantize_hybrid_params(params: dict) -> dict:
     """Quantize the hybrid backbone's big matmuls (Mamba2 + attention mixers
-    and MLPs) + heads. Conv taps, norms, SSD scalars stay as-is."""
+    and MLPs) + heads. Conv taps, norms, SSD scalars stay as-is. Works on
+    both attn groups (plain leaves) and stacked mamba groups (leading run
+    axis — per-channel scales gain the same leading axis)."""
     out = dict(params)
     bb = {**params["backbone"]}
-    new_layers = []
-    for layer in bb["layers"]:
-        layer = dict(layer)
-        mixer = dict(layer["mixer"])
+    new_groups = []
+    for group in bb["groups"]:
+        group = dict(group)
+        mixer = dict(group["mixer"])
         for k in ("in_proj", "out_proj"):
             if k in mixer and mixer[k] is not None and not is_quantized(mixer[k]):
                 mixer[k] = quantize_int8(mixer[k])
-        layer["mixer"] = mixer
-        if layer.get("mlp") is not None:
-            mlp = dict(layer["mlp"])
+        group["mixer"] = mixer
+        if group.get("mlp") is not None:
+            mlp = dict(group["mlp"])
             mlp["fc1"] = quantize_int8(mlp["fc1"])
             mlp["fc2"] = quantize_int8(mlp["fc2"])
-            layer["mlp"] = mlp
-        new_layers.append(layer)
-    bb["layers"] = tuple(new_layers)
+            group["mlp"] = mlp
+        new_groups.append(group)
+    bb["groups"] = tuple(new_groups)
     out["backbone"] = bb
     out["heads"] = quantize_int8(params["heads"])
     return out
