@@ -16,9 +16,15 @@ attention with RoPE, gated-SiLU MLP. Differences by design:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import struct
+
+# Unroll the layer scan in HLO (single trace either way). Unrolling lets XLA
+# fuse/prefetch across layers at the cost of longer compiles.
+UNROLL_LAYERS = os.environ.get("ZONOS_UNROLL_LAYERS", "0") == "1"
 
 from zonos_tpu.config import BackboneConfig
 from zonos_tpu.ops.attention import causal_prefix_mask, decode_mask, gqa_attention
@@ -152,7 +158,7 @@ def transformer_forward(
             xc, _, _ = _attn_block(layer_p, cfg, xc, freqs, None, None, write_start, mask, s)
             return xc, None
 
-        xo, _ = jax.lax.scan(body_nc, x, params["layers"])
+        xo, _ = jax.lax.scan(body_nc, x, params["layers"], unroll=UNROLL_LAYERS)
         xo = layer_norm(xo, params["norm_f"]["scale"], params["norm_f"]["bias"], cfg.norm_epsilon)
         return xo, None
 
@@ -161,6 +167,8 @@ def transformer_forward(
         xc, kl, vl = _attn_block(layer_p, cfg, xc, freqs, kl, vl, write_start, mask, attend_len)
         return xc, (kl, vl)
 
-    xo, (k_new, v_new) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    xo, (k_new, v_new) = jax.lax.scan(
+        body, x, (params["layers"], cache.k, cache.v), unroll=UNROLL_LAYERS
+    )
     xo = layer_norm(xo, params["norm_f"]["scale"], params["norm_f"]["bias"], cfg.norm_epsilon)
     return xo, KVCache(k=k_new, v=v_new)
