@@ -36,3 +36,13 @@ def test_generate_handler_full_path():
     # Same request again → conditioning + model caches hit, still works.
     wav2, meta2 = handle_generate({"text": "hi", "randomize_seed": False, "seed": 3})
     assert wav2 == wav_bytes  # fixed seed → byte-identical audio
+
+
+def test_stream_handler_yields_pcm_chunks():
+    from zonos_tpu.serving.server import handle_stream
+
+    chunks = list(handle_stream({"text": "hi", "randomize_seed": False, "seed": 5}))
+    assert len(chunks) >= 1
+    total = b"".join(c for c, _ in chunks)
+    assert len(total) > 0 and len(total) % 2 == 0  # s16le payload
+    assert all(sr == 44100 for _, sr in chunks)

@@ -12,6 +12,9 @@ surface:
        unconditional_keys, model_choice)
   POST /generate with text="ping" → canned 100 ms silence WAV, the SkyrimNet
        health-check protocol (reference SkyrimNet-Zonos.py:114-119)
+  POST /stream    (JSON body) → chunked-transfer raw PCM16 (little-endian
+       mono; X-Sample-Rate header) — audio starts flowing after the first
+       decoded chunk (low TTFA; no reference equivalent)
   GET  /models                → supported model list
   GET  /conditioners          → loaded model's conditioner names (drives the
        reference UI's dynamic visibility, SkyrimNet-Zonos.py:99-103)
@@ -108,6 +111,45 @@ def handle_generate(body: dict) -> tuple[bytes, dict]:
     return _wav_bytes(wav, sr), {"path": path, "rtf": rtf, "sample_rate": sr}
 
 
+def handle_stream(body: dict):
+    """Yield raw PCM16 chunks for a streaming TTS request."""
+    import numpy as np
+
+    from zonos_tpu.conditioning.cond_dict import make_cond_dict
+    from zonos_tpu.serving.pipeline import prepare_generation_params, setup_speaker_conditioning
+
+    text = str(body.get("text", ""))
+    model_name = body.get("model_choice", C.MODEL_TRANSFORMER)
+    model = load_model_if_needed(model_name, _APP_CONFIG)
+    params = prepare_generation_params(
+        text,
+        seed=int(body.get("seed", C.DEFAULT_SEED)),
+        randomize_seed=bool(body.get("randomize_seed", True)),
+        cfg_scale=float(body.get("cfg_scale", 2.0)),
+        min_p=float(body.get("min_p", 0.1)),
+    )
+    speaker = setup_speaker_conditioning(model_name, body.get("speaker_audio"))
+    cond_dict = make_cond_dict(
+        text=text, language=body.get("language", "en-us"), speaker=speaker
+    )
+    known = set(model.conditioner_names)
+    cond_dict = {k: v for k, v in cond_dict.items() if k in known}
+    conditioning = model.prepare_conditioning(cond_dict, cfg_scale=params.cfg_scale)
+
+    sr_holder = {}
+    with _GEN_SEMAPHORE:
+        for wav, sr in model.stream(
+            conditioning,
+            max_new_tokens=params.max_new_tokens,
+            cfg_scale=params.cfg_scale,
+            sampling_params=params.sampling,
+            seed=params.seed,
+        ):
+            sr_holder["sr"] = sr
+            pcm = np.clip(wav * 32767.0, -32767.0, 32767.0).astype("<i2")
+            yield pcm.tobytes(), sr
+
+
 class Handler(BaseHTTPRequestHandler):
     server_version = "ZonosTPU/0.1"
 
@@ -135,19 +177,49 @@ class Handler(BaseHTTPRequestHandler):
             self._json(404, {"error": "not found"})
 
     def do_POST(self):
-        if self.path != "/generate":
-            self._json(404, {"error": "not found"})
-            return
-        try:
-            length = int(self.headers.get("Content-Length", 0))
-            body = json.loads(self.rfile.read(length) or b"{}")
-            wav_bytes, meta = handle_generate(body)
-            self._send(200, "audio/wav", wav_bytes, {"X-Zonos-Meta": json.dumps(meta)})
-        except Exception as e:
-            import traceback
+        if self.path == "/generate":
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                wav_bytes, meta = handle_generate(body)
+                self._send(200, "audio/wav", wav_bytes, {"X-Zonos-Meta": json.dumps(meta)})
+            except Exception as e:
+                import traceback
 
-            traceback.print_exc()
-            self._json(500, {"error": str(e)})
+                traceback.print_exc()
+                self._json(500, {"error": str(e)})
+        elif self.path == "/stream":
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                gen = handle_stream(body)
+                first_chunk, sr = next(gen)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.send_header("X-Sample-Rate", str(sr))
+                self.send_header("X-PCM-Format", "s16le-mono")
+                self.end_headers()
+
+                def write_chunk(data: bytes):
+                    self.wfile.write(f"{len(data):X}\r\n".encode())
+                    self.wfile.write(data)
+                    self.wfile.write(b"\r\n")
+
+                write_chunk(first_chunk)
+                for data, _sr in gen:
+                    write_chunk(data)
+                self.wfile.write(b"0\r\n\r\n")
+            except Exception as e:
+                import traceback
+
+                traceback.print_exc()
+                try:
+                    self._json(500, {"error": str(e)})
+                except Exception:
+                    pass
+        else:
+            self._json(404, {"error": "not found"})
 
     def log_message(self, fmt, *args):  # route to our logger
         import logging
