@@ -52,3 +52,11 @@ def revert_delay_pattern(codes: jnp.ndarray) -> jnp.ndarray:
     _, n_q, s = codes.shape
     rows = [codes[:, k, k + 1 : s - n_q + k + 1] for k in range(n_q)]
     return jnp.stack(rows, axis=1)
+
+
+def revert_delay_pattern_np(codes) -> "np.ndarray":
+    """Host-side (numpy) revert — pure slicing, no device round-trip."""
+    import numpy as np
+
+    _, n_q, s = codes.shape
+    return np.stack([codes[:, k, k + 1 : s - n_q + k + 1] for k in range(n_q)], axis=1)

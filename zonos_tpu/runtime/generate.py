@@ -35,11 +35,13 @@ from flax import struct
 
 from zonos_tpu.config import ZonosConfig
 from zonos_tpu.models.backbone import backbone_forward
-from zonos_tpu.ops.delay_pattern import apply_delay_pattern_np, revert_delay_pattern
+from zonos_tpu.ops.delay_pattern import apply_delay_pattern_np, revert_delay_pattern_np
 from zonos_tpu.ops.sampling import SamplingParams
 
 UNKNOWN_TOKEN = -1
-MAX_REP_WINDOW = 8  # static ring size for the repetition-penalty context
+# Repetition-penalty context cap — matches the reference's 100-token context
+# window (model.py:463 max_context_len).
+MAX_REP_WINDOW = 100
 
 
 def _bucket(n: int, m: int) -> int:
@@ -147,15 +149,16 @@ def _decode_logits(
 
 
 def _context_slice(delayed: jnp.ndarray, offset: jnp.ndarray, window: int):
-    """Last `window` delayed-stream positions before `offset`, with valid count.
+    """Last `window` delayed-stream positions before `offset`, END-aligned.
 
-    Start index is clamped by dynamic_slice; a valid-length scalar masks the
-    overhang so early steps match the reference's shrinking context
-    (model.py:478-481).
+    Uses a per-position clipped gather (NOT dynamic_slice, whose clamped
+    start would misalign the window when offset < window): position i holds
+    delayed[offset - window + i]; out-of-range positions clip to index 0 and
+    are masked out via the valid count, matching the reference's shrinking
+    context (model.py:478-481).
     """
-    b, n_q, s = delayed.shape
-    start = offset - window
-    ctx = jax.lax.dynamic_slice(delayed, (0, 0, start), (b, n_q, window))
+    idx = jnp.clip(offset - window + jnp.arange(window), 0, delayed.shape[-1] - 1)
+    ctx = delayed[:, :, idx]
     valid = jnp.minimum(offset, window)
     return ctx, valid
 
@@ -199,6 +202,24 @@ def _write_frame(delayed: jnp.ndarray, offset: jnp.ndarray, next_token: jnp.ndar
     cur = jax.lax.dynamic_slice(delayed, (0, 0, offset), (b, n_q, 1))
     new = jnp.where(cur == UNKNOWN_TOKEN, next_token[..., None], cur)
     return jax.lax.dynamic_update_slice(delayed, new, (0, 0, offset))
+
+
+def pad_conditioning(prefix_conditioning, pad: int, dtype) -> jnp.ndarray:
+    """Left-pad [2B, Lc, D] conditioning to the prefill bucket.
+
+    Device arrays are padded with an eager jnp op (no host round-trip —
+    matters on remote-TPU serving at ~30 ms per transfer); host arrays pad
+    in numpy before upload.
+    """
+    if isinstance(prefix_conditioning, jax.Array):
+        return jnp.pad(
+            prefix_conditioning.astype(dtype), ((0, 0), (pad, 0), (0, 0))
+        )
+    cond = np.asarray(prefix_conditioning, np.float32)
+    padded = np.concatenate(
+        [np.zeros((cond.shape[0], pad, cond.shape[2]), np.float32), cond], axis=1
+    )
+    return jnp.asarray(padded, dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -264,10 +285,7 @@ def generate(
     # Left-pad cond embeddings to make total prefill length == prefill_len:
     # [pad A | cond Lc | audio prefix Lp+1].
     pad = prefill_len - t0
-    cond = np.asarray(prefix_conditioning, np.float32)
-    cond_padded = np.concatenate(
-        [np.zeros((cond.shape[0], pad, cond.shape[2]), np.float32), cond], axis=1
-    ).astype(jnp.bfloat16 if dtype == jnp.bfloat16 else np.float32)
+    cond_padded = pad_conditioning(prefix_conditioning, pad, dtype)
     pad_amount = np.full((2 * batch_size,), pad, np.int32)
 
     if seed is None:
@@ -295,12 +313,6 @@ def generate(
     if np.all(np.asarray(remaining) <= 0):
         offset -= 1
     return postprocess_codes(delayed_out, offset, cfg)
-
-
-def revert_delay_pattern_np(codes: np.ndarray) -> np.ndarray:
-    """Host-side (numpy) revert — pure slicing, no device round-trip."""
-    _, n_q, s = codes.shape
-    return np.stack([codes[:, k, k + 1 : s - n_q + k + 1] for k in range(n_q)], axis=1)
 
 
 def postprocess_codes(delayed_out: np.ndarray, offset: int, cfg: ZonosConfig) -> np.ndarray:

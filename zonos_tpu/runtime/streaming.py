@@ -24,7 +24,7 @@ import numpy as np
 
 from zonos_tpu.config import ZonosConfig
 from zonos_tpu.models.backbone import backbone_forward, create_cache
-from zonos_tpu.ops.delay_pattern import apply_delay_pattern_np
+from zonos_tpu.ops.delay_pattern import apply_delay_pattern_np, revert_delay_pattern
 from zonos_tpu.ops.sampling import SamplingParams, sample_from_logits
 from zonos_tpu.runtime.generate import (
     MAX_REP_WINDOW,
@@ -154,8 +154,6 @@ def build_segment_fn(statics: GenerateStatics):
         status = jnp.stack(
             [c.offset, c.steps_done, all_stopped.astype(jnp.int32)]
         )
-        from zonos_tpu.ops.delay_pattern import revert_delay_pattern
-
         out = revert_delay_pattern(c.delayed_codes)
         out = jnp.where(out > cfg.eos_token_id, 512, out)
         out = jnp.where(out == cfg.eos_token_id, 0, out)
@@ -202,6 +200,10 @@ def generate_stream(
         sampling_params = SamplingParams(**sampling_params)
     sampling_params = sampling_params or SamplingParams(min_p=0.1)
     assert cfg_scale != 1.0
+    if autoencoder is not None and batch_size != 1:
+        # The PCM path yields one mono stream; batched streaming consumers
+        # should take the codes path (autoencoder=None) and decode per sample.
+        raise NotImplementedError("streaming PCM decode supports batch_size=1")
 
     n_q = cfg.codebook_dimension
     lp = 0 if audio_prefix_codes is None else int(audio_prefix_codes.shape[2])
@@ -224,10 +226,9 @@ def generate_stream(
     delayed_init = apply_delay_pattern_np(codes, cfg.masked_token_id)
 
     pad = prefill_len - t0
-    cond = np.asarray(prefix_conditioning, np.float32)
-    cond_padded = np.concatenate(
-        [np.zeros((cond.shape[0], pad, cond.shape[2]), np.float32), cond], axis=1
-    )
+    from zonos_tpu.runtime.generate import pad_conditioning
+
+    cond_padded = pad_conditioning(prefix_conditioning, pad, dtype)
     pad_amount = jnp.full((2 * batch_size,), pad, jnp.int32)
 
     if seed is None:
@@ -235,7 +236,7 @@ def generate_stream(
     key = seed if isinstance(seed, jax.Array) else jax.random.key(int(seed))
 
     carry = prefill(
-        params, jnp.asarray(cond_padded, dtype), jnp.asarray(delayed_init),
+        params, cond_padded, jnp.asarray(delayed_init),
         jnp.int32(lp + 1), pad_amount, jnp.float32(cfg_scale), key,
     )
 
@@ -271,7 +272,9 @@ def generate_stream(
             wav = autoencoder.decode(chunk_codes)[0, 0]
             yield wav[ctx * hop :], sr
             emitted_frames = total
-        elif autoencoder is None and total > emitted_frames:
+        elif autoencoder is None and (done or total > emitted_frames):
+            # Codes mode: always emit the final (EOS-trimmed) codes on done,
+            # even when the last segment adds no net de-delayed frames.
             yield (out_codes if done else None), sr
             emitted_frames = total
 
