@@ -165,9 +165,15 @@ def build_segment_fn(statics: GenerateStatics):
 
 @functools.lru_cache(maxsize=8)
 def _compiled_stream_fns(statics: GenerateStatics):
-    prefill = jax.jit(build_prefill_fn(statics))
-    segment = jax.jit(build_segment_fn(statics), donate_argnums=(1,))
-    return prefill, segment
+    prefill = build_prefill_fn(statics)
+    segment = build_segment_fn(statics)
+
+    def start_fn(params, cond_emb, delayed_init, prefix_frames, pad_amount, cfg_scale, key, max_steps, segment_end):
+        # Prefill + first decode segment fused: one dispatch to first audio.
+        carry = prefill(params, cond_emb, delayed_init, prefix_frames, pad_amount, cfg_scale, key)
+        return segment(params, carry, pad_amount, cfg_scale, max_steps, segment_end)
+
+    return jax.jit(start_fn), jax.jit(segment, donate_argnums=(1,))
 
 
 def generate_stream(
@@ -218,7 +224,7 @@ def generate_stream(
         delayed_len=delayed_len, cache_len=cache_len, batch_size=batch_size,
         forbid_eos=forbid_eos,
     )
-    prefill, segment = _compiled_stream_fns(statics)
+    start, segment = _compiled_stream_fns(statics)
 
     codes = np.full((batch_size, n_q, delayed_len - n_q), UNKNOWN_TOKEN, np.int32)
     if audio_prefix_codes is not None:
@@ -235,21 +241,24 @@ def generate_stream(
         seed = np.random.randint(0, 2**31 - 1)
     key = seed if isinstance(seed, jax.Array) else jax.random.key(int(seed))
 
-    carry = prefill(
-        params, cond_padded, jnp.asarray(delayed_init),
-        jnp.int32(lp + 1), pad_amount, jnp.float32(cfg_scale), key,
-    )
-
     max_steps = jnp.int32(max_new_tokens + n_q - 2)
     hop = autoencoder.config.hop_length if autoencoder is not None else 512
     sr = autoencoder.sampling_rate if autoencoder is not None else 44100
 
     emitted_frames = lp  # de-delayed frames already emitted as audio
     segment_end = first_chunk_frames
+    carry = None
     while True:
-        carry, status, device_codes = segment(
-            params, carry, pad_amount, jnp.float32(cfg_scale), max_steps, jnp.int32(segment_end)
-        )
+        if carry is None:
+            carry, status, device_codes = start(
+                params, cond_padded, jnp.asarray(delayed_init),
+                jnp.int32(lp + 1), pad_amount, jnp.float32(cfg_scale), key,
+                max_steps, jnp.int32(segment_end),
+            )
+        else:
+            carry, status, device_codes = segment(
+                params, carry, pad_amount, jnp.float32(cfg_scale), max_steps, jnp.int32(segment_end)
+            )
         offset, steps, all_stopped = (int(v) for v in np.asarray(status))
         done = offset >= statics.delayed_len or steps >= int(max_steps) or bool(all_stopped)
 
