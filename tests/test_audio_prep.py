@@ -150,3 +150,19 @@ def test_config_from_reference_style_json(tmp_path):
 
     model = Zonos.from_config(cfg, dtype=jnp.float32)
     assert model.conditioner_names == ["espeak", "speaker", "emotion"]
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/assets/fishaudio_horror.wav"),
+    reason="reference assets not mounted",
+)
+def test_wav_reader_real_assets(tiny_speaker_model):
+    """Real-world stereo 44.1 kHz wav through reader + speaker pipeline."""
+    from zonos_tpu.audio.io import read_wav
+
+    wav, sr = read_wav("/root/reference/assets/fishaudio_horror.wav")
+    assert sr == 44100 and wav.shape[0] == 2  # stereo
+    assert np.abs(wav).max() <= 1.0
+    # Stereo → mono mix → resample → embedding end-to-end.
+    emb, lda = tiny_speaker_model(wav[:, : sr * 2], sr)
+    assert lda.shape == (1, 128) and np.isfinite(lda).all()
