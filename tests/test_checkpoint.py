@@ -97,3 +97,80 @@ def test_torch_state_dict_conversion():
     )
     assert cond.shape[0] == 2
     assert np.isfinite(np.asarray(cond, np.float32)).all()
+
+
+def test_from_local_safetensors_roundtrip(tmp_path):
+    """Full reference-format checkpoint load: config.json + model.safetensors."""
+    torch = pytest.importorskip("torch")
+    st = pytest.importorskip("safetensors.torch")
+    import json
+
+    from zonos_tpu.config import tiny_transformer_config
+    from zonos_tpu.utils.checkpoint import _config_to_dict
+
+    cfg = tiny_transformer_config()
+    b = cfg.backbone
+    d, hq, hkv, dh, ff = (
+        b.d_model, b.attn_cfg.num_heads, b.attn_cfg.num_heads_kv, b.head_dim,
+        b.attn_mlp_d_intermediate,
+    )
+    g = torch.Generator().manual_seed(3)
+    r = lambda *s: torch.randn(*s, generator=g)
+
+    sd = {}
+    for k in range(9):
+        sd[f"embeddings.{k}.weight"] = r(1026, d)
+    sd["fused_heads.weight"] = r(9 * 1025, d)
+    for i in range(b.n_layer):
+        sd[f"backbone.layers.{i}.norm.weight"] = r(d)
+        sd[f"backbone.layers.{i}.norm.bias"] = r(d)
+        sd[f"backbone.layers.{i}.mixer.in_proj.weight"] = r((hq + 2 * hkv) * dh, d)
+        sd[f"backbone.layers.{i}.mixer.out_proj.weight"] = r(d, hq * dh)
+        sd[f"backbone.layers.{i}.norm2.weight"] = r(d)
+        sd[f"backbone.layers.{i}.norm2.bias"] = r(d)
+        sd[f"backbone.layers.{i}.mlp.fc1.weight"] = r(2 * ff, d)
+        sd[f"backbone.layers.{i}.mlp.fc2.weight"] = r(d, ff)
+    sd["backbone.norm_f.weight"] = r(d)
+    sd["backbone.norm_f.bias"] = r(d)
+    for i, spec in enumerate(cfg.prefix_conditioner.conditioners):
+        base = f"prefix_conditioner.conditioners.{i}"
+        if spec.type == "EspeakPhonemeConditioner":
+            sd[f"{base}.phoneme_embedder.weight"] = r(188, d)
+        elif spec.type == "FourierConditioner":
+            sd[f"{base}.weight"] = r(d // 2, spec.input_dim)
+        elif spec.type == "IntegerConditioner":
+            sd[f"{base}.int_embedder.weight"] = r(int(spec.max_val) - int(spec.min_val) + 1, d)
+        if spec.projection == "linear":
+            sd[f"{base}.project.weight"] = r(d, spec.cond_dim or d)
+            sd[f"{base}.project.bias"] = r(d)
+        if spec.uncond_type == "learned":
+            sd[f"{base}.uncond_vector"] = r(d)
+    sd["prefix_conditioner.norm.weight"] = r(d)
+    sd["prefix_conditioner.norm.bias"] = r(d)
+
+    # Write bf16 safetensors (the reference ships bf16 weights).
+    st.save_file({k: v.bfloat16() for k, v in sd.items()}, str(tmp_path / "model.safetensors"))
+    cfg_dict = _config_to_dict(cfg)
+    # Reference config.json stores conditioners as plain dicts.
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(cfg_dict, f)
+
+    # from_json can't consume _config_to_dict's ssm_cfg=None → prune.
+    raw = json.load(open(tmp_path / "config.json"))
+    raw["backbone"]["ssm_cfg"] = {}
+    raw["backbone"]["attn_cfg"] = {"num_heads": hq, "num_heads_kv": hkv}
+    for c in raw["prefix_conditioner"]["conditioners"]:
+        c.pop("extra", None)
+        if c.get("cond_dim") is None:
+            c.pop("cond_dim", None)
+    json.dump(raw, open(tmp_path / "config.json", "w"))
+
+    model = Zonos.from_local(str(tmp_path / "config.json"), str(tmp_path / "model.safetensors"))
+    assert model.params["embeddings"].shape[1] == 1032
+    from zonos_tpu.conditioning.cond_dict import make_cond_dict
+
+    cond = model.prepare_conditioning(
+        make_cond_dict(text="load me", speaker=np.zeros((1, 1, 128), np.float32))
+    )
+    codes = model.generate(cond, max_new_tokens=10, seed=1)
+    assert codes.shape[:2] == (1, 9)
