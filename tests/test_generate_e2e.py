@@ -64,3 +64,25 @@ def test_conditioning_cache(model):
     # Different cfg_scale must be a different cache entry (reference bug fixed).
     model.prepare_conditioning(cd, use_cache=True, cfg_scale=3.0)
     assert model._conditioning_cache.size() == 2
+
+
+def test_generate_with_callback_and_abort(model, cond):
+    calls = []
+
+    def cb(_frame, step, max_steps):
+        calls.append((step, max_steps))
+        return True
+
+    full = model.generate(cond, max_new_tokens=24, seed=7, callback=cb, callback_interval=8)
+    assert len(calls) >= 2
+    assert all(m == 24 + 9 - 2 for _, m in calls)
+    # Callback path produces the same tokens as the single-dispatch path.
+    ref = model.generate(cond, max_new_tokens=24, seed=7)
+    np.testing.assert_array_equal(full, ref)
+
+    # Aborting after the first segment returns a shorter (partial) result.
+    aborted = model.generate(
+        cond, max_new_tokens=24, seed=7,
+        callback=lambda *_: False, callback_interval=8,
+    )
+    assert aborted.shape[-1] < full.shape[-1]

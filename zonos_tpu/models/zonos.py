@@ -229,28 +229,64 @@ class Zonos:
         sampling_params: dict | SamplingParams | None = None,
         seed: int | jax.Array | None = None,
         callback=None,
+        callback_interval: int = 64,
     ) -> np.ndarray:
         """Generate sanitized audio codes [B, 9, T] (reference model.py:354-548).
 
-        ``callback`` is invoked once after the on-device loop finishes with
-        (codes, steps_done, max_steps) — per-step host callbacks would force
-        device→host syncs, which is exactly what this runtime exists to avoid.
+        Without ``callback`` the whole request is ONE device dispatch (fastest).
+        With a callback, decoding runs in segments of ``callback_interval``
+        steps and ``callback(None, steps_done, max_steps)`` is invoked between
+        segments; returning False aborts and returns the codes generated so
+        far — the reference's progress/abort contract (model.py:508-509)
+        without per-step host syncs.
         """
-        out = genmod.generate(
+        if callback is None:
+            return genmod.generate(
+                self.params,
+                self.config,
+                prefix_conditioning,
+                audio_prefix_codes=audio_prefix_codes,
+                max_new_tokens=max_new_tokens,
+                cfg_scale=cfg_scale,
+                batch_size=batch_size,
+                sampling_params=sampling_params,
+                seed=seed,
+                dtype=self.dtype,
+            )
+        return self._generate_with_callback(
+            prefix_conditioning, audio_prefix_codes, max_new_tokens, cfg_scale,
+            batch_size, sampling_params, seed, callback, callback_interval,
+        )
+
+    def _generate_with_callback(
+        self, prefix_conditioning, audio_prefix_codes, max_new_tokens, cfg_scale,
+        batch_size, sampling_params, seed, callback, callback_interval,
+    ) -> np.ndarray:
+        from zonos_tpu.runtime.streaming import generate_stream
+
+        max_steps = max_new_tokens + self.config.codebook_dimension - 2
+        result = None
+        for item, _sr in generate_stream(
             self.params,
             self.config,
             prefix_conditioning,
+            autoencoder=None,
             audio_prefix_codes=audio_prefix_codes,
             max_new_tokens=max_new_tokens,
             cfg_scale=cfg_scale,
             batch_size=batch_size,
             sampling_params=sampling_params,
             seed=seed,
+            first_chunk_frames=callback_interval,
+            chunk_frames=callback_interval,
             dtype=self.dtype,
-        )
-        if callback is not None:
-            callback(out, out.shape[-1], max_new_tokens)
-        return out
+            on_progress=lambda steps: callback(None, steps, max_steps),
+        ):
+            if item is not None:
+                result = item
+        if result is None:
+            result = np.zeros((batch_size, self.config.codebook_dimension, 0), np.int32)
+        return result
 
     def stream(
         self,

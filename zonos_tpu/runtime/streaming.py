@@ -194,6 +194,7 @@ def generate_stream(
     audio_bucket: int = 512,
     dtype=jnp.bfloat16,
     forbid_eos: bool = False,
+    on_progress=None,
 ):
     """Yield (pcm_chunk [T] float32, sample_rate) as audio becomes available.
 
@@ -261,6 +262,10 @@ def generate_stream(
             )
         offset, steps, all_stopped = (int(v) for v in np.asarray(status))
         done = offset >= statics.delayed_len or steps >= int(max_steps) or bool(all_stopped)
+
+        if on_progress is not None and not done:
+            if on_progress(steps) is False:
+                done = True  # abort requested: emit what exists and stop
 
         if done:
             # Trailing-EOS boundary search needs host logic; one final readback.
