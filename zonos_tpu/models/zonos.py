@@ -36,11 +36,16 @@ class ConditioningCache:
 
     Keyed on a SHA-512 over the cond/uncond dict contents AND cfg_scale —
     the reference omits cfg_scale from the key, a latent bug (SURVEY.md §7.4).
+    Thread-safe (the server handles concurrent requests; the reference's
+    cache is documented as not thread-safe, conditioning_cache.py:70).
     """
 
     def __init__(self, max_size: int = 32):
+        import threading
+
         self.max_size = max_size
         self._cache: dict[str, Any] = {}
+        self._lock = threading.Lock()
 
     @staticmethod
     def make_key(cond_dict: Mapping, uncond_dict: Mapping | None, cfg_scale: float) -> str:
@@ -61,23 +66,27 @@ class ConditioningCache:
         return hashlib.sha512(f"cfg:{cfg_scale}_cond:{c}_uncond:{u}".encode()).hexdigest()
 
     def get(self, key: str):
-        if key in self._cache:
-            val = self._cache.pop(key)
-            self._cache[key] = val
-            return val
-        return None
+        with self._lock:
+            if key in self._cache:
+                val = self._cache.pop(key)
+                self._cache[key] = val
+                return val
+            return None
 
     def put(self, key: str, value) -> None:
-        self._cache.pop(key, None)
-        if len(self._cache) >= self.max_size:
-            del self._cache[next(iter(self._cache))]
-        self._cache[key] = value
+        with self._lock:
+            self._cache.pop(key, None)
+            if len(self._cache) >= self.max_size:
+                del self._cache[next(iter(self._cache))]
+            self._cache[key] = value
 
     def clear(self) -> None:
-        self._cache.clear()
+        with self._lock:
+            self._cache.clear()
 
     def size(self) -> int:
-        return len(self._cache)
+        with self._lock:
+            return len(self._cache)
 
 
 class Zonos:
