@@ -86,3 +86,13 @@ def test_generate_with_callback_and_abort(model, cond):
         callback=lambda *_: False, callback_interval=8,
     )
     assert aborted.shape[-1] < full.shape[-1]
+
+
+def test_public_import_surface():
+    import zonos_tpu
+
+    assert zonos_tpu.Zonos is not None
+    assert callable(zonos_tpu.make_cond_dict)
+    assert zonos_tpu.DACAutoencoder is not None
+    assert zonos_tpu.SpeakerEmbeddingLDA is not None
+    assert zonos_tpu.ZonosConfig is not None

@@ -25,8 +25,8 @@ def loop(params, cache, n):
 f = jax.jit(loop, static_argnums=(2,))
 cache = KVCache.create(cfg.backbone, 2, CACHE, jnp.bfloat16)
 N = 430
-r = f(model.params, cache, N); jax.block_until_ready(r)
+np.asarray(f(model.params, cache, N)[1])  # warm compile + force completion
 t0 = time.perf_counter()
-r = f(model.params, cache, N); jax.block_until_ready(r)
+tok = np.asarray(f(model.params, cache, N)[1])  # readback forces execution
 dt = time.perf_counter() - t0
-print(f"backbone step only (argmax feedback): {dt/N*1000:.2f} ms/step")
+print(f"backbone step only (argmax feedback): {dt/N*1000:.2f} ms/step, tok sum {tok.sum()}")
