@@ -46,3 +46,32 @@ def test_stream_handler_yields_pcm_chunks():
     total = b"".join(c for c, _ in chunks)
     assert len(total) > 0 and len(total) % 2 == 0  # s16le payload
     assert all(sr == 44100 for _, sr in chunks)
+
+
+def test_concurrent_generate_requests_thread_safe():
+    """Two requests through the handler simultaneously (semaphore + caches)."""
+    import threading
+
+    from zonos_tpu.serving.server import handle_generate
+
+    results = {}
+    errors = []
+
+    def worker(idx):
+        try:
+            wav, meta = handle_generate(
+                {"text": "hi", "randomize_seed": False, "seed": 3}
+            )
+            results[idx] = wav
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    assert len(results) == 2
+    # Identical fixed-seed requests → identical audio from both threads.
+    assert results[0] == results[1]
