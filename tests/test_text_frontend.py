@@ -101,3 +101,23 @@ def test_phonemize_pipeline_normalizes_numbers():
 def test_phonemize_non_english_fallback():
     out = phonemize(["bonjour"], ["fr-fr"])[0]
     assert isinstance(out, str) and len(out) > 0
+
+
+class TestKanaFallback:
+    def test_basic_kana(self):
+        from zonos_tpu.conditioning.kana import kana_to_ipa
+
+        assert kana_to_ipa("こんにちは") == "koɴɲitɕiha"
+        assert kana_to_ipa("カタカナ") == "katakana"
+
+    def test_digraphs_sokuon_chouon(self):
+        from zonos_tpu.conditioning.kana import kana_to_ipa
+
+        assert kana_to_ipa("きょ") == "kjo"
+        assert kana_to_ipa("しゃ") == "ɕa"
+        assert kana_to_ipa("きって") == "kitte"
+        assert kana_to_ipa("コーヒー") == "koːçiː"
+
+    def test_phonemize_ja_route(self):
+        out = phonemize(["こんにちは"], ["ja"])[0]
+        assert "ɲ" in out  # went through kana transliteration, not passthrough

@@ -116,9 +116,14 @@ def phonemize(texts: list[str], languages: list[str]) -> list[str]:
             return [_phonemize_one(lib, t, lang) for t, lang in zip(texts, languages)]
 
     from zonos_tpu.conditioning import native_g2p
+    from zonos_tpu.conditioning.kana import has_kana, kana_to_ipa
 
     out = []
     for t, lang in zip(texts, languages):
-        ipa = native_g2p.phonemize_en(t) if lang.startswith("en") else None
+        ipa = None
+        if lang.startswith("en"):
+            ipa = native_g2p.phonemize_en(t)
+        elif lang.startswith("ja") and has_kana(t):
+            ipa = kana_to_ipa(t)
         out.append(ipa if ipa else t.lower())
     return out
