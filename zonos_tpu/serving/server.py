@@ -68,6 +68,25 @@ def _wav_bytes(wav: np.ndarray, sr: int) -> bytes:
     return buf.getvalue()
 
 
+_BATCHER = None
+_BATCHER_LOCK = threading.Lock()
+
+
+def _get_batcher(model):
+    """Lazy dynamic batcher (opt-in: ZONOS_BATCHING=1 or config flag)."""
+    import os
+
+    if not (os.environ.get("ZONOS_BATCHING") == "1" or _APP_CONFIG.get("ZONOS_BATCHING")):
+        return None
+    global _BATCHER
+    with _BATCHER_LOCK:
+        if _BATCHER is None:
+            from zonos_tpu.serving.batcher import DynamicBatcher
+
+            _BATCHER = DynamicBatcher(model, max_batch=8, window_ms=30)
+        return _BATCHER
+
+
 def handle_generate(body: dict) -> tuple[bytes, dict]:
     """Core request handler; returns (wav_bytes, metadata)."""
     text = str(body.get("text", ""))
@@ -76,6 +95,47 @@ def handle_generate(body: dict) -> tuple[bytes, dict]:
 
     model_name = body.get("model_choice", C.MODEL_TRANSFORMER)
     model = load_model_if_needed(model_name, _APP_CONFIG)
+
+    # Dynamic batching path: concurrent requests coalesce into one decode
+    # (aggregate throughput; see serving/batcher.py). Prefix-audio requests
+    # fall through to the single-request path.
+    batcher = _get_batcher(model)
+    if batcher is not None and not body.get("prefix_audio"):
+        import time as _time
+
+        from zonos_tpu.serving.batcher import TTSRequest
+        from zonos_tpu.serving.pipeline import prepare_generation_params, setup_speaker_conditioning
+        from zonos_tpu.ops.sampling import SamplingParams
+
+        params = prepare_generation_params(
+            text,
+            seed=int(body.get("seed", C.DEFAULT_SEED)),
+            randomize_seed=bool(body.get("randomize_seed", True)),
+            cfg_scale=float(body.get("cfg_scale", 2.0)),
+            min_p=float(body.get("min_p", 0.1)),
+        )
+        speaker = setup_speaker_conditioning(model_name, body.get("speaker_audio"))
+        t0 = _time.perf_counter()
+        wav, sr = batcher.submit(
+            TTSRequest(
+                text=text,
+                language=body.get("language", "en-us"),
+                speaker=speaker,
+                emotion=body.get("emotion"),
+                fmax=float(body.get("fmax", 22050.0)),
+                pitch_std=float(body.get("pitch_std", 20.0)),
+                speaking_rate=float(body.get("speaking_rate", 15.0)),
+                seed=params.seed,
+                max_new_tokens=params.max_new_tokens,
+                cfg_scale=params.cfg_scale,
+                sampling=SamplingParams(**params.sampling),
+                unconditional_keys=frozenset(
+                    body.get("unconditional_keys", ["vqscore_8", "dnsmos_ovrl"])
+                ),
+            )
+        )
+        rtf = (wav.shape[0] / sr) / max(_time.perf_counter() - t0, 1e-9)
+        return _wav_bytes(wav, sr), {"rtf": rtf, "sample_rate": sr, "batched": True}
 
     emotion = body.get("emotion")
     if emotion is None:
