@@ -16,6 +16,11 @@ streams lifts aggregate throughput ~3× (tools/bench_throughput.py: 4.1× →
 Note: batched requests share the group's generation length ceiling; EOS
 still stops per sample inside the loop, and each sample's audio is trimmed
 at its own trailing-silence boundary by the codec output length.
+
+Determinism caveat (inherent to dynamic batching): a request's sampled
+tokens depend on its batch position and co-requests (one PRNG key drives the
+whole batch draw, and the group uses the first request's seed). Fixed-seed
+reproducibility requires batching disabled — the default single-request path.
 """
 
 from __future__ import annotations
