@@ -46,3 +46,26 @@ def test_dp_sharded_generate_matches_single_device():
         max_new_tokens=12, batch_size=B, seed=3, dtype=jnp.float32,
     )
     np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tp_sharded_generate_matches_single_device():
+    """Megatron-style TP inference: weights sharded over heads/FFN, exact match."""
+    from zonos_tpu.parallel.mesh import shard_params
+
+    model = Zonos.from_config(tiny_transformer_config(), seed=0, dtype=jnp.float32)
+    cd = make_cond_dict(text="tensor parallel", speaker=np.zeros((1, 1, 128), np.float32))
+    cond = np.asarray(model.prepare_conditioning(cd), np.float32)
+
+    ref = model.generate(cond, max_new_tokens=12, seed=4)
+
+    mesh = make_mesh(jax.devices()[:2], dp=1, tp=2)  # tiny cfg: Hkv=2 → tp=2
+    params_tp = shard_params(mesh, model.config, model.params)
+
+    from zonos_tpu.runtime import generate as G
+
+    out = G.generate(
+        params_tp, model.config, jnp.asarray(cond),
+        max_new_tokens=12, batch_size=1, seed=4, dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(out, ref)
