@@ -50,3 +50,23 @@ def test_prefetch_loader(model):
     assert len(batches) == 3
     for cond, delayed, mask in batches:
         assert delayed.shape[-1] == 12 + 9
+
+
+def test_training_hybrid_backbone():
+    """The hybrid family trains too (cache-free forward)."""
+    from zonos_tpu.config import tiny_hybrid_config
+
+    hmodel = Zonos.from_config(tiny_hybrid_config(), seed=0, dtype=jnp.float32)
+    ds = synthetic_dataset(2)
+    cond, delayed, mask = build_batch(hmodel, ds, frames=12)
+    params = {k: hmodel.params[k] for k in ("embeddings", "heads", "backbone")}
+    opt = make_optimizer(lr=3e-3, warmup=1)
+    state = init_train_state(params, opt)
+    step = jax.jit(build_train_step(hmodel.config, opt), donate_argnums=(0,))
+
+    losses = []
+    for _ in range(4):
+        state, loss = step(state, jnp.asarray(cond), jnp.asarray(delayed), jnp.asarray(mask))
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0], losses

@@ -138,10 +138,14 @@ def _attn_mixer(
         q = q.at[..., :rdim].set(apply_rope(q[..., :rdim], freqs))
         k = k.at[..., :rdim].set(apply_rope(k[..., :rdim], freqs))
 
-    k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, write_start, 0, 0))
-    v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, write_start, 0, 0))
-    k_all = jax.lax.dynamic_slice_in_dim(k_cache, 0, attend_len, axis=1)
-    v_all = jax.lax.dynamic_slice_in_dim(v_cache, 0, attend_len, axis=1)
+    if k_cache is None:
+        # Cache-free full-sequence path (training).
+        k_all, v_all = k, v
+    else:
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, write_start, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, write_start, 0, 0))
+        k_all = jax.lax.dynamic_slice_in_dim(k_cache, 0, attend_len, axis=1)
+        v_all = jax.lax.dynamic_slice_in_dim(v_cache, 0, attend_len, axis=1)
 
     att = gqa_attention(q, k_all, v_all, mask).reshape(b, s, hq * dh)
     out = qeinsum("bse,ed->bsd", att, p["out_proj"])
@@ -170,8 +174,12 @@ def hybrid_forward(
     write_start: jnp.ndarray,
     pad_amount: jnp.ndarray,  # [B]
     attend_len: int,
-) -> tuple[jnp.ndarray, HybridCache]:
-    """Run all hybrid layers; S > 1 = prefill, S == 1 = decode step."""
+) -> tuple[jnp.ndarray, HybridCache | None]:
+    """Run all hybrid layers; S > 1 = prefill, S == 1 = decode step.
+
+    With cache=None (training) attention runs cache-free and Mamba states
+    start from zeros and are discarded.
+    """
     b, s, _ = x.shape
     prefill = s > 1
     if prefill:
@@ -180,6 +188,19 @@ def hybrid_forward(
     else:
         attn_mask = decode_mask(attend_len, pad_amount, write_start)
         seq_mask = None
+
+    if cache is None:
+        assert prefill, "decode requires a cache"
+        cache = HybridCache.create(cfg, b, 0, dtype=x.dtype)
+        cache = HybridCache(
+            kv_k=tuple(None for _ in cache.kv_k),
+            kv_v=tuple(None for _ in cache.kv_v),
+            conv=cache.conv,
+            ssm=cache.ssm,
+        )
+        return_cache = False
+    else:
+        return_cache = True
 
     kv_k, kv_v = list(cache.kv_k), list(cache.kv_v)
     conv, ssm = list(cache.conv), list(cache.ssm)
@@ -211,6 +232,8 @@ def hybrid_forward(
             )
 
     x = layer_norm(x, params["norm_f"]["scale"], params["norm_f"]["bias"], cfg.norm_epsilon)
+    if not return_cache:
+        return x, None
     return x, HybridCache(kv_k=tuple(kv_k), kv_v=tuple(kv_v), conv=tuple(conv), ssm=tuple(ssm))
 
 
