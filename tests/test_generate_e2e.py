@@ -96,3 +96,35 @@ def test_public_import_surface():
     assert zonos_tpu.DACAutoencoder is not None
     assert zonos_tpu.SpeakerEmbeddingLDA is not None
     assert zonos_tpu.ZonosConfig is not None
+
+
+def test_eos_early_exit_drain(model, cond):
+    """Rig the model to emit EOS in codebook 0 every step: the loop must stop
+    after the 9-step staircase drain instead of running to max_new_tokens.
+
+    Construction: zero all params → residual stream is 0 → norm_f output is
+    exactly norm_f.bias; set bias = e0 and heads[0, eos_cb0] = 50 so the
+    greedy token is EOS in codebook 0 (and token 0 elsewhere) at every step.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    eos = model.config.eos_token_id
+    rigged = jax.tree.map(jnp.zeros_like, model.params)
+    bias = jnp.zeros_like(rigged["backbone"]["norm_f"]["bias"]).at[0].set(1.0)
+    rigged["backbone"] = {**rigged["backbone"]}
+    rigged["backbone"]["norm_f"] = {**rigged["backbone"]["norm_f"], "bias": bias}
+    rigged["heads"] = rigged["heads"].at[0, eos].set(50.0)  # cb0 EOS column
+
+    from zonos_tpu.runtime import generate as G
+
+    out = G.generate(
+        rigged, model.config, cond, max_new_tokens=40, cfg_scale=2.0,
+        sampling_params={"min_p": 0.0, "temperature": 0.0}, seed=1,
+        dtype=jnp.float32,
+    )
+    # EOS fires on the first loop step → the drain stops the loop ~10 frames
+    # in; after revert + EOS trimming the result is far shorter than 40.
+    assert out.shape[-1] <= 4, out.shape
+    if out.size:
+        assert out.min() >= 0 and out.max() <= 1023  # EOS sanitized away
