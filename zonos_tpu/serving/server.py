@@ -308,7 +308,12 @@ def main(argv=None):
     parser.add_argument("--checkmodels", action="store_true")
     parser.add_argument("--sysreport", action="store_true")
     parser.add_argument("--no-preload", action="store_true")
+    # Reference CLI compat (SkyrimNet-Zonos.py:63-74): --share is Gradio
+    # public-link tunneling; meaningless for the plain HTTP server.
+    parser.add_argument("--share", action="store_true", help="(ignored; reference compat)")
     args = parser.parse_args(argv)
+    if args.share:
+        print("--share is a Gradio feature; ignored by the HTTP server")
 
     global _APP_CONFIG
     _APP_CONFIG = load_config()
