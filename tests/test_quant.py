@@ -138,3 +138,45 @@ def test_int4_generate_runs():
     out = q4.generate(cond, max_new_tokens=12, seed=4)
     assert out.shape[:2] == (1, 9)
     assert out.min() >= 0 and out.max() <= 1023
+
+
+def test_int8_kv_cache_attention_close(rng):
+    """int8 KV cache: decode-step hidden states close to full-precision cache."""
+    from zonos_tpu.models.transformer import KVCache, transformer_forward
+
+    cfg = tiny_transformer_config().backbone
+    from zonos_tpu.models.transformer import init_transformer_params
+
+    params = init_transformer_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    B, S, CACHE = 2, 8, 16
+    x = rng.normal(size=(B, S, cfg.d_model)).astype(np.float32) * 0.5
+    pad = jnp.zeros((B,), jnp.int32)
+
+    cache_fp = KVCache.create(cfg, B, CACHE, jnp.float32)
+    h_fp, cache_fp = transformer_forward(params, cfg, jnp.asarray(x), cache_fp, jnp.int32(0), pad, S)
+    cache_q = KVCache.create(cfg, B, CACHE, jnp.float32, quantized=True)
+    h_q, cache_q = transformer_forward(params, cfg, jnp.asarray(x), cache_q, jnp.int32(0), pad, S)
+    assert cache_q.k.dtype == jnp.int8
+
+    # Prefill outputs close; then a decode step reading the quantized cache.
+    np.testing.assert_allclose(np.asarray(h_q), np.asarray(h_fp), atol=0.05, rtol=0.05)
+    xt = rng.normal(size=(B, 1, cfg.d_model)).astype(np.float32) * 0.5
+    s_fp, _ = transformer_forward(params, cfg, jnp.asarray(xt), cache_fp, jnp.int32(S), pad, CACHE)
+    s_q, _ = transformer_forward(params, cfg, jnp.asarray(xt), cache_q, jnp.int32(S), pad, CACHE)
+    corr = np.corrcoef(np.asarray(s_fp).ravel(), np.asarray(s_q).ravel())[0, 1]
+    assert corr > 0.999, corr
+
+
+def test_int8_kv_generate_runs():
+    from zonos_tpu.conditioning.cond_dict import make_cond_dict
+    from zonos_tpu.runtime import generate as G
+
+    model = Zonos.from_config(tiny_transformer_config(), seed=0, dtype=jnp.float32)
+    cd = make_cond_dict(text="kv int8", speaker=np.zeros((1, 1, 128), np.float32))
+    cond = model.prepare_conditioning(cd)
+    out = G.generate(
+        model.params, model.config, cond, max_new_tokens=12, seed=2,
+        dtype=jnp.float32, kv_int8=True,
+    )
+    assert out.shape[:2] == (1, 9)
+    assert out.min() >= 0 and out.max() <= 1023

@@ -20,10 +20,12 @@ def init_backbone_params(key, cfg: BackboneConfig, dtype=jnp.bfloat16) -> dict:
     return init_transformer_params(key, cfg, dtype)
 
 
-def create_cache(cfg: BackboneConfig, batch_size: int, max_seqlen: int, dtype=jnp.bfloat16):
+def create_cache(cfg: BackboneConfig, batch_size: int, max_seqlen: int, dtype=jnp.bfloat16, kv_int8: bool = False):
     if cfg.is_hybrid:
+        # int8 KV is a transformer-path option; the hybrid's few attention
+        # layers make it a negligible lever there.
         return HybridCache.create(cfg, batch_size, max_seqlen, dtype)
-    return KVCache.create(cfg, batch_size, max_seqlen, dtype)
+    return KVCache.create(cfg, batch_size, max_seqlen, dtype, quantized=kv_int8)
 
 
 def backbone_forward(params, cfg: BackboneConfig, x, cache, write_start, pad_amount, attend_len):

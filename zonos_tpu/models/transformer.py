@@ -41,21 +41,50 @@ class KVCache:
     k, v: [n_layer, batch, max_seqlen, n_heads_kv, head_dim].
     For hybrid backbones only attention layers use their slice; SSM layers
     carry their own state (see models/hybrid.py).
+
+    Optional int8 storage (k_scale/v_scale non-None): K/V quantize per
+    (position, head) on write and dequantize at the attention read — halves
+    the per-step KV bytes, the second-largest HBM stream after weights.
     """
 
     k: jnp.ndarray
     v: jnp.ndarray
+    k_scale: jnp.ndarray | None = None  # [L, B, S, Hkv] f32
+    v_scale: jnp.ndarray | None = None
 
     @classmethod
     def create(
-        cls, cfg: BackboneConfig, batch_size: int, max_seqlen: int, dtype=jnp.bfloat16
+        cls, cfg: BackboneConfig, batch_size: int, max_seqlen: int, dtype=jnp.bfloat16,
+        quantized: bool = False,
     ) -> "KVCache":
         shape = (cfg.n_layer, batch_size, max_seqlen, cfg.attn_cfg.num_heads_kv, cfg.head_dim)
+        if quantized:
+            sshape = shape[:-1]
+            return cls(
+                k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+                k_scale=jnp.ones(sshape, jnp.float32), v_scale=jnp.ones(sshape, jnp.float32),
+            )
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @property
     def max_seqlen(self) -> int:
         return self.k.shape[2]
+
+
+def _kv_quantize(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, S, H, D] → (int8 values, f32 scales [B, S, H])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _kv_dequantize(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
 def init_transformer_params(key: jax.Array, cfg: BackboneConfig, dtype=jnp.bfloat16) -> dict:
@@ -89,8 +118,10 @@ def _attn_block(
     cfg: BackboneConfig,
     x: jnp.ndarray,  # [B, S, D]
     freqs: jnp.ndarray,  # [S, Dh//2, 2]
-    k_cache_l: jnp.ndarray,  # [B, Smax, Hkv, Dh]
+    k_cache_l: jnp.ndarray,  # [B, Smax, Hkv, Dh] (bf16 or int8)
     v_cache_l: jnp.ndarray,
+    ks_l,  # [B, Smax, Hkv] f32 scales or None (bf16 cache)
+    vs_l,
     write_start: jnp.ndarray,  # scalar int32: cache slot of x[:, 0]
     mask: jnp.ndarray,  # [B, S, Sk] bool over the attended cache span
     attend_len: int,  # static length of cache span attended to
@@ -111,6 +142,22 @@ def _attn_block(
     if k_cache_l is None:
         # Cache-free full-sequence path (training / throughput prefill).
         k_all, v_all = k, v
+    elif ks_l is not None:
+        # int8 KV cache: quantize on write, dequantize at the read.
+        kq, ks = _kv_quantize(k)
+        vq, vs = _kv_quantize(v)
+        k_cache_l = jax.lax.dynamic_update_slice(k_cache_l, kq, (0, write_start, 0, 0))
+        v_cache_l = jax.lax.dynamic_update_slice(v_cache_l, vq, (0, write_start, 0, 0))
+        ks_l = jax.lax.dynamic_update_slice(ks_l, ks, (0, write_start, 0))
+        vs_l = jax.lax.dynamic_update_slice(vs_l, vs, (0, write_start, 0))
+        k_all = _kv_dequantize(
+            jax.lax.dynamic_slice_in_dim(k_cache_l, 0, attend_len, axis=1),
+            jax.lax.dynamic_slice_in_dim(ks_l, 0, attend_len, axis=1), x.dtype,
+        )
+        v_all = _kv_dequantize(
+            jax.lax.dynamic_slice_in_dim(v_cache_l, 0, attend_len, axis=1),
+            jax.lax.dynamic_slice_in_dim(vs_l, 0, attend_len, axis=1), x.dtype,
+        )
     else:
         k_cache_l = jax.lax.dynamic_update_slice(k_cache_l, k, (0, write_start, 0, 0))
         v_cache_l = jax.lax.dynamic_update_slice(v_cache_l, v, (0, write_start, 0, 0))
@@ -125,7 +172,7 @@ def _attn_block(
     yg = qeinsum("bsd,de->bse", h2, layer_p["mlp"]["fc1"])
     y, gate = jnp.split(yg, 2, axis=-1)
     x = x + qeinsum("bsf,fd->bsd", y * jax.nn.silu(gate), layer_p["mlp"]["fc2"])
-    return x, k_cache_l, v_cache_l
+    return x, k_cache_l, v_cache_l, ks_l, vs_l
 
 
 def transformer_forward(
@@ -156,7 +203,7 @@ def transformer_forward(
 
     if cache is None:
         def body_nc(xc, layer_p):
-            xc, _, _ = _attn_block(layer_p, cfg, xc, freqs, None, None, write_start, mask, s)
+            xc, *_ = _attn_block(layer_p, cfg, xc, freqs, None, None, None, None, write_start, mask, s)
             return xc, None
 
         xo, _ = jax.lax.scan(body_nc, x, params["layers"], unroll=UNROLL_LAYERS)
@@ -164,12 +211,15 @@ def transformer_forward(
         return xo, None
 
     def body(xc, layer_in):
-        layer_p, kl, vl = layer_in
-        xc, kl, vl = _attn_block(layer_p, cfg, xc, freqs, kl, vl, write_start, mask, attend_len)
-        return xc, (kl, vl)
+        layer_p, kl, vl, ksl, vsl = layer_in
+        xc, kl, vl, ksl, vsl = _attn_block(
+            layer_p, cfg, xc, freqs, kl, vl, ksl, vsl, write_start, mask, attend_len
+        )
+        return xc, (kl, vl, ksl, vsl)
 
-    xo, (k_new, v_new) = jax.lax.scan(
-        body, x, (params["layers"], cache.k, cache.v), unroll=UNROLL_LAYERS
+    xo, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+        body, x, (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale),
+        unroll=UNROLL_LAYERS,
     )
     xo = layer_norm(xo, params["norm_f"]["scale"], params["norm_f"]["bias"], cfg.norm_epsilon)
-    return xo, KVCache(k=k_new, v=v_new)
+    return xo, KVCache(k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new)

@@ -124,6 +124,8 @@ class GenerateStatics:
     # Forbid EOS entirely (fixed-length generation; benchmarking with random
     # weights and min-length control).
     forbid_eos: bool = False
+    # int8 KV cache (halves the per-step KV byte stream; transformer only).
+    kv_int8: bool = False
 
 
 def _decode_logits(
@@ -245,6 +247,7 @@ def generate(
     audio_bucket: int = 512,
     dtype=jnp.bfloat16,
     forbid_eos: bool = False,
+    kv_int8: bool = False,
 ) -> np.ndarray:
     """Generate audio codes (API mirror of reference Zonos.generate, model.py:354).
 
@@ -274,6 +277,7 @@ def generate(
         cache_len=cache_len,
         batch_size=batch_size,
         forbid_eos=forbid_eos,
+        kv_int8=kv_int8,
     )
 
     # Host-side prep: delayed codes buffer with audio prefix inserted.

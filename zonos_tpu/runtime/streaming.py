@@ -65,7 +65,10 @@ def build_prefill_fn(statics: GenerateStatics):
         prefix_emb = jnp.concatenate([prefix_emb, prefix_emb], axis=0)
         x = jnp.concatenate([cond_emb, prefix_emb], axis=1)
 
-        cache = create_cache(cfg.backbone, 2 * b, statics.cache_len, dtype=cond_emb.dtype)
+        cache = create_cache(
+            cfg.backbone, 2 * b, statics.cache_len, dtype=cond_emb.dtype,
+            kv_int8=statics.kv_int8,
+        )
         h, cache = backbone_forward(
             params["backbone"], cfg.backbone, x, cache,
             write_start=jnp.int32(0), pad_amount=pad_amount,
@@ -194,6 +197,7 @@ def generate_stream(
     audio_bucket: int = 512,
     dtype=jnp.bfloat16,
     forbid_eos: bool = False,
+    kv_int8: bool = False,
     on_progress=None,
 ):
     """Yield (pcm_chunk [T] float32, sample_rate) as audio becomes available.
@@ -223,7 +227,7 @@ def generate_stream(
     statics = GenerateStatics(
         cfg=cfg, sampling=sampling_params, prefill_len=prefill_len,
         delayed_len=delayed_len, cache_len=cache_len, batch_size=batch_size,
-        forbid_eos=forbid_eos,
+        forbid_eos=forbid_eos, kv_int8=kv_int8,
     )
     start, segment = _compiled_stream_fns(statics)
 
