@@ -58,11 +58,13 @@ def main() -> None:
 
     from zonos_tpu.runtime import generate as G
 
+    kv_int8 = os.environ.get("ZONOS_BENCH_DENSE") != "1"
+
     def run(seed):
         return G.generate(
             model.params, cfg, cond, max_new_tokens=max_new, cfg_scale=2.0,
             sampling_params=SamplingParams(min_p=0.1), seed=seed,
-            dtype=jnp.bfloat16, forbid_eos=True,
+            dtype=jnp.bfloat16, forbid_eos=True, kv_int8=kv_int8,
         )
 
     # Warmup (compile) — generation + DAC decode.
