@@ -31,7 +31,7 @@ for batch in (1, 2, 4, 8):
         return G.generate(
             model.params, cfg, cond, max_new_tokens=FRAMES, cfg_scale=2.0,
             batch_size=batch, sampling_params=SamplingParams(min_p=0.1),
-            seed=seed, dtype=jnp.bfloat16, forbid_eos=True,
+            seed=seed, dtype=jnp.bfloat16, forbid_eos=True, kv_int8=True,
         )
 
     run(1)  # compile

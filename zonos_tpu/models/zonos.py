@@ -239,6 +239,7 @@ class Zonos:
         seed: int | jax.Array | None = None,
         callback=None,
         callback_interval: int = 64,
+        kv_int8: bool = False,
     ) -> np.ndarray:
         """Generate sanitized audio codes [B, 9, T] (reference model.py:354-548).
 
@@ -261,6 +262,7 @@ class Zonos:
                 sampling_params=sampling_params,
                 seed=seed,
                 dtype=self.dtype,
+                kv_int8=kv_int8,
             )
         return self._generate_with_callback(
             prefix_conditioning, audio_prefix_codes, max_new_tokens, cfg_scale,
