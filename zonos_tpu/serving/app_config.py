@@ -19,6 +19,7 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "PATH_MODEL_HYBRID": "",
     "PATH_NEEDED_HFHOME": "",
     "ZONOS_COMPILE": True,
+    "ZONOS_QUANTIZE": True,
     "ZONOS_BATCHING": False,
     "ZONOS_DEBUG": False,
     "ZONOS_LOG_TO_FILE": False,
