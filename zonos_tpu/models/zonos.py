@@ -240,6 +240,7 @@ class Zonos:
         callback=None,
         callback_interval: int = 64,
         kv_int8: bool = False,
+        return_lengths: bool = False,
     ) -> np.ndarray:
         """Generate sanitized audio codes [B, 9, T] (reference model.py:354-548).
 
@@ -263,7 +264,9 @@ class Zonos:
                 seed=seed,
                 dtype=self.dtype,
                 kv_int8=kv_int8,
+                return_lengths=return_lengths,
             )
+        assert not return_lengths, "return_lengths requires the callback-free path"
         return self._generate_with_callback(
             prefix_conditioning, audio_prefix_codes, max_new_tokens, cfg_scale,
             batch_size, sampling_params, seed, callback, callback_interval,

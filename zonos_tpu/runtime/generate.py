@@ -107,6 +107,10 @@ class DecodeCarry:
     cache: object  # KVCache | HybridCache, batch axis = 2B (cond ++ uncond)
     stopping: jnp.ndarray  # [B] bool
     remaining_steps: jnp.ndarray  # [B] int32
+    # [B] int32: offset of the sample's last drained frame (-1 = not stopped).
+    # Set when the EOS staircase finishes; gives each sample its own valid
+    # length under batching (the reference is B=1-only here, model.py:502-529).
+    stop_offset: jnp.ndarray
     steps_done: jnp.ndarray  # scalar int32
     key: jax.Array
 
@@ -192,7 +196,7 @@ def build_generate_fn(statics: GenerateStatics):
             params, carry, pad_amount, cfg_scale, max_steps,
             segment_end=jnp.int32(2**30),
         )
-        return final.delayed_codes, final.offset, final.remaining_steps
+        return final.delayed_codes, final.offset, final.remaining_steps, final.stop_offset
 
     return generate_fn
 
@@ -248,10 +252,15 @@ def generate(
     dtype=jnp.bfloat16,
     forbid_eos: bool = False,
     kv_int8: bool = False,
+    return_lengths: bool = False,
 ) -> np.ndarray:
     """Generate audio codes (API mirror of reference Zonos.generate, model.py:354).
 
-    Returns sanitized codes [B, n_q, valid_length] as numpy int32.
+    Returns sanitized codes [B, n_q, L] as numpy int32, where L is the longest
+    sample's valid length; shorter samples are zero-padded. With
+    ``return_lengths=True`` also returns per-sample valid lengths [B] — a
+    batched request where one stream hits EOS early keeps ITS OWN length
+    (the reference's trim logic is batch-global and B=1-only, model.py:516-529).
     """
     if isinstance(sampling_params, dict):
         sampling_params = SamplingParams(**sampling_params)
@@ -297,7 +306,7 @@ def generate(
     key = seed if isinstance(seed, jax.Array) else jax.random.key(int(seed))
 
     fn = _compiled_generate(statics)
-    delayed_out, offset, remaining = fn(
+    delayed_out, offset, remaining, stop_offset = fn(
         params,
         jnp.asarray(cond_padded, dtype),
         jnp.asarray(delayed_init),
@@ -309,18 +318,59 @@ def generate(
     )
 
     delayed_out = np.asarray(delayed_out)
-    offset = int(offset)
-    # The carry offset is one past the last written frame. On exhaustion this
-    # matches the reference's final offset (model.py:467-471 increments then
-    # breaks); on EOS-drain exit the reference's offset IS the last written
-    # frame, so step back one (model.py:502-504).
-    if np.all(np.asarray(remaining) <= 0):
-        offset -= 1
-    return postprocess_codes(delayed_out, offset, cfg)
+    # Per-sample final offsets. For a sample whose EOS drain completed,
+    # stop_offset IS its last written frame (the reference's offset-1
+    # correction on EOS exit, model.py:502-504); for a sample that ran to
+    # exhaustion, the loop's one-past-the-end offset matches the reference's
+    # final offset (model.py:467-471 increments then breaks).
+    stop_offset = np.asarray(stop_offset)
+    offsets = np.where(stop_offset >= 0, stop_offset, int(offset))
+    out, lengths = postprocess_codes_batched(delayed_out, offsets, cfg)
+    if return_lengths:
+        return out, lengths
+    return out
+
+
+def postprocess_codes_batched(
+    delayed_out: np.ndarray, offsets: np.ndarray, cfg: ZonosConfig
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-sample revert + trailing-EOS trim + sanitize.
+
+    Args:
+        delayed_out: [B, n_q, S] delayed codes.
+        offsets: [B] per-sample final frame offsets.
+    Returns:
+        (codes [B, n_q, Lmax] int32 with tails zeroed, lengths [B] int64).
+    """
+    n_q = cfg.codebook_dimension
+    out = revert_delay_pattern_np(np.asarray(delayed_out))
+    b = out.shape[0]
+    lengths = np.zeros((b,), np.int64)
+    for i in range(b):
+        valid = max(int(offsets[i]) - n_q, 0)
+        # Trailing-EOS boundary vote, per row (cf. model.py:516-529 which
+        # sums the vote over the whole batch — wrong for B>1).
+        search_window = min(50, valid // 4)
+        for pos in range(max(0, valid - search_window), valid):
+            if (out[i, :, pos] == cfg.eos_token_id).sum() >= n_q // 2:
+                valid = pos
+                break
+        lengths[i] = valid
+
+    out = np.where(out > cfg.eos_token_id, 512, out)
+    out = np.where(out == cfg.eos_token_id, 0, out)
+    lmax = int(lengths.max(initial=0))
+    out = np.clip(out[..., :lmax], 0, cfg.eos_token_id - 1).astype(np.int32)
+    for i in range(b):
+        out[i, :, lengths[i]:] = 0
+    return out, lengths
 
 
 def postprocess_codes(delayed_out: np.ndarray, offset: int, cfg: ZonosConfig) -> np.ndarray:
-    """Revert delay, find trailing EOS boundary, sanitize (model.py:511-539)."""
+    """Revert delay, find trailing EOS boundary, sanitize (model.py:511-539).
+
+    Batch-global trim (the reference's exact semantics, correct for B=1);
+    batched callers should use postprocess_codes_batched."""
     n_q = cfg.codebook_dimension
     out = revert_delay_pattern_np(np.asarray(delayed_out))
     valid_length = max(offset - n_q, 0)

@@ -37,7 +37,7 @@ from zonos_tpu.runtime.generate import (
     _write_frame,
     apply_heads,
     embed_codes,
-    postprocess_codes,
+    postprocess_codes_batched,
 )
 
 
@@ -88,6 +88,7 @@ def build_prefill_fn(statics: GenerateStatics):
             cache=cache,
             stopping=jnp.zeros((b,), bool),
             remaining_steps=jnp.full((b,), statics.delayed_len, jnp.int32),
+            stop_offset=jnp.full((b,), -1, jnp.int32),
             steps_done=jnp.int32(0),
             key=key_loop,
         )
@@ -142,10 +143,15 @@ def build_segment_fn(statics: GenerateStatics):
             ).astype(jnp.int32)
 
             delayed = _write_frame(c.delayed_codes, c.offset, next_token)
+            # Record where each sample's drain completes: its own final frame
+            # offset (the per-sample analogue of the reference's offset-1
+            # EOS-exit correction, model.py:502-504).
+            just_drained = (remaining - 1 == 0) & (c.stop_offset < 0)
+            stop_offset = jnp.where(just_drained, c.offset, c.stop_offset)
             return DecodeCarry(
                 delayed_codes=delayed, offset=c.offset + 1, cache=cache,
                 stopping=stopping, remaining_steps=remaining - 1,
-                steps_done=c.steps_done + 1, key=key,
+                stop_offset=stop_offset, steps_done=c.steps_done + 1, key=key,
             )
 
         c = jax.lax.while_loop(cond_fn, body_fn, carry)
@@ -273,8 +279,13 @@ def generate_stream(
 
         if done:
             # Trailing-EOS boundary search needs host logic; one final readback.
-            final_offset = offset - 1 if all_stopped else offset
-            out_codes = postprocess_codes(np.asarray(carry.delayed_codes), final_offset, cfg)
+            # Per-sample offsets: a drained sample ends at its own stop_offset
+            # (see runtime/generate.generate for the offset conventions).
+            stop_off = np.asarray(carry.stop_offset)
+            offsets = np.where(stop_off >= 0, stop_off, offset)
+            out_codes, _lengths = postprocess_codes_batched(
+                np.asarray(carry.delayed_codes), offsets, cfg
+            )
             total = out_codes.shape[-1]
         else:
             out_codes = None

@@ -51,6 +51,10 @@ class TTSRequest:
     cfg_scale: float = 2.0
     sampling: SamplingParams = dataclasses.field(default_factory=lambda: SamplingParams(min_p=0.1))
     unconditional_keys: frozenset = frozenset({"vqscore_8", "dnsmos_ovrl"})
+    # Escape hatch: never coalesce this request with others. Needed for
+    # fixed-seed reproducibility — a batch draws from one PRNG stream, so a
+    # request's tokens depend on its co-requests (see module docstring).
+    no_batch: bool = False
 
     # filled by the batcher
     _event: threading.Event = dataclasses.field(default_factory=threading.Event)
@@ -59,7 +63,8 @@ class TTSRequest:
 
     def group_key(self, bucket: int = 256) -> tuple:
         max_new_b = -(-self.max_new_tokens // bucket) * bucket
-        return (self.cfg_scale, self.sampling, max_new_b, self.unconditional_keys, self.language[:2])
+        solo = id(self) if self.no_batch else None
+        return (self.cfg_scale, self.sampling, max_new_b, self.unconditional_keys, self.language[:2], solo)
 
 
 class DynamicBatcher:
@@ -173,16 +178,20 @@ class DynamicBatcher:
 
         conditioning = self.model.prepare_conditioning(cond_dict, cfg_scale=first.cfg_scale)
         max_new = max(r.max_new_tokens for r in batch)
-        codes = self.model.generate(
+        codes, lengths = self.model.generate(
             conditioning,
             max_new_tokens=max_new,
             cfg_scale=first.cfg_scale,
             batch_size=b,
             sampling_params=first.sampling,
             seed=first.seed,
+            return_lengths=True,
         )
         wavs = self.model.autoencoder.decode(codes)  # [B, 1, T]
         sr = self.model.autoencoder.sampling_rate
+        hop = self.model.autoencoder.config.hop_length
         for i, req in enumerate(batch):
-            req._result = (np.asarray(wavs[i, 0]), sr)
+            # Each request gets only ITS OWN valid frames: a short utterance
+            # batched with a long one must not ship the long one's tail.
+            req._result = (np.asarray(wavs[i, 0])[: int(lengths[i]) * hop], sr)
             req._event.set()
