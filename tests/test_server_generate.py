@@ -77,6 +77,53 @@ def test_concurrent_generate_requests_thread_safe():
     assert results[0] == results[1]
 
 
+def test_stream_and_generate_identical_cond_dicts(monkeypatch):
+    """/stream must honor the full control set exactly like /generate.
+
+    Round-1 gap: handle_stream dropped emotion/fmax/pitch_std/speaking_rate/
+    vqscore_8/dnsmos_ovrl/speaker_noised/prefix audio. Capture the cond dict
+    each handler feeds prepare_conditioning and compare."""
+    from zonos_tpu.serving.model_manager import load_model_if_needed
+    from zonos_tpu.serving.server import handle_generate, handle_stream
+
+    model = load_model_if_needed(config={})
+    captured = []
+    orig = model.prepare_conditioning
+
+    def capture(cond_dict, *a, **kw):
+        captured.append(
+            {k: (np.asarray(v).tolist() if isinstance(v, np.ndarray) else v)
+             for k, v in cond_dict.items()}
+        )
+        return orig(cond_dict, *a, **kw)
+
+    monkeypatch.setattr(model, "prepare_conditioning", capture)
+    # monkeypatch tts' inner call path too: generate_and_save_audio uses the
+    # same bound method via `model`, so the single patch covers both.
+
+    body = {
+        "text": "control parity",
+        "randomize_seed": False,
+        "seed": 6,
+        "emotion": [0.5, 0.05, 0.05, 0.05, 0.05, 0.05, 0.1, 0.15],
+        "fmax": 20000.0,
+        "pitch_std": 45.0,
+        "speaking_rate": 10.0,
+        "dnsmos_ovrl": 3.5,
+        "ctc_loss": 0.1,
+        "speaker_noised": True,
+        "unconditional_keys": ["vqscore_8"],
+    }
+    handle_generate(dict(body))
+    list(handle_stream(dict(body)))
+
+    assert len(captured) == 2
+    gen_cd, stream_cd = captured
+    assert set(gen_cd) == set(stream_cd)
+    for k in gen_cd:
+        assert gen_cd[k] == stream_cd[k], f"conditioner {k!r} differs between endpoints"
+
+
 def test_generate_with_dynamic_batching(monkeypatch):
     """Two concurrent /generate requests coalesce when batching is enabled."""
     import threading

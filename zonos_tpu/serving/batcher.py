@@ -46,6 +46,12 @@ class TTSRequest:
     fmax: float = 22050.0
     pitch_std: float = 20.0
     speaking_rate: float = 15.0
+    # Scalar quality controls: batched by grouping (only identical values
+    # coalesce — see group_key) rather than by stacking.
+    vqscore_8: tuple | None = None
+    ctc_loss: float = 0.0
+    dnsmos_ovrl: float = 4.0
+    speaker_noised: bool = False
     seed: int = 0
     max_new_tokens: int = 86 * 10
     cfg_scale: float = 2.0
@@ -64,7 +70,11 @@ class TTSRequest:
     def group_key(self, bucket: int = 256) -> tuple:
         max_new_b = -(-self.max_new_tokens // bucket) * bucket
         solo = id(self) if self.no_batch else None
-        return (self.cfg_scale, self.sampling, max_new_b, self.unconditional_keys, self.language[:2], solo)
+        return (
+            self.cfg_scale, self.sampling, max_new_b, self.unconditional_keys,
+            self.language[:2], self.vqscore_8, self.ctc_loss, self.dnsmos_ovrl,
+            self.speaker_noised, solo,
+        )
 
 
 class DynamicBatcher:
@@ -146,6 +156,11 @@ class DynamicBatcher:
             text=first.text,
             language=first.language,
             speaker=np.zeros((1, 1, 128), np.float32),
+            # Group-key'd scalars: identical across the batch by construction.
+            vqscore_8=list(first.vqscore_8) if first.vqscore_8 else [0.78] * 8,
+            ctc_loss=first.ctc_loss,
+            dnsmos_ovrl=first.dnsmos_ovrl,
+            speaker_noised=first.speaker_noised,
             unconditional_keys=first.unconditional_keys,
         )
         # Batched values are injected AFTER make_cond_dict (which normalizes

@@ -139,6 +139,45 @@ def generate_and_save_audio(
     return output_path, wav, sr, rtf
 
 
+def build_cond_dict(
+    model,
+    text: str,
+    language: str = "en-us",
+    speaker: np.ndarray | None = None,
+    emotion: list | None = None,
+    fmax: float = 22050.0,
+    pitch_std: float = 20.0,
+    speaking_rate: float = 15.0,
+    vqscore_8: list | None = None,
+    ctc_loss: float = 0.0,
+    dnsmos_ovrl: float = 4.0,
+    speaker_noised: bool = False,
+    unconditional_keys=frozenset({"vqscore_8", "dnsmos_ovrl"}),
+) -> dict:
+    """Full-control-surface cond dict, filtered to the model's conditioners.
+
+    Single source of truth for request conditioning: /generate and /stream
+    MUST build identical dicts from the same body (tested in
+    tests/test_server_generate.py)."""
+    cond = make_cond_dict(
+        text=text,
+        language=language,
+        speaker=speaker,
+        emotion=list(emotion) if emotion is not None else list(C.DEFAULT_EMOTION),
+        fmax=fmax,
+        pitch_std=pitch_std,
+        speaking_rate=speaking_rate,
+        vqscore_8=list(vqscore_8) if vqscore_8 is not None else [0.78] * 8,
+        ctc_loss=ctc_loss,
+        dnsmos_ovrl=dnsmos_ovrl,
+        speaker_noised=speaker_noised,
+        unconditional_keys=unconditional_keys,
+    )
+    # Drop conditioner inputs the loaded model doesn't have.
+    known = set(model.conditioner_names)
+    return {k: v for k, v in cond.items() if k in known}
+
+
 def tts(
     model,
     text: str,
@@ -167,23 +206,21 @@ def tts(
     )
     speaker = setup_speaker_conditioning(model_name, speaker_audio)
     prefix_codes = setup_prefix_audio(prefix_audio, model.autoencoder)
-    cond = make_cond_dict(
+    cond = build_cond_dict(
+        model,
         text=text,
         language=language,
         speaker=speaker,
-        emotion=list(emotion) if emotion is not None else list(C.DEFAULT_EMOTION),
+        emotion=emotion,
         fmax=fmax,
         pitch_std=pitch_std,
         speaking_rate=speaking_rate,
-        vqscore_8=list(vqscore_8) if vqscore_8 is not None else [0.78] * 8,
+        vqscore_8=vqscore_8,
         ctc_loss=ctc_loss,
         dnsmos_ovrl=dnsmos_ovrl,
         speaker_noised=speaker_noised,
         unconditional_keys=unconditional_keys,
     )
-    # Drop conditioner inputs the loaded model doesn't have.
-    known = set(model.conditioner_names)
-    cond = {k: v for k, v in cond.items() if k in known}
     return generate_and_save_audio(
         model, cond, params, audio_prefix_codes=prefix_codes, output_path=output_path
     )

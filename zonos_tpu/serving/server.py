@@ -87,6 +87,38 @@ def _get_batcher(model):
         return _BATCHER
 
 
+def _control_kwargs(body: dict) -> dict:
+    """Extract the full conditioning control surface from a request body.
+
+    Shared by /generate and /stream so the two endpoints build IDENTICAL
+    cond dicts from the same body (the reference UI exposes all of these;
+    SkyrimNet-Zonos.py:122-170)."""
+    emotion = body.get("emotion")
+    if emotion is None:
+        e_sliders = [
+            body.get(f"e_{name}") for name in C.EMOTION_NAMES
+        ]
+        if any(v is not None for v in e_sliders):
+            emotion = [
+                float(v) if v is not None else float(d)
+                for v, d in zip(e_sliders, C.DEFAULT_EMOTION)
+            ]
+    return dict(
+        language=body.get("language", "en-us"),
+        emotion=emotion,
+        fmax=float(body.get("fmax", 22050.0)),
+        pitch_std=float(body.get("pitch_std", 20.0)),
+        speaking_rate=float(body.get("speaking_rate", 15.0)),
+        vqscore_8=body.get("vqscore_8"),
+        ctc_loss=float(body.get("ctc_loss", 0.0)),
+        dnsmos_ovrl=float(body.get("dnsmos_ovrl", 4.0)),
+        speaker_noised=bool(body.get("speaker_noised", False)),
+        unconditional_keys=frozenset(
+            body.get("unconditional_keys", ["vqscore_8", "dnsmos_ovrl"])
+        ),
+    )
+
+
 def handle_generate(body: dict) -> tuple[bytes, dict]:
     """Core request handler; returns (wav_bytes, metadata)."""
     text = str(body.get("text", ""))
@@ -115,68 +147,65 @@ def handle_generate(body: dict) -> tuple[bytes, dict]:
             min_p=float(body.get("min_p", 0.1)),
         )
         speaker = setup_speaker_conditioning(model_name, body.get("speaker_audio"))
+        controls = _control_kwargs(body)
         t0 = _time.perf_counter()
         wav, sr = batcher.submit(
             TTSRequest(
                 text=text,
-                language=body.get("language", "en-us"),
+                language=controls["language"],
                 speaker=speaker,
-                emotion=body.get("emotion"),
-                fmax=float(body.get("fmax", 22050.0)),
-                pitch_std=float(body.get("pitch_std", 20.0)),
-                speaking_rate=float(body.get("speaking_rate", 15.0)),
+                emotion=controls["emotion"],
+                fmax=controls["fmax"],
+                pitch_std=controls["pitch_std"],
+                speaking_rate=controls["speaking_rate"],
+                vqscore_8=tuple(controls["vqscore_8"]) if controls["vqscore_8"] else None,
+                ctc_loss=controls["ctc_loss"],
+                dnsmos_ovrl=controls["dnsmos_ovrl"],
+                speaker_noised=controls["speaker_noised"],
                 seed=params.seed,
                 max_new_tokens=params.max_new_tokens,
                 cfg_scale=params.cfg_scale,
                 sampling=SamplingParams(**params.sampling),
-                unconditional_keys=frozenset(
-                    body.get("unconditional_keys", ["vqscore_8", "dnsmos_ovrl"])
-                ),
+                unconditional_keys=controls["unconditional_keys"],
+                no_batch=bool(body.get("no_batch", False)),
             )
         )
         rtf = (wav.shape[0] / sr) / max(_time.perf_counter() - t0, 1e-9)
         return _wav_bytes(wav, sr), {"rtf": rtf, "sample_rate": sr, "batched": True}
 
-    emotion = body.get("emotion")
-    if emotion is None:
-        emotion = [
-            float(body.get(f"e_{name}", d))
-            for name, d in zip(C.EMOTION_NAMES, C.DEFAULT_EMOTION)
-        ]
+    controls = _control_kwargs(body)
 
     with _GEN_SEMAPHORE:
         path, wav, sr, rtf = tts(
             model,
             text=text,
-            language=body.get("language", "en-us"),
             speaker_audio=body.get("speaker_audio"),
             prefix_audio=body.get("prefix_audio"),
             model_name=model_name,
-            emotion=emotion,
-            fmax=float(body.get("fmax", 22050.0)),
-            pitch_std=float(body.get("pitch_std", 20.0)),
-            speaking_rate=float(body.get("speaking_rate", 15.0)),
-            vqscore_8=body.get("vqscore_8"),
-            ctc_loss=float(body.get("ctc_loss", 0.0)),
-            dnsmos_ovrl=float(body.get("dnsmos_ovrl", 4.0)),
-            speaker_noised=bool(body.get("speaker_noised", False)),
-            unconditional_keys=frozenset(
-                body.get("unconditional_keys", ["vqscore_8", "dnsmos_ovrl"])
-            ),
             seed=int(body.get("seed", C.DEFAULT_SEED)),
             randomize_seed=bool(body.get("randomize_seed", True)),
             cfg_scale=float(body.get("cfg_scale", 2.0)),
             min_p=float(body.get("min_p", 0.1)),
+            **controls,
         )
     return _wav_bytes(wav, sr), {"path": path, "rtf": rtf, "sample_rate": sr}
 
 
 def handle_stream(body: dict):
-    """Yield raw PCM16 chunks for a streaming TTS request."""
+    """Yield raw PCM16 chunks for a streaming TTS request.
+
+    Conditioning parity with /generate: the full control set (emotion, fmax,
+    pitch_std, speaking_rate, vqscore_8, ctc_loss, dnsmos_ovrl,
+    speaker_noised, unconditional_keys) and prefix audio all apply here too.
+    """
     import numpy as np
 
-    from zonos_tpu.conditioning.cond_dict import make_cond_dict
-    from zonos_tpu.serving.pipeline import prepare_generation_params, setup_speaker_conditioning
+    from zonos_tpu.serving.pipeline import (
+        build_cond_dict,
+        prepare_generation_params,
+        setup_prefix_audio,
+        setup_speaker_conditioning,
+    )
 
     text = str(body.get("text", ""))
     model_name = body.get("model_choice", C.MODEL_TRANSFORMER)
@@ -189,23 +218,19 @@ def handle_stream(body: dict):
         min_p=float(body.get("min_p", 0.1)),
     )
     speaker = setup_speaker_conditioning(model_name, body.get("speaker_audio"))
-    cond_dict = make_cond_dict(
-        text=text, language=body.get("language", "en-us"), speaker=speaker
-    )
-    known = set(model.conditioner_names)
-    cond_dict = {k: v for k, v in cond_dict.items() if k in known}
+    prefix_codes = setup_prefix_audio(body.get("prefix_audio"), model.autoencoder)
+    cond_dict = build_cond_dict(model, text=text, speaker=speaker, **_control_kwargs(body))
     conditioning = model.prepare_conditioning(cond_dict, cfg_scale=params.cfg_scale)
 
-    sr_holder = {}
     with _GEN_SEMAPHORE:
         for wav, sr in model.stream(
             conditioning,
+            audio_prefix_codes=prefix_codes,
             max_new_tokens=params.max_new_tokens,
             cfg_scale=params.cfg_scale,
             sampling_params=params.sampling,
             seed=params.seed,
         ):
-            sr_holder["sr"] = sr
             pcm = np.clip(wav * 32767.0, -32767.0, 32767.0).astype("<i2")
             yield pcm.tobytes(), sr
 
