@@ -119,7 +119,13 @@ def _ordinalize_word(w: str) -> str:
     return w + "th"
 
 
-# --- Regexes mirror the reference normalize_numbers (conditioning.py:139-221) ---
+# --- Number normalization (regexes + expansion control flow) ---
+# Derived from the keithito/tacotron text cleaners (MIT), the same public
+# lineage the reference credits for its copy ("functions to convert numbers
+# to english text, copied from p0p4k/vits2_pytorch" — reference
+# conditioning.py:139-221, itself from keithito/tacotron cleaners.py).
+# The word-spelling backend underneath (number_to_words/ordinals above) is
+# reimplemented here in pure Python instead of depending on `inflect`.
 
 _comma_number_re = re.compile(r"([0-9][0-9\,]+[0-9])")
 _decimal_number_re = re.compile(r"([0-9]+\.[0-9]+)")
