@@ -9,9 +9,14 @@
 // (conditioning.py:227-236).
 //
 // C ABI (ctypes-friendly):
-//   const char* ztx_phonemize(const char* utf8_text);  // malloc'd UTF-8
+//   const char* ztx_phonemize(const char* utf8_text);  // malloc'd UTF-8 (en)
+//   const char* ztx_phonemize_lang(const char* utf8_text, const char* lang);
 //   void        ztx_free(const char* p);
 //   int         ztx_version();
+//
+// Languages: "en" — NRL-style rule engine + irregular-word lexicon + stress
+// heuristic; "es" — Spanish rule engine (orthography is near-phonemic) with
+// orthographic stress rules. Other codes return nullptr (caller falls back).
 //
 // Build: g++ -O2 -fPIC -shared g2p.cpp -o libzonos_text.so
 
@@ -254,7 +259,132 @@ bool match_left(const std::string& w, size_t pos, const char* ctx) {
   return true;
 }
 
+// --- Irregular-word lexicon (en) -------------------------------------------
+// Looked up before the rule engine; entries carry eSpeak-style stress marks
+// (ˈ immediately before the stressed vowel). Covers high-frequency words the
+// letter-to-sound rules get wrong plus classic irregulars.
+struct LexEntry { const char* word; const char* ipa; };
+static const LexEntry kLexiconEn[] = {
+  {"a", "ə"}, {"an", "ən"}, {"and", "ænd"}, {"as", "æz"}, {"at", "æt"},
+  {"because", "bɪkˈʌz"}, {"been", "bɪn"}, {"busy", "bˈɪzi"},
+  {"choir", "kwˈaɪɚ"}, {"colonel", "kˈɜːnəl"}, {"come", "kˈʌm"},
+  {"cough", "kˈɔːf"}, {"could", "kʊd"}, {"debt", "dˈɛt"},
+  {"dr", "dˈɑːktɚ"}, {"done", "dˈʌn"}, {"enough", "ɪnˈʌf"},
+  {"eight", "ˈeɪt"}, {"friend", "fɹˈɛnd"}, {"from", "fɹʌm"},
+  {"gone", "ɡˈɔːn"}, {"have", "hæv"}, {"heart", "hˈɑːɹt"},
+  {"iron", "ˈaɪɚn"}, {"island", "ˈaɪlənd"}, {"isle", "ˈaɪl"},
+  {"laugh", "lˈæf"}, {"love", "lˈʌv"}, {"live", "lˈɪv"},
+  {"many", "mˈɛni"}, {"minute", "mˈɪnɪt"}, {"money", "mˈʌni"},
+  {"mr", "mˈɪstɚ"}, {"mrs", "mˈɪsɪz"}, {"ms", "mˈɪz"},
+  {"none", "nˈʌn"}, {"of", "ʌv"}, {"off", "ˈɔːf"},
+  {"once", "wˈʌns"}, {"one", "wˈʌn"}, {"people", "pˈiːpəl"},
+  {"pretty", "pɹˈɪti"}, {"quay", "kˈiː"}, {"queue", "kjˈuː"},
+  {"receipt", "ɹɪsˈiːt"}, {"rough", "ɹˈʌf"}, {"said", "sˈɛd"},
+  {"says", "sˈɛz"}, {"sew", "sˈoʊ"}, {"shoe", "ʃˈuː"},
+  {"some", "sʌm"}, {"something", "sˈʌmθɪŋ"}, {"sure", "ʃˈʊɹ"},
+  {"the", "ðə"}, {"to", "tə"}, {"tomb", "tˈuːm"},
+  {"tongue", "tˈʌŋ"}, {"touch", "tˈʌtʃ"}, {"tough", "tˈʌf"},
+  {"two", "tˈuː"}, {"was", "wʌz"}, {"were", "wɚ"},
+  {"woman", "wˈʊmən"}, {"women", "wˈɪmɪn"}, {"won", "wˈʌn"},
+  {"would", "wʊd"}, {"you", "juː"}, {"your", "jʊɹ"},
+  {"yacht", "jˈɑːt"}, {"does", "dʌz"}, {"do", "duː"},
+  {"says", "sˈɛz"}, {"said", "sˈɛd"}, {"eye", "ˈaɪ"},
+  {"answer", "ˈænsɚ"}, {"sword", "sˈɔːɹd"}, {"whole", "hˈoʊl"},
+  {"water", "wˈɔːtɚ"}, {"again", "əɡˈɛn"}, {"against", "əɡˈɛnst"},
+  {"brown", "bɹˈaʊn"}, {"down", "dˈaʊn"}, {"town", "tˈaʊn"},
+  {"crown", "kɹˈaʊn"}, {"crowd", "kɹˈaʊd"}, {"gown", "ɡˈaʊn"},
+  {"own", "ˈoʊn"}, {"only", "ˈoʊnli"}, {"very", "vˈɛɹi"},
+  {"every", "ˈɛvɹi"}, {"any", "ˈɛni"}, {"many", "mˈɛni"},
+  {"ocean", "ˈoʊʃən"}, {"early", "ˈɝːli"}, {"earth", "ˈɝːθ"},
+};
+constexpr int kNumLexEn = sizeof(kLexiconEn) / sizeof(LexEntry);
+
+// Unstressed function words: single-syllable words NOT in this set get a
+// primary stress mark (content words are stressed in eSpeak's output).
+static const char* kUnstressedEn[] = {
+  "a", "an", "and", "as", "at", "be", "but", "by", "for", "from", "had",
+  "has", "his", "her", "in", "is", "it", "its", "nor", "of", "on", "or",
+  "the", "to", "was", "with", "am", "are", "were", "shall", "should",
+  "can", "could", "would", "must", "that", "than", "them", "so", "if",
+  "up", "out", "not",
+};
+constexpr int kNumUnstressedEn = sizeof(kUnstressedEn) / sizeof(char*);
+
+bool is_unstressed_en(const std::string& w) {
+  for (int i = 0; i < kNumUnstressedEn; ++i)
+    if (w == kUnstressedEn[i]) return true;
+  return false;
+}
+
+// IPA vowel nuclei the stress mark can precede. Multi-byte UTF-8 sequences;
+// longest-match. Diphthong/long-vowel starters are covered by their first
+// code point (eɪ starts with 'e' etc.).
+static const char* kIpaVowelStarts[] = {
+  "ɑ", "æ", "ʌ", "ɔ", "ɛ", "ɚ", "ɝ", "ə", "ɪ", "ʊ", "a", "e", "i", "o", "u",
+};
+constexpr int kNumIpaVowels = sizeof(kIpaVowelStarts) / sizeof(char*);
+
+// Byte offset of the n-th vowel nucleus in an IPA string, or npos.
+size_t ipa_vowel_pos(const std::string& ipa, int nth) {
+  int seen = 0;
+  size_t i = 0;
+  bool in_vowel = false;
+  while (i < ipa.size()) {
+    bool matched = false;
+    for (int v = 0; v < kNumIpaVowels; ++v) {
+      size_t len = strlen(kIpaVowelStarts[v]);
+      if (ipa.compare(i, len, kIpaVowelStarts[v]) == 0) {
+        if (!in_vowel) {
+          if (seen == nth) return i;
+          ++seen;
+          in_vowel = true;
+        }
+        i += len;
+        matched = true;
+        break;
+      }
+    }
+    if (!matched) {
+      // Long marks/offglides keep us inside the same nucleus.
+      if (ipa.compare(i, 2, "ː") == 0) { i += 2; }
+      else if (ipa.compare(i, 2, "ɪ") == 0 || ipa.compare(i, 2, "ʊ") == 0) { i += 2; }
+      else { in_vowel = false; i += 1; }
+    }
+  }
+  return std::string::npos;
+}
+
+int ipa_vowel_count(const std::string& ipa) {
+  int n = 0;
+  while (ipa_vowel_pos(ipa, n) != std::string::npos) ++n;
+  return n;
+}
+
+// English stress heuristic: lexicon entries already carry stress; for
+// rule-generated words put primary stress on the first non-schwa vowel
+// (initial stress is the majority pattern in English), skipping unstressed
+// function words.
+std::string add_stress_en(const std::string& word, const std::string& ipa) {
+  if (ipa.find("ˈ") != std::string::npos) return ipa;
+  if (is_unstressed_en(word)) return ipa;
+  int n = ipa_vowel_count(ipa);
+  if (n == 0) return ipa;
+  for (int v = 0; v < n; ++v) {
+    size_t pos = ipa_vowel_pos(ipa, v);
+    // ə and ɚ are never stressed; try the next nucleus.
+    if (ipa.compare(pos, 2, "ə") == 0 || ipa.compare(pos, 2, "ɚ") == 0) continue;
+    std::string out = ipa;
+    out.insert(pos, "ˈ");
+    return out;
+  }
+  return ipa;
+}
+
 std::string phonemize_word(const std::string& raw) {
+  // Irregular lexicon first (stress included).
+  for (int i = 0; i < kNumLexEn; ++i) {
+    if (raw == kLexiconEn[i].word) return kLexiconEn[i].ipa;
+  }
   // Pad with spaces so boundary contexts can match.
   std::string w = " " + raw + " ";
   std::string out;
@@ -275,19 +405,200 @@ std::string phonemize_word(const std::string& raw) {
     }
     if (!matched) ++pos;  // unknown character: skip
   }
+  return add_stress_en(raw, out);
+}
+
+// --- Spanish ----------------------------------------------------------------
+// Spanish orthography is near-phonemic: a compact context-rule engine covers
+// it well (Castilian conventions, matching eSpeak's "es" voice: c/z → θ,
+// ll/y → ʝ, j/ge/gi → x). Stress follows orthography: an accented vowel wins;
+// otherwise penultimate syllable for vowel/n/s-final words, final otherwise.
+
+struct EsPhone { std::string ipa; bool vowel; bool accented; };
+
+bool es_vowel_char(char c) { return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'; }
+
+// Decode one UTF-8 "letter" of Spanish text (lowercased ASCII + á é í ó ú ü ñ).
+// Returns bytes consumed; writes the base letter and accent flag.
+size_t es_letter(const std::string& w, size_t i, char* base, bool* accented, bool* dieresis) {
+  *accented = false;
+  *dieresis = false;
+  unsigned char c = w[i];
+  if (c < 128) { *base = static_cast<char>(c); return 1; }
+  if (i + 1 < w.size() && c == 0xC3) {
+    unsigned char d = w[i + 1];
+    switch (d) {
+      case 0xA1: *base = 'a'; *accented = true; return 2;  // á
+      case 0xA9: *base = 'e'; *accented = true; return 2;  // é
+      case 0xAD: *base = 'i'; *accented = true; return 2;  // í
+      case 0xB3: *base = 'o'; *accented = true; return 2;  // ó
+      case 0xBA: *base = 'u'; *accented = true; return 2;  // ú
+      case 0xBC: *base = 'u'; *dieresis = true; return 2;  // ü
+      case 0xB1: *base = '~'; return 2;                    // ñ → marker
+    }
+  }
+  *base = '?';
+  return 1;  // unknown multibyte lead: consume one byte
+}
+
+std::string phonemize_word_es(const std::string& raw) {
+  // Normalize to a base-letter string, remembering accents.
+  std::string w;
+  std::vector<bool> acc, die;
+  for (size_t i = 0; i < raw.size();) {
+    char base; bool a, di;
+    i += es_letter(raw, i, &base, &a, &di);
+    if (base == '?') continue;
+    w += (base == '~') ? '~' : base;  // '~' = ñ
+    acc.push_back(a);
+    die.push_back(di);
+  }
+
+  std::vector<EsPhone> ph;
+  size_t n = w.size();
+  for (size_t i = 0; i < n;) {
+    char c = w[i];
+    char next = (i + 1 < n) ? w[i + 1] : '\0';
+    char prev = (i > 0) ? w[i - 1] : '\0';
+    bool a = acc[i];
+    switch (c) {
+      case 'a': ph.push_back({"a", true, a}); ++i; break;
+      case 'e': ph.push_back({"e", true, a}); ++i; break;
+      case 'i':
+        ph.push_back({"i", true, a}); ++i; break;
+      case 'o': ph.push_back({"o", true, a}); ++i; break;
+      case 'u': ph.push_back({"u", true, a}); ++i; break;
+      case '~': ph.push_back({"ɲ", false, false}); ++i; break;
+      case 'b': case 'v':
+        ph.push_back({(i == 0 || prev=='m' || prev=='n') ? "b" : "β", false, false}); ++i; break;
+      case 'c':
+        if (next == 'h') { ph.push_back({"tʃ", false, false}); i += 2; }
+        else if (next == 'e' || next == 'i') { ph.push_back({"θ", false, false}); ++i; }
+        else { ph.push_back({"k", false, false}); ++i; }
+        break;
+      case 'd': ph.push_back({(i == 0 || prev=='n' || prev=='l') ? "d" : "ð", false, false}); ++i; break;
+      case 'f': ph.push_back({"f", false, false}); ++i; break;
+      case 'g':
+        if (next == 'e' || next == 'i') { ph.push_back({"x", false, false}); ++i; }
+        else if (next == 'u' && i + 2 < n && (w[i+2]=='e' || w[i+2]=='i') && !acc[i+1]) {
+          // gue/gui: u silent; güe/güi (dieresis) keeps /w/
+          ph.push_back({"ɡ", false, false});
+          if (die[i + 1]) ph.push_back({"w", false, false});
+          i += 2;
+        }
+        else { ph.push_back({"ɡ", false, false}); ++i; }
+        break;
+      case 'h': ++i; break;  // silent
+      case 'j': ph.push_back({"x", false, false}); ++i; break;
+      case 'k': ph.push_back({"k", false, false}); ++i; break;
+      case 'l':
+        if (next == 'l') { ph.push_back({"ʝ", false, false}); i += 2; }
+        else { ph.push_back({"l", false, false}); ++i; }
+        break;
+      case 'm': ph.push_back({"m", false, false}); ++i; break;
+      case 'n': ph.push_back({"n", false, false}); ++i; break;
+      case 'p': ph.push_back({"p", false, false}); ++i; break;
+      case 'q':
+        if (next == 'u') i += 2; else ++i;
+        ph.push_back({"k", false, false});
+        break;
+      case 'r':
+        if (next == 'r') { ph.push_back({"r", false, false}); i += 2; }
+        else { ph.push_back({(i == 0 || prev=='n' || prev=='l' || prev=='s') ? "r" : "ɾ", false, false}); ++i; }
+        break;
+      case 's': ph.push_back({"s", false, false}); ++i; break;
+      case 't': ph.push_back({"t", false, false}); ++i; break;
+      case 'w': ph.push_back({"w", false, false}); ++i; break;
+      case 'x': ph.push_back({"ks", false, false}); ++i; break;
+      case 'y':
+        if (n == 1) ph.push_back({"i", true, false});
+        else if (i + 1 == n) ph.push_back({"i", true, false});
+        else ph.push_back({"ʝ", false, false});
+        ++i; break;
+      case 'z': ph.push_back({"θ", false, false}); ++i; break;
+      default: ++i; break;
+    }
+  }
+
+  // Stress: accented vowel wins; else penultimate vowel when the word ends
+  // in a vowel/n/s, else the last vowel. Weak vowels (i, u) next to strong
+  // ones form diphthongs — treat a strong+weak/weak+strong pair as one
+  // nucleus for stress counting.
+  std::vector<int> nuclei;  // indices into ph (first vowel of each nucleus)
+  int stressed_nucleus = -1;
+  for (size_t i = 0; i < ph.size(); ++i) {
+    if (!ph[i].vowel) continue;
+    // A vowel merges into the previous nucleus (diphthong) when adjacent to
+    // a vowel and either side is an unaccented weak vowel (i/u).
+    bool merge = false;
+    if (i > 0 && ph[i - 1].vowel) {
+      bool prev_weak = (ph[i - 1].ipa == "i" || ph[i - 1].ipa == "u") && !ph[i - 1].accented;
+      bool cur_weak = (ph[i].ipa == "i" || ph[i].ipa == "u") && !ph[i].accented;
+      merge = prev_weak || cur_weak;
+    }
+    if (!merge) nuclei.push_back(static_cast<int>(i));
+    if (ph[i].accented) stressed_nucleus = static_cast<int>(nuclei.size()) - 1;
+  }
+  if (!nuclei.empty() && nuclei.size() > 1) {
+    if (stressed_nucleus < 0) {
+      char last = w.empty() ? '\0' : w[w.size() - 1];
+      bool penult = es_vowel_char(last) || last == 'n' || last == 's';
+      stressed_nucleus = static_cast<int>(nuclei.size()) - (penult ? 2 : 1);
+    }
+  } else if (nuclei.size() == 1) {
+    stressed_nucleus = -1;  // monosyllables: no mark (matches eSpeak es)
+  }
+
+  std::string out;
+  for (size_t i = 0; i < ph.size(); ++i) {
+    if (stressed_nucleus >= 0 && static_cast<size_t>(nuclei[stressed_nucleus]) == i)
+      out += "ˈ";
+    out += ph[i].ipa;
+  }
   return out;
 }
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-int ztx_version() { return 1; }
+enum class Lang { EN, ES };
 
-// Phonemize UTF-8 text: ASCII letters run through the rule engine word by
-// word; punctuation from the model symbol table passes through; everything
-// else is dropped. Returned buffer is malloc'd; free with ztx_free.
-const char* ztx_phonemize(const char* utf8_text) {
+// True when the bytes at text[i] are a letter this language's engine keeps.
+// Writes the (lowercased) bytes to `word` and returns bytes consumed, or 0.
+size_t take_letter(const std::string& text, size_t i, Lang lang, std::string* word) {
+  unsigned char c = text[i];
+  if (c < 128 && isalpha(c)) {
+    *word += static_cast<char>(tolower(c));
+    return 1;
+  }
+  if (c == '\'' && lang == Lang::EN) {
+    *word += static_cast<char>(c);  // keep apostrophes inside words (don't)
+    return 1;
+  }
+  if (lang == Lang::ES && c == 0xC3 && i + 1 < text.size()) {
+    unsigned char d = text[i + 1];
+    // á é í ó ú ü ñ (plus uppercase forms folded to lowercase)
+    switch (d) {
+      case 0x81: d = 0xA1; break;  // Á→á
+      case 0x89: d = 0xA9; break;  // É→é
+      case 0x8D: d = 0xAD; break;  // Í→í
+      case 0x93: d = 0xB3; break;  // Ó→ó
+      case 0x9A: d = 0xBA; break;  // Ú→ú
+      case 0x9C: d = 0xBC; break;  // Ü→ü
+      case 0x91: d = 0xB1; break;  // Ñ→ñ
+    }
+    if (d == 0xA1 || d == 0xA9 || d == 0xAD || d == 0xB3 || d == 0xBA ||
+        d == 0xBC || d == 0xB1) {
+      *word += static_cast<char>(0xC3);
+      *word += static_cast<char>(d);
+      return 2;
+    }
+  }
+  return 0;
+}
+
+const char* phonemize_text(const char* utf8_text, Lang lang) {
   if (!utf8_text) return nullptr;
   std::string text(utf8_text);
   std::string result;
@@ -295,32 +606,50 @@ const char* ztx_phonemize(const char* utf8_text) {
 
   auto flush = [&]() {
     if (!word.empty()) {
-      result += phonemize_word(word);
+      result += (lang == Lang::ES) ? phonemize_word_es(word) : phonemize_word(word);
       word.clear();
     }
   };
 
-  for (size_t i = 0; i < text.size(); ++i) {
+  for (size_t i = 0; i < text.size();) {
+    size_t n = take_letter(text, i, lang, &word);
+    if (n) { i += n; continue; }
     unsigned char c = text[i];
-    if (c < 128 && isalpha(c)) {
-      word += static_cast<char>(tolower(c));
-    } else if (c == '\'') {
-      word += c;  // keep apostrophes inside words (don't, it's)
-    } else {
-      flush();
-      if (strchr(";:,.!?()\"- ", c)) {
-        if (c == ' ' && !result.empty() && result.back() == ' ') continue;
+    flush();
+    if (strchr(";:,.!?()\"- ", c)) {
+      if (!(c == ' ' && !result.empty() && result.back() == ' '))
         result += static_cast<char>(c);
-      }
-      // non-ASCII bytes and digits are dropped (digits are expanded to words
-      // by the Python normalizer before reaching this library)
     }
+    // other bytes dropped (digits are expanded to words by the Python
+    // normalizer before reaching this library)
+    ++i;
   }
   flush();
 
   char* buf = static_cast<char*>(malloc(result.size() + 1));
   memcpy(buf, result.c_str(), result.size() + 1);
   return buf;
+}
+
+}  // namespace
+
+extern "C" {
+
+int ztx_version() { return 2; }
+
+// Phonemize UTF-8 text in the given language ("en", "en-us", "es", ...).
+// Returns nullptr for unsupported languages (caller falls back). Returned
+// buffer is malloc'd; free with ztx_free.
+const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
+  if (!lang) return nullptr;
+  if (strncmp(lang, "en", 2) == 0) return phonemize_text(utf8_text, Lang::EN);
+  if (strncmp(lang, "es", 2) == 0) return phonemize_text(utf8_text, Lang::ES);
+  return nullptr;
+}
+
+// Back-compat: English.
+const char* ztx_phonemize(const char* utf8_text) {
+  return phonemize_text(utf8_text, Lang::EN);
 }
 
 void ztx_free(const char* p) { free(const_cast<char*>(p)); }

@@ -1,0 +1,140 @@
+"""eSpeak ctypes binding, exercised against a stub CDLL.
+
+libespeak-ng isn't in this image, so the binding's pointer-advance loop,
+voice switching, and batch path run against a fake library object with the
+same C surface (reference drives the real thing via the phonemizer package,
+/root/reference/zonos/conditioning.py:291-335). Also covers the widened
+native fallbacks: English lexicon + stress marks, the Spanish rule engine,
+and the loud grapheme-degradation warning.
+"""
+
+import ctypes
+import logging
+
+import pytest
+
+import zonos_tpu.conditioning.espeak as E
+from zonos_tpu.conditioning import native_g2p
+
+
+class FakeEspeak:
+    """Stub with espeak-ng's C call surface.
+
+    espeak_TextToPhonemes receives a pointer-to-pointer and must advance it
+    across clause boundaries, returning one phoneme string per clause.
+    """
+
+    def __init__(self, clauses_per_call=1):
+        self.voices = []
+        self.texts = []
+        self._pending = []
+
+    def espeak_SetVoiceByName(self, name: bytes) -> int:
+        self.voices.append(name.decode())
+        return 0 if not name.decode().startswith("zz") else 1
+
+    def espeak_TextToPhonemes(self, ptr_ref, text_mode: int, phoneme_mode: int):
+        # ptr_ref is byref(c_void_p); ._obj is the c_void_p itself.
+        ptr = ptr_ref._obj
+        text = ctypes.string_at(ptr.value).decode("utf-8")
+        # Split on '.' to emulate clause-by-clause advancement.
+        if "." in text:
+            first, rest = text.split(".", 1)
+            # Advance the pointer past the consumed clause.
+            consumed = len(first.encode("utf-8")) + 1
+            ptr.value = ptr.value + consumed
+            self.texts.append(first)
+            return f"[{first.strip()}]".encode()
+        ptr.value = None  # all consumed
+        self.texts.append(text)
+        return f"[{text.strip()}]".encode()
+
+
+@pytest.fixture
+def fake_lib(monkeypatch):
+    lib = FakeEspeak()
+    monkeypatch.setattr(E, "_load", lambda: lib)
+    monkeypatch.setattr(E, "_CURRENT_VOICE", None)
+    return lib
+
+
+def test_phonemize_one_single_clause(fake_lib):
+    out = E._phonemize_one(fake_lib, "hello world", "en-us")
+    assert out == "[hello world]"
+    assert fake_lib.voices == ["en-us"]
+
+
+def test_phonemize_one_multi_clause_pointer_advance(fake_lib):
+    out = E._phonemize_one(fake_lib, "one. two. three", "en-us")
+    assert out == "[one] [two] [three]"
+
+
+def test_phonemize_one_voice_retry_base_language(fake_lib):
+    # Voice "zz-xx" fails → binding retries the base code "zz" (also fails,
+    # but both attempts must be made, matching phonemizer's fallback).
+    E._phonemize_one(fake_lib, "x", "zz-xx")
+    assert fake_lib.voices == ["zz-xx", "zz"]
+
+
+def test_phonemize_batch_switches_voice_once_per_language(fake_lib):
+    out = E.phonemize(["hello", "hola", "adios"], ["en-us", "es", "es"])
+    assert len(out) == 3
+    # en-us then es; es is NOT re-set for the third item.
+    assert fake_lib.voices == ["en-us", "es"]
+
+
+# ---------------------------------------------------------------------------
+# Native fallback engines (no espeak): lexicon, stress, Spanish.
+# ---------------------------------------------------------------------------
+
+needs_native = pytest.mark.skipif(
+    not native_g2p.available(), reason="no g++ to build libzonos_text"
+)
+
+
+@needs_native
+def test_en_lexicon_irregulars():
+    assert native_g2p.phonemize("one", "en-us") == "wˈʌn"
+    assert native_g2p.phonemize("women", "en-us") == "wˈɪmɪn"
+    assert native_g2p.phonemize("colonel", "en-us") == "kˈɜːnəl"
+
+
+@needs_native
+def test_en_stress_marks_present():
+    out = native_g2p.phonemize("hello wonderful world", "en-us")
+    # Every content word carries a primary stress mark.
+    assert out.count("ˈ") == 3, out
+    # Function words stay unstressed.
+    out2 = native_g2p.phonemize("the cat", "en-us")
+    assert out2.startswith("ðə "), out2
+    assert out2.count("ˈ") == 1
+
+
+@needs_native
+def test_es_rule_engine():
+    assert native_g2p.phonemize("queso", "es") == "kˈeso"
+    assert native_g2p.phonemize("gente", "es") == "xˈente"
+    assert native_g2p.phonemize("niño", "es") == "nˈiɲo"
+    # Orthographic accent wins; final -n defaults to penult otherwise.
+    assert native_g2p.phonemize("corazón", "es") == "koɾaθˈon"
+    assert native_g2p.phonemize("hablan", "es") == "ˈaβlan"
+    # rr trill vs intervocalic tap.
+    assert native_g2p.phonemize("pero", "es") == "pˈeɾo"
+    assert native_g2p.phonemize("perro", "es") == "pˈero"
+
+
+@needs_native
+def test_es_routed_through_phonemize(monkeypatch):
+    monkeypatch.setattr(E, "_load", lambda: None)  # no espeak
+    out = E.phonemize(["el queso grande"], ["es"])[0]
+    assert "kˈeso" in out and "ɡɾˈande" in out
+
+
+def test_grapheme_fallback_warns_loudly(monkeypatch, caplog):
+    monkeypatch.setattr(E, "_load", lambda: None)
+    E._WARNED_LANGS.clear()
+    with caplog.at_level(logging.WARNING, logger="zonos_tpu"):
+        out = E.phonemize(["bonjour", "bonsoir"], ["fr-fr", "fr-fr"])
+    assert out == ["bonjour", "bonsoir"]
+    warnings = [r for r in caplog.records if "falling back" in r.message]
+    assert len(warnings) == 1  # loud once, not per request

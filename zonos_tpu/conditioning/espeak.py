@@ -105,9 +105,11 @@ def _phonemize_one(lib, text: str, language: str) -> str:
 def phonemize(texts: list[str], languages: list[str]) -> list[str]:
     """Clean + phonemize a batch (reference conditioning.py:307-335).
 
-    Backend order: libespeak-ng (all 127 languages) → native C++ rule engine
-    (English, native/zonos_text) → lowercase graphemes (representable in the
-    model symbol table, degraded quality).
+    Backend order: libespeak-ng (all 127 languages) → native C++ rule engines
+    (English + Spanish, native/zonos_text; with lexicon + stress marks) →
+    kana mapper (ja) → lowercase graphemes (representable in the model symbol
+    table, degraded quality — logged once per language so the degradation is
+    loud, not silent).
     """
     texts = clean(texts, languages)
     with _LOCK:
@@ -120,10 +122,27 @@ def phonemize(texts: list[str], languages: list[str]) -> list[str]:
 
     out = []
     for t, lang in zip(texts, languages):
-        ipa = None
-        if lang.startswith("en"):
-            ipa = native_g2p.phonemize_en(t)
-        elif lang.startswith("ja") and has_kana(t):
+        ipa = native_g2p.phonemize(t, lang)
+        if ipa is None and lang.startswith("ja") and has_kana(t):
             ipa = kana_to_ipa(t)
+        if ipa is None:
+            _warn_grapheme_fallback(lang)
         out.append(ipa if ipa else t.lower())
     return out
+
+
+_WARNED_LANGS: set[str] = set()
+
+
+def _warn_grapheme_fallback(lang: str) -> None:
+    """One loud log line per language when G2P degrades to graphemes."""
+    if lang in _WARNED_LANGS:
+        return
+    _WARNED_LANGS.add(lang)
+    import logging
+
+    logging.getLogger("zonos_tpu").warning(
+        "no G2P backend for %r (espeak-ng absent, no native rule set): "
+        "falling back to lowercase graphemes — intelligibility will degrade",
+        lang,
+    )

@@ -1,8 +1,10 @@
 """ctypes loader for the native C++ G2P library (native/zonos_text).
 
 Build-on-demand: compiles ``libzonos_text.so`` with g++ the first time it's
-needed (cached next to the source). Falls back cleanly when no compiler is
-available. English only — other languages go through eSpeak when present,
+needed (cached next to the source; rebuilt when the cached binary predates
+the current ABI version). Falls back cleanly when no compiler is available.
+Covers English (NRL-style rules + irregular lexicon + stress) and Spanish
+(orthographic rule engine); other languages go through eSpeak when present,
 else grapheme passthrough (zonos_tpu/conditioning/espeak.py).
 """
 
@@ -17,6 +19,8 @@ import threading
 _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
+
+_ABI_VERSION = 2  # bump when g2p.cpp's C ABI or tables change materially
 
 _SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native", "zonos_text")
 _SO_PATH = os.path.join(_SRC_DIR, "libzonos_text.so")
@@ -37,6 +41,17 @@ def _build() -> bool:
         return False
 
 
+def _try_load():
+    lib = ctypes.cdll.LoadLibrary(_SO_PATH)
+    lib.ztx_version.restype = ctypes.c_int
+    if lib.ztx_version() < _ABI_VERSION:
+        raise OSError("stale libzonos_text.so")
+    lib.ztx_phonemize_lang.restype = ctypes.c_void_p
+    lib.ztx_phonemize_lang.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.ztx_free.argtypes = [ctypes.c_void_p]
+    return lib
+
+
 def _load():
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
@@ -45,13 +60,15 @@ def _load():
     if not os.path.exists(_SO_PATH) and not _build():
         return None
     try:
-        lib = ctypes.cdll.LoadLibrary(_SO_PATH)
-        lib.ztx_phonemize.restype = ctypes.c_void_p
-        lib.ztx_phonemize.argtypes = [ctypes.c_char_p]
-        lib.ztx_free.argtypes = [ctypes.c_void_p]
-        _LIB = lib
+        _LIB = _try_load()
     except OSError:
+        # Missing or stale binary: rebuild once from source.
         _LIB = None
+        if _build():
+            try:
+                _LIB = _try_load()
+            except OSError:
+                _LIB = None
     return _LIB
 
 
@@ -60,16 +77,22 @@ def available() -> bool:
         return _load() is not None
 
 
-def phonemize_en(text: str) -> str | None:
-    """English text → IPA via the native rule engine; None if unavailable."""
+def phonemize(text: str, language: str) -> str | None:
+    """Text → IPA via the native rule engines; None if the language (or the
+    library) is unavailable. Languages: en*, es*."""
     with _LOCK:
         lib = _load()
         if lib is None:
             return None
-        ptr = lib.ztx_phonemize(text.encode("utf-8"))
+        ptr = lib.ztx_phonemize_lang(text.encode("utf-8"), language.encode())
         if not ptr:
             return None
         try:
             return ctypes.string_at(ptr).decode("utf-8", errors="ignore")
         finally:
             lib.ztx_free(ptr)
+
+
+def phonemize_en(text: str) -> str | None:
+    """English text → IPA via the native rule engine; None if unavailable."""
+    return phonemize(text, "en")
