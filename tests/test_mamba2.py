@@ -123,6 +123,107 @@ def test_mamba2_mixer_prefill_vs_step(rng):
     np.testing.assert_allclose(np.asarray(ssm_state), np.asarray(ssm_full), atol=2e-4, rtol=2e-3)
 
 
+def test_chunk_boundary_continuity_with_init_state(data):
+    """Splitting a sequence and carrying init_state must equal one full run —
+    the streaming-segment resume invariant (SURVEY §7.3-1 divergence trap)."""
+    x, dt, A, B_, C_ = data
+    args = [jnp.asarray(v) for v in (x, dt, A, B_, C_)]
+    y_full, s_full = M.ssd_chunked(*args, chunk_size=8)
+
+    split = 16
+    y1, s1 = M.ssd_chunked(
+        *(a[:, :split] if a.ndim > 1 else a for a in args), chunk_size=8
+    )
+    y2, s2 = M.ssd_chunked(
+        *(a[:, split:] if a.ndim > 1 else a for a in args), chunk_size=8, init_state=s1
+    )
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=1)
+    np.testing.assert_allclose(got, np.asarray(y_full), atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s_full), atol=1e-4, rtol=1e-3)
+
+
+def test_chunked_vs_step_fp64():
+    """Token-by-token fp64 cross-check: the two decode paths must agree to
+    near machine precision (catches algebra errors the fp32 tolerance hides)."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        rng = np.random.default_rng(7)
+        b, l, h, p, g, n = 1, 16, 4, 8, 2, 16
+        x = jnp.asarray(rng.normal(size=(b, l, h, p)))
+        dt = jnp.asarray(rng.uniform(0.01, 0.5, size=(b, l, h)))
+        A = jnp.asarray(-rng.uniform(0.5, 4.0, size=(h,)))
+        B_ = jnp.asarray(rng.normal(size=(b, l, g, n)))
+        C_ = jnp.asarray(rng.normal(size=(b, l, g, n)))
+
+        y_ref, s_ref = M.ssd_chunked(x, dt, A, B_, C_, chunk_size=8)
+        state = jnp.zeros((b, h, n, p), jnp.float64)
+        ys = []
+        for t in range(l):
+            y, state = M.ssd_step(x[:, t], dt[:, t], A, B_[:, t], C_[:, t], state)
+            ys.append(np.asarray(y))
+        np.testing.assert_allclose(np.stack(ys, 1), np.asarray(y_ref), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(state), np.asarray(s_ref), atol=1e-10)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_mixer_unaligned_length_and_odd_dims(rng):
+    """L % chunk_size != 0, ngroups > 1, headdim != 64 — the divergence traps
+    SURVEY §7.3-1 flags — all at once through the full mixer."""
+    cfg = SSMConfig(d_state=16, headdim=12, d_conv=4, expand=2, ngroups=2, chunk_size=8)
+    d_model = 36  # d_inner = 72 → 6 heads of 12; 6 % ngroups == 0
+    p = M.init_mamba2_params(jax.random.key(1), d_model, cfg, dtype=jnp.float32)
+    b, l = 2, 13  # 13 % 8 != 0 → prefill pads to 16 with dt=0
+    x = rng.normal(size=(b, l, d_model)).astype(np.float32) * 0.5
+
+    y_full, conv_full, ssm_full = M.mamba2_prefill(p, jnp.asarray(x), cfg)
+
+    dims = M.mamba2_dims(d_model, cfg)
+    conv_state = jnp.zeros((b, cfg.d_conv - 1, dims["conv_dim"]), jnp.float32)
+    ssm_state = jnp.zeros((b, dims["nheads"], cfg.d_state, cfg.headdim), jnp.float32)
+    ys = []
+    for t in range(l):
+        y, conv_state, ssm_state = M.mamba2_step(p, jnp.asarray(x[:, t : t + 1]), cfg, conv_state, ssm_state)
+        ys.append(np.asarray(y)[:, 0])
+    np.testing.assert_allclose(np.stack(ys, 1), np.asarray(y_full), atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(ssm_state), np.asarray(ssm_full), atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(conv_state), np.asarray(conv_full), atol=1e-5)
+
+
+def test_dt_limit_clamp(rng):
+    """dt_limit clamps softplus(dt) in both paths (mamba-ssm Mamba2 kwarg)."""
+    lim = (0.05, 0.2)
+    cfg = SSMConfig(d_state=16, headdim=8, d_conv=4, expand=2, chunk_size=8, dt_limit=lim)
+    cfg_free = SSMConfig(d_state=16, headdim=8, d_conv=4, expand=2, chunk_size=8)
+    d_model = 32
+    p = M.init_mamba2_params(jax.random.key(0), d_model, cfg, dtype=jnp.float32)
+    b, l = 2, 16
+    x = rng.normal(size=(b, l, d_model)).astype(np.float32) * 3.0  # wide dt spread
+
+    y_clamped, _, ssm_clamped = M.mamba2_prefill(p, jnp.asarray(x), cfg)
+    y_free, _, _ = M.mamba2_prefill(p, jnp.asarray(x), cfg_free)
+    assert not np.allclose(np.asarray(y_clamped), np.asarray(y_free)), "clamp had no effect"
+
+    # Step path must clamp identically.
+    dims = M.mamba2_dims(d_model, cfg)
+    conv_state = jnp.zeros((b, cfg.d_conv - 1, dims["conv_dim"]), jnp.float32)
+    ssm_state = jnp.zeros((b, dims["nheads"], cfg.d_state, cfg.headdim), jnp.float32)
+    ys = []
+    for t in range(l):
+        y, conv_state, ssm_state = M.mamba2_step(p, jnp.asarray(x[:, t : t + 1]), cfg, conv_state, ssm_state)
+        ys.append(np.asarray(y)[:, 0])
+    np.testing.assert_allclose(np.stack(ys, 1), np.asarray(y_clamped), atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(ssm_state), np.asarray(ssm_clamped), atol=2e-4, rtol=2e-3)
+
+    # Clamp respects the left-pad mask (dt must stay exactly 0 on pad).
+    pad = 5
+    x_pad = np.concatenate([rng.normal(size=(b, pad, d_model)).astype(np.float32), x], axis=1)
+    mask = np.concatenate([np.zeros((b, pad), bool), np.ones((b, l), bool)], axis=1)
+    y_pad, _, ssm_pad = M.mamba2_prefill(p, jnp.asarray(x_pad), cfg, seq_mask=jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(y_pad)[:, pad:], np.asarray(y_clamped), atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(ssm_pad), np.asarray(ssm_clamped), atol=2e-4, rtol=2e-3)
+
+
 def test_mamba2_left_pad_mask(rng):
     """Left-padded prefill with seq_mask must equal unpadded prefill."""
     cfg = SSMConfig(d_state=16, headdim=8, d_conv=4, expand=2, chunk_size=8)

@@ -74,6 +74,9 @@ class SSMConfig:
     headdim: int = 64
     ngroups: int = 1
     chunk_size: int = 256
+    # mamba-ssm Mamba2 dt_limit: softplus'd dt is clamped to this range.
+    # Default (0, inf) = no clamping, matching mamba-ssm's default.
+    dt_limit: tuple = (0.0, float("inf"))
     extra: tuple = ()
 
     @classmethod
@@ -83,9 +86,11 @@ class SSMConfig:
         d = dict(d)
         known = {
             k: d.pop(k)
-            for k in ("layer", "d_state", "d_conv", "expand", "headdim", "ngroups", "chunk_size")
+            for k in ("layer", "d_state", "d_conv", "expand", "headdim", "ngroups", "chunk_size", "dt_limit")
             if k in d
         }
+        if "dt_limit" in known:
+            known["dt_limit"] = tuple(known["dt_limit"])
         return cls(extra=_freeze(d), **known)
 
 

@@ -82,7 +82,8 @@ def ssd_chunked(
     q = chunk_size
     rep = h // g
 
-    f32 = jnp.float32
+    # Compute in f32 minimum; keep f64 when given f64 (precision cross-checks).
+    f32 = jnp.promote_types(x.dtype, jnp.float32)
     xc = x.reshape(b, nc, q, h, p).astype(f32)
     dtc = dt.reshape(b, nc, q, h).astype(f32)
     Bc = B_.reshape(b, nc, q, g, n).astype(f32)
@@ -147,7 +148,7 @@ def ssd_step(
     """Single-token SSD recurrence. Returns (y [B, H, P], new_state)."""
     h, g = x.shape[1], B_.shape[1]
     rep = h // g
-    f32 = jnp.float32
+    f32 = jnp.promote_types(x.dtype, jnp.float32)
     xf, dtf = x.astype(f32), dt.astype(f32)
     Bh = jnp.repeat(B_.astype(f32), rep, axis=1)  # [B, H, N]
     Ch = jnp.repeat(C_.astype(f32), rep, axis=1)
@@ -180,6 +181,14 @@ def _split_proj(zxbcdt: jnp.ndarray, d_model: int, cfg: SSMConfig):
     gn = cfg.ngroups * cfg.d_state
     z, xbc, dt = jnp.split(zxbcdt, [d_inner, d_inner + dims["conv_dim"]], axis=-1)
     return z, xbc, dt  # xbc = [x | B | C] pre-conv
+
+
+def _clamp_dt(dt: jnp.ndarray, cfg: SSMConfig) -> jnp.ndarray:
+    """mamba-ssm's dt_limit clamp (Mamba2 dt_limit kwarg; default = no-op)."""
+    lo, hi = cfg.dt_limit
+    if lo == 0.0 and hi == float("inf"):
+        return dt
+    return jnp.clip(dt, lo, None if hi == float("inf") else hi)
 
 
 def _gated_rms_norm(y: jnp.ndarray, z: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -220,7 +229,10 @@ def mamba2_prefill(
     C_ = C_.reshape(b, l, cfg.ngroups, cfg.d_state)
 
     dt = jax.nn.softplus(dt_raw.astype(jnp.float32) + p["dt_bias"].astype(jnp.float32))
+    dt = _clamp_dt(dt, cfg)
     if seq_mask is not None:
+        # Mask AFTER the clamp: padded positions must have dt == 0 exactly
+        # (identity through the recurrence), even when dt_limit[0] > 0.
         dt = dt * seq_mask[..., None].astype(dt.dtype)
     A = -jnp.exp(p["A_log"].astype(jnp.float32))
 
@@ -266,6 +278,7 @@ def mamba2_step(
     C_ = C_.reshape(b, cfg.ngroups, cfg.d_state)
 
     dt = jax.nn.softplus(dt_raw.astype(jnp.float32) + p["dt_bias"].astype(jnp.float32))
+    dt = _clamp_dt(dt, cfg)
     A = -jnp.exp(p["A_log"].astype(jnp.float32))
 
     y, ssm_state = ssd_step(xs, dt, A, B_, C_, ssm_state)
