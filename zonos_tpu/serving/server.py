@@ -251,13 +251,25 @@ class Handler(BaseHTTPRequestHandler):
         self._send(code, "application/json", json.dumps(obj).encode())
 
     def do_GET(self):
-        if self.path == "/health":
+        if self.path in ("/", "/index.html"):
+            # Dependency-free web UI (replaces the reference's Gradio app).
+            import os
+
+            page = os.path.join(os.path.dirname(os.path.abspath(__file__)), "webui.html")
+            with open(page, "rb") as f:
+                self._send(200, "text/html; charset=utf-8", f.read())
+        elif self.path == "/health":
             self._json(200, {"status": "ok"})
         elif self.path == "/models":
             self._json(200, {"models": get_supported_models()})
         elif self.path == "/conditioners":
             model = load_model_if_needed(config=_APP_CONFIG)
             self._json(200, {"conditioners": model.conditioner_names})
+        elif self.path == "/ui_spec":
+            from zonos_tpu.serving.ui import control_specs
+
+            model = load_model_if_needed(config=_APP_CONFIG)
+            self._json(200, {"controls": control_specs(model.conditioner_names)})
         else:
             self._json(404, {"error": "not found"})
 

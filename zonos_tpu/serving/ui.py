@@ -19,11 +19,14 @@ def control_specs(conditioner_names: list[str]) -> list[dict]:
     Visibility follows the loaded model's conditioners, like the reference's
     dynamic update_ui (SkyrimNet-Zonos.py:99-103).
     """
+    from zonos_tpu.conditioning.cond_dict import supported_language_codes
+
     has = set(conditioner_names)
     lo_hi = C.PARAM_RANGES
     specs = [
         {"name": "text", "kind": "textbox", "visible": True},
-        {"name": "language", "kind": "dropdown", "visible": "espeak" in has},
+        {"name": "language", "kind": "dropdown", "visible": "espeak" in has,
+         "choices": list(supported_language_codes), "default": "en-us"},
         {"name": "speaker_audio", "kind": "audio", "visible": "speaker" in has},
         {"name": "prefix_audio", "kind": "audio", "visible": True},
         {"name": "cfg_scale", "kind": "slider", "range": lo_hi["cfg_scale"], "visible": True},
