@@ -22,9 +22,7 @@ def init_backbone_params(key, cfg: BackboneConfig, dtype=jnp.bfloat16) -> dict:
 
 def create_cache(cfg: BackboneConfig, batch_size: int, max_seqlen: int, dtype=jnp.bfloat16, kv_int8: bool = False):
     if cfg.is_hybrid:
-        # int8 KV is a transformer-path option; the hybrid's few attention
-        # layers make it a negligible lever there.
-        return HybridCache.create(cfg, batch_size, max_seqlen, dtype)
+        return HybridCache.create(cfg, batch_size, max_seqlen, dtype, kv_int8=kv_int8)
     return KVCache.create(cfg, batch_size, max_seqlen, dtype, quantized=kv_int8)
 
 

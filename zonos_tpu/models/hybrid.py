@@ -60,7 +60,9 @@ def layer_groups(cfg: BackboneConfig) -> tuple[tuple[str, int], ...]:
 class HybridCache:
     """Per-group sequence state. Entries are None for the other group kind.
 
-    kv_k/kv_v: per attn group [B, Smax, Hkv, Dh];
+    kv_k/kv_v: per attn group [B, Smax, Hkv, Dh] (bf16, or int8 with
+    kv_ks/kv_vs per-(position, head) scales — same scheme as the
+    transformer's quantized KVCache);
     conv/ssm: per mamba group [R, B, K-1, conv_dim] / [R, B, H, N, P].
     """
 
@@ -68,22 +70,31 @@ class HybridCache:
     kv_v: tuple
     conv: tuple
     ssm: tuple
+    kv_ks: tuple = ()  # per attn group [B, Smax, Hkv] f32, or None
+    kv_vs: tuple = ()
 
     @classmethod
-    def create(cls, cfg: BackboneConfig, batch_size: int, max_seqlen: int, dtype=jnp.bfloat16) -> "HybridCache":
-        kv_k, kv_v, conv, ssm = [], [], [], []
+    def create(
+        cls, cfg: BackboneConfig, batch_size: int, max_seqlen: int, dtype=jnp.bfloat16,
+        kv_int8: bool = False,
+    ) -> "HybridCache":
+        kv_k, kv_v, kv_ks, kv_vs, conv, ssm = [], [], [], [], [], []
         dims = mamba2_dims(cfg.d_model, cfg.ssm_cfg) if cfg.ssm_cfg else None
         for kind, v in layer_groups(cfg):
             if kind == "attn":
                 shape = (batch_size, max_seqlen, cfg.attn_cfg.num_heads_kv, cfg.head_dim)
-                kv_k.append(jnp.zeros(shape, dtype))
-                kv_v.append(jnp.zeros(shape, dtype))
+                kv_k.append(jnp.zeros(shape, jnp.int8 if kv_int8 else dtype))
+                kv_v.append(jnp.zeros(shape, jnp.int8 if kv_int8 else dtype))
+                kv_ks.append(jnp.ones(shape[:-1], jnp.float32) if kv_int8 else None)
+                kv_vs.append(jnp.ones(shape[:-1], jnp.float32) if kv_int8 else None)
                 conv.append(None)
                 ssm.append(None)
             else:
                 r = v
                 kv_k.append(None)
                 kv_v.append(None)
+                kv_ks.append(None)
+                kv_vs.append(None)
                 conv.append(jnp.zeros((r, batch_size, cfg.ssm_cfg.d_conv - 1, dims["conv_dim"]), dtype))
                 ssm.append(
                     jnp.zeros(
@@ -91,7 +102,10 @@ class HybridCache:
                         jnp.float32,
                     )
                 )
-        return cls(kv_k=tuple(kv_k), kv_v=tuple(kv_v), conv=tuple(conv), ssm=tuple(ssm))
+        return cls(
+            kv_k=tuple(kv_k), kv_v=tuple(kv_v), conv=tuple(conv), ssm=tuple(ssm),
+            kv_ks=tuple(kv_ks), kv_vs=tuple(kv_vs),
+        )
 
 
 def _norm(x, p, cfg: BackboneConfig):
@@ -117,10 +131,14 @@ def _attn_mixer(
     x: jnp.ndarray,  # [B, S, D] (normed)
     k_cache: jnp.ndarray,
     v_cache: jnp.ndarray,
+    ks: jnp.ndarray,  # [B, Smax, Hkv] f32 scales, or None (bf16 cache)
+    vs: jnp.ndarray,
     write_start: jnp.ndarray,
     mask: jnp.ndarray,
     attend_len: int,
 ):
+    from zonos_tpu.models.transformer import _kv_dequantize, _kv_quantize
+
     b, s, _ = x.shape
     hq, hkv, dh = cfg.attn_cfg.num_heads, cfg.attn_cfg.num_heads_kv, cfg.head_dim
     qkv = qeinsum("bsd,de->bse", x, p["in_proj"])
@@ -141,6 +159,23 @@ def _attn_mixer(
     if k_cache is None:
         # Cache-free full-sequence path (training).
         k_all, v_all = k, v
+    elif ks is not None:
+        # int8 KV: quantize on write, dequantize at the read (same scheme as
+        # the transformer path, transformer.py _kv_quantize/_kv_dequantize).
+        kq, knew = _kv_quantize(k)
+        vq, vnew = _kv_quantize(v)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, kq, (0, write_start, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, vq, (0, write_start, 0, 0))
+        ks = jax.lax.dynamic_update_slice(ks, knew, (0, write_start, 0))
+        vs = jax.lax.dynamic_update_slice(vs, vnew, (0, write_start, 0))
+        k_all = _kv_dequantize(
+            jax.lax.dynamic_slice_in_dim(k_cache, 0, attend_len, axis=1),
+            jax.lax.dynamic_slice_in_dim(ks, 0, attend_len, axis=1), x.dtype,
+        )
+        v_all = _kv_dequantize(
+            jax.lax.dynamic_slice_in_dim(v_cache, 0, attend_len, axis=1),
+            jax.lax.dynamic_slice_in_dim(vs, 0, attend_len, axis=1), x.dtype,
+        )
     else:
         k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, write_start, 0, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, write_start, 0, 0))
@@ -151,7 +186,7 @@ def _attn_mixer(
     out = qeinsum("bse,ed->bsd", att, p["out_proj"])
     if p.get("out_proj_b") is not None:
         out = out + p["out_proj_b"].astype(out.dtype)
-    return out, k_cache, v_cache
+    return out, k_cache, v_cache, ks, vs
 
 
 def _mamba_layer(layer_p, cfg: BackboneConfig, x, conv_state, ssm_state, seq_mask, prefill: bool):
@@ -197,20 +232,25 @@ def hybrid_forward(
             kv_v=tuple(None for _ in cache.kv_v),
             conv=cache.conv,
             ssm=cache.ssm,
+            kv_ks=cache.kv_ks,
+            kv_vs=cache.kv_vs,
         )
         return_cache = False
     else:
         return_cache = True
 
     kv_k, kv_v = list(cache.kv_k), list(cache.kv_v)
+    kv_ks = list(cache.kv_ks) if cache.kv_ks else [None] * len(kv_k)
+    kv_vs = list(cache.kv_vs) if cache.kv_vs else [None] * len(kv_k)
     conv, ssm = list(cache.conv), list(cache.ssm)
 
     for gi, (kind, _v) in enumerate(layer_groups(cfg)):
         group_p = params["groups"][gi]
         if kind == "attn":
             h = _norm(x, group_p["norm"], cfg)
-            out, kv_k[gi], kv_v[gi] = _attn_mixer(
-                group_p["mixer"], cfg, h, kv_k[gi], kv_v[gi], write_start, attn_mask, attend_len
+            out, kv_k[gi], kv_v[gi], kv_ks[gi], kv_vs[gi] = _attn_mixer(
+                group_p["mixer"], cfg, h, kv_k[gi], kv_v[gi], kv_ks[gi], kv_vs[gi],
+                write_start, attn_mask, attend_len,
             )
             x = x + out
             if group_p.get("mlp") is not None:
@@ -218,23 +258,32 @@ def hybrid_forward(
         else:
             conv_dtype = conv[gi].dtype
 
-            def body(xc, inp):
-                layer_p, cs, ss = inp
+            # The group's conv/ssm states ride the scan CARRY and are updated
+            # in place at index i (XLA folds the dynamic-update-slices into
+            # in-place writes) instead of being emitted as stacked scan
+            # outputs — restacking the [R, B, H, N, P] ssm state cost
+            # ~0.6 ms/frame at flagship scale. unroll=True keeps one traced
+            # body but unrolled HLO, so XLA still fuses across layers.
+            def body(carry, layer_p):
+                xc, conv_g, ssm_g, i = carry
+                cs = jax.lax.dynamic_index_in_dim(conv_g, i, 0, keepdims=False)
+                ss = jax.lax.dynamic_index_in_dim(ssm_g, i, 0, keepdims=False)
                 xc, cs, ss = _mamba_layer(layer_p, cfg, xc, cs, ss, seq_mask, prefill)
-                return xc, (cs.astype(conv_dtype), ss)
+                conv_g = jax.lax.dynamic_update_index_in_dim(conv_g, cs.astype(conv_dtype), i, 0)
+                ssm_g = jax.lax.dynamic_update_index_in_dim(ssm_g, ss, i, 0)
+                return (xc, conv_g, ssm_g, i + 1), None
 
-            # unroll=True: one traced body (fast tracing) but unrolled HLO —
-            # keeps XLA free to fuse/pipeline across layers like the old
-            # per-layer Python loop (decode was ~30% slower with a rolled
-            # scan; compile was ~27x slower with per-layer tracing).
-            x, (conv[gi], ssm[gi]) = jax.lax.scan(
-                body, x, (group_p, conv[gi], ssm[gi]), unroll=True
+            (x, conv[gi], ssm[gi], _), _ = jax.lax.scan(
+                body, (x, conv[gi], ssm[gi], jnp.int32(0)), group_p, unroll=True
             )
 
     x = layer_norm(x, params["norm_f"]["scale"], params["norm_f"]["bias"], cfg.norm_epsilon)
     if not return_cache:
         return x, None
-    return x, HybridCache(kv_k=tuple(kv_k), kv_v=tuple(kv_v), conv=tuple(conv), ssm=tuple(ssm))
+    return x, HybridCache(
+        kv_k=tuple(kv_k), kv_v=tuple(kv_v), conv=tuple(conv), ssm=tuple(ssm),
+        kv_ks=tuple(kv_ks), kv_vs=tuple(kv_vs),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -165,8 +165,7 @@ class Zonos:
         )
 
         if self.config.backbone.is_hybrid:
-            assert bits == 8, "hybrid int4 not wired yet"
-            qparams = quantize_hybrid_params(self.params)
+            qparams = quantize_hybrid_params(self.params, bits=bits)
         else:
             qparams = quantize_transformer_params(self.params, bits=bits)
         m = Zonos(self.config, qparams, self.dtype)

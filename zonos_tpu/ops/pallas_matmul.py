@@ -136,6 +136,98 @@ def int4_matmul(
     return out[:b]
 
 
+def _fused_mlp_kernel(x_ref, w1y_ref, w1g_ref, s1y_ref, s1g_ref, w2_ref, s2_ref, o_ref):
+    """One f-chunk of the gated MLP: y·silu(g) for this chunk, partial fc2.
+
+    x: [Bp, D] bf16 · w1y/w1g: [D, C] int8 · s1y/s1g: [1, C] f32
+    w2: [C, D] int8 · s2: [1, D] f32 → o: [Bp, D] f32 (accumulated over grid)
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    y = jnp.dot(x_ref[:], w1y_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    g = jnp.dot(x_ref[:], w1g_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    y = y * s1y_ref[:]
+    g = g * s1g_ref[:]
+    h = (y * (g * jax.nn.sigmoid(g))).astype(jnp.bfloat16)
+    o_ref[:] += jnp.dot(h, w2_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        o_ref[:] = o_ref[:] * s2_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_f", "interpret"))
+def fused_mlp_int8(
+    x: jnp.ndarray,  # [B, D] bf16
+    w1q: jnp.ndarray,  # [D, 2F] int8 (cols [0,F) = y, [F,2F) = gate)
+    s1: jnp.ndarray,  # [1, 2F] f32
+    w2q: jnp.ndarray,  # [F, D] int8
+    s2: jnp.ndarray,  # [1, D] f32
+    block_f: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Gated-SiLU MLP, int8 weights, fully fused: (x@w1_y)·silu(x@w1_g) @ w2.
+
+    The decode step is weight-stream-bound; fusing both projections into one
+    pallas_call turns ~80% of a layer's HBM traffic into a single pipelined
+    stream (Pallas double-buffers each grid input block, so the next f-chunk
+    of fc1/fc2 tiles DMAs while the current chunk computes) with no
+    intermediate activations leaving VMEM. Chunking is over the hidden F
+    axis: fc1 columns and fc2 rows of the same chunk arrive together.
+    """
+    b, d = x.shape
+    two_f = w1q.shape[1]
+    f = two_f // 2
+    d_out = w2q.shape[1]
+    assert f % block_f == 0, (f, block_f)
+    n_chunks = f // block_f
+
+    bp = max(8, ((b + 7) // 8) * 8)
+    if bp != b:
+        x = jnp.pad(x, ((0, bp - b), (0, 0)))
+    s1 = s1.reshape(1, two_f).astype(jnp.float32)
+    s2 = s2.reshape(1, d_out).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        _fused_mlp_kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((bp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, block_f), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, block_f), lambda i: (0, i + n_chunks), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_f), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_f), lambda i: (0, i + n_chunks), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_f, d_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bp, d_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, d_out), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * d * two_f + 2 * bp * f * d_out,
+            bytes_accessed=d * two_f + f * d_out + bp * d * 2 + bp * d_out * 4,
+            transcendentals=bp * f,
+        ),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), w1q, w1q, s1, s1, w2q, s2)
+    return out[:b]
+
+
+def pick_block_f(f: int, d: int, vmem_budget: int = 10 * 2**20) -> int | None:
+    """Largest hidden-chunk size whose live tiles fit VMEM.
+
+    Per chunk: fc1 y + gate tiles (2·d·C int8) + fc2 tile (C·d int8), each
+    double-buffered by the Pallas pipeline, plus x and the f32 accumulator.
+    """
+    for c in (1024, 512, 256, 128):
+        if f % c == 0 and 2 * (3 * d * c) <= vmem_budget:
+            return c
+    return None
+
+
 def pick_block_n_int4(n: int, k: int, vmem_budget: int = 12 * 2**20) -> int | None:
     """block_n bounding the kernel's VMEM high-water mark.
 

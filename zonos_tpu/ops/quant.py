@@ -160,11 +160,13 @@ def q4einsum_lastdim(x: jnp.ndarray, w: dict) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
-def quantize_hybrid_params(params: dict) -> dict:
+def quantize_hybrid_params(params: dict, bits: int = 8) -> dict:
     """Quantize the hybrid backbone's big matmuls (Mamba2 + attention mixers
     and MLPs) + heads. Conv taps, norms, SSD scalars stay as-is. Works on
     both attn groups (plain leaves) and stacked mamba groups (leading run
-    axis — per-channel scales gain the same leading axis)."""
+    axis — per-channel scales gain the same leading axis). bits=4 uses
+    group-wise int4 (heads stay int8 — logit fidelity matters most there)."""
+    quant = quantize_int8 if bits == 8 else quantize_int4
     out = dict(params)
     bb = {**params["backbone"]}
     new_groups = []
@@ -173,12 +175,12 @@ def quantize_hybrid_params(params: dict) -> dict:
         mixer = dict(group["mixer"])
         for k in ("in_proj", "out_proj"):
             if k in mixer and mixer[k] is not None and not is_quantized(mixer[k]):
-                mixer[k] = quantize_int8(mixer[k])
+                mixer[k] = quant(mixer[k])
         group["mixer"] = mixer
         if group.get("mlp") is not None:
             mlp = dict(group["mlp"])
-            mlp["fc1"] = quantize_int8(mlp["fc1"])
-            mlp["fc2"] = quantize_int8(mlp["fc2"])
+            mlp["fc1"] = quant(mlp["fc1"])
+            mlp["fc2"] = quant(mlp["fc2"])
             group["mlp"] = mlp
         new_groups.append(group)
     bb["groups"] = tuple(new_groups)
