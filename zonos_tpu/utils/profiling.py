@@ -52,6 +52,60 @@ def xla_trace(log_dir: str = "profile_logs"):
     logger.info(f"profiler trace written to {log_dir}")
 
 
+def executable_memory_table(compiled) -> str:
+    """Memory breakdown of a compiled XLA executable, as a text table.
+
+    TPU analogue of the reference's per-op CUDA memory summary
+    (/root/reference/test_zonos.py:163-300): XLA compiles the whole program,
+    so memory decomposes per-executable (arguments / outputs / temps /
+    code) rather than per-torch-op.
+
+    Args:
+        compiled: result of ``jax.jit(f).lower(*args).compile()``.
+    """
+    ma = compiled.memory_analysis()
+    if ma is None:
+        return "memory analysis unavailable on this backend"
+    mb = 1024**2
+    rows = [
+        ("arguments", getattr(ma, "argument_size_in_bytes", 0)),
+        ("outputs", getattr(ma, "output_size_in_bytes", 0)),
+        ("temps (peak scratch)", getattr(ma, "temp_size_in_bytes", 0)),
+        ("aliased (donated)", getattr(ma, "alias_size_in_bytes", 0)),
+        ("generated code", getattr(ma, "generated_code_size_in_bytes", 0)),
+    ]
+    total = sum(v for _, v in rows[:3])
+    lines = ["allocation            |       MB", "-" * 34]
+    lines += [f"{name:21} | {v / mb:8.2f}" for name, v in rows]
+    lines.append("-" * 34)
+    lines.append(f"{'total live (args+out+temp)':21} | {total / mb:8.2f}")
+    return "\n".join(lines)
+
+
+def memory_report(fn, *args, **kwargs) -> str:
+    """Compile ``fn`` for ``args`` and report its executable memory table."""
+    compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+    return executable_memory_table(compiled)
+
+
+def device_memory_table() -> str:
+    """Live per-device HBM usage table (reference's torch.cuda.memory_allocated
+    block, test_zonos.py:236-241). Fields depend on the backend; TPU exposes
+    bytes_in_use / peak_bytes_in_use / largest_free_block_bytes."""
+    mb = 1024**2
+    lines = []
+    for d in jax.local_devices():
+        stats = d.memory_stats() or {}
+        in_use = stats.get("bytes_in_use", 0)
+        peak = stats.get("peak_bytes_in_use", 0)
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        line = f"{str(d):24} | in use {in_use / mb:9.1f} MB | peak {peak / mb:9.1f} MB"
+        if limit:
+            line += f" | limit {limit / mb:9.1f} MB"
+        lines.append(line)
+    return "\n".join(lines) if lines else "no devices"
+
+
 def log_rtf(audio_seconds: float, wall_seconds: float, context: str = "") -> float:
     """Per-request RTF log line (reference SkyrimNet-Zonos.py:173-174)."""
     rtf = audio_seconds / wall_seconds if wall_seconds > 0 else 0.0
