@@ -193,11 +193,19 @@ try:  # pragma: no cover - optional host packages
         return " ".join(x.reading_form() for x in _JP_TOKENIZER.tokenize(text, SplitMode.A))
 
     HAS_JAPANESE = True
-except Exception:  # pragma: no cover
+except Exception:
     HAS_JAPANESE = False
 
     def normalize_jp_text(text: str) -> str:
-        return unicodedata.normalize("NFKC", text)
+        """Embedded fallback: numerals + common kanji → kana (see ja.py).
+
+        Below a real morphological analyzer but far above dropping kanji;
+        the downstream kana→IPA mapper (kana.py) then reads the result.
+        """
+        from zonos_tpu.conditioning.ja import read_japanese
+
+        text = unicodedata.normalize("NFKC", text)
+        return read_japanese(text)
 
 
 def clean(texts: list[str], languages: list[str]) -> list[str]:
