@@ -180,3 +180,24 @@ def test_int8_kv_generate_runs():
     )
     assert out.shape[:2] == (1, 9)
     assert out.min() >= 0 and out.max() <= 1023
+
+
+def test_gqa_attention_quantized_matches_dequantized(rng):
+    """int8-domain attention ≡ dequantize-then-attend (scales distribute out)."""
+    from zonos_tpu.models.transformer import _kv_dequantize, _kv_quantize
+    from zonos_tpu.ops.attention import gqa_attention, gqa_attention_quantized
+
+    B, Sq, Sk, Hq, Hkv, Dh = 2, 1, 12, 4, 2, 16
+    q = jnp.asarray(rng.normal(size=(B, Sq, Hq, Dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, Sk, Hkv, Dh)).astype(np.float32)) * 3.0
+    v = jnp.asarray(rng.normal(size=(B, Sk, Hkv, Dh)).astype(np.float32)) * 0.7
+    mask = jnp.asarray(rng.random(size=(B, Sq, Sk)) > 0.3)
+    mask = mask.at[:, :, 0].set(True)  # at least one attended position
+
+    kq, ks = _kv_quantize(k)
+    vq, vs = _kv_quantize(v)
+    got = gqa_attention_quantized(q, kq, ks, vq, vs, mask)
+    ref = gqa_attention(
+        q, _kv_dequantize(kq, ks, jnp.float32), _kv_dequantize(vq, vs, jnp.float32), mask
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)

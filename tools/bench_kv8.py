@@ -1,0 +1,34 @@
+import sys; sys.path.insert(0, "/root/repo")
+# int8 weights + int8 KV decode benchmark (the bench.py headline path).
+# Baseline history: 3.19 (kv bf16) -> 3.02 (kv8 dequant-at-read) ->
+# this run (int8-domain attention, no KV dequant materialization).
+import time
+import numpy as np
+import jax, jax.numpy as jnp
+from zonos_tpu.config import zonos_v01_transformer_config
+from zonos_tpu.models.zonos import Zonos
+from zonos_tpu.ops.sampling import SamplingParams
+from zonos_tpu.runtime import generate as G
+
+cfg = zonos_v01_transformer_config()
+model = Zonos.from_config(cfg, seed=0, dtype=jnp.bfloat16)
+rng = np.random.default_rng(0)
+cond = rng.normal(size=(2, 80, cfg.backbone.d_model)).astype(np.float32) * 0.05
+FRAMES = 860
+params = model.quantize().params
+
+def run(seed):
+    return G.generate(params, cfg, cond, max_new_tokens=FRAMES, cfg_scale=2.0,
+                      sampling_params=SamplingParams(min_p=0.1), seed=seed,
+                      dtype=jnp.bfloat16, forbid_eos=True, kv_int8=True)
+
+t0 = time.perf_counter()
+codes = run(1)
+tc = time.perf_counter() - t0
+assert (np.asarray(codes) >= 0).all()
+t0 = time.perf_counter()
+for i in range(2):
+    codes = run(2 + i)
+dt = (time.perf_counter() - t0) / 2
+print(f"int8+kv8: {dt:.3f}s for {FRAMES} frames = {dt/FRAMES*1000:.2f} ms/frame, "
+      f"decode RTF {FRAMES/86/dt:.2f}x [compile {tc:.0f}s]")

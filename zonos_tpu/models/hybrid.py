@@ -26,7 +26,9 @@ import jax.numpy as jnp
 from flax import struct
 
 from zonos_tpu.config import BackboneConfig
-from zonos_tpu.ops.attention import causal_prefix_mask, decode_mask, gqa_attention
+from zonos_tpu.ops.attention import (
+    causal_prefix_mask, decode_mask, gqa_attention, gqa_attention_quantized,
+)
 from zonos_tpu.ops.mamba2 import (
     init_mamba2_params,
     mamba2_dims,
@@ -137,7 +139,7 @@ def _attn_mixer(
     mask: jnp.ndarray,
     attend_len: int,
 ):
-    from zonos_tpu.models.transformer import _kv_dequantize, _kv_quantize
+    from zonos_tpu.models.transformer import _kv_quantize
 
     b, s, _ = x.shape
     hq, hkv, dh = cfg.attn_cfg.num_heads, cfg.attn_cfg.num_heads_kv, cfg.head_dim
@@ -158,31 +160,30 @@ def _attn_mixer(
 
     if k_cache is None:
         # Cache-free full-sequence path (training).
-        k_all, v_all = k, v
+        att = gqa_attention(q, k, v, mask).reshape(b, s, hq * dh)
     elif ks is not None:
-        # int8 KV: quantize on write, dequantize at the read (same scheme as
-        # the transformer path, transformer.py _kv_quantize/_kv_dequantize).
+        # int8 KV: quantize on write, attend in the int8 domain (same scheme
+        # as the transformer path — ops/attention.gqa_attention_quantized).
         kq, knew = _kv_quantize(k)
         vq, vnew = _kv_quantize(v)
         k_cache = jax.lax.dynamic_update_slice(k_cache, kq, (0, write_start, 0, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, vq, (0, write_start, 0, 0))
         ks = jax.lax.dynamic_update_slice(ks, knew, (0, write_start, 0))
         vs = jax.lax.dynamic_update_slice(vs, vnew, (0, write_start, 0))
-        k_all = _kv_dequantize(
+        att = gqa_attention_quantized(
+            q,
             jax.lax.dynamic_slice_in_dim(k_cache, 0, attend_len, axis=1),
-            jax.lax.dynamic_slice_in_dim(ks, 0, attend_len, axis=1), x.dtype,
-        )
-        v_all = _kv_dequantize(
+            jax.lax.dynamic_slice_in_dim(ks, 0, attend_len, axis=1),
             jax.lax.dynamic_slice_in_dim(v_cache, 0, attend_len, axis=1),
-            jax.lax.dynamic_slice_in_dim(vs, 0, attend_len, axis=1), x.dtype,
-        )
+            jax.lax.dynamic_slice_in_dim(vs, 0, attend_len, axis=1),
+            mask,
+        ).reshape(b, s, hq * dh)
     else:
         k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, write_start, 0, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, write_start, 0, 0))
         k_all = jax.lax.dynamic_slice_in_dim(k_cache, 0, attend_len, axis=1)
         v_all = jax.lax.dynamic_slice_in_dim(v_cache, 0, attend_len, axis=1)
-
-    att = gqa_attention(q, k_all, v_all, mask).reshape(b, s, hq * dh)
+        att = gqa_attention(q, k_all, v_all, mask).reshape(b, s, hq * dh)
     out = qeinsum("bse,ed->bsd", att, p["out_proj"])
     if p.get("out_proj_b") is not None:
         out = out + p["out_proj_b"].astype(out.dtype)

@@ -28,10 +28,38 @@ from flax import struct
 UNROLL_LAYERS = os.environ.get("ZONOS_UNROLL_LAYERS", "1") == "1"
 
 from zonos_tpu.config import BackboneConfig
-from zonos_tpu.ops.attention import causal_prefix_mask, decode_mask, gqa_attention
+from zonos_tpu.ops.attention import (
+    causal_prefix_mask, decode_mask, gqa_attention, gqa_attention_quantized,
+)
 from zonos_tpu.ops.norms import layer_norm
-from zonos_tpu.ops.quant import qeinsum
+from zonos_tpu.ops.quant import is_quantized, qeinsum
 from zonos_tpu.ops.rope import apply_rope, rope_rows
+
+# Route the decode step's int8 MLP through the fused Pallas kernel
+# (ops/pallas_matmul.fused_mlp_int8): both projections + the gated-SiLU in one
+# pallas_call, weight tiles double-buffered, intermediates never leave VMEM.
+FUSED_MLP = os.environ.get("ZONOS_FUSED_MLP", "0") == "1"
+
+
+def _fused_mlp_maybe(h2: jnp.ndarray, mlp_p: dict) -> jnp.ndarray | None:
+    """h2 [B, 1, D] → MLP output [B, 1, D], or None if ineligible."""
+    if not FUSED_MLP or h2.shape[1] != 1:
+        return None
+    fc1, fc2 = mlp_p["fc1"], mlp_p["fc2"]
+    if not (is_quantized(fc1) and is_quantized(fc2)) or fc1["q"].ndim != 2:
+        return None
+    from zonos_tpu.ops.pallas_matmul import fused_mlp_int8, pick_block_f
+
+    f = fc1["q"].shape[-1] // 2
+    bf_env = os.environ.get("ZONOS_FUSED_BLOCK_F")
+    bf = int(bf_env) if bf_env else pick_block_f(f, fc1["q"].shape[-2])
+    if bf is None or f % bf != 0:
+        return None
+    y = fused_mlp_int8(
+        h2[:, 0], fc1["q"], fc1["s"], fc2["q"], fc2["s"], block_f=bf,
+        interpret=jax.default_backend() == "cpu",
+    )
+    return y[:, None, :].astype(h2.dtype)
 
 
 @struct.dataclass
@@ -141,34 +169,38 @@ def _attn_block(
 
     if k_cache_l is None:
         # Cache-free full-sequence path (training / throughput prefill).
-        k_all, v_all = k, v
+        att = gqa_attention(q, k, v, mask)
     elif ks_l is not None:
-        # int8 KV cache: quantize on write, dequantize at the read.
+        # int8 KV cache: quantize on write, attend directly in the int8
+        # domain (scales distribute out of the contractions — see
+        # ops/attention.gqa_attention_quantized). No bf16 K/V materializes.
         kq, ks = _kv_quantize(k)
         vq, vs = _kv_quantize(v)
         k_cache_l = jax.lax.dynamic_update_slice(k_cache_l, kq, (0, write_start, 0, 0))
         v_cache_l = jax.lax.dynamic_update_slice(v_cache_l, vq, (0, write_start, 0, 0))
         ks_l = jax.lax.dynamic_update_slice(ks_l, ks, (0, write_start, 0))
         vs_l = jax.lax.dynamic_update_slice(vs_l, vs, (0, write_start, 0))
-        k_all = _kv_dequantize(
+        att = gqa_attention_quantized(
+            q,
             jax.lax.dynamic_slice_in_dim(k_cache_l, 0, attend_len, axis=1),
-            jax.lax.dynamic_slice_in_dim(ks_l, 0, attend_len, axis=1), x.dtype,
-        )
-        v_all = _kv_dequantize(
+            jax.lax.dynamic_slice_in_dim(ks_l, 0, attend_len, axis=1),
             jax.lax.dynamic_slice_in_dim(v_cache_l, 0, attend_len, axis=1),
-            jax.lax.dynamic_slice_in_dim(vs_l, 0, attend_len, axis=1), x.dtype,
+            jax.lax.dynamic_slice_in_dim(vs_l, 0, attend_len, axis=1),
+            mask,
         )
     else:
         k_cache_l = jax.lax.dynamic_update_slice(k_cache_l, k, (0, write_start, 0, 0))
         v_cache_l = jax.lax.dynamic_update_slice(v_cache_l, v, (0, write_start, 0, 0))
         k_all = jax.lax.dynamic_slice_in_dim(k_cache_l, 0, attend_len, axis=1)
         v_all = jax.lax.dynamic_slice_in_dim(v_cache_l, 0, attend_len, axis=1)
-
-    att = gqa_attention(q, k_all, v_all, mask)
+        att = gqa_attention(q, k_all, v_all, mask)
     att = att.reshape(b, s, hq * dh)
     x = x + qeinsum("bse,ed->bsd", att, layer_p["attn"]["out_proj"])
 
     h2 = layer_norm(x, layer_p["norm2"]["scale"], layer_p["norm2"]["bias"], cfg.norm_epsilon)
+    fused = _fused_mlp_maybe(h2, layer_p["mlp"])
+    if fused is not None:
+        return x + fused, k_cache_l, v_cache_l, ks_l, vs_l
     yg = qeinsum("bsd,de->bse", h2, layer_p["mlp"]["fc1"])
     y, gate = jnp.split(yg, 2, axis=-1)
     x = x + qeinsum("bsf,fd->bsd", y * jax.nn.silu(gate), layer_p["mlp"]["fc2"])

@@ -44,6 +44,40 @@ def gqa_attention(
     return out.reshape(b, sq, hq, dh)
 
 
+def gqa_attention_quantized(
+    q: jnp.ndarray,  # [B, Sq, Hq, Dh]
+    kq: jnp.ndarray,  # [B, Sk, Hkv, Dh] int8
+    ks: jnp.ndarray,  # [B, Sk, Hkv] f32 per-(position, head) scales
+    vq: jnp.ndarray,  # [B, Sk, Hkv, Dh] int8
+    vs: jnp.ndarray,  # [B, Sk, Hkv] f32
+    mask: jnp.ndarray | None,
+) -> jnp.ndarray:
+    """GQA directly on the int8 KV cache — no dequantized K/V materialization.
+
+    Exactness: K's per-position scale distributes out of the q·k contraction
+    (scores = (q · k_int8) * ks), and V's folds into the attention weights
+    (out = (probs * vs) · v_int8). The int8→bf16 converts fuse into the dot
+    operand loads, so only int8 KV bytes cross HBM — this is both faster and
+    *more* precise than dequantize-to-bf16-then-attend (scales apply in f32).
+    """
+    b, sq, hq, dh = q.shape
+    hkv = kq.shape[2]
+    g = hq // hkv
+    scale = 1.0 / jnp.sqrt(jnp.float32(dh))
+
+    qg = q.reshape(b, sq, hkv, g, dh)
+    scores = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qg, kq.astype(q.dtype), preferred_element_type=jnp.float32
+    )
+    scores = scores * ks.transpose(0, 2, 1)[:, :, None, None, :] * scale
+    if mask is not None:
+        scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
+    probs = jnn.softmax(scores, axis=-1)
+    pw = probs * vs.transpose(0, 2, 1)[:, :, None, None, :]
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", pw.astype(q.dtype), vq.astype(q.dtype))
+    return out.reshape(b, sq, hq, dh)
+
+
 def causal_prefix_mask(seq_len: int, pad_amount: jnp.ndarray) -> jnp.ndarray:
     """Causal mask that also hides left-padding columns.
 
