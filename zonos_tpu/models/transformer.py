@@ -36,8 +36,9 @@ from zonos_tpu.ops.quant import is_quantized, qeinsum
 from zonos_tpu.ops.rope import apply_rope, rope_rows
 
 # Route the decode step's int8 MLP through the fused Pallas kernel
-# (ops/pallas_matmul.fused_mlp_int8): both projections + the gated-SiLU in one
-# pallas_call, weight tiles double-buffered, intermediates never leave VMEM.
+# (ops/pallas_matmul.fused_mlp_int8). Measured a LOSS on v5e (6.29 vs 3.29
+# ms/frame — XLA's in-loop MLP already streams at ~91% of HBM roofline, see
+# the kernel's docstring); kept as an opt-in experiment, never the default.
 FUSED_MLP = os.environ.get("ZONOS_FUSED_MLP", "0") == "1"
 
 
@@ -242,16 +243,33 @@ def transformer_forward(
         xo = layer_norm(xo, params["norm_f"]["scale"], params["norm_f"]["bias"], cfg.norm_epsilon)
         return xo, None
 
-    def body(xc, layer_in):
-        layer_p, kl, vl, ksl, vsl = layer_in
+    # The cache arrays ride the scan CARRY and each layer updates its slice in
+    # place at index li (XLA folds the dynamic-update-slices into in-place
+    # writes on the buffer threaded through the decode while_loop). Emitting
+    # them as stacked scan outputs instead forces a restack of the full
+    # [L, B, S, H, D] cache every step — the same regression the hybrid's
+    # Mamba states had (models/hybrid.py body, ~0.6 ms/frame at flagship).
+    quantized = cache.k_scale is not None
+
+    def body(carry, layer_p):
+        xc, k_c, v_c, ks_c, vs_c, li = carry
+        kl = jax.lax.dynamic_index_in_dim(k_c, li, 0, keepdims=False)
+        vl = jax.lax.dynamic_index_in_dim(v_c, li, 0, keepdims=False)
+        ksl = jax.lax.dynamic_index_in_dim(ks_c, li, 0, keepdims=False) if quantized else None
+        vsl = jax.lax.dynamic_index_in_dim(vs_c, li, 0, keepdims=False) if quantized else None
         xc, kl, vl, ksl, vsl = _attn_block(
             layer_p, cfg, xc, freqs, kl, vl, ksl, vsl, write_start, mask, attend_len
         )
-        return xc, (kl, vl, ksl, vsl)
+        k_c = jax.lax.dynamic_update_index_in_dim(k_c, kl, li, 0)
+        v_c = jax.lax.dynamic_update_index_in_dim(v_c, vl, li, 0)
+        if quantized:
+            ks_c = jax.lax.dynamic_update_index_in_dim(ks_c, ksl, li, 0)
+            vs_c = jax.lax.dynamic_update_index_in_dim(vs_c, vsl, li, 0)
+        return (xc, k_c, v_c, ks_c, vs_c, li + 1), None
 
-    xo, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
-        body, x, (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale),
-        unroll=UNROLL_LAYERS,
+    init = (x, cache.k, cache.v, cache.k_scale, cache.v_scale, jnp.int32(0))
+    (xo, k_new, v_new, ks_new, vs_new, _), _ = jax.lax.scan(
+        body, init, params["layers"], unroll=UNROLL_LAYERS,
     )
     xo = layer_norm(xo, params["norm_f"]["scale"], params["norm_f"]["bias"], cfg.norm_epsilon)
     return xo, KVCache(k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new)

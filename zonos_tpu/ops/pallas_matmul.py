@@ -172,12 +172,17 @@ def fused_mlp_int8(
 ) -> jnp.ndarray:
     """Gated-SiLU MLP, int8 weights, fully fused: (x@w1_y)·silu(x@w1_g) @ w2.
 
-    The decode step is weight-stream-bound; fusing both projections into one
-    pallas_call turns ~80% of a layer's HBM traffic into a single pipelined
-    stream (Pallas double-buffers each grid input block, so the next f-chunk
-    of fc1/fc2 tiles DMAs while the current chunk computes) with no
-    intermediate activations leaving VMEM. Chunking is over the hidden F
-    axis: fc1 columns and fc2 rows of the same chunk arrive together.
+    Chunking is over the hidden F axis: fc1 columns and fc2 rows of the same
+    chunk arrive together; intermediates never leave VMEM.
+
+    Status (measured, v5e): a LOSS vs XLA — do not enable in production.
+    In the real decode loop this kernel costs ~208 µs/layer vs XLA's 67.5 µs
+    (tools/bench_fused_decode.py: 6.29 ms/frame vs 3.29 XLA; ablation
+    tools/bench_mlp_ablate.py shows XLA's in-loop MLP already streams at
+    ~745 GB/s ≈ 91% of HBM roofline, refuting the fuse-the-MLP premise).
+    The per-grid-step accumulation into o_ref serializes the pipeline, so
+    each chunk pays unhidden DMA latency. Kept for the record + tests;
+    gated behind ZONOS_FUSED_MLP=1 (models/transformer.py).
     """
     b, d = x.shape
     two_f = w1q.shape[1]
@@ -213,6 +218,56 @@ def fused_mlp_int8(
         ),
         interpret=interpret,
     )(x.astype(jnp.bfloat16), w1q, w1q, s1, s1, w2q, s2)
+    return out[:b]
+
+
+@functools.partial(jax.jit, static_argnames=("block_f", "interpret"))
+def fused_mlp_int8_split(
+    x: jnp.ndarray,  # [B, D] bf16
+    w1yq: jnp.ndarray,  # [D, F] int8 (y projection)
+    s1y: jnp.ndarray,  # [1, F]
+    w1gq: jnp.ndarray,  # [D, F] int8 (gate projection)
+    s1g: jnp.ndarray,  # [1, F]
+    w2q: jnp.ndarray,  # [F, D] int8
+    s2: jnp.ndarray,  # [1, D]
+    block_f: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """fused_mlp_int8 with y/gate as separate arrays (no input aliasing)."""
+    b, d = x.shape
+    f = w1yq.shape[1]
+    d_out = w2q.shape[1]
+    assert f % block_f == 0, (f, block_f)
+    n_chunks = f // block_f
+
+    bp = max(8, ((b + 7) // 8) * 8)
+    if bp != b:
+        x = jnp.pad(x, ((0, bp - b), (0, 0)))
+    s1y = s1y.reshape(1, f).astype(jnp.float32)
+    s1g = s1g.reshape(1, f).astype(jnp.float32)
+    s2 = s2.reshape(1, d_out).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        _fused_mlp_kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((bp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, block_f), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, block_f), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_f), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_f), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_f, d_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bp, d_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, d_out), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * d * 2 * f + 2 * bp * f * d_out,
+            bytes_accessed=2 * d * f + f * d_out + bp * d * 2 + bp * d_out * 4,
+            transcendentals=bp * f,
+        ),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), w1yq, w1gq, s1y, s1g, w2q, s2)
     return out[:b]
 
 
