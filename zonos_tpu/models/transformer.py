@@ -41,6 +41,18 @@ from zonos_tpu.ops.rope import apply_rope, rope_rows
 # the kernel's docstring); kept as an opt-in experiment, never the default.
 FUSED_MLP = os.environ.get("ZONOS_FUSED_MLP", "0") == "1"
 
+# Fused decode attention core on the int8 KV cache (ops/pallas_attention.py):
+# collapses the ~8 small attention-glue fusions per layer into one kernel.
+PALLAS_ATTN = os.environ.get("ZONOS_PALLAS_ATTN", "0") == "1"
+
+
+def _pallas_attn_ok(s, pad_amount, b, attend_len, hkv, dh) -> bool:
+    if not PALLAS_ATTN or s != 1 or pad_amount is None:
+        return False
+    from zonos_tpu.ops.pallas_attention import vmem_ok
+
+    return hkv * dh % 128 == 0 and vmem_ok(b, attend_len, hkv, dh)
+
 
 def _fused_mlp_maybe(h2: jnp.ndarray, mlp_p: dict) -> jnp.ndarray | None:
     """h2 [B, 1, D] → MLP output [B, 1, D], or None if ineligible."""
@@ -154,6 +166,7 @@ def _attn_block(
     write_start: jnp.ndarray,  # scalar int32: cache slot of x[:, 0]
     mask: jnp.ndarray,  # [B, S, Sk] bool over the attended cache span
     attend_len: int,  # static length of cache span attended to
+    pad_amount: jnp.ndarray | None = None,  # [B] int32 (decode kernel path)
 ):
     """Shared attention sub-block for prefill (S>1) and decode (S=1)."""
     b, s, d = x.shape
@@ -181,14 +194,19 @@ def _attn_block(
         v_cache_l = jax.lax.dynamic_update_slice(v_cache_l, vq, (0, write_start, 0, 0))
         ks_l = jax.lax.dynamic_update_slice(ks_l, ks, (0, write_start, 0))
         vs_l = jax.lax.dynamic_update_slice(vs_l, vs, (0, write_start, 0))
-        att = gqa_attention_quantized(
-            q,
-            jax.lax.dynamic_slice_in_dim(k_cache_l, 0, attend_len, axis=1),
-            jax.lax.dynamic_slice_in_dim(ks_l, 0, attend_len, axis=1),
-            jax.lax.dynamic_slice_in_dim(v_cache_l, 0, attend_len, axis=1),
-            jax.lax.dynamic_slice_in_dim(vs_l, 0, attend_len, axis=1),
-            mask,
-        )
+        k_att = jax.lax.dynamic_slice_in_dim(k_cache_l, 0, attend_len, axis=1)
+        ks_att = jax.lax.dynamic_slice_in_dim(ks_l, 0, attend_len, axis=1)
+        v_att = jax.lax.dynamic_slice_in_dim(v_cache_l, 0, attend_len, axis=1)
+        vs_att = jax.lax.dynamic_slice_in_dim(vs_l, 0, attend_len, axis=1)
+        if _pallas_attn_ok(s, pad_amount, b, attend_len, hkv, dh):
+            from zonos_tpu.ops.pallas_attention import attn_core_int8
+
+            att = attn_core_int8(
+                q, k_att, ks_att, v_att, vs_att, write_start, pad_amount,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            att = gqa_attention_quantized(q, k_att, ks_att, v_att, vs_att, mask)
     else:
         k_cache_l = jax.lax.dynamic_update_slice(k_cache_l, k, (0, write_start, 0, 0))
         v_cache_l = jax.lax.dynamic_update_slice(v_cache_l, v, (0, write_start, 0, 0))
@@ -258,7 +276,8 @@ def transformer_forward(
         ksl = jax.lax.dynamic_index_in_dim(ks_c, li, 0, keepdims=False) if quantized else None
         vsl = jax.lax.dynamic_index_in_dim(vs_c, li, 0, keepdims=False) if quantized else None
         xc, kl, vl, ksl, vsl = _attn_block(
-            layer_p, cfg, xc, freqs, kl, vl, ksl, vsl, write_start, mask, attend_len
+            layer_p, cfg, xc, freqs, kl, vl, ksl, vsl, write_start, mask, attend_len,
+            pad_amount=pad_amount,
         )
         k_c = jax.lax.dynamic_update_index_in_dim(k_c, kl, li, 0)
         v_c = jax.lax.dynamic_update_index_in_dim(v_c, vl, li, 0)
