@@ -558,11 +558,174 @@ std::string phonemize_word_es(const std::string& raw) {
   return out;
 }
 
+// --- German -----------------------------------------------------------------
+// German orthography is regular enough for a context-rule engine (eSpeak "de"
+// conventions): sch→ʃ, initial sp/st→ʃp/ʃt, ach/ich-laut split on the
+// preceding vowel, final devoicing of b/d/g, -ig→ɪç, vocalized final r→ɐ,
+// schwa in final -e/-en/-el, w→v, z→ts, ei/au/eu diphthongs, vowel+h long.
+// Stress: first syllable, unless the word starts with one of the standard
+// unstressed verbal prefixes (ge-, be-, ver-, er-, ent-, zer-, emp-, ...).
+
+struct DePhone { std::string ipa; bool vowel; };
+
+// Normalized marker letters: '@'=ä '#'=ö '&'=ü '$'=ß.
+bool de_vowel(char c) {
+  return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'||c=='y'||c=='@'||c=='#'||c=='&';
+}
+
+std::string phonemize_word_de(const std::string& raw) {
+  // Fold UTF-8 umlauts/eszett to single-byte markers.
+  std::string w;
+  for (size_t i = 0; i < raw.size();) {
+    unsigned char c = raw[i];
+    if (c < 128) { w += static_cast<char>(c); ++i; continue; }
+    if (c == 0xC3 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      switch (d) {
+        case 0xA4: case 0x84: w += '@'; break;  // ä Ä
+        case 0xB6: case 0x96: w += '#'; break;  // ö Ö
+        case 0xBC: case 0x9C: w += '&'; break;  // ü Ü
+        case 0x9F: w += '$'; break;             // ß
+        default: break;  // other letters dropped
+      }
+      i += 2;
+      continue;
+    }
+    ++i;
+  }
+
+  std::vector<DePhone> ph;
+  size_t n = w.size();
+  for (size_t i = 0; i < n;) {
+    char c = w[i];
+    char c1 = (i + 1 < n) ? w[i + 1] : '\0';
+    char c2 = (i + 2 < n) ? w[i + 2] : '\0';
+    char c3 = (i + 3 < n) ? w[i + 3] : '\0';
+    char prev = (i > 0) ? w[i - 1] : '\0';
+    bool word_final_2 = (i + 2 == n);
+
+    // Multigraph consonants first.
+    if (c=='t' && c1=='s' && c2=='c' && c3=='h') { ph.push_back({"tʃ", false}); i += 4; continue; }
+    if (c=='s' && c1=='c' && c2=='h') { ph.push_back({"ʃ", false}); i += 3; continue; }
+    if (c=='c' && c1=='h' && c2=='s') { ph.push_back({"ks", false}); i += 3; continue; }
+    if (c=='c' && c1=='h') {
+      bool dark = prev=='a' || prev=='o' || prev=='u';
+      ph.push_back({dark ? "x" : "ç", false}); i += 2; continue;
+    }
+    if (c=='c' && c1=='k') { ph.push_back({"k", false}); i += 2; continue; }
+    if (i == 0 && c=='s' && c1=='p') { ph.push_back({"ʃp", false}); i += 2; continue; }
+    if (i == 0 && c=='s' && c1=='t') { ph.push_back({"ʃt", false}); i += 2; continue; }
+    if (c=='t' && c1=='z') { ph.push_back({"ts", false}); i += 2; continue; }
+    if (c=='p' && c1=='h') { ph.push_back({"f", false}); i += 2; continue; }
+    if (c=='t' && c1=='h') { ph.push_back({"t", false}); i += 2; continue; }
+    if (c=='q' && c1=='u') { ph.push_back({"kv", false}); i += 2; continue; }
+    if (c=='n' && c1=='g') { ph.push_back({"ŋ", false}); i += 2; continue; }
+    if (c=='i' && c1=='g' && word_final_2) { ph.push_back({"ɪ", true}); ph.push_back({"ç", false}); i += 2; continue; }
+
+    // Vowel clusters.
+    if (c=='i' && c1=='e') { ph.push_back({"iː", true}); i += 2; continue; }
+    if ((c=='e' || c=='a') && c1=='i') { ph.push_back({"aɪ", true}); i += 2; continue; }
+    if (c=='e' && c1=='y') { ph.push_back({"aɪ", true}); i += 2; continue; }
+    if (c=='a' && c1=='u') { ph.push_back({"aʊ", true}); i += 2; continue; }
+    if ((c=='e' || c=='@') && c1=='u') { ph.push_back({"ɔʏ", true}); i += 2; continue; }
+    if (c=='a' && c1=='a') { ph.push_back({"aː", true}); i += 2; continue; }
+    if (c=='e' && c1=='e') { ph.push_back({"eː", true}); i += 2; continue; }
+    if (c=='o' && c1=='o') { ph.push_back({"oː", true}); i += 2; continue; }
+    if (de_vowel(c) && c1=='h') {  // vowel + length-h (the h is silent)
+      switch (c) {
+        case 'a': ph.push_back({"aː", true}); break;
+        case 'e': ph.push_back({"eː", true}); break;
+        case 'i': ph.push_back({"iː", true}); break;
+        case 'o': ph.push_back({"oː", true}); break;
+        case 'u': ph.push_back({"uː", true}); break;
+        case '@': ph.push_back({"ɛː", true}); break;
+        case '#': ph.push_back({"øː", true}); break;
+        case '&': ph.push_back({"yː", true}); break;
+        case 'y': ph.push_back({"yː", true}); break;
+      }
+      i += 2; continue;
+    }
+
+    switch (c) {
+      // Vowels (short/lax defaults; final -e/-en/-el/-er get schwa below).
+      case 'a': ph.push_back({"a", true}); ++i; break;
+      case 'e':
+        if (i + 1 == n) ph.push_back({"ə", true});                       // final -e
+        else if (c1=='n' && i + 2 == n) ph.push_back({"ə", true});       // final -en
+        else if (c1=='l' && i + 2 == n) ph.push_back({"ə", true});       // final -el
+        else if (c1=='r' && i + 2 == n) { ph.push_back({"ɐ", true}); ++i; }  // final -er
+        else ph.push_back({"ɛ", true});
+        ++i; break;
+      case 'i': ph.push_back({"ɪ", true}); ++i; break;
+      case 'o': ph.push_back({"ɔ", true}); ++i; break;
+      case 'u': ph.push_back({"ʊ", true}); ++i; break;
+      case 'y': ph.push_back({"ʏ", true}); ++i; break;
+      case '@': ph.push_back({"ɛ", true}); ++i; break;
+      case '#': ph.push_back({"œ", true}); ++i; break;
+      case '&': ph.push_back({"ʏ", true}); ++i; break;
+      // Consonants.
+      case 'b': ph.push_back({(i + 1 == n || c1=='s' || c1=='t') ? "p" : "b", false}); ++i; break;
+      case 'c': ph.push_back({"k", false}); ++i; break;  // loanword fallback
+      case 'd': ph.push_back({(i + 1 == n || c1=='s' || c1=='t') ? "t" : "d", false}); ++i; break;
+      case 'f': ph.push_back({"f", false}); ++i; break;
+      case 'g': ph.push_back({(i + 1 == n || c1=='s' || c1=='t') ? "k" : "ɡ", false}); ++i; break;
+      case 'h': if (i == 0 || !de_vowel(prev)) ph.push_back({"h", false}); ++i; break;
+      case 'j': ph.push_back({"j", false}); ++i; break;
+      case 'k': ph.push_back({"k", false}); ++i; break;
+      case 'l': ph.push_back({"l", false}); ++i; break;
+      case 'm': ph.push_back({"m", false}); ++i; break;
+      case 'n': ph.push_back({"n", false}); ++i; break;
+      case 'p': ph.push_back({"p", false}); ++i; break;
+      case 'r':
+        if (de_vowel(prev) && (i + 1 == n || !de_vowel(c1)))
+          ph.push_back({"ɐ", false});  // vocalized coda r
+        else
+          ph.push_back({"ʁ", false});
+        ++i; break;
+      case 's':
+        if (c1=='s') { ph.push_back({"s", false}); i += 2; }
+        else if (i + 1 < n && de_vowel(c1)) { ph.push_back({"z", false}); ++i; }
+        else { ph.push_back({"s", false}); ++i; }
+        break;
+      case '$': ph.push_back({"s", false}); ++i; break;
+      case 't': ph.push_back({"t", false}); ++i; break;
+      case 'v': ph.push_back({"f", false}); ++i; break;
+      case 'w': ph.push_back({"v", false}); ++i; break;
+      case 'x': ph.push_back({"ks", false}); ++i; break;
+      case 'z': ph.push_back({"ts", false}); ++i; break;
+      default: ++i; break;
+    }
+  }
+
+  // Stress: first vowel nucleus, unless the word carries a standard
+  // unstressed prefix — then the next nucleus.
+  static const char* kUnstressedPrefix[] = {"ge", "be", "ver", "er", "ent", "zer", "emp", "miss"};
+  int skip = 0;
+  for (const char* p : kUnstressedPrefix) {
+    size_t len = strlen(p);
+    if (w.size() > len + 2 && w.compare(0, len, p) == 0) { skip = 1; break; }
+  }
+  int total_vowels = 0;
+  for (const auto& p : ph) total_vowels += p.vowel ? 1 : 0;
+  int stress_at = (skip < total_vowels) ? skip : total_vowels - 1;
+  int nuclei_seen = 0;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel) {
+      if (nuclei_seen == stress_at && total_vowels > 1)
+        out += "ˈ";  // monosyllables unmarked
+      ++nuclei_seen;
+    }
+    out += p.ipa;
+  }
+  return out;
+}
+
 }  // namespace
 
 namespace {
 
-enum class Lang { EN, ES };
+enum class Lang { EN, ES, DE };
 
 // True when the bytes at text[i] are a letter this language's engine keeps.
 // Writes the (lowercased) bytes to `word` and returns bytes consumed, or 0.
@@ -575,6 +738,20 @@ size_t take_letter(const std::string& text, size_t i, Lang lang, std::string* wo
   if (c == '\'' && lang == Lang::EN) {
     *word += static_cast<char>(c);  // keep apostrophes inside words (don't)
     return 1;
+  }
+  if (lang == Lang::DE && c == 0xC3 && i + 1 < text.size()) {
+    unsigned char d = text[i + 1];
+    // ä ö ü ß (uppercase folded); phonemize_word_de consumes the raw bytes.
+    switch (d) {
+      case 0x84: d = 0xA4; break;  // Ä→ä
+      case 0x96: d = 0xB6; break;  // Ö→ö
+      case 0x9C: d = 0xBC; break;  // Ü→ü
+    }
+    if (d == 0xA4 || d == 0xB6 || d == 0xBC || d == 0x9F) {
+      *word += static_cast<char>(0xC3);
+      *word += static_cast<char>(d);
+      return 2;
+    }
   }
   if (lang == Lang::ES && c == 0xC3 && i + 1 < text.size()) {
     unsigned char d = text[i + 1];
@@ -606,7 +783,11 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
 
   auto flush = [&]() {
     if (!word.empty()) {
-      result += (lang == Lang::ES) ? phonemize_word_es(word) : phonemize_word(word);
+      switch (lang) {
+        case Lang::ES: result += phonemize_word_es(word); break;
+        case Lang::DE: result += phonemize_word_de(word); break;
+        default: result += phonemize_word(word); break;
+      }
       word.clear();
     }
   };
@@ -635,7 +816,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
 
 extern "C" {
 
-int ztx_version() { return 2; }
+int ztx_version() { return 3; }
 
 // Phonemize UTF-8 text in the given language ("en", "en-us", "es", ...).
 // Returns nullptr for unsupported languages (caller falls back). Returned
@@ -644,6 +825,7 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (!lang) return nullptr;
   if (strncmp(lang, "en", 2) == 0) return phonemize_text(utf8_text, Lang::EN);
   if (strncmp(lang, "es", 2) == 0) return phonemize_text(utf8_text, Lang::ES);
+  if (strncmp(lang, "de", 2) == 0) return phonemize_text(utf8_text, Lang::DE);
   return nullptr;
 }
 

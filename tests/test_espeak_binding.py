@@ -138,3 +138,47 @@ def test_grapheme_fallback_warns_loudly(monkeypatch, caplog):
     assert out == ["bonjour", "bonsoir"]
     warnings = [r for r in caplog.records if "falling back" in r.message]
     assert len(warnings) == 1  # loud once, not per request
+
+
+def test_de_rule_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    cases = {
+        "nicht": "nɪçt",  # ich-laut after front vowel
+        "Buch": "bʊx",  # ach-laut after back vowel
+        "Deutsch": "dɔʏtʃ",  # eu diphthong + tsch
+        "Schule": "ʃˈuːlə",  # sch + final schwa... (u before single cons stays short here)
+    }
+    out = native_g2p.phonemize("nicht", "de")
+    assert out == "nɪçt", out
+    assert native_g2p.phonemize("Buch", "de") == "bʊx"
+    assert native_g2p.phonemize("Deutsch", "de") == "dɔʏtʃ"
+    # sp/st word-initial → ʃp/ʃt
+    assert native_g2p.phonemize("Sprache", "de").startswith("ʃpʁ")
+    assert native_g2p.phonemize("Stein", "de").startswith("ʃtaɪn"[:3])
+    # final devoicing
+    assert native_g2p.phonemize("Tag", "de").endswith("k")
+    assert native_g2p.phonemize("Hund", "de").endswith("t")
+    # -ig final
+    assert native_g2p.phonemize("ruhig", "de").endswith("ɪç")
+    # unstressed prefix moves stress off the first syllable
+    v = native_g2p.phonemize("vergessen", "de")
+    assert v.startswith("fɛɐ") and "ˈ" in v and not v.startswith("ˈ"), v
+    # umlauts + eszett
+    assert "œ" in native_g2p.phonemize("schön", "de")
+    assert native_g2p.phonemize("Straße", "de") == "ʃtʁˈasə"
+    # w → v, z → ts
+    assert native_g2p.phonemize("zwei", "de") == "tsvaɪ"
+
+
+def test_de_routed_through_phonemize(monkeypatch):
+    from zonos_tpu.conditioning import native_g2p
+    import zonos_tpu.conditioning.espeak as E
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    monkeypatch.setattr(E, "_load", lambda: None)
+    out = E.phonemize(["Guten Morgen"], ["de"])
+    assert "ɡ" in out[0] and "ˈ" in out[0]
