@@ -23,6 +23,7 @@ def test_attn_core_parity(b, s, hq, hkv, dh):
     v = jnp.asarray(rng.normal(size=(b, s, hkv, dh)).astype(np.float32))
     kq, ks = _kv_quantize(k)
     vq, vs = _kv_quantize(v)
+    ks, vs = jnp.swapaxes(ks, 1, 2), jnp.swapaxes(vs, 1, 2)  # head-major
 
     write_index = jnp.int32(s - 3)
     pad = jnp.asarray(rng.integers(0, 3, size=(b,)), jnp.int32)

@@ -196,7 +196,10 @@ def test_gqa_attention_quantized_matches_dequantized(rng):
 
     kq, ks = _kv_quantize(k)
     vq, vs = _kv_quantize(v)
-    got = gqa_attention_quantized(q, kq, ks, vq, vs, mask)
+    # gqa_attention_quantized takes HEAD-MAJOR scales ([B, Hkv, Sk]).
+    got = gqa_attention_quantized(
+        q, kq, jnp.swapaxes(ks, 1, 2), vq, jnp.swapaxes(vs, 1, 2), mask
+    )
     ref = gqa_attention(
         q, _kv_dequantize(kq, ks, jnp.float32), _kv_dequantize(vq, vs, jnp.float32), mask
     )

@@ -63,7 +63,7 @@ class HybridCache:
     """Per-group sequence state. Entries are None for the other group kind.
 
     kv_k/kv_v: per attn group [B, Smax, Hkv, Dh] (bf16, or int8 with
-    kv_ks/kv_vs per-(position, head) scales — same scheme as the
+    kv_ks/kv_vs per-(head, position) scales (head-major) — same scheme as the
     transformer's quantized KVCache);
     conv/ssm: per mamba group [R, B, K-1, conv_dim] / [R, B, H, N, P].
     """
@@ -72,7 +72,7 @@ class HybridCache:
     kv_v: tuple
     conv: tuple
     ssm: tuple
-    kv_ks: tuple = ()  # per attn group [B, Smax, Hkv] f32, or None
+    kv_ks: tuple = ()  # per attn group [B, Hkv, Smax] f32 (head-major), or None
     kv_vs: tuple = ()
 
     @classmethod
@@ -87,8 +87,9 @@ class HybridCache:
                 shape = (batch_size, max_seqlen, cfg.attn_cfg.num_heads_kv, cfg.head_dim)
                 kv_k.append(jnp.zeros(shape, jnp.int8 if kv_int8 else dtype))
                 kv_v.append(jnp.zeros(shape, jnp.int8 if kv_int8 else dtype))
-                kv_ks.append(jnp.ones(shape[:-1], jnp.float32) if kv_int8 else None)
-                kv_vs.append(jnp.ones(shape[:-1], jnp.float32) if kv_int8 else None)
+                sshape = (batch_size, cfg.attn_cfg.num_heads_kv, max_seqlen)
+                kv_ks.append(jnp.ones(sshape, jnp.float32) if kv_int8 else None)
+                kv_vs.append(jnp.ones(sshape, jnp.float32) if kv_int8 else None)
                 conv.append(None)
                 ssm.append(None)
             else:
@@ -133,7 +134,7 @@ def _attn_mixer(
     x: jnp.ndarray,  # [B, S, D] (normed)
     k_cache: jnp.ndarray,
     v_cache: jnp.ndarray,
-    ks: jnp.ndarray,  # [B, Smax, Hkv] f32 scales, or None (bf16 cache)
+    ks: jnp.ndarray,  # [B, Hkv, Smax] f32 scales (head-major), or None (bf16 cache)
     vs: jnp.ndarray,
     write_start: jnp.ndarray,
     mask: jnp.ndarray,
@@ -168,14 +169,16 @@ def _attn_mixer(
         vq, vnew = _kv_quantize(v)
         k_cache = jax.lax.dynamic_update_slice(k_cache, kq, (0, write_start, 0, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, vq, (0, write_start, 0, 0))
-        ks = jax.lax.dynamic_update_slice(ks, knew, (0, write_start, 0))
-        vs = jax.lax.dynamic_update_slice(vs, vnew, (0, write_start, 0))
+        # Head-major scales: transpose the tiny new entries at write so the
+        # hot read side never transposes (see transformer.py / NOTES.md).
+        ks = jax.lax.dynamic_update_slice(ks, jnp.swapaxes(knew, 1, 2), (0, 0, write_start))
+        vs = jax.lax.dynamic_update_slice(vs, jnp.swapaxes(vnew, 1, 2), (0, 0, write_start))
         att = gqa_attention_quantized(
             q,
             jax.lax.dynamic_slice_in_dim(k_cache, 0, attend_len, axis=1),
-            jax.lax.dynamic_slice_in_dim(ks, 0, attend_len, axis=1),
+            jax.lax.dynamic_slice_in_dim(ks, 0, attend_len, axis=2),
             jax.lax.dynamic_slice_in_dim(v_cache, 0, attend_len, axis=1),
-            jax.lax.dynamic_slice_in_dim(vs, 0, attend_len, axis=1),
+            jax.lax.dynamic_slice_in_dim(vs, 0, attend_len, axis=2),
             mask,
         ).reshape(b, s, hq * dh)
     else:

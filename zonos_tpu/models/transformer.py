@@ -84,13 +84,17 @@ class KVCache:
     carry their own state (see models/hybrid.py).
 
     Optional int8 storage (k_scale/v_scale non-None): K/V quantize per
-    (position, head) on write and dequantize at the attention read — halves
-    the per-step KV bytes, the second-largest HBM stream after weights.
+    (position, head) on write and the attention reads the int8 values
+    directly (ops/attention.gqa_attention_quantized) — halves the per-step
+    KV bytes, the second-largest HBM stream after weights. Scales are stored
+    HEAD-MAJOR ([L, B, Hkv, S]) so the attention read broadcasts them over
+    scores without a [B, S, H]→[B, H, S] transpose (that transpose fell off
+    XLA's fast path above 2×8 CFG rows — the batch-16 cliff, NOTES.md).
     """
 
     k: jnp.ndarray
     v: jnp.ndarray
-    k_scale: jnp.ndarray | None = None  # [L, B, S, Hkv] f32
+    k_scale: jnp.ndarray | None = None  # [L, B, Hkv, S] f32 (head-major)
     v_scale: jnp.ndarray | None = None
 
     @classmethod
@@ -100,7 +104,7 @@ class KVCache:
     ) -> "KVCache":
         shape = (cfg.n_layer, batch_size, max_seqlen, cfg.attn_cfg.num_heads_kv, cfg.head_dim)
         if quantized:
-            sshape = shape[:-1]
+            sshape = (cfg.n_layer, batch_size, cfg.attn_cfg.num_heads_kv, max_seqlen)
             return cls(
                 k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
                 k_scale=jnp.ones(sshape, jnp.float32), v_scale=jnp.ones(sshape, jnp.float32),
@@ -161,7 +165,7 @@ def _attn_block(
     freqs: jnp.ndarray,  # [S, Dh//2, 2]
     k_cache_l: jnp.ndarray,  # [B, Smax, Hkv, Dh] (bf16 or int8)
     v_cache_l: jnp.ndarray,
-    ks_l,  # [B, Smax, Hkv] f32 scales or None (bf16 cache)
+    ks_l,  # [B, Hkv, Smax] f32 scales (head-major) or None (bf16 cache)
     vs_l,
     write_start: jnp.ndarray,  # scalar int32: cache slot of x[:, 0]
     mask: jnp.ndarray,  # [B, S, Sk] bool over the attended cache span
@@ -192,12 +196,15 @@ def _attn_block(
         vq, vs = _kv_quantize(v)
         k_cache_l = jax.lax.dynamic_update_slice(k_cache_l, kq, (0, write_start, 0, 0))
         v_cache_l = jax.lax.dynamic_update_slice(v_cache_l, vq, (0, write_start, 0, 0))
-        ks_l = jax.lax.dynamic_update_slice(ks_l, ks, (0, write_start, 0))
-        vs_l = jax.lax.dynamic_update_slice(vs_l, vs, (0, write_start, 0))
+        # Scales are head-major [B, Hkv, S]; the new [B, S, Hkv] entries
+        # transpose at write (tiny: S = current chunk) so the hot read side
+        # never transposes.
+        ks_l = jax.lax.dynamic_update_slice(ks_l, jnp.swapaxes(ks, 1, 2), (0, 0, write_start))
+        vs_l = jax.lax.dynamic_update_slice(vs_l, jnp.swapaxes(vs, 1, 2), (0, 0, write_start))
         k_att = jax.lax.dynamic_slice_in_dim(k_cache_l, 0, attend_len, axis=1)
-        ks_att = jax.lax.dynamic_slice_in_dim(ks_l, 0, attend_len, axis=1)
+        ks_att = jax.lax.dynamic_slice_in_dim(ks_l, 0, attend_len, axis=2)
         v_att = jax.lax.dynamic_slice_in_dim(v_cache_l, 0, attend_len, axis=1)
-        vs_att = jax.lax.dynamic_slice_in_dim(vs_l, 0, attend_len, axis=1)
+        vs_att = jax.lax.dynamic_slice_in_dim(vs_l, 0, attend_len, axis=2)
         if _pallas_attn_ok(s, pad_amount, b, attend_len, hkv, dh):
             from zonos_tpu.ops.pallas_attention import attn_core_int8
 

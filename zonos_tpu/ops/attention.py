@@ -47,9 +47,9 @@ def gqa_attention(
 def gqa_attention_quantized(
     q: jnp.ndarray,  # [B, Sq, Hq, Dh]
     kq: jnp.ndarray,  # [B, Sk, Hkv, Dh] int8
-    ks: jnp.ndarray,  # [B, Sk, Hkv] f32 per-(position, head) scales
+    ks: jnp.ndarray,  # [B, Hkv, Sk] f32 per-(head, position) scales (head-major)
     vq: jnp.ndarray,  # [B, Sk, Hkv, Dh] int8
-    vs: jnp.ndarray,  # [B, Sk, Hkv] f32
+    vs: jnp.ndarray,  # [B, Hkv, Sk] f32
     mask: jnp.ndarray | None,
 ) -> jnp.ndarray:
     """GQA directly on the int8 KV cache — no dequantized K/V materialization.
@@ -59,6 +59,11 @@ def gqa_attention_quantized(
     (out = (probs * vs) · v_int8). The int8→bf16 converts fuse into the dot
     operand loads, so only int8 KV bytes cross HBM — this is both faster and
     *more* precise than dequantize-to-bf16-then-attend (scales apply in f32).
+
+    Scales arrive head-major so they broadcast straight over the
+    [B, Hkv, G, Sq, Sk] scores — a time-major layout needed a [B,S,H]→[B,H,S]
+    transpose here, which fell off XLA's fast path above 16 CFG rows
+    (the batch-16 serving cliff, NOTES.md).
     """
     b, sq, hq, dh = q.shape
     hkv = kq.shape[2]
@@ -69,11 +74,11 @@ def gqa_attention_quantized(
     scores = jnp.einsum(
         "bqhgd,bkhd->bhgqk", qg, kq.astype(q.dtype), preferred_element_type=jnp.float32
     )
-    scores = scores * ks.transpose(0, 2, 1)[:, :, None, None, :] * scale
+    scores = scores * ks[:, :, None, None, :] * scale
     if mask is not None:
         scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
     probs = jnn.softmax(scores, axis=-1)
-    pw = probs * vs.transpose(0, 2, 1)[:, :, None, None, :]
+    pw = probs * vs[:, :, None, None, :]
     out = jnp.einsum("bhgqk,bkhd->bqhgd", pw.astype(q.dtype), vq.astype(q.dtype))
     return out.reshape(b, sq, hq, dh)
 

@@ -43,9 +43,9 @@ def _attn_core_kernel(
     pad_ref,  # [B] int32 in SMEM: per-sample invalid leading slots
     q_ref,  # [B, Hq, Dh] bf16 (post-RoPE query for the current token)
     kq_ref,  # [B, S, Hkv, Dh] int8
-    ks_ref,  # [B, S, Hkv] f32
+    ks_ref,  # [B, Hkv, S] f32 (head-major)
     vq_ref,  # [B, S, Hkv, Dh] int8
-    vs_ref,  # [B, S, Hkv] f32
+    vs_ref,  # [B, Hkv, S] f32
     o_ref,  # [B, Hq, Dh] f32
 ):
     b_sz, hq, dh = q_ref.shape
@@ -65,10 +65,10 @@ def _attn_core_kernel(
                 q_bh, k_bh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [G, S]
-            scores = scores * (ks_ref[b, :, h][None, :] * scale)
+            scores = scores * (ks_ref[b, h, :][None, :] * scale)
             scores = jnp.where(valid, scores, NEG_INF)
             probs = jax.nn.softmax(scores, axis=-1)  # f32 [G, S]
-            pw = (probs * vs_ref[b, :, h][None, :]).astype(jnp.bfloat16)
+            pw = (probs * vs_ref[b, h, :][None, :]).astype(jnp.bfloat16)
             out = jax.lax.dot_general(
                 pw, vq_ref[b, :, h, :].astype(jnp.bfloat16),
                 (((1,), (0,)), ((), ())),
@@ -81,9 +81,9 @@ def _attn_core_kernel(
 def attn_core_int8(
     q: jnp.ndarray,  # [B, 1, Hq, Dh] (post-RoPE)
     kq: jnp.ndarray,  # [B, S, Hkv, Dh] int8
-    ks: jnp.ndarray,  # [B, S, Hkv] f32
+    ks: jnp.ndarray,  # [B, Hkv, S] f32 (head-major)
     vq: jnp.ndarray,  # [B, S, Hkv, Dh] int8
-    vs: jnp.ndarray,  # [B, S, Hkv] f32
+    vs: jnp.ndarray,  # [B, Hkv, S] f32
     write_index: jnp.ndarray,  # scalar int32
     pad_amount: jnp.ndarray,  # [B] int32
     interpret: bool = False,
