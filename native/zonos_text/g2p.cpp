@@ -15,8 +15,10 @@
 //   int         ztx_version();
 //
 // Languages: "en" — NRL-style rule engine + irregular-word lexicon + stress
-// heuristic; "es" — Spanish rule engine (orthography is near-phonemic) with
-// orthographic stress rules. Other codes return nullptr (caller falls back).
+// heuristic; "es" / "it" — orthographic rule engines (near-phonemic
+// orthographies) with orthographic stress; "de" — German rule engine with
+// final devoicing, ich/ach-laut and prefix-aware stress. Other codes return
+// nullptr (caller falls back).
 //
 // Build: g++ -O2 -fPIC -shared g2p.cpp -o libzonos_text.so
 
@@ -721,11 +723,143 @@ std::string phonemize_word_de(const std::string& raw) {
   return out;
 }
 
+// --- Italian ----------------------------------------------------------------
+// Italian orthography is near-phonemic (eSpeak "it" conventions): c/g soften
+// before e/i (ce→tʃe, ge→dʒe), ch/gh restore the stop, ci/gi+vowel have a
+// silent i, gn→ɲ, gli→ʎ, sc+e/i→ʃ, z→ts, qu→kw, intervocalic s→z.
+// Stress: accented final vowel wins (città); otherwise penultimate nucleus.
+
+struct ItPhone { std::string ipa; bool vowel; bool accented; };
+
+bool it_vowel_char(char c) { return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'; }
+
+std::string phonemize_word_it(const std::string& raw) {
+  // Fold UTF-8 accented vowels (à è é ì í ò ó ù ú) to base + accent flag.
+  std::string w;
+  std::vector<bool> acc;
+  for (size_t i = 0; i < raw.size();) {
+    unsigned char c = raw[i];
+    if (c < 128) { w += static_cast<char>(c); acc.push_back(false); ++i; continue; }
+    if (c == 0xC3 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      char base = 0;
+      switch (d) {
+        case 0xA0: case 0x80: base = 'a'; break;  // à À
+        case 0xA8: case 0x88: case 0xA9: case 0x89: base = 'e'; break;  // è È é É
+        case 0xAC: case 0x8C: case 0xAD: base = 'i'; break;  // ì Ì í
+        case 0xB2: case 0x92: case 0xB3: base = 'o'; break;  // ò Ò ó
+        case 0xB9: case 0x99: case 0xBA: base = 'u'; break;  // ù Ù ú
+      }
+      if (base) { w += base; acc.push_back(true); }
+      i += 2;
+      continue;
+    }
+    ++i;
+  }
+
+  std::vector<ItPhone> ph;
+  size_t n = w.size();
+  for (size_t i = 0; i < n;) {
+    char c = w[i];
+    char c1 = (i + 1 < n) ? w[i + 1] : '\0';
+    char c2 = (i + 2 < n) ? w[i + 2] : '\0';
+    char prev = (i > 0) ? w[i - 1] : '\0';
+    bool a = acc.empty() ? false : acc[i];
+    switch (c) {
+      case 'a': ph.push_back({"a", true, a}); ++i; break;
+      case 'e': ph.push_back({"e", true, a}); ++i; break;
+      case 'i': ph.push_back({"i", true, a}); ++i; break;
+      case 'o': ph.push_back({"o", true, a}); ++i; break;
+      case 'u': ph.push_back({"u", true, a}); ++i; break;
+      case 'b': ph.push_back({"b", false, false}); ++i; break;
+      case 'c':
+        if (c1 == 'h') { ph.push_back({"k", false, false}); i += 2; }
+        else if (c1 == 'i' && it_vowel_char(c2)) { ph.push_back({"tʃ", false, false}); i += 2; }
+        else if (c1 == 'e' || c1 == 'i') { ph.push_back({"tʃ", false, false}); ++i; }
+        else { ph.push_back({"k", false, false}); ++i; }
+        break;
+      case 'd': ph.push_back({"d", false, false}); ++i; break;
+      case 'f': ph.push_back({"f", false, false}); ++i; break;
+      case 'g':
+        if (c1 == 'h') { ph.push_back({"ɡ", false, false}); i += 2; }
+        else if (c1 == 'n') { ph.push_back({"ɲ", false, false}); i += 2; }
+        else if (c1 == 'l' && c2 == 'i') {
+          // gli+vowel: i silent; gli before consonant/end keeps /i/.
+          ph.push_back({"ʎ", false, false});
+          if (i + 3 < n && it_vowel_char(w[i + 3])) i += 3;
+          else { ph.push_back({"i", true, false}); i += 3; }
+        }
+        else if (c1 == 'i' && it_vowel_char(c2)) { ph.push_back({"dʒ", false, false}); i += 2; }
+        else if (c1 == 'e' || c1 == 'i') { ph.push_back({"dʒ", false, false}); ++i; }
+        else { ph.push_back({"ɡ", false, false}); ++i; }
+        break;
+      case 'h': ++i; break;  // silent
+      case 'j': ph.push_back({"j", false, false}); ++i; break;
+      case 'k': ph.push_back({"k", false, false}); ++i; break;
+      case 'l': ph.push_back({"l", false, false}); ++i; break;
+      case 'm': ph.push_back({"m", false, false}); ++i; break;
+      case 'n': ph.push_back({"n", false, false}); ++i; break;
+      case 'p': ph.push_back({"p", false, false}); ++i; break;
+      case 'q':
+        if (c1 == 'u') { ph.push_back({"kw", false, false}); i += 2; }
+        else { ph.push_back({"k", false, false}); ++i; }
+        break;
+      case 'r': ph.push_back({"r", false, false}); ++i; break;
+      case 's':
+        if (c1 == 'c' && (c2 == 'e' || c2 == 'i')) {
+          // sce/sci → ʃ (sci+vowel: i silent)
+          if (c2 == 'i' && i + 3 < n && it_vowel_char(w[i + 3])) { ph.push_back({"ʃ", false, false}); i += 3; }
+          else { ph.push_back({"ʃ", false, false}); i += 2; }
+        }
+        else if (c1 == 's') { ph.push_back({"s", false, false}); i += 2; }
+        else if (it_vowel_char(prev) && it_vowel_char(c1)) { ph.push_back({"z", false, false}); ++i; }
+        else { ph.push_back({"s", false, false}); ++i; }
+        break;
+      case 't': ph.push_back({"t", false, false}); ++i; break;
+      case 'v': ph.push_back({"v", false, false}); ++i; break;
+      case 'w': ph.push_back({"w", false, false}); ++i; break;
+      case 'x': ph.push_back({"ks", false, false}); ++i; break;
+      case 'y': ph.push_back({"j", false, false}); ++i; break;
+      case 'z':
+        if (c1 == 'z') { ph.push_back({"ts", false, false}); i += 2; }
+        else { ph.push_back({"ts", false, false}); ++i; }
+        break;
+      default: ++i; break;
+    }
+  }
+
+  // Stress: accented vowel wins; else penultimate nucleus (Italian default).
+  // i/u adjacent to a strong vowel merge into the same nucleus (diphthong).
+  std::vector<int> nuclei;
+  int stressed = -1;
+  for (size_t i = 0; i < ph.size(); ++i) {
+    if (!ph[i].vowel) continue;
+    bool merge = false;
+    if (i > 0 && ph[i - 1].vowel) {
+      bool prev_weak = (ph[i - 1].ipa == "i" || ph[i - 1].ipa == "u") && !ph[i - 1].accented;
+      bool cur_weak = (ph[i].ipa == "i" || ph[i].ipa == "u") && !ph[i].accented;
+      merge = prev_weak || cur_weak;
+    }
+    if (!merge) nuclei.push_back(static_cast<int>(i));
+    if (ph[i].accented) stressed = static_cast<int>(nuclei.size()) - 1;
+  }
+  if (nuclei.size() > 1 && stressed < 0)
+    stressed = static_cast<int>(nuclei.size()) - 2;  // penultimate
+  if (nuclei.size() <= 1) stressed = -1;  // monosyllables unmarked
+
+  std::string out;
+  for (size_t i = 0; i < ph.size(); ++i) {
+    if (stressed >= 0 && static_cast<size_t>(nuclei[stressed]) == i) out += "ˈ";
+    out += ph[i].ipa;
+  }
+  return out;
+}
+
 }  // namespace
 
 namespace {
 
-enum class Lang { EN, ES, DE };
+enum class Lang { EN, ES, DE, IT };
 
 // True when the bytes at text[i] are a letter this language's engine keeps.
 // Writes the (lowercased) bytes to `word` and returns bytes consumed, or 0.
@@ -738,6 +872,15 @@ size_t take_letter(const std::string& text, size_t i, Lang lang, std::string* wo
   if (c == '\'' && lang == Lang::EN) {
     *word += static_cast<char>(c);  // keep apostrophes inside words (don't)
     return 1;
+  }
+  if (lang == Lang::IT && c == 0xC3 && i + 1 < text.size()) {
+    unsigned char d = text[i + 1];
+    // accented vowels pass through; phonemize_word_it folds them.
+    if ((d >= 0x80 && d <= 0xBA)) {
+      *word += static_cast<char>(0xC3);
+      *word += static_cast<char>(d);
+      return 2;
+    }
   }
   if (lang == Lang::DE && c == 0xC3 && i + 1 < text.size()) {
     unsigned char d = text[i + 1];
@@ -786,6 +929,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
       switch (lang) {
         case Lang::ES: result += phonemize_word_es(word); break;
         case Lang::DE: result += phonemize_word_de(word); break;
+        case Lang::IT: result += phonemize_word_it(word); break;
         default: result += phonemize_word(word); break;
       }
       word.clear();
@@ -816,7 +960,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
 
 extern "C" {
 
-int ztx_version() { return 3; }
+int ztx_version() { return 4; }
 
 // Phonemize UTF-8 text in the given language ("en", "en-us", "es", ...).
 // Returns nullptr for unsupported languages (caller falls back). Returned
@@ -826,6 +970,7 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (strncmp(lang, "en", 2) == 0) return phonemize_text(utf8_text, Lang::EN);
   if (strncmp(lang, "es", 2) == 0) return phonemize_text(utf8_text, Lang::ES);
   if (strncmp(lang, "de", 2) == 0) return phonemize_text(utf8_text, Lang::DE);
+  if (strncmp(lang, "it", 2) == 0) return phonemize_text(utf8_text, Lang::IT);
   return nullptr;
 }
 

@@ -182,3 +182,28 @@ def test_de_routed_through_phonemize(monkeypatch):
     monkeypatch.setattr(E, "_load", lambda: None)
     out = E.phonemize(["Guten Morgen"], ["de"])
     assert "ɡ" in out[0] and "ˈ" in out[0]
+
+
+def test_it_rule_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    # softening: c/g before e/i; ch/gh restore the stop
+    assert native_g2p.phonemize("cena", "it") == "tʃˈena"
+    assert native_g2p.phonemize("chiesa", "it").startswith("k")
+    assert native_g2p.phonemize("gelato", "it").startswith("dʒ")
+    assert native_g2p.phonemize("spaghetti", "it") == "spaɡˈetti"
+    # gn / gli / sc+e,i
+    assert "ɲ" in native_g2p.phonemize("signore", "it")
+    assert native_g2p.phonemize("gli amici", "it").startswith("ʎi")
+    assert native_g2p.phonemize("famiglia", "it") == "famˈiʎa"
+    assert native_g2p.phonemize("pesce", "it") == "pˈeʃe"
+    # silent i in cia/gia; qu; z
+    assert native_g2p.phonemize("ciao", "it") == "tʃˈao"
+    assert native_g2p.phonemize("grazie", "it") == "ɡrˈatsie"
+    assert native_g2p.phonemize("questo", "it") == "kwˈesto"
+    # accented final vowel takes stress
+    assert native_g2p.phonemize("città", "it").endswith("ˈa")
+    # intervocalic s -> z
+    assert native_g2p.phonemize("casa", "it") == "kˈaza"

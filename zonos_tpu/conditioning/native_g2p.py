@@ -3,9 +3,9 @@
 Build-on-demand: compiles ``libzonos_text.so`` with g++ the first time it's
 needed (cached next to the source; rebuilt when the cached binary predates
 the current ABI version). Falls back cleanly when no compiler is available.
-Covers English (NRL-style rules + irregular lexicon + stress), Spanish and
-German (orthographic rule engines); other languages go through eSpeak when
-present, else grapheme passthrough (zonos_tpu/conditioning/espeak.py).
+Covers English (NRL-style rules + irregular lexicon + stress), Spanish,
+German and Italian (orthographic rule engines); other languages go through
+eSpeak when present, else grapheme passthrough (conditioning/espeak.py).
 """
 
 from __future__ import annotations
@@ -20,10 +20,12 @@ _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
 
-_ABI_VERSION = 3  # bump when g2p.cpp's C ABI or tables change materially
+_ABI_VERSION = 4  # bump when g2p.cpp's C ABI or tables change materially
 
 _SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native", "zonos_text")
-_SO_PATH = os.path.join(_SRC_DIR, "libzonos_text.so")
+# Versioned filename: dlopen caches handles by path within a process, so an
+# in-process rebuild of the same path would keep serving the stale library.
+_SO_PATH = os.path.join(_SRC_DIR, f"libzonos_text.v{_ABI_VERSION}.so")
 
 
 def _build() -> bool:
@@ -79,7 +81,7 @@ def available() -> bool:
 
 def phonemize(text: str, language: str) -> str | None:
     """Text → IPA via the native rule engines; None if the language (or the
-    library) is unavailable. Languages: en*, es*, de*."""
+    library) is unavailable. Languages: en*, es*, de*, it*."""
     with _LOCK:
         lib = _load()
         if lib is None:
