@@ -855,11 +855,199 @@ std::string phonemize_word_it(const std::string& raw) {
   return out;
 }
 
+// --- French -----------------------------------------------------------------
+// French needs more machinery than es/it: silent final consonants (CaReFuL
+// rule), silent final e/es/-ent, nasal vowels before coda n/m, many vowel
+// digraphs, c/g softening, and a small function-word lexicon for the
+// articles/clitics whose rules-only readings would be wrong. Quality target
+// is "clearly intelligible", not liaison-aware (eSpeak remains better).
+
+struct FrLex { const char* word; const char* ipa; };
+static const FrLex kLexFr[] = {
+    {"le", "lə"}, {"la", "la"}, {"les", "le"}, {"de", "də"}, {"des", "de"},
+    {"du", "dy"}, {"un", "œ̃"}, {"une", "yn"}, {"et", "e"}, {"est", "ɛ"},
+    {"es", "ɛ"}, {"je", "ʒə"}, {"me", "mə"}, {"te", "tə"}, {"se", "sə"},
+    {"ce", "sə"}, {"ne", "nə"}, {"que", "kə"}, {"qui", "ki"}, {"ue", "y"},
+    {"vous", "vu"}, {"nous", "nu"}, {"ils", "il"}, {"elles", "ɛl"},
+    {"elle", "ɛl"}, {"il", "il"}, {"sont", "sɔ̃"}, {"ont", "ɔ̃"},
+    {"a", "a"}, {"as", "a"}, {"aux", "o"}, {"au", "o"}, {"eux", "ø"},
+    {"deux", "dø"}, {"dans", "dɑ̃"}, {"pas", "pa"}, {"plus", "ply"},
+    {"tout", "tu"}, {"tous", "tus"}, {"fils", "fis"}, {"monsieur", "məsjø"},
+    {"femme", "fam"}, {"ville", "vil"}, {"mille", "mil"}, {"hier", "jɛʁ"},
+    {"oui", "wi"}, {"huit", "ɥit"}, {"dix", "dis"}, {"six", "sis"},
+    {"pays", "pei"}, {"y", "i"}, {"eau", "o"}, {"eaux", "o"},
+};
+
+bool fr_vowel_char(char c) {
+  // markers: '1'=é '2'=è/ê '8'=œ
+  return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'||c=='y'||c=='1'||c=='2'||c=='8';
+}
+
+std::string phonemize_word_fr(const std::string& raw) {
+  // Fold UTF-8 accents to markers / base letters.
+  std::string w;
+  for (size_t i = 0; i < raw.size();) {
+    unsigned char c = raw[i];
+    if (c < 128) { w += static_cast<char>(c); ++i; continue; }
+    if (c == 0xC3 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      switch (d) {
+        case 0xA9: case 0x89: w += '1'; break;             // é É
+        case 0xA8: case 0xAA: case 0x88: case 0x8A: w += '2'; break;  // è ê È Ê
+        case 0xAB: w += 'e'; break;                        // ë
+        case 0xA0: case 0xA2: case 0x80: case 0x82: w += 'a'; break;  // à â À Â
+        case 0xAE: case 0xAF: case 0x8E: w += 'i'; break;  // î ï Î
+        case 0xB4: case 0x94: w += 'o'; break;             // ô Ô
+        case 0xB9: case 0xBB: case 0xBC: case 0x99: case 0x9B: w += 'u'; break;  // ù û ü
+        case 0xA7: case 0x87: w += '5'; break;             // ç Ç → marker
+      }
+      i += 2;
+      continue;
+    }
+    if (c == 0xC5 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0x93 || d == 0x92) w += '8';  // œ Œ
+      i += 2;
+      continue;
+    }
+    ++i;
+  }
+
+  for (const FrLex& lx : kLexFr)
+    if (w == lx.word) return lx.ipa;
+
+  size_t n = w.size();
+  // Silent endings (order matters): -ment → mɑ̃ handled by rules below;
+  // other final -ent silent; final e/es silent; final s/t/d/p/x/z/g/b silent.
+  if (n > 4 && w.compare(n - 4, 4, "ment") == 0) {
+    // keep; the nasal rule reads "en" before final t... strip just final t.
+    w = w.substr(0, n - 1);
+  } else if (n > 3 && w.compare(n - 3, 3, "ent") == 0) {
+    w = w.substr(0, n - 3);  // 3pl verb ending: silent
+  } else if (n > 2 && w.compare(n - 2, 2, "er") == 0) {
+    w = w.substr(0, n - 2) + "1";  // -er → é
+  } else if (n > 2 && w.compare(n - 2, 2, "ez") == 0) {
+    w = w.substr(0, n - 2) + "1";  // -ez → é
+  } else if (n > 2 && w.compare(n - 2, 2, "es") == 0) {
+    w = w.substr(0, n - 2);  // final -es silent
+  } else if (n > 2 && w.back() == 'e') {
+    w = w.substr(0, n - 1);  // final e silent
+  }
+  // CaReFuL: keep final c/r/f/l; drop trailing s/d/t/p/x/z/g/b (repeatedly —
+  // plural/verb endings stack, e.g. "enfants" → enfan).
+  for (int strip = 0; strip < 2 && w.size() > 1 && strchr("sdtpxzgb", w.back()); ++strip)
+    w = w.substr(0, w.size() - 1);
+  n = w.size();
+
+  std::string out;
+  auto nasal_ctx = [&](size_t after) {
+    // n/m at `after` nasalizes when followed by a consonant (not n/m/vowel)
+    // or the word end.
+    if (after + 1 >= n) return true;
+    char nx = w[after + 1];
+    return !fr_vowel_char(nx) && nx != 'n' && nx != 'm';
+  };
+
+  for (size_t i = 0; i < n;) {
+    char c = w[i];
+    char c1 = (i + 1 < n) ? w[i + 1] : '\0';
+    char c2 = (i + 2 < n) ? w[i + 2] : '\0';
+    char c3 = (i + 3 < n) ? w[i + 3] : '\0';
+    char prev = (i > 0) ? w[i - 1] : '\0';
+
+    // --- doubled consonants collapse (belle → bɛl, allez → ale) ---
+    if (c == c1 && !fr_vowel_char(c) && c != 'n' && c != 'm' && c != 's' && c != 'l') { ++i; continue; }
+    if (c == 'l' && c1 == 'l' && !(prev == 'i')) { ++i; continue; }
+    if ((c == 'n' && c1 == 'n') || (c == 'm' && c1 == 'm')) { ++i; continue; }
+
+    // --- multigraphs / clusters ---
+    if (c=='t' && c1=='i' && c2=='o' && c3=='n' && i + 4 >= n) { out += "sjɔ̃"; i += 4; continue; }
+    if (c=='e' && c1=='a' && c2=='u') { out += "o"; i += 3; continue; }
+    if (c=='a' && c1=='u') { out += "o"; i += 2; continue; }
+    if (c=='o' && c1=='i' && c2=='n' && nasal_ctx(i + 2)) { out += "wɛ̃"; i += 3; continue; }
+    if (c=='o' && c1=='i') { out += "wa"; i += 2; continue; }
+    if (c=='o' && c1=='u') { out += "u"; i += 2; continue; }
+    if (c=='i' && c1=='e' && c2=='n' && nasal_ctx(i + 2)) { out += "jɛ̃"; i += 3; continue; }
+    if ((c=='a' || c=='e') && c1=='i' && c2=='n' && nasal_ctx(i + 2)) { out += "ɛ̃"; i += 3; continue; }
+    if (c=='e' && c1=='u' && c2=='i' && c3=='l') { out += "œj"; i += 4; continue; }
+    // ail/eil glides must precede the generic ai/ei → ɛ rule.
+    if (c=='a' && c1=='i' && c2=='l' && i + 3 >= n) { out += "aj"; i += 3; continue; }
+    if (c=='e' && c1=='i' && c2=='l') { out += "ɛj"; i += 3; continue; }
+    if ((c=='a' || c=='e') && c1=='i') { out += "ɛ"; i += 2; continue; }
+    if ((c=='e' || c=='8') && c1=='u') { out += "ø"; i += 2; continue; }
+    if (c=='i' && c1=='l' && c2=='l') { out += "ij"; i += 3; continue; }
+    // nasal vowels
+    if ((c=='i' || c=='y') && (c1=='n' || c1=='m') && nasal_ctx(i + 1)) { out += "ɛ̃"; i += 2; continue; }
+    if (c=='u' && (c1=='n' || c1=='m') && nasal_ctx(i + 1)) { out += "œ̃"; i += 2; continue; }
+    if (c=='o' && (c1=='n' || c1=='m') && nasal_ctx(i + 1)) { out += "ɔ̃"; i += 2; continue; }
+    if ((c=='a' || c=='e') && (c1=='n' || c1=='m') && nasal_ctx(i + 1)) { out += "ɑ̃"; i += 2; continue; }
+    // consonant digraphs
+    if (c=='c' && c1=='h') { out += "ʃ"; i += 2; continue; }
+    if (c=='p' && c1=='h') { out += "f"; i += 2; continue; }
+    if (c=='t' && c1=='h') { out += "t"; i += 2; continue; }
+    if (c=='g' && c1=='n') { out += "ɲ"; i += 2; continue; }
+    if (c=='q' && c1=='u') { out += "k"; i += 2; continue; }
+    if (c=='q') { out += "k"; ++i; continue; }
+    if (c=='g' && c1=='u' && (c2=='e' || c2=='i' || c2=='1' || c2=='2' || c2=='y')) { out += "ɡ"; i += 2; continue; }
+
+    switch (c) {
+      case 'a': out += "a"; ++i; break;
+      case '1': out += "e"; ++i; break;  // é
+      case '2': out += "ɛ"; ++i; break;  // è/ê
+      case 'e':
+        // e before a doubled consonant or two consonants → ɛ; else ə.
+        if (c1 && c1 == c2 && !fr_vowel_char(c1)) out += "ɛ";
+        else if (c1 && c2 && !fr_vowel_char(c1) && !fr_vowel_char(c2) && c1 != 'h') out += "ɛ";
+        else if (i + 1 >= n) out += "ə";
+        else out += "ə";
+        ++i; break;
+      case 'i': out += (fr_vowel_char(c1) ? "j" : "i"); ++i; break;
+      case 'y': out += (fr_vowel_char(c1) ? "j" : "i"); ++i; break;
+      case 'o': out += "ɔ"; ++i; break;
+      case 'u': out += (c1=='i' ? "ɥ" : "y"); ++i; break;
+      case '8': out += "œ"; ++i; break;
+      case 'b': out += "b"; ++i; break;
+      case 'c':
+        if (c1=='e' || c1=='i' || c1=='y' || c1=='1' || c1=='2') out += "s";
+        else if (c1=='k') { out += "k"; ++i; }
+        else out += "k";
+        ++i; break;
+      case '5': out += "s"; ++i; break;  // ç
+      case 'd': out += "d"; ++i; break;
+      case 'f': out += "f"; ++i; break;
+      case 'g':
+        if (c1=='e' || c1=='i' || c1=='y' || c1=='1' || c1=='2') out += "ʒ";
+        else out += "ɡ";
+        ++i; break;
+      case 'h': ++i; break;  // silent
+      case 'j': out += "ʒ"; ++i; break;
+      case 'k': out += "k"; ++i; break;
+      case 'l': out += "l"; ++i; break;
+      case 'm': out += "m"; ++i; break;
+      case 'n': out += "n"; ++i; break;
+      case 'p': out += "p"; ++i; break;
+      case 'r': out += "ʁ"; ++i; break;
+      case 's':
+        if (c1=='s') { out += "s"; i += 2; }
+        else if (fr_vowel_char(prev) && fr_vowel_char(c1)) { out += "z"; ++i; }
+        else { out += "s"; ++i; }
+        break;
+      case 't': out += "t"; ++i; break;
+      case 'v': out += "v"; ++i; break;
+      case 'w': out += "w"; ++i; break;
+      case 'x': out += "ks"; ++i; break;
+      case 'z': out += "z"; ++i; break;
+      default: ++i; break;
+    }
+  }
+  return out;  // French: no lexical stress marks (phrase-final prominence)
+}
+
 }  // namespace
 
 namespace {
 
-enum class Lang { EN, ES, DE, IT };
+enum class Lang { EN, ES, DE, IT, FR };
 
 // True when the bytes at text[i] are a letter this language's engine keeps.
 // Writes the (lowercased) bytes to `word` and returns bytes consumed, or 0.
@@ -872,6 +1060,16 @@ size_t take_letter(const std::string& text, size_t i, Lang lang, std::string* wo
   if (c == '\'' && lang == Lang::EN) {
     *word += static_cast<char>(c);  // keep apostrophes inside words (don't)
     return 1;
+  }
+  if (lang == Lang::FR && i + 1 < text.size() && (c == 0xC3 || c == 0xC5)) {
+    unsigned char d = text[i + 1];
+    // accented vowels / ç / œ pass through; phonemize_word_fr folds them.
+    if ((c == 0xC3 && ((d >= 0x80 && d <= 0xBC))) ||
+        (c == 0xC5 && (d == 0x92 || d == 0x93))) {
+      *word += static_cast<char>(c);
+      *word += static_cast<char>(d);
+      return 2;
+    }
   }
   if (lang == Lang::IT && c == 0xC3 && i + 1 < text.size()) {
     unsigned char d = text[i + 1];
@@ -930,6 +1128,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
         case Lang::ES: result += phonemize_word_es(word); break;
         case Lang::DE: result += phonemize_word_de(word); break;
         case Lang::IT: result += phonemize_word_it(word); break;
+        case Lang::FR: result += phonemize_word_fr(word); break;
         default: result += phonemize_word(word); break;
       }
       word.clear();
@@ -960,7 +1159,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
 
 extern "C" {
 
-int ztx_version() { return 4; }
+int ztx_version() { return 5; }
 
 // Phonemize UTF-8 text in the given language ("en", "en-us", "es", ...).
 // Returns nullptr for unsupported languages (caller falls back). Returned
@@ -971,6 +1170,7 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (strncmp(lang, "es", 2) == 0) return phonemize_text(utf8_text, Lang::ES);
   if (strncmp(lang, "de", 2) == 0) return phonemize_text(utf8_text, Lang::DE);
   if (strncmp(lang, "it", 2) == 0) return phonemize_text(utf8_text, Lang::IT);
+  if (strncmp(lang, "fr", 2) == 0) return phonemize_text(utf8_text, Lang::FR);
   return nullptr;
 }
 

@@ -134,8 +134,8 @@ def test_grapheme_fallback_warns_loudly(monkeypatch, caplog):
     monkeypatch.setattr(E, "_load", lambda: None)
     E._WARNED_LANGS.clear()
     with caplog.at_level(logging.WARNING, logger="zonos_tpu"):
-        out = E.phonemize(["bonjour", "bonsoir"], ["fr-fr", "fr-fr"])
-    assert out == ["bonjour", "bonsoir"]
+        out = E.phonemize(["dzień dobry", "dobranoc"], ["pl", "pl"])
+    assert out == ["dzień dobry", "dobranoc"]
     warnings = [r for r in caplog.records if "falling back" in r.message]
     assert len(warnings) == 1  # loud once, not per request
 
@@ -207,3 +207,38 @@ def test_it_rule_engine():
     assert native_g2p.phonemize("città", "it").endswith("ˈa")
     # intervocalic s -> z
     assert native_g2p.phonemize("casa", "it") == "kˈaza"
+
+
+def test_fr_rule_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "fr")
+    # nasal vowels
+    assert ph("bonjour") == "bɔ̃ʒuʁ"
+    assert ph("enfant") == "ɑ̃fɑ̃"
+    assert ph("jardin") == "ʒaʁdɛ̃"
+    assert ph("bien") == "bjɛ̃"
+    # silent finals: -ent (3pl), -es, final consonants; -er/-ez → é
+    assert ph("jouent") == "ʒu"
+    assert ph("allez") == "ale"
+    assert ph("parler") == "paʁle"
+    assert ph("enfants") == "ɑ̃fɑ̃"
+    # digraphs
+    assert ph("beaucoup") == "boku"
+    assert ph("maison") == "mɛzɔ̃"  # intervocalic s → z
+    assert ph("oiseau").startswith("wa")
+    assert ph("travail") == "tʁavaj"
+    assert ph("soleil") == "sɔlɛj"
+    assert ph("famille") == "famij"
+    assert ph("nation") == "nasjɔ̃"
+    # c/g softening + ç + qu
+    assert ph("français") == "fʁɑ̃sɛ"
+    assert ph("garçon") == "ɡaʁsɔ̃"
+    assert ph("qui") == "ki"
+    assert ph("gens") == "ʒɑ̃"
+    # doubled consonants collapse; lexicon exceptions
+    assert ph("belle") == "bɛl"
+    assert ph("ville") == "vil"
+    assert ph("monsieur") == "məsjø"
