@@ -1043,11 +1043,204 @@ std::string phonemize_word_fr(const std::string& raw) {
   return out;  // French: no lexical stress marks (phrase-final prominence)
 }
 
+// --- Portuguese (Brazilian conventions, eSpeak "pt-br"-style) ---------------
+// Near-phonemic with predictable mutations: nasal vowels and -ão/-em glides,
+// lh/nh palatals, c/g softening + ç, x→ʃ default, BR d/t palatalization
+// before i (and final unstressed e→i which feeds it: "de"→dʒi), final
+// unstressed o→u, intervocalic s voicing, orthographic stress (accents win,
+// else penultimate for vowel/s/m-final words, final otherwise).
+
+struct PtPhone { std::string ipa; bool vowel; bool accented; };
+
+bool pt_vowel_char(char c) { return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'; }
+
+std::string phonemize_word_pt(const std::string& raw) {
+  // Fold UTF-8: acute/circumflex vowels keep accent flag; ã/õ nasal markers
+  // 'A'/'O'; ç → '5'.
+  std::string w;
+  std::vector<bool> acc;
+  for (size_t i = 0; i < raw.size();) {
+    unsigned char c = raw[i];
+    if (c < 128) { w += static_cast<char>(c); acc.push_back(false); ++i; continue; }
+    if (c == 0xC3 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      char base = 0; bool a = false;
+      switch (d) {
+        case 0xA1: case 0x81: case 0xA2: case 0x82: base = 'a'; a = true; break;  // á â
+        case 0xA9: case 0x89: base = 'e'; a = true; break;                       // é (open)
+        case 0xAA: case 0x8A: base = '3'; a = true; break;                       // ê (closed)
+        case 0xAD: case 0x8D: base = 'i'; a = true; break;                        // í
+        case 0xB3: case 0x93: base = 'o'; a = true; break;                        // ó (open)
+        case 0xB4: case 0x94: base = '7'; a = true; break;                        // ô (closed)
+        case 0xBA: case 0x9A: base = 'u'; a = true; break;                        // ú
+        case 0xA3: case 0x83: base = 'A'; a = false; break;                       // ã
+        case 0xB5: case 0x95: base = 'O'; a = false; break;                       // õ
+        case 0xA7: case 0x87: base = '5'; break;                                  // ç
+        case 0xBC: base = 'u'; break;                                             // ü (old orth.)
+      }
+      if (base) { w += base; acc.push_back(a); }
+      i += 2;
+      continue;
+    }
+    ++i;
+  }
+
+  std::vector<PtPhone> ph;
+  size_t n = w.size();
+  auto nasal_ctx = [&](size_t after) {
+    if (after + 1 >= n) return true;
+    char nx = w[after + 1];
+    return !pt_vowel_char(nx) && nx != 'n' && nx != 'm' && nx != 'h';
+  };
+
+  for (size_t i = 0; i < n;) {
+    char c = w[i];
+    char c1 = (i + 1 < n) ? w[i + 1] : '\0';
+    char c2 = (i + 2 < n) ? w[i + 2] : '\0';
+    char prev = (i > 0) ? w[i - 1] : '\0';
+    bool a = acc.empty() ? false : acc[i];
+
+    // nasal diphthongs / vowels
+    if (c=='A' && c1=='o') { ph.push_back({"ɐ̃w̃", true, false}); i += 2; continue; }
+    if (c=='A' && c1=='e') { ph.push_back({"ɐ̃j̃", true, false}); i += 2; continue; }
+    if (c=='O' && c1=='e') { ph.push_back({"õj̃", true, false}); i += 2; continue; }
+    if (c=='A') { ph.push_back({"ɐ̃", true, false}); ++i; continue; }
+    if (c=='O') { ph.push_back({"õ", true, false}); ++i; continue; }
+    if (c=='a' && (c1=='m' || c1=='n') && nasal_ctx(i + 1)) {
+      // final -am → ɐ̃w̃ (3pl), else ɐ̃
+      if (c1=='m' && i + 2 >= n) ph.push_back({"ɐ̃w̃", true, a});
+      else ph.push_back({"ɐ̃", true, a});
+      i += 2; continue;
+    }
+    if (c=='e' && (c1=='m' || c1=='n') && nasal_ctx(i + 1)) {
+      if (c1=='m' && i + 2 >= n) ph.push_back({"ẽj̃", true, a});  // final -em
+      else ph.push_back({"ẽ", true, a});
+      i += 2; continue;
+    }
+    if (c=='i' && (c1=='m' || c1=='n') && nasal_ctx(i + 1)) { ph.push_back({"ĩ", true, a}); i += 2; continue; }
+    if (c=='o' && (c1=='m' || c1=='n') && nasal_ctx(i + 1)) { ph.push_back({"õ", true, a}); i += 2; continue; }
+    if (c=='u' && (c1=='m' || c1=='n') && nasal_ctx(i + 1)) { ph.push_back({"ũ", true, a}); i += 2; continue; }
+    // digraphs
+    if (c=='l' && c1=='h') { ph.push_back({"ʎ", false, false}); i += 2; continue; }
+    if (c=='n' && c1=='h') { ph.push_back({"ɲ", false, false}); i += 2; continue; }
+    if (c=='c' && c1=='h') { ph.push_back({"ʃ", false, false}); i += 2; continue; }
+    if (c=='q' && c1=='u') {
+      // que/qui: u silent; qua/quo: /kw/
+      if (c2=='e' || c2=='i' || c2=='3') { ph.push_back({"k", false, false}); i += 2; }
+      else { ph.push_back({"kw", false, false}); i += 2; }
+      continue;
+    }
+    if (c=='g' && c1=='u' && (c2=='e' || c2=='i' || c2=='3')) { ph.push_back({"ɡ", false, false}); i += 2; continue; }
+    if (c=='s' && c1=='s') { ph.push_back({"s", false, false}); i += 2; continue; }
+    if (c=='r' && c1=='r') { ph.push_back({"ʁ", false, false}); i += 2; continue; }
+
+    switch (c) {
+      case 'a': ph.push_back({"a", true, a}); ++i; break;
+      case 'e':
+        // final unstressed e → i (BR), which triggers d/t palatalization.
+        if (i + 1 >= n && !a) ph.push_back({"i", true, false});
+        else ph.push_back({a ? "ɛ" : "e", true, a});
+        ++i; break;
+      case '3': ph.push_back({"e", true, true}); ++i; break;  // ê closed
+      case '7': ph.push_back({"o", true, true}); ++i; break;  // ô closed
+      case 'i': ph.push_back({"i", true, a}); ++i; break;
+      case 'o':
+        if (i + 1 >= n && !a) ph.push_back({"u", true, false});  // final o → u
+        else ph.push_back({a ? "ɔ" : "o", true, a});
+        ++i; break;
+      case 'u': ph.push_back({"u", true, a}); ++i; break;
+      case 'b': ph.push_back({"b", false, false}); ++i; break;
+      case 'c':
+        if (c1=='e' || c1=='i' || c1=='3') ph.push_back({"s", false, false});
+        else ph.push_back({"k", false, false});
+        ++i; break;
+      case '5': ph.push_back({"s", false, false}); ++i; break;
+      case 'd': ph.push_back({"d", false, false}); ++i; break;  // palatalized below
+      case 'f': ph.push_back({"f", false, false}); ++i; break;
+      case 'g':
+        if (c1=='e' || c1=='i' || c1=='3') ph.push_back({"ʒ", false, false});
+        else ph.push_back({"ɡ", false, false});
+        ++i; break;
+      case 'h': ++i; break;  // silent
+      case 'j': ph.push_back({"ʒ", false, false}); ++i; break;
+      case 'k': ph.push_back({"k", false, false}); ++i; break;
+      case 'l':
+        // coda l → w (BR): Brasil → bɾaziw
+        if (i + 1 >= n || !pt_vowel_char(c1)) ph.push_back({"w", false, false});
+        else ph.push_back({"l", false, false});
+        ++i; break;
+      case 'm': ph.push_back({"m", false, false}); ++i; break;
+      case 'n': ph.push_back({"n", false, false}); ++i; break;
+      case 'p': ph.push_back({"p", false, false}); ++i; break;
+      case 'r':
+        ph.push_back({(i == 0) ? "ʁ" : "ɾ", false, false}); ++i; break;
+      case 's':
+        if (pt_vowel_char(prev) && pt_vowel_char(c1)) ph.push_back({"z", false, false});
+        else ph.push_back({"s", false, false});
+        ++i; break;
+      case 't': ph.push_back({"t", false, false}); ++i; break;
+      case 'v': ph.push_back({"v", false, false}); ++i; break;
+      case 'w': ph.push_back({"w", false, false}); ++i; break;
+      case 'x': ph.push_back({"ʃ", false, false}); ++i; break;
+      case 'y': ph.push_back({"i", true, a}); ++i; break;
+      case 'z':
+        // final z → s, else z
+        ph.push_back({(i + 1 >= n) ? "s" : "z", false, false}); ++i; break;
+      default: ++i; break;
+    }
+  }
+
+  // BR palatalization: d/t before /i/ → dʒ/tʃ.
+  for (size_t i = 0; i + 1 < ph.size(); ++i) {
+    if (!ph[i].vowel && ph[i + 1].vowel &&
+        (ph[i + 1].ipa == "i" || ph[i + 1].ipa == "ĩ")) {
+      if (ph[i].ipa == "d") ph[i].ipa = "dʒ";
+      else if (ph[i].ipa == "t") ph[i].ipa = "tʃ";
+    }
+  }
+
+  // Stress: accent wins; else penultimate when the word ends in a/e/o/s/m/am,
+  // final otherwise (r/l/z/i/u/nasal-diphthong endings). Diphthong merging as
+  // in Spanish.
+  std::vector<int> nuclei;
+  int stressed = -1;
+  for (size_t i = 0; i < ph.size(); ++i) {
+    if (!ph[i].vowel) continue;
+    bool merge = false;
+    if (i > 0 && ph[i - 1].vowel) {
+      bool prev_weak = (ph[i - 1].ipa == "i" || ph[i - 1].ipa == "u") && !ph[i - 1].accented;
+      bool cur_weak = (ph[i].ipa == "i" || ph[i].ipa == "u") && !ph[i].accented;
+      merge = prev_weak || cur_weak;
+    }
+    if (!merge) nuclei.push_back(static_cast<int>(i));
+    if (ph[i].accented) stressed = static_cast<int>(nuclei.size()) - 1;
+  }
+  if (nuclei.size() > 1 && stressed < 0) {
+    char last = w.empty() ? '\0' : w.back();
+    char last2 = (w.size() > 1) ? w[w.size() - 2] : '\0';
+    bool penult = (last=='a' || last=='e' || last=='o' || last=='s' ||
+                   (last=='m' && (last2=='a' || last2=='e')));
+    // Nasal-diphthong endings (-ão, -ãe, -õe) attract FINAL stress.
+    const std::string& last_nuc = ph[nuclei.back()].ipa;
+    if (last_nuc.find("\xcc\x83") != std::string::npos)  // combining tilde
+      penult = false;
+    stressed = static_cast<int>(nuclei.size()) - (penult ? 2 : 1);
+  }
+  if (nuclei.size() <= 1) stressed = -1;
+
+  std::string out;
+  for (size_t i = 0; i < ph.size(); ++i) {
+    if (stressed >= 0 && static_cast<size_t>(nuclei[stressed]) == i) out += "ˈ";
+    out += ph[i].ipa;
+  }
+  return out;
+}
+
 }  // namespace
 
 namespace {
 
-enum class Lang { EN, ES, DE, IT, FR };
+enum class Lang { EN, ES, DE, IT, FR, PT };
 
 // True when the bytes at text[i] are a letter this language's engine keeps.
 // Writes the (lowercased) bytes to `word` and returns bytes consumed, or 0.
@@ -1067,6 +1260,14 @@ size_t take_letter(const std::string& text, size_t i, Lang lang, std::string* wo
     if ((c == 0xC3 && ((d >= 0x80 && d <= 0xBC))) ||
         (c == 0xC5 && (d == 0x92 || d == 0x93))) {
       *word += static_cast<char>(c);
+      *word += static_cast<char>(d);
+      return 2;
+    }
+  }
+  if (lang == Lang::PT && c == 0xC3 && i + 1 < text.size()) {
+    unsigned char d = text[i + 1];
+    if (d >= 0x80 && d <= 0xBC) {
+      *word += static_cast<char>(0xC3);
       *word += static_cast<char>(d);
       return 2;
     }
@@ -1129,6 +1330,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
         case Lang::DE: result += phonemize_word_de(word); break;
         case Lang::IT: result += phonemize_word_it(word); break;
         case Lang::FR: result += phonemize_word_fr(word); break;
+        case Lang::PT: result += phonemize_word_pt(word); break;
         default: result += phonemize_word(word); break;
       }
       word.clear();
@@ -1159,7 +1361,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
 
 extern "C" {
 
-int ztx_version() { return 5; }
+int ztx_version() { return 6; }
 
 // Phonemize UTF-8 text in the given language ("en", "en-us", "es", ...).
 // Returns nullptr for unsupported languages (caller falls back). Returned
@@ -1171,6 +1373,7 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (strncmp(lang, "de", 2) == 0) return phonemize_text(utf8_text, Lang::DE);
   if (strncmp(lang, "it", 2) == 0) return phonemize_text(utf8_text, Lang::IT);
   if (strncmp(lang, "fr", 2) == 0) return phonemize_text(utf8_text, Lang::FR);
+  if (strncmp(lang, "pt", 2) == 0) return phonemize_text(utf8_text, Lang::PT);
   return nullptr;
 }
 

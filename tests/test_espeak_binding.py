@@ -242,3 +242,31 @@ def test_fr_rule_engine():
     assert ph("belle") == "bɛl"
     assert ph("ville") == "vil"
     assert ph("monsieur") == "məsjø"
+
+
+def test_pt_rule_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "pt")
+    # nasal diphthongs + final stress on -ão
+    assert ph("coração") == "koɾasˈɐ̃w̃"
+    assert ph("irmã") == "iɾmˈɐ̃"
+    # closed ê/ô vs open é/ó
+    assert ph("você") == "vosˈe"
+    assert ph("avô") == "avˈo"
+    assert ph("é") == "ɛ"
+    # BR palatalization + final unstressed e->i, o->u
+    assert ph("dia") == "dʒia"
+    assert ph("obrigado") == "obɾiɡˈadu"
+    assert ph("noite") == "nˈoitʃi"
+    # lh/nh, coda l -> w, initial r
+    assert "ʎ" in ph("filho")
+    assert "ɲ" in ph("amanhã")
+    assert ph("Brasil") == "bɾazˈiw"
+    assert ph("rua").startswith("ʁ")
+    # softening + ç
+    assert ph("cabeça") == "kabˈesa"
+    assert ph("gente").startswith("ʒ")
+    assert ph("quero") == "kˈɛɾu" or ph("quero") == "kˈeɾu"
