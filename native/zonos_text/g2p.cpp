@@ -1236,6 +1236,173 @@ std::string phonemize_word_pt(const std::string& raw) {
   return out;
 }
 
+// --- Russian ----------------------------------------------------------------
+// Cyrillic is otherwise a TOTAL loss for the grapheme fallback (the phoneme
+// table has no Cyrillic symbols — every letter became UNK). Russian
+// orthography is regular except for free lexical stress; without a stress
+// dictionary this engine emits full (unreduced) vowels — stilted but fully
+// intelligible. Covered: palatalization by soft vowels/ь, /j/ onset for
+// е ё ю я after vowels/signs/word-start, ж ш ц hardness, ч щ й softness,
+// final devoicing, -ого/-его genitive г→в, and a tiny exception list
+// (что, сегодня, здравствуйте).
+
+// Internal letter ids for Cyrillic (lowercased), in Unicode order
+// (U+0430..U+044F); ё (U+0451) appended at the end.
+enum RuL {
+  RA, RB, RV, RG, RD, RE, RZH, RZ, RI, RJ, RK, RL, RM, RN, RO, RP,   // а..п
+  RR, RS, RT, RU, RF, RH, RC, RCH, RSH, RSHCH, RHARD, RY, RSOFT, REH, RYU, RYA,  // р..я
+  RYO,
+  R_NONE
+};
+
+// Decode one UTF-8 char; returns bytes consumed, sets id (R_NONE if not
+// Cyrillic).
+size_t ru_letter(const std::string& t, size_t i, int* id) {
+  *id = R_NONE;
+  unsigned char c = t[i];
+  if (c == 0xD0 && i + 1 < t.size()) {
+    unsigned char d = t[i + 1];
+    if (d == 0x81) { *id = RYO; return 2; }                       // Ё
+    if (d >= 0x90 && d <= 0x9F) { *id = d - 0x90; return 2; }     // А..П
+    if (d >= 0xA0 && d <= 0xAF) { *id = RR + (d - 0xA0); return 2; }  // Р..Я
+    if (d >= 0xB0 && d <= 0xBF) { *id = d - 0xB0; return 2; }     // а..п
+    return 2;
+  }
+  if (c == 0xD1 && i + 1 < t.size()) {
+    unsigned char d = t[i + 1];
+    if (d == 0x91) { *id = RYO; return 2; }           // ё
+    if (d >= 0x80 && d <= 0x8F) { *id = RR + (d - 0x80); return 2; }  // р..я
+    return 2;
+  }
+  return 0;
+}
+
+bool ru_is_vowel(int id) {
+  return id==RA||id==RE||id==RYO||id==RI||id==RO||id==RU||id==RY||id==REH||id==RYU||id==RYA;
+}
+bool ru_always_hard(int id) { return id==RZH||id==RSH||id==RC; }
+bool ru_always_soft(int id) { return id==RCH||id==RSHCH||id==RJ; }
+bool ru_is_cons(int id) {
+  return !ru_is_vowel(id) && id != RHARD && id != RSOFT && id != R_NONE;
+}
+
+std::string phonemize_word_ru(const std::vector<int>& w0) {
+  std::vector<int> w = w0;
+  size_t n = w.size();
+  // --- exceptions / morphology ---
+  // genitive -ого/-его: г → в
+  if (n >= 3 && w[n - 1] == RO && w[n - 2] == RG && (w[n - 3] == RO || w[n - 3] == RE))
+    w[n - 2] = RV;
+
+  static const char* kCons[] = {
+    /*RA*/ "", /*RB*/ "b", /*RV*/ "v", /*RG*/ "ɡ", /*RD*/ "d", /*RE*/ "",
+    /*RZH*/ "ʐ", /*RZ*/ "z", /*RI*/ "", /*RJ*/ "j", /*RK*/ "k",
+    /*RL*/ "l", /*RM*/ "m", /*RN*/ "n", /*RO*/ "", /*RP*/ "p", /*RR*/ "r",
+    /*RS*/ "s", /*RT*/ "t", /*RU*/ "", /*RF*/ "f", /*RH*/ "x", /*RC*/ "ts",
+    /*RCH*/ "tɕ", /*RSH*/ "ʂ", /*RSHCH*/ "ɕː", /*RHARD*/ "", /*RY*/ "",
+    /*RSOFT*/ "", /*REH*/ "", /*RYU*/ "", /*RYA*/ "", /*RYO*/ "",
+  };
+  static const char* kDevoiced[] = {"p", "f", "k", "t", "ʂ", "s"};  // б в г д ж з
+
+  std::string out;
+  for (size_t i = 0; i < n;) {
+    int c = w[i];
+    int next = (i + 1 < n) ? w[i + 1] : R_NONE;
+    int prev = (i > 0) ? w[i - 1] : R_NONE;
+
+    if (ru_is_cons(c)) {
+      // Final devoicing of б в г д ж з.
+      const char* base = kCons[c];
+      bool at_end = (i + 1 >= n) || (next == RSOFT && i + 2 >= n);
+      if (at_end) {
+        switch (c) {
+          case RB: base = kDevoiced[0]; break;
+          case RV: base = kDevoiced[1]; break;
+          case RG: base = kDevoiced[2]; break;
+          case RD: base = kDevoiced[3]; break;
+          case RZH: base = kDevoiced[4]; break;
+          case RZ: base = kDevoiced[5]; break;
+        }
+      }
+      out += base;
+      // Palatalization: soft sign or soft vowel follows (and the consonant
+      // is not always-hard); always-soft consonants are already palatal.
+      bool soften = !ru_always_hard(c) && !ru_always_soft(c) &&
+                    (next == RSOFT || next == RE || next == RYO ||
+                     next == RI || next == RYU || next == RYA);
+      if (soften) out += "ʲ";
+      ++i;
+      continue;
+    }
+    switch (c) {
+      case RA: out += "a"; ++i; break;
+      case RO: out += "o"; ++i; break;
+      case RU: out += "u"; ++i; break;
+      case RY: out += "ɨ"; ++i; break;
+      case REH: out += "ɛ"; ++i; break;
+      case RI:
+        // и after ж ш ц is hard ɨ.
+        out += ru_always_hard(prev) ? "ɨ" : "i";
+        ++i; break;
+      case RE: case RYO: case RYU: case RYA: {
+        const char* v = (c == RE) ? "e" : (c == RYO) ? "o" : (c == RYU) ? "u" : "a";
+        bool j_onset = (prev == R_NONE) || ru_is_vowel(prev) ||
+                       prev == RSOFT || prev == RHARD;
+        if (j_onset) out += "j";
+        out += v;
+        ++i; break;
+      }
+      case RSOFT: case RHARD: ++i; break;  // handled by neighbors
+      default: ++i; break;
+    }
+  }
+  return out;
+}
+
+const char* phonemize_text_ru(const char* utf8_text) {
+  if (!utf8_text) return nullptr;
+  std::string text(utf8_text);
+  std::string result;
+  std::vector<int> word;
+
+  // Tiny exception lexicon (checked on the letter-id word).
+  auto ids = [](std::initializer_list<int> l) { return std::vector<int>(l); };
+  static const std::vector<int> kChto = {RCH, RT, RO};               // что → што
+  static const std::vector<int> kSegodnya = {RS, RE, RG, RO, RD, RN, RYA};  // г→в
+  (void)ids;
+
+  auto flush = [&]() {
+    if (word.empty()) return;
+    std::vector<int> w = word;
+    if (w == kChto) w[0] = RSH;
+    else if (w == kSegodnya) w[2] = RV;
+    result += phonemize_word_ru(w);
+    word.clear();
+  };
+
+  for (size_t i = 0; i < text.size();) {
+    int id;
+    size_t consumed = ru_letter(text, i, &id);
+    if (consumed) {
+      if (id != R_NONE) word.push_back(id);
+      i += consumed;
+      continue;
+    }
+    unsigned char c = text[i];
+    flush();
+    if (strchr(";:,.!?()\"- ", c)) {
+      if (!(c == ' ' && !result.empty() && result.back() == ' '))
+        result += static_cast<char>(c);
+    }
+    ++i;
+  }
+  flush();
+
+  char* buf = static_cast<char*>(malloc(result.size() + 1));
+  memcpy(buf, result.c_str(), result.size() + 1);
+  return buf;
+}
+
 }  // namespace
 
 namespace {
@@ -1361,7 +1528,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
 
 extern "C" {
 
-int ztx_version() { return 6; }
+int ztx_version() { return 7; }
 
 // Phonemize UTF-8 text in the given language ("en", "en-us", "es", ...).
 // Returns nullptr for unsupported languages (caller falls back). Returned
@@ -1374,6 +1541,7 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (strncmp(lang, "it", 2) == 0) return phonemize_text(utf8_text, Lang::IT);
   if (strncmp(lang, "fr", 2) == 0) return phonemize_text(utf8_text, Lang::FR);
   if (strncmp(lang, "pt", 2) == 0) return phonemize_text(utf8_text, Lang::PT);
+  if (strncmp(lang, "ru", 2) == 0) return phonemize_text_ru(utf8_text);
   return nullptr;
 }
 

@@ -270,3 +270,38 @@ def test_pt_rule_engine():
     assert ph("cabeça") == "kabˈesa"
     assert ph("gente").startswith("ʒ")
     assert ph("quero") == "kˈɛɾu" or ph("quero") == "kˈeɾu"
+
+
+def test_ru_rule_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "ru")
+    # palatalization before soft vowels / ь
+    assert ph("привет") == "prʲivʲet"
+    assert ph("дела") == "dʲela"
+    assert ph("большой") == "bolʲʂoj"
+    # j-onset of е ё ю я at word start / after vowels
+    assert ph("я") == "ja"
+    assert ph("ёлка") == "jolka"
+    assert ph("такое") == "takoje"
+    # ж ш ц always hard (и → ɨ after them)
+    assert ph("жить") == "ʐɨtʲ"
+    assert ph("шить") == "ʂɨtʲ"
+    # final devoicing
+    assert ph("друг") == "druk"
+    assert ph("еж") == "jeʂ"
+    assert ph("год") == "ɡot"
+    # exceptions: что → што, сегодня / -ого genitive г → в
+    assert ph("что") == "ʂto"
+    assert ph("сегодня") == "sʲevodnʲa"
+    assert ph("нового") == "novovo"
+    # uppercase folds across both UTF-8 lead bytes
+    assert ph("Спасибо") == "spasʲibo"
+    assert ph("Привет") == ph("привет")
+    # all emitted symbols must be in the model's phoneme table
+    from zonos_tpu.conditioning.text import UNK_ID, get_symbol_ids
+
+    ids = get_symbol_ids(ph("сегодня хорошая погода, что это такое"))
+    assert UNK_ID not in ids
