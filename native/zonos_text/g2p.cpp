@@ -1103,9 +1103,9 @@ std::string phonemize_word_pt(const std::string& raw) {
     // nasal diphthongs / vowels
     if (c=='A' && c1=='o') { ph.push_back({"ɐ̃w̃", true, false}); i += 2; continue; }
     if (c=='A' && c1=='e') { ph.push_back({"ɐ̃j̃", true, false}); i += 2; continue; }
-    if (c=='O' && c1=='e') { ph.push_back({"õj̃", true, false}); i += 2; continue; }
+    if (c=='O' && c1=='e') { ph.push_back({"o\xcc\x83j\xcc\x83", true, false}); i += 2; continue; }
     if (c=='A') { ph.push_back({"ɐ̃", true, false}); ++i; continue; }
-    if (c=='O') { ph.push_back({"õ", true, false}); ++i; continue; }
+    if (c=='O') { ph.push_back({"o\xcc\x83", true, false}); ++i; continue; }
     if (c=='a' && (c1=='m' || c1=='n') && nasal_ctx(i + 1)) {
       // final -am → ɐ̃w̃ (3pl), else ɐ̃
       if (c1=='m' && i + 2 >= n) ph.push_back({"ɐ̃w̃", true, a});
@@ -1113,13 +1113,13 @@ std::string phonemize_word_pt(const std::string& raw) {
       i += 2; continue;
     }
     if (c=='e' && (c1=='m' || c1=='n') && nasal_ctx(i + 1)) {
-      if (c1=='m' && i + 2 >= n) ph.push_back({"ẽj̃", true, a});  // final -em
-      else ph.push_back({"ẽ", true, a});
+      if (c1=='m' && i + 2 >= n) ph.push_back({"e\xcc\x83j\xcc\x83", true, a});  // final -em
+      else ph.push_back({"e\xcc\x83", true, a});
       i += 2; continue;
     }
-    if (c=='i' && (c1=='m' || c1=='n') && nasal_ctx(i + 1)) { ph.push_back({"ĩ", true, a}); i += 2; continue; }
-    if (c=='o' && (c1=='m' || c1=='n') && nasal_ctx(i + 1)) { ph.push_back({"õ", true, a}); i += 2; continue; }
-    if (c=='u' && (c1=='m' || c1=='n') && nasal_ctx(i + 1)) { ph.push_back({"ũ", true, a}); i += 2; continue; }
+    if (c=='i' && (c1=='m' || c1=='n') && nasal_ctx(i + 1)) { ph.push_back({"i\xcc\x83", true, a}); i += 2; continue; }
+    if (c=='o' && (c1=='m' || c1=='n') && nasal_ctx(i + 1)) { ph.push_back({"o\xcc\x83", true, a}); i += 2; continue; }
+    if (c=='u' && (c1=='m' || c1=='n') && nasal_ctx(i + 1)) { ph.push_back({"u\xcc\x83", true, a}); i += 2; continue; }
     // digraphs
     if (c=='l' && c1=='h') { ph.push_back({"ʎ", false, false}); i += 2; continue; }
     if (c=='n' && c1=='h') { ph.push_back({"ɲ", false, false}); i += 2; continue; }
@@ -1193,7 +1193,7 @@ std::string phonemize_word_pt(const std::string& raw) {
   // BR palatalization: d/t before /i/ → dʒ/tʃ.
   for (size_t i = 0; i + 1 < ph.size(); ++i) {
     if (!ph[i].vowel && ph[i + 1].vowel &&
-        (ph[i + 1].ipa == "i" || ph[i + 1].ipa == "ĩ")) {
+        (ph[i + 1].ipa == "i" || ph[i + 1].ipa == "i\xcc\x83")) {
       if (ph[i].ipa == "d") ph[i].ipa = "dʒ";
       else if (ph[i].ipa == "t") ph[i].ipa = "tʃ";
     }

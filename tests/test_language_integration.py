@@ -1,0 +1,75 @@
+"""Language-tier integration: text → phonemize → tokenize for every tier.
+
+Covers the four-tier fallback chain (docs/LANGUAGES.md) through the real
+conditioning path with espeak absent: native engines (en/es/de/it/fr/pt/ru),
+the embedded Japanese reader, grapheme passthrough for unsupported Latin
+scripts, and the PhonemeConditioner end-to-end on a tiny model.
+"""
+
+import numpy as np
+import pytest
+
+import zonos_tpu.conditioning.espeak as E
+from zonos_tpu.conditioning import native_g2p
+from zonos_tpu.conditioning.text import UNK_ID, get_symbol_ids
+
+
+NATIVE_CASES = {
+    "en-us": "The quick brown fox jumps over the lazy dog.",
+    "es": "El rápido zorro marrón salta sobre el perro perezoso.",
+    "de": "Der schnelle braune Fuchs springt über den faulen Hund.",
+    "it": "La volpe marrone salta sopra il cane pigro.",
+    "fr-fr": "Le renard brun saute par-dessus le chien paresseux.",
+    "pt-br": "A raposa marrom salta sobre o cão preguiçoso.",
+    "ru": "Быстрая коричневая лиса прыгает через ленивую собаку.",
+}
+
+
+@pytest.fixture
+def no_espeak(monkeypatch):
+    monkeypatch.setattr(E, "_load", lambda: None)
+
+
+@pytest.mark.parametrize("lang", sorted(NATIVE_CASES))
+def test_native_tier_produces_clean_ipa(no_espeak, lang):
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    out = E.phonemize([NATIVE_CASES[lang]], [lang])[0]
+    assert out and out != NATIVE_CASES[lang].lower()
+    # The model's phoneme table (copied from the reference, checkpoint-bound)
+    # has NO combining tilde: eSpeak's own fr/pt nasal vowels tokenize the
+    # tilde to UNK in the reference too. Emitting it is reference-faithful;
+    # everything else must be in-table.
+    ids = get_symbol_ids(out.replace("\u0303", ""))
+    assert ids, out
+    assert UNK_ID not in ids, out
+
+
+def test_japanese_tier(no_espeak):
+    out = E.phonemize(["私は日本語を話します。"], ["ja"])[0]
+    ids = get_symbol_ids(out)
+    assert UNK_ID not in ids, out
+    assert "ɕ" in out  # はなします → ...ɕimasɯ
+
+
+def test_grapheme_tier_latin(no_espeak):
+    # Unsupported Latin-script language: lowercase graphemes, usable tokens.
+    out = E.phonemize(["Dzień dobry"], ["pl"])[0]
+    assert out == "dzień dobry"
+
+
+def test_phoneme_conditioner_end_to_end(no_espeak):
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    import jax.numpy as jnp
+
+    from zonos_tpu.conditioning.cond_dict import make_cond_dict
+    from zonos_tpu.config import tiny_transformer_config
+    from zonos_tpu.models.zonos import Zonos
+
+    model = Zonos.from_config(tiny_transformer_config(), seed=0, dtype=jnp.float32)
+    for lang, text in [("de", "Guten Morgen"), ("ru", "Привет"), ("fr-fr", "Bonjour")]:
+        cd = make_cond_dict(text=text, language=lang, speaker=np.zeros((1, 1, 128), np.float32))
+        cond = np.asarray(model.prepare_conditioning(cd))
+        assert cond.ndim == 3 and cond.shape[0] == 2
+        assert np.isfinite(cond).all()
