@@ -204,3 +204,25 @@ def test_gqa_attention_quantized_matches_dequantized(rng):
         q, _kv_dequantize(kq, ks, jnp.float32), _kv_dequantize(vq, vs, jnp.float32), mask
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_quantize_enables_int8_kv_default():
+    """Serving speedup: int8 weights pair with int8 KV by default (NOTES r2).
+
+    quantize() flips Zonos.default_kv_int8; generate/stream resolve it when
+    the caller doesn't pass kv_int8 explicitly.
+    """
+    from zonos_tpu.conditioning.cond_dict import make_cond_dict
+
+    model = Zonos.from_config(tiny_transformer_config(), seed=0, dtype=jnp.float32)
+    assert model.default_kv_int8 is False
+    qmodel = model.quantize()
+    assert qmodel.default_kv_int8 is True
+
+    cd = make_cond_dict(text="kv default", speaker=np.zeros((1, 1, 128), np.float32))
+    cond = qmodel.prepare_conditioning(cd)
+    out = qmodel.generate(cond, max_new_tokens=12, seed=3)
+    assert out.shape[:2] == (1, 9)
+    # Explicit override still wins.
+    out2 = qmodel.generate(cond, max_new_tokens=12, seed=3, kv_int8=False)
+    assert out2.shape[:2] == (1, 9)

@@ -100,6 +100,10 @@ class Zonos:
         self.masked_token_id = config.masked_token_id
         self._conditioning_cache = ConditioningCache(max_size=32)
         self._autoencoder = None
+        # Default for generate/stream when the caller doesn't pass kv_int8.
+        # quantize() flips this on: int8 weights + int8 KV is the measured
+        # serving sweet spot (2.69 vs ~3.2 ms/frame; NOTES.md round 2).
+        self.default_kv_int8 = False
 
     # ------------------------------------------------------------------
     # Construction
@@ -170,6 +174,7 @@ class Zonos:
             qparams = quantize_transformer_params(self.params, bits=bits)
         m = Zonos(self.config, qparams, self.dtype)
         m._autoencoder = self._autoencoder
+        m.default_kv_int8 = True
         return m
 
     # ------------------------------------------------------------------
@@ -238,7 +243,7 @@ class Zonos:
         seed: int | jax.Array | None = None,
         callback=None,
         callback_interval: int = 64,
-        kv_int8: bool = False,
+        kv_int8: bool | None = None,
         return_lengths: bool = False,
     ) -> np.ndarray:
         """Generate sanitized audio codes [B, 9, T] (reference model.py:354-548).
@@ -250,6 +255,8 @@ class Zonos:
         far — the reference's progress/abort contract (model.py:508-509)
         without per-step host syncs.
         """
+        if kv_int8 is None:
+            kv_int8 = self.default_kv_int8
         if callback is None:
             return genmod.generate(
                 self.params,
@@ -293,6 +300,7 @@ class Zonos:
             first_chunk_frames=callback_interval,
             chunk_frames=callback_interval,
             dtype=self.dtype,
+            kv_int8=self.default_kv_int8,
             on_progress=lambda steps: callback(None, steps, max_steps),
         ):
             if item is not None:
@@ -311,6 +319,7 @@ class Zonos:
         seed=None,
         first_chunk_frames: int = 16,
         chunk_frames: int = 64,
+        kv_int8: bool | None = None,
     ):
         """Streaming generation: yields (pcm float32 [T], sample_rate) chunks.
 
@@ -333,6 +342,7 @@ class Zonos:
             first_chunk_frames=first_chunk_frames,
             chunk_frames=chunk_frames,
             dtype=self.dtype,
+            kv_int8=self.default_kv_int8 if kv_int8 is None else kv_int8,
         )
 
     # ------------------------------------------------------------------
