@@ -705,7 +705,10 @@ std::string phonemize_word_de(const std::string& raw) {
   int skip = 0;
   for (const char* p : kUnstressedPrefix) {
     size_t len = strlen(p);
-    if (w.size() > len + 2 && w.compare(0, len, p) == 0) { skip = 1; break; }
+    // Only a real prefix when a consonant follows (Beere is not be-+ere).
+    if (w.size() > len + 2 && w.compare(0, len, p) == 0 && !de_vowel(w[len])) {
+      skip = 1; break;
+    }
   }
   int total_vowels = 0;
   for (const auto& p : ph) total_vowels += p.vowel ? 1 : 0;
@@ -1403,11 +1406,373 @@ const char* phonemize_text_ru(const char* utf8_text) {
   return buf;
 }
 
+// --- Turkish ----------------------------------------------------------------
+// Turkish orthography is almost exactly one letter = one phoneme: c→dʒ,
+// ç→tʃ, ş→ʃ, j→ʒ, ı→ɯ, ö→œ, ü→y; yumuşak ğ lengthens the preceding vowel.
+// Stress: word-final (the regular default).
+
+std::string phonemize_word_tr(const std::string& raw) {
+  // Fold UTF-8 specials to markers: ı='I' i='i' ğ='G' ş='S' ç='C' ö='O' ü='U'.
+  std::string w;
+  for (size_t i = 0; i < raw.size();) {
+    unsigned char c = raw[i];
+    if (c < 128) { w += static_cast<char>(c); ++i; continue; }
+    if (c == 0xC4 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0xB1) w += 'I';                 // ı
+      else if (d == 0xB0) w += 'i';            // İ (dotted capital)
+      else if (d == 0x9F || d == 0x9E) w += 'G';  // ğ Ğ
+      i += 2; continue;
+    }
+    if (c == 0xC5 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0x9F || d == 0x9E) w += 'S';    // ş Ş
+      i += 2; continue;
+    }
+    if (c == 0xC3 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0xA7 || d == 0x87) w += 'C';    // ç Ç
+      else if (d == 0xB6 || d == 0x96) w += 'O';  // ö Ö
+      else if (d == 0xBC || d == 0x9C) w += 'U';  // ü Ü
+      else if (d == 0xA2 || d == 0xAE || d == 0xBB) {
+        // â î û (old orthography): fold to plain vowels.
+        w += (d == 0xA2) ? 'a' : (d == 0xAE) ? 'i' : 'u';
+      }
+      i += 2; continue;
+    }
+    ++i;
+  }
+
+  auto tr_vowel = [](char c) {
+    return c=='a'||c=='e'||c=='i'||c=='I'||c=='o'||c=='O'||c=='u'||c=='U';
+  };
+  struct TP { std::string ipa; bool vowel; };
+  std::vector<TP> ph;
+  size_t n = w.size();
+  for (size_t i = 0; i < n; ++i) {
+    char c = w[i];
+    switch (c) {
+      case 'a': ph.push_back({"a", true}); break;
+      case 'e': ph.push_back({"e", true}); break;
+      case 'i': ph.push_back({"i", true}); break;
+      case 'I': ph.push_back({"ɯ", true}); break;
+      case 'o': ph.push_back({"o", true}); break;
+      case 'O': ph.push_back({"œ", true}); break;
+      case 'u': ph.push_back({"u", true}); break;
+      case 'U': ph.push_back({"y", true}); break;
+      case 'b': ph.push_back({"b", false}); break;
+      case 'c': ph.push_back({"dʒ", false}); break;
+      case 'C': ph.push_back({"tʃ", false}); break;
+      case 'd': ph.push_back({"d", false}); break;
+      case 'f': ph.push_back({"f", false}); break;
+      case 'g': ph.push_back({"ɡ", false}); break;
+      case 'G':
+        // yumuşak ğ: lengthen the preceding vowel (or glide between vowels).
+        if (!ph.empty() && ph.back().vowel) ph.back().ipa += "ː";
+        break;
+      case 'h': ph.push_back({"h", false}); break;
+      case 'j': ph.push_back({"ʒ", false}); break;
+      case 'k': ph.push_back({"k", false}); break;
+      case 'l': ph.push_back({"l", false}); break;
+      case 'm': ph.push_back({"m", false}); break;
+      case 'n': ph.push_back({"n", false}); break;
+      case 'p': ph.push_back({"p", false}); break;
+      case 'r': ph.push_back({"ɾ", false}); break;
+      case 's': ph.push_back({"s", false}); break;
+      case 'S': ph.push_back({"ʃ", false}); break;
+      case 't': ph.push_back({"t", false}); break;
+      case 'v': ph.push_back({"v", false}); break;
+      case 'y': ph.push_back({"j", false}); break;
+      case 'z': ph.push_back({"z", false}); break;
+      default: break;
+    }
+    (void)tr_vowel;
+  }
+
+  // Final-syllable stress (regular default; exceptions need a lexicon).
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  int seen = 0;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel) {
+      ++seen;
+      if (seen == total && total > 1) out += "ˈ";
+    }
+    out += p.ipa;
+  }
+  return out;
+}
+
+// --- Polish -----------------------------------------------------------------
+// Regular orthography with rich digraphs: sz/cz/rz/ch/dz/dż/dź, the palatal
+// series ć ś ź ń dź (also spelled ci/si/zi/ni/dzi before vowels, where the
+// i is silent), nasal ą/ę (ę denasalizes word-finally), ł→w, w→v, y→ɨ,
+// ó→u, final devoicing. Stress: penultimate (regular).
+
+std::string phonemize_word_pl(const std::string& raw) {
+  // Markers: A=ą C=ć E=ę L=ł N=ń S=ś Z=ź X=ż (ó folds to 'u').
+  std::string w;
+  for (size_t i = 0; i < raw.size();) {
+    unsigned char c = raw[i];
+    if (c < 128) { w += static_cast<char>(c); ++i; continue; }
+    if (c == 0xC4 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0x85 || d == 0x84) w += 'A';       // ą
+      else if (d == 0x87 || d == 0x86) w += 'C';  // ć
+      else if (d == 0x99 || d == 0x98) w += 'E';  // ę
+      i += 2; continue;
+    }
+    if (c == 0xC5 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0x82 || d == 0x81) w += 'L';       // ł
+      else if (d == 0x84 || d == 0x83) w += 'N';  // ń
+      else if (d == 0x9B || d == 0x9A) w += 'S';  // ś
+      else if (d == 0xBA || d == 0xB9) w += 'Z';  // ź
+      else if (d == 0xBC || d == 0xBB) w += 'X';  // ż
+      i += 2; continue;
+    }
+    if (c == 0xC3 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0xB3 || d == 0x93) w += 'u';       // ó → /u/
+      i += 2; continue;
+    }
+    ++i;
+  }
+
+  auto pl_vowel = [](char c) {
+    return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'||c=='y'||c=='A'||c=='E';
+  };
+  struct PP { std::string ipa; bool vowel; };
+  std::vector<PP> ph;
+  size_t n = w.size();
+  for (size_t i = 0; i < n;) {
+    char c = w[i];
+    char c1 = (i + 1 < n) ? w[i + 1] : '\0';
+    char c2 = (i + 2 < n) ? w[i + 2] : '\0';
+    bool at_end_after = (i + 2 >= n);
+
+    // digraphs
+    if (c=='s' && c1=='z') { ph.push_back({"ʂ", false}); i += 2; continue; }
+    if (c=='c' && c1=='z') { ph.push_back({"tʂ", false}); i += 2; continue; }
+    if (c=='r' && c1=='z') { ph.push_back({at_end_after ? "ʂ" : "ʐ", false}); i += 2; continue; }
+    if (c=='c' && c1=='h') { ph.push_back({"x", false}); i += 2; continue; }
+    if (c=='d' && c1=='z' && c2=='i' && i + 3 < n && pl_vowel(w[i + 3])) {
+      ph.push_back({"dʑ", false}); i += 3; continue;  // dzi+V, i silent
+    }
+    if (c=='d' && c1=='z') { ph.push_back({"dz", false}); i += 2; continue; }
+    if (c=='d' && c1=='X') { ph.push_back({"dʐ", false}); i += 2; continue; }
+    if (c=='d' && c1=='Z') { ph.push_back({"dʑ", false}); i += 2; continue; }
+    // palatal series spelled with i before a vowel (i silent)
+    if (c=='c' && c1=='i' && pl_vowel(c2)) { ph.push_back({"tɕ", false}); i += 2; continue; }
+    if (c=='s' && c1=='i' && pl_vowel(c2)) { ph.push_back({"ɕ", false}); i += 2; continue; }
+    if (c=='z' && c1=='i' && pl_vowel(c2)) { ph.push_back({"ʑ", false}); i += 2; continue; }
+    if (c=='n' && c1=='i' && pl_vowel(c2)) { ph.push_back({"ɲ", false}); i += 2; continue; }
+
+    switch (c) {
+      case 'a': ph.push_back({"a", true}); ++i; break;
+      case 'A': ph.push_back({"ɔ\xcc\x83", true}); ++i; break;  // ą
+      case 'e': ph.push_back({"ɛ", true}); ++i; break;
+      case 'E':
+        // ę denasalizes word-finally.
+        ph.push_back({(i + 1 >= n) ? "ɛ" : "ɛ\xcc\x83", true}); ++i; break;
+      case 'i':
+        // i before a vowel marks palatalization: emit a glide, not a nucleus
+        // (mówię → muvjɛ). Handled after the ci/si/zi/ni/dzi digraphs above.
+        if (pl_vowel(c1) && c1 != 'i') ph.push_back({"j", false});
+        else ph.push_back({"i", true});
+        ++i; break;
+      case 'o': ph.push_back({"ɔ", true}); ++i; break;
+      case 'u': ph.push_back({"u", true}); ++i; break;
+      case 'y': ph.push_back({"ɨ", true}); ++i; break;
+      case 'b': ph.push_back({(i + 1 >= n) ? "p" : "b", false}); ++i; break;
+      case 'c': ph.push_back({"ts", false}); ++i; break;
+      case 'C': ph.push_back({"tɕ", false}); ++i; break;
+      case 'd': ph.push_back({(i + 1 >= n) ? "t" : "d", false}); ++i; break;
+      case 'f': ph.push_back({"f", false}); ++i; break;
+      case 'g': ph.push_back({(i + 1 >= n) ? "k" : "ɡ", false}); ++i; break;
+      case 'h': ph.push_back({"x", false}); ++i; break;
+      case 'j': ph.push_back({"j", false}); ++i; break;
+      case 'k': ph.push_back({"k", false}); ++i; break;
+      case 'l': ph.push_back({"l", false}); ++i; break;
+      case 'L': ph.push_back({"w", false}); ++i; break;
+      case 'm': ph.push_back({"m", false}); ++i; break;
+      case 'n': ph.push_back({"n", false}); ++i; break;
+      case 'N': ph.push_back({"ɲ", false}); ++i; break;
+      case 'p': ph.push_back({"p", false}); ++i; break;
+      case 'r': ph.push_back({"r", false}); ++i; break;
+      case 's': ph.push_back({"s", false}); ++i; break;
+      case 'S': ph.push_back({"ɕ", false}); ++i; break;
+      case 't': ph.push_back({"t", false}); ++i; break;
+      case 'w': ph.push_back({(i + 1 >= n) ? "f" : "v", false}); ++i; break;
+      case 'X': ph.push_back({(i + 1 >= n) ? "ʂ" : "ʐ", false}); ++i; break;
+      case 'z': ph.push_back({(i + 1 >= n) ? "s" : "z", false}); ++i; break;
+      case 'Z': ph.push_back({"ʑ", false}); ++i; break;
+      default: ++i; break;
+    }
+  }
+
+  // Penultimate stress.
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  int target = (total > 1) ? total - 1 : -1;  // 1-indexed from start: penult
+  int seen = 0;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel) {
+      ++seen;
+      if (seen == target) out += "ˈ";
+    }
+    out += p.ipa;
+  }
+  return out;
+}
+
+// --- Dutch ------------------------------------------------------------------
+// Regular digraph-heavy orthography: long/short vowel pairs (aa/a, ee/e,
+// oo/o, uu/u) with open-syllable lengthening, ij/ei→ɛi, ui→œy, oe→u, eu→øː,
+// ou/au→ʌu, g/ch→x(ɣ), sch→sx, w→ʋ, final devoicing, schwa in final -e/-en.
+// Stress: first syllable (Germanic default; prefixes as in German).
+
+std::string phonemize_word_nl(const std::string& raw) {
+  if (raw == "een") return "ən";  // the article (the numeral 'één' folds to 'een' too rarely)
+  std::string w;
+  for (size_t i = 0; i < raw.size();) {
+    unsigned char c = raw[i];
+    if (c < 128) { w += static_cast<char>(c); ++i; continue; }
+    if (c == 0xC3 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      // ë ï é è (trema/accents fold to plain vowels)
+      switch (d) {
+        case 0xAB: w += 'e'; break;
+        case 0xAF: w += 'i'; break;
+        case 0xA9: case 0xA8: w += 'e'; break;
+        case 0xB6: w += 'o'; break;
+        case 0xBC: w += 'u'; break;
+      }
+      i += 2; continue;
+    }
+    ++i;
+  }
+
+  auto nl_vowel = [](char c) {
+    return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'||c=='y';
+  };
+  struct NP { std::string ipa; bool vowel; };
+  std::vector<NP> ph;
+  size_t n = w.size();
+  for (size_t i = 0; i < n;) {
+    char c = w[i];
+    char c1 = (i + 1 < n) ? w[i + 1] : '\0';
+    char c2 = (i + 2 < n) ? w[i + 2] : '\0';
+
+    // trigraphs / digraph vowels
+    if (c=='a' && c1=='a' && c2=='i') { ph.push_back({"aːi", true}); i += 3; continue; }
+    if (c=='o' && c1=='o' && c2=='i') { ph.push_back({"oːi", true}); i += 3; continue; }
+    if (c=='i' && c1=='e' && c2=='u' && i + 3 < n && w[i+3]=='w') { ph.push_back({"iu", true}); i += 4; continue; }
+    if (c=='a' && c1=='a') { ph.push_back({"aː", true}); i += 2; continue; }
+    if (c=='e' && c1=='e') { ph.push_back({"eː", true}); i += 2; continue; }
+    if (c=='o' && c1=='o') { ph.push_back({"oː", true}); i += 2; continue; }
+    if (c=='u' && c1=='u') { ph.push_back({"y", true}); i += 2; continue; }
+    if (c=='i' && c1=='e') { ph.push_back({"i", true}); i += 2; continue; }
+    if (c=='o' && c1=='e') { ph.push_back({"u", true}); i += 2; continue; }
+    if (c=='e' && c1=='u') { ph.push_back({"øː", true}); i += 2; continue; }
+    if (c=='u' && c1=='i') { ph.push_back({"œy", true}); i += 2; continue; }
+    if ((c=='i' && c1=='j') || (c=='e' && c1=='i')) { ph.push_back({"ɛi", true}); i += 2; continue; }
+    if ((c=='o' || c=='a') && c1=='u') {
+      ph.push_back({"ʌu", true});
+      i += 2;
+      if (i < n && w[i] == 'w') ++i;  // ouw/auw
+      continue;
+    }
+    // consonant clusters
+    if (c=='s' && c1=='c' && c2=='h') {
+      // word-final -isch → /is/; else s+x
+      if (i + 3 >= n && i >= 1) { ph.push_back({"s", false}); i += 3; continue; }
+      ph.push_back({"sx", false}); i += 3; continue;
+    }
+    if (c=='c' && c1=='h') { ph.push_back({"x", false}); i += 2; continue; }
+    if (c=='n' && c1=='g') { ph.push_back({"ŋ", false}); i += 2; continue; }
+    if (c=='n' && c1=='k') { ph.push_back({"ŋk", false}); i += 2; continue; }
+    if (c=='t' && c1=='i' && c2=='e' && i + 3 >= n) { ph.push_back({"tsi", true}); i += 3; continue; }
+
+    switch (c) {
+      case 'a':
+        // open syllable (single consonant + vowel follows) → long.
+        if (!nl_vowel(c1) && c1 && nl_vowel(c2)) ph.push_back({"aː", true});
+        else ph.push_back({"ɑ", true});
+        ++i; break;
+      case 'e':
+        if (i + 1 >= n) ph.push_back({"ə", true});                     // final -e
+        else if (c1=='n' && i + 2 >= n) ph.push_back({"ə", true});     // final -en
+        else if (c1=='r' && i + 2 >= n) ph.push_back({"ə", true});     // final -er
+        else if (!nl_vowel(c1) && c1 && nl_vowel(c2)) ph.push_back({"eː", true});
+        else ph.push_back({"ɛ", true});
+        ++i; break;
+      case 'i': ph.push_back({"ɪ", true}); ++i; break;
+      case 'o':
+        if (!nl_vowel(c1) && c1 && nl_vowel(c2)) ph.push_back({"oː", true});
+        else ph.push_back({"ɔ", true});
+        ++i; break;
+      case 'u':
+        if (!nl_vowel(c1) && c1 && nl_vowel(c2)) ph.push_back({"y", true});
+        else ph.push_back({"ʏ", true});
+        ++i; break;
+      case 'y': ph.push_back({"i", true}); ++i; break;
+      case 'b': ph.push_back({(i + 1 >= n) ? "p" : "b", false}); ++i; break;
+      case 'c': ph.push_back({(c1=='e' || c1=='i') ? "s" : "k", false}); ++i; break;
+      case 'd': ph.push_back({(i + 1 >= n) ? "t" : "d", false}); ++i; break;
+      case 'f': ph.push_back({"f", false}); ++i; break;
+      case 'g': ph.push_back({"ɣ", false}); ++i; break;
+      case 'h': ph.push_back({"ɦ", false}); ++i; break;
+      case 'j': ph.push_back({"j", false}); ++i; break;
+      case 'k': ph.push_back({"k", false}); ++i; break;
+      case 'l': ph.push_back({"l", false}); ++i; break;
+      case 'm': ph.push_back({"m", false}); ++i; break;
+      case 'n': ph.push_back({"n", false}); ++i; break;
+      case 'p': ph.push_back({"p", false}); ++i; break;
+      case 'q': ph.push_back({"k", false}); ++i; break;
+      case 'r': ph.push_back({"r", false}); ++i; break;
+      case 's': ph.push_back({"s", false}); ++i; break;
+      case 't': ph.push_back({"t", false}); ++i; break;
+      case 'v': ph.push_back({"v", false}); ++i; break;
+      case 'w': ph.push_back({"ʋ", false}); ++i; break;
+      case 'x': ph.push_back({"ks", false}); ++i; break;
+      case 'z': ph.push_back({"z", false}); ++i; break;
+      default: ++i; break;
+    }
+  }
+
+  // First-syllable stress; skip unstressed verbal prefixes (as in German).
+  static const char* kNlPrefix[] = {"ge", "be", "ver", "er", "ont", "her"};
+  int skip = 0;
+  for (const char* p : kNlPrefix) {
+    size_t len = strlen(p);
+    // Only a real prefix when a consonant follows (beetje is not be-+etje).
+    if (w.size() > len + 2 && w.compare(0, len, p) == 0 && !nl_vowel(w[len])) {
+      skip = 1; break;
+    }
+  }
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  int stress_at = (skip < total) ? skip : total - 1;
+  int seen = 0;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel) {
+      if (seen == stress_at && total > 1) out += "ˈ";
+      ++seen;
+    }
+    out += p.ipa;
+  }
+  return out;
+}
+
 }  // namespace
 
 namespace {
 
-enum class Lang { EN, ES, DE, IT, FR, PT };
+enum class Lang { EN, ES, DE, IT, FR, PT, TR, PL, NL };
 
 // True when the bytes at text[i] are a letter this language's engine keeps.
 // Writes the (lowercased) bytes to `word` and returns bytes consumed, or 0.
@@ -1426,6 +1791,42 @@ size_t take_letter(const std::string& text, size_t i, Lang lang, std::string* wo
     // accented vowels / ç / œ pass through; phonemize_word_fr folds them.
     if ((c == 0xC3 && ((d >= 0x80 && d <= 0xBC))) ||
         (c == 0xC5 && (d == 0x92 || d == 0x93))) {
+      *word += static_cast<char>(c);
+      *word += static_cast<char>(d);
+      return 2;
+    }
+  }
+  if (lang == Lang::NL && c == 0xC3 && i + 1 < text.size()) {
+    unsigned char d = text[i + 1];
+    if (d == 0xAB || d == 0xAF || d == 0xA9 || d == 0xA8 || d == 0xB6 || d == 0xBC) {
+      *word += static_cast<char>(0xC3);
+      *word += static_cast<char>(d);
+      return 2;
+    }
+  }
+  if (lang == Lang::PL && i + 1 < text.size() &&
+      (c == 0xC3 || c == 0xC4 || c == 0xC5)) {
+    unsigned char d = text[i + 1];
+    bool ok = (c == 0xC4 && (d == 0x85 || d == 0x84 || d == 0x87 || d == 0x86 ||
+                             d == 0x99 || d == 0x98)) ||
+              (c == 0xC5 && (d == 0x82 || d == 0x81 || d == 0x84 || d == 0x83 ||
+                             d == 0x9B || d == 0x9A || d == 0xBA || d == 0xB9 ||
+                             d == 0xBC || d == 0xBB)) ||
+              (c == 0xC3 && (d == 0xB3 || d == 0x93));
+    if (ok) {
+      *word += static_cast<char>(c);
+      *word += static_cast<char>(d);
+      return 2;
+    }
+  }
+  if (lang == Lang::TR && i + 1 < text.size() &&
+      (c == 0xC3 || c == 0xC4 || c == 0xC5)) {
+    unsigned char d = text[i + 1];
+    bool ok = (c == 0xC4 && (d == 0xB0 || d == 0xB1 || d == 0x9E || d == 0x9F)) ||
+              (c == 0xC5 && (d == 0x9E || d == 0x9F)) ||
+              (c == 0xC3 && (d == 0xA7 || d == 0x87 || d == 0xB6 || d == 0x96 ||
+                             d == 0xBC || d == 0x9C || d == 0xA2 || d == 0xAE || d == 0xBB));
+    if (ok) {
       *word += static_cast<char>(c);
       *word += static_cast<char>(d);
       return 2;
@@ -1498,6 +1899,9 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
         case Lang::IT: result += phonemize_word_it(word); break;
         case Lang::FR: result += phonemize_word_fr(word); break;
         case Lang::PT: result += phonemize_word_pt(word); break;
+        case Lang::TR: result += phonemize_word_tr(word); break;
+        case Lang::PL: result += phonemize_word_pl(word); break;
+        case Lang::NL: result += phonemize_word_nl(word); break;
         default: result += phonemize_word(word); break;
       }
       word.clear();
@@ -1528,7 +1932,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
 
 extern "C" {
 
-int ztx_version() { return 7; }
+int ztx_version() { return 8; }
 
 // Phonemize UTF-8 text in the given language ("en", "en-us", "es", ...).
 // Returns nullptr for unsupported languages (caller falls back). Returned
@@ -1542,6 +1946,9 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (strncmp(lang, "fr", 2) == 0) return phonemize_text(utf8_text, Lang::FR);
   if (strncmp(lang, "pt", 2) == 0) return phonemize_text(utf8_text, Lang::PT);
   if (strncmp(lang, "ru", 2) == 0) return phonemize_text_ru(utf8_text);
+  if (strncmp(lang, "tr", 2) == 0) return phonemize_text(utf8_text, Lang::TR);
+  if (strncmp(lang, "pl", 2) == 0) return phonemize_text(utf8_text, Lang::PL);
+  if (strncmp(lang, "nl", 2) == 0) return phonemize_text(utf8_text, Lang::NL);
   return nullptr;
 }
 

@@ -134,8 +134,8 @@ def test_grapheme_fallback_warns_loudly(monkeypatch, caplog):
     monkeypatch.setattr(E, "_load", lambda: None)
     E._WARNED_LANGS.clear()
     with caplog.at_level(logging.WARNING, logger="zonos_tpu"):
-        out = E.phonemize(["dzień dobry", "dobranoc"], ["pl", "pl"])
-    assert out == ["dzień dobry", "dobranoc"]
+        out = E.phonemize(["jó reggelt", "jó estét"], ["hu", "hu"])
+    assert out == ["jó reggelt", "jó estét"]
     warnings = [r for r in caplog.records if "falling back" in r.message]
     assert len(warnings) == 1  # loud once, not per request
 
@@ -305,3 +305,51 @@ def test_ru_rule_engine():
 
     ids = get_symbol_ids(ph("сегодня хорошая погода, что это такое"))
     assert UNK_ID not in ids
+
+
+def test_tr_rule_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "tr")
+    assert ph("merhaba") == "meɾhabˈa"  # final stress
+    assert ph("Türkçe") == "tyɾktʃˈe"  # ü/ç + dotted-capital fold
+    assert ph("çok") == "tʃok"
+    assert ph("şeker").startswith("ʃ")
+    assert ph("cam").startswith("dʒ")
+    assert ph("yağmur") == "jaːmˈuɾ"  # yumuşak ğ lengthens
+    assert "ɯ" in ph("nasılsın")
+
+
+def test_pl_rule_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "pl")
+    assert ph("dzień") == "dʑɛɲ"
+    assert ph("masz") == "maʂ"
+    assert ph("czas") == "tʂas"
+    assert ph("rzeka").startswith("ʐ")
+    assert ph("się") == "ɕɛ"  # final ę denasalized
+    assert ph("masło") == "mˈaswɔ"  # ł → w, penultimate stress
+    assert ph("chleb") == "xlɛp"  # ch → x + final devoicing
+    assert ph("mówię") == "mˈuvjɛ"  # ó → u, i-glide before vowel
+    assert ph("dobry") == "dˈɔbrɨ"
+
+
+def test_nl_rule_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "nl")
+    assert ph("huis") == "ɦœys"  # ui
+    assert ph("goed") == "ɣut"  # oe + final devoicing
+    assert ph("ijs") == "ɛis"
+    assert ph("een") == "ən"  # article
+    assert ph("dank") == "dɑŋk"
+    assert ph("school").startswith("sx")
+    assert ph("beetje") == "bˈeːtjə"  # not be- prefix
+    assert ph("water") == "ʋˈaːtər"

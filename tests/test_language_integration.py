@@ -22,6 +22,9 @@ NATIVE_CASES = {
     "fr-fr": "Le renard brun saute par-dessus le chien paresseux.",
     "pt-br": "A raposa marrom salta sobre o cão preguiçoso.",
     "ru": "Быстрая коричневая лиса прыгает через ленивую собаку.",
+    "tr": "Hızlı kahverengi tilki tembel köpeğin üstünden atlar.",
+    "pl": "Szybki brązowy lis przeskakuje nad leniwym psem.",
+    "nl": "De snelle bruine vos springt over de luie hond.",
 }
 
 
@@ -52,10 +55,10 @@ def test_japanese_tier(no_espeak):
     assert "ɕ" in out  # はなします → ...ɕimasɯ
 
 
-def test_grapheme_tier_latin(no_espeak):
+def test_grapheme_tier_latin(no_espeak, monkeypatch):
     # Unsupported Latin-script language: lowercase graphemes, usable tokens.
-    out = E.phonemize(["Dzień dobry"], ["pl"])[0]
-    assert out == "dzień dobry"
+    out = E.phonemize(["Jó reggelt"], ["hu"])[0]
+    assert out == "jó reggelt"
 
 
 def test_phoneme_conditioner_end_to_end(no_espeak):
