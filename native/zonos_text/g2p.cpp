@@ -1768,11 +1768,263 @@ std::string phonemize_word_nl(const std::string& raw) {
   return out;
 }
 
+// --- Czech ------------------------------------------------------------------
+// Very regular: háček consonants (č š ž ř ď ť ň), acute = vowel length,
+// ů→uː, ě palatalizes the preceding d/t/n (and mě→mɲe), di/ti/ni likewise,
+// ch→x, c→ts, h→ɦ, final devoicing. Stress: ALWAYS first syllable.
+
+std::string phonemize_word_cs(const std::string& raw) {
+  // Markers: uppercase = háček/special; '1'-suffix handled via pairs:
+  // A E I O U Y = long vowels; C=č S=š Z=ž R=ř D=ď T=ť N=ň J=ě W=ů(→uː)
+  std::string w;
+  for (size_t i = 0; i < raw.size();) {
+    unsigned char c = raw[i];
+    if (c < 128) { w += static_cast<char>(c); ++i; continue; }
+    if (c == 0xC3 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      switch (d) {
+        case 0xA1: case 0x81: w += 'A'; break;  // á
+        case 0xA9: case 0x89: w += 'E'; break;  // é
+        case 0xAD: case 0x8D: w += 'I'; break;  // í
+        case 0xB3: case 0x93: w += 'O'; break;  // ó
+        case 0xBA: case 0x9A: w += 'U'; break;  // ú
+        case 0xBD: case 0x9D: w += 'Y'; break;  // ý
+      }
+      i += 2; continue;
+    }
+    if (c == 0xC4 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0x8D || d == 0x8C) w += 'C';       // č
+      else if (d == 0x8F || d == 0x8E) w += 'D';  // ď
+      else if (d == 0x9B || d == 0x9A) w += 'J';  // ě
+      i += 2; continue;
+    }
+    if (c == 0xC5 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0xA1 || d == 0xA0) w += 'S';       // š
+      else if (d == 0xBE || d == 0xBD) w += 'Z';  // ž
+      else if (d == 0x99 || d == 0x98) w += 'R';  // ř
+      else if (d == 0xA5 || d == 0xA4) w += 'T';  // ť
+      else if (d == 0x88 || d == 0x87) w += 'N';  // ň
+      else if (d == 0xAF || d == 0xAE) w += 'W';  // ů
+      i += 2; continue;
+    }
+    ++i;
+  }
+
+  auto cs_vowel = [](char c) {
+    return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'||c=='y'||
+           c=='A'||c=='E'||c=='I'||c=='O'||c=='U'||c=='Y'||c=='W'||c=='J';
+  };
+  struct CP { std::string ipa; bool vowel; };
+  std::vector<CP> ph;
+  size_t n = w.size();
+  for (size_t i = 0; i < n;) {
+    char c = w[i];
+    char c1 = (i + 1 < n) ? w[i + 1] : '\0';
+    bool fin = (i + 1 >= n);
+
+    if (c=='c' && c1=='h') { ph.push_back({"x", false}); i += 2; continue; }
+    // palatalizing ě / i after d t n m
+    if ((c=='d' || c=='t' || c=='n' || c=='m') && c1=='J') {
+      if (c=='d') ph.push_back({"ɟ", false});
+      else if (c=='t') ph.push_back({"c", false});
+      else if (c=='n') ph.push_back({"ɲ", false});
+      else { ph.push_back({"m", false}); ph.push_back({"ɲ", false}); }  // mě→mɲe
+      ph.push_back({"ɛ", true});
+      i += 2; continue;
+    }
+    if ((c=='d' || c=='t' || c=='n') && (c1=='i' || c1=='I')) {
+      ph.push_back({c=='d' ? "ɟ" : c=='t' ? "c" : "ɲ", false});
+      ph.push_back({c1=='i' ? "ɪ" : "iː", true});
+      i += 2; continue;
+    }
+
+    switch (c) {
+      case 'a': ph.push_back({"a", true}); ++i; break;
+      case 'A': ph.push_back({"aː", true}); ++i; break;
+      case 'e': ph.push_back({"ɛ", true}); ++i; break;
+      case 'E': ph.push_back({"ɛː", true}); ++i; break;
+      case 'i': case 'y': ph.push_back({"ɪ", true}); ++i; break;
+      case 'I': case 'Y': ph.push_back({"iː", true}); ++i; break;
+      case 'o': ph.push_back({"o", true}); ++i; break;
+      case 'O': ph.push_back({"oː", true}); ++i; break;
+      case 'u': ph.push_back({"u", true}); ++i; break;
+      case 'U': case 'W': ph.push_back({"uː", true}); ++i; break;
+      case 'J': ph.push_back({"jɛ", true}); ++i; break;  // ě elsewhere (vě→vjɛ)
+      case 'b': ph.push_back({fin ? "p" : "b", false}); ++i; break;
+      case 'c': ph.push_back({"ts", false}); ++i; break;
+      case 'C': ph.push_back({"tʃ", false}); ++i; break;
+      case 'd': ph.push_back({fin ? "t" : "d", false}); ++i; break;
+      case 'D': ph.push_back({"ɟ", false}); ++i; break;
+      case 'f': ph.push_back({"f", false}); ++i; break;
+      case 'g': ph.push_back({fin ? "k" : "ɡ", false}); ++i; break;
+      case 'h': ph.push_back({fin ? "x" : "ɦ", false}); ++i; break;
+      case 'j': ph.push_back({"j", false}); ++i; break;
+      case 'k': ph.push_back({"k", false}); ++i; break;
+      case 'l': ph.push_back({"l", false}); ++i; break;
+      case 'm': ph.push_back({"m", false}); ++i; break;
+      case 'n': ph.push_back({"n", false}); ++i; break;
+      case 'N': ph.push_back({"ɲ", false}); ++i; break;
+      case 'p': ph.push_back({"p", false}); ++i; break;
+      case 'q': ph.push_back({"k", false}); ++i; break;
+      case 'r': ph.push_back({"r", false}); ++i; break;
+      case 'R': ph.push_back({fin ? "rʃ" : "rʒ", false}); ++i; break;  // ř approx
+      case 's': ph.push_back({"s", false}); ++i; break;
+      case 'S': ph.push_back({"ʃ", false}); ++i; break;
+      case 't': ph.push_back({"t", false}); ++i; break;
+      case 'T': ph.push_back({"c", false}); ++i; break;
+      case 'v': ph.push_back({fin ? "f" : "v", false}); ++i; break;
+      case 'w': ph.push_back({"v", false}); ++i; break;
+      case 'x': ph.push_back({"ks", false}); ++i; break;
+      case 'z': ph.push_back({fin ? "s" : "z", false}); ++i; break;
+      case 'Z': ph.push_back({fin ? "ʃ" : "ʒ", false}); ++i; break;
+      default: ++i; break;
+    }
+  }
+
+  // First-syllable stress, always.
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  bool placed = false;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel && !placed) {
+      if (total > 1) out += "ˈ";
+      placed = true;
+    }
+    out += p.ipa;
+  }
+  return out;
+}
+
+// --- Romanian ---------------------------------------------------------------
+// Regular: ă→ə, â/î→ɨ, ș→ʃ, ț→ts, ce/ci→tʃ (che/chi→k), ge/gi→dʒ
+// (ghe/ghi→ɡ), j→ʒ, final -i after a consonant is a nonsyllabic palatal
+// glide. Stress: penultimate default (lexical in reality).
+
+std::string phonemize_word_ro(const std::string& raw) {
+  // Markers: '@'=ă '^'=â/î 'S'=ș 'T'=ț
+  std::string w;
+  for (size_t i = 0; i < raw.size();) {
+    unsigned char c = raw[i];
+    if (c < 128) { w += static_cast<char>(c); ++i; continue; }
+    if (c == 0xC4 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0x83 || d == 0x82) w += '@';  // ă
+      else if (d == 0x82) w += '@';
+      i += 2; continue;
+    }
+    if (c == 0xC3 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0xA2 || d == 0x82 || d == 0xAE || d == 0x8E) w += '^';  // â î
+      i += 2; continue;
+    }
+    if (c == 0xC8 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0x99 || d == 0x98) w += 'S';       // ș (comma-below)
+      else if (d == 0x9B || d == 0x9A) w += 'T';  // ț
+      i += 2; continue;
+    }
+    if (c == 0xC5 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0x9F || d == 0x9E) w += 'S';       // ş (legacy cedilla)
+      else if (d == 0xA3 || d == 0xA2) w += 'T';  // ţ
+      i += 2; continue;
+    }
+    ++i;
+  }
+
+  auto ro_vowel = [](char c) {
+    return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'||c=='@'||c=='^';
+  };
+  struct RP { std::string ipa; bool vowel; };
+  std::vector<RP> ph;
+  size_t n = w.size();
+  for (size_t i = 0; i < n;) {
+    char c = w[i];
+    char c1 = (i + 1 < n) ? w[i + 1] : '\0';
+    char c2 = (i + 2 < n) ? w[i + 2] : '\0';
+    char prev = (i > 0) ? w[i - 1] : '\0';
+
+    if (c=='c' && c1=='h' && (c2=='e' || c2=='i')) { ph.push_back({"k", false}); i += 2; continue; }
+    if (c=='g' && c1=='h' && (c2=='e' || c2=='i')) { ph.push_back({"ɡ", false}); i += 2; continue; }
+    if (c=='c' && (c1=='e' || c1=='i')) {
+      // ci at word end: the i is the glide, fold in (tʃʲ ~ tʃ).
+      if (c1=='i' && i + 2 >= n && !ro_vowel(prev)) { ph.push_back({"tʃ", false}); i += 2; continue; }
+      ph.push_back({"tʃ", false}); ++i; continue;
+    }
+    if (c=='g' && (c1=='e' || c1=='i')) {
+      if (c1=='i' && i + 2 >= n && !ro_vowel(prev)) { ph.push_back({"dʒ", false}); i += 2; continue; }
+      ph.push_back({"dʒ", false}); ++i; continue;
+    }
+    // diphthongs ea / oa (semivowel + vowel)
+    if (c=='e' && c1=='a') { ph.push_back({"ea", true}); i += 2; continue; }
+    if (c=='o' && c1=='a') { ph.push_back({"oa", true}); i += 2; continue; }
+
+    switch (c) {
+      case 'a': ph.push_back({"a", true}); ++i; break;
+      case '@': ph.push_back({"ə", true}); ++i; break;
+      case '^': ph.push_back({"ɨ", true}); ++i; break;
+      case 'e': ph.push_back({"e", true}); ++i; break;
+      case 'i': {
+        // final i after a consonant is a nonsyllabic palatal glide — but only
+        // when the word already has a nucleus (și/zi keep syllabic i).
+        bool has_nucleus = false;
+        for (const auto& q : ph) has_nucleus |= q.vowel;
+        if (i + 1 >= n && !ro_vowel(prev) && prev && has_nucleus)
+          ph.push_back({"ʲ", false});
+        else ph.push_back({"i", true});
+        ++i; break;
+      }
+      case 'o': ph.push_back({"o", true}); ++i; break;
+      case 'u': ph.push_back({"u", true}); ++i; break;
+      case 'b': ph.push_back({"b", false}); ++i; break;
+      case 'c': ph.push_back({"k", false}); ++i; break;
+      case 'd': ph.push_back({"d", false}); ++i; break;
+      case 'f': ph.push_back({"f", false}); ++i; break;
+      case 'g': ph.push_back({"ɡ", false}); ++i; break;
+      case 'h': ph.push_back({"h", false}); ++i; break;
+      case 'j': ph.push_back({"ʒ", false}); ++i; break;
+      case 'k': ph.push_back({"k", false}); ++i; break;
+      case 'l': ph.push_back({"l", false}); ++i; break;
+      case 'm': ph.push_back({"m", false}); ++i; break;
+      case 'n': ph.push_back({"n", false}); ++i; break;
+      case 'p': ph.push_back({"p", false}); ++i; break;
+      case 'r': ph.push_back({"r", false}); ++i; break;
+      case 's': ph.push_back({"s", false}); ++i; break;
+      case 'S': ph.push_back({"ʃ", false}); ++i; break;
+      case 't': ph.push_back({"t", false}); ++i; break;
+      case 'T': ph.push_back({"ts", false}); ++i; break;
+      case 'v': ph.push_back({"v", false}); ++i; break;
+      case 'w': ph.push_back({"v", false}); ++i; break;
+      case 'x': ph.push_back({"ks", false}); ++i; break;
+      case 'z': ph.push_back({"z", false}); ++i; break;
+      default: ++i; break;
+    }
+  }
+
+  // Penultimate stress default.
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  int target = (total > 1) ? total - 1 : -1;
+  int seen = 0;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel) {
+      ++seen;
+      if (seen == target) out += "ˈ";
+    }
+    out += p.ipa;
+  }
+  return out;
+}
+
 }  // namespace
 
 namespace {
 
-enum class Lang { EN, ES, DE, IT, FR, PT, TR, PL, NL };
+enum class Lang { EN, ES, DE, IT, FR, PT, TR, PL, NL, CS, RO };
 
 // True when the bytes at text[i] are a letter this language's engine keeps.
 // Writes the (lowercased) bytes to `word` and returns bytes consumed, or 0.
@@ -1791,6 +2043,33 @@ size_t take_letter(const std::string& text, size_t i, Lang lang, std::string* wo
     // accented vowels / ç / œ pass through; phonemize_word_fr folds them.
     if ((c == 0xC3 && ((d >= 0x80 && d <= 0xBC))) ||
         (c == 0xC5 && (d == 0x92 || d == 0x93))) {
+      *word += static_cast<char>(c);
+      *word += static_cast<char>(d);
+      return 2;
+    }
+  }
+  if (lang == Lang::CS && i + 1 < text.size() &&
+      (c == 0xC3 || c == 0xC4 || c == 0xC5)) {
+    unsigned char d = text[i + 1];
+    bool ok = (c == 0xC3) || (c == 0xC4 && (d == 0x8D || d == 0x8C || d == 0x8F ||
+                                            d == 0x8E || d == 0x9B || d == 0x9A)) ||
+              (c == 0xC5 && (d == 0xA1 || d == 0xA0 || d == 0xBE || d == 0xBD ||
+                             d == 0x99 || d == 0x98 || d == 0xA5 || d == 0xA4 ||
+                             d == 0x88 || d == 0x87 || d == 0xAF || d == 0xAE));
+    if (ok) {
+      *word += static_cast<char>(c);
+      *word += static_cast<char>(d);
+      return 2;
+    }
+  }
+  if (lang == Lang::RO && i + 1 < text.size() &&
+      (c == 0xC3 || c == 0xC4 || c == 0xC5 || c == 0xC8)) {
+    unsigned char d = text[i + 1];
+    bool ok = (c == 0xC4 && (d == 0x83 || d == 0x82)) ||
+              (c == 0xC3 && (d == 0xA2 || d == 0x82 || d == 0xAE || d == 0x8E)) ||
+              (c == 0xC8 && (d == 0x99 || d == 0x98 || d == 0x9B || d == 0x9A)) ||
+              (c == 0xC5 && (d == 0x9F || d == 0x9E || d == 0xA3 || d == 0xA2));
+    if (ok) {
       *word += static_cast<char>(c);
       *word += static_cast<char>(d);
       return 2;
@@ -1902,6 +2181,8 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
         case Lang::TR: result += phonemize_word_tr(word); break;
         case Lang::PL: result += phonemize_word_pl(word); break;
         case Lang::NL: result += phonemize_word_nl(word); break;
+        case Lang::CS: result += phonemize_word_cs(word); break;
+        case Lang::RO: result += phonemize_word_ro(word); break;
         default: result += phonemize_word(word); break;
       }
       word.clear();
@@ -1932,7 +2213,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
 
 extern "C" {
 
-int ztx_version() { return 8; }
+int ztx_version() { return 9; }
 
 // Phonemize UTF-8 text in the given language ("en", "en-us", "es", ...).
 // Returns nullptr for unsupported languages (caller falls back). Returned
@@ -1949,6 +2230,8 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (strncmp(lang, "tr", 2) == 0) return phonemize_text(utf8_text, Lang::TR);
   if (strncmp(lang, "pl", 2) == 0) return phonemize_text(utf8_text, Lang::PL);
   if (strncmp(lang, "nl", 2) == 0) return phonemize_text(utf8_text, Lang::NL);
+  if (strncmp(lang, "cs", 2) == 0) return phonemize_text(utf8_text, Lang::CS);
+  if (strncmp(lang, "ro", 2) == 0) return phonemize_text(utf8_text, Lang::RO);
   return nullptr;
 }
 

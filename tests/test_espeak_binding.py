@@ -353,3 +353,37 @@ def test_nl_rule_engine():
     assert ph("school").startswith("sx")
     assert ph("beetje") == "bˈeːtjə"  # not be- prefix
     assert ph("water") == "ʋˈaːtər"
+
+
+def test_cs_rule_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "cs")
+    assert ph("den") == "dɛn"
+    assert ph("dobrý") == "dˈobriː"  # first-syllable stress + long ý
+    assert ph("máš") == "maːʃ"
+    assert ph("děkuji") == "ɟˈɛkujɪ"  # dě → palatal stop + ɛ
+    assert ph("chleba").startswith("x")  # ch → x
+    assert ph("růže") == "rˈuːʒɛ"  # ů → uː, ž → ʒ
+    assert "rʒ" in ph("příliš")  # ř approximation
+    assert ph("led") == "lɛt"  # final devoicing
+    assert ph("ticho").startswith("c")  # ti → palatal
+
+
+def test_ro_rule_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "ro")
+    assert ph("bună") == "bˈunə"  # ă → ə
+    assert ph("ce") == "tʃe"
+    assert ph("chem") == "kem"  # che → k
+    assert ph("gem") == "dʒem"
+    assert ph("și") == "ʃi"
+    assert ph("mulțumesc").startswith("mults")  # ț → ts
+    assert ph("când") == "kɨnd"  # â → ɨ
+    assert ph("faci").endswith("tʃʲ")  # final -i = palatal glide
+    assert "oa" in ph("foarte")

@@ -25,6 +25,8 @@ NATIVE_CASES = {
     "tr": "Hızlı kahverengi tilki tembel köpeğin üstünden atlar.",
     "pl": "Szybki brązowy lis przeskakuje nad leniwym psem.",
     "nl": "De snelle bruine vos springt over de luie hond.",
+    "cs": "Rychlá hnědá liška skáče přes líného psa.",
+    "ro": "Vulpea maronie sare peste câinele leneș.",
 }
 
 
