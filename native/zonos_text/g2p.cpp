@@ -2020,11 +2020,342 @@ std::string phonemize_word_ro(const std::string& raw) {
   return out;
 }
 
+// --- Finnish ----------------------------------------------------------------
+// The most regular orthography in this set: one letter = one phoneme,
+// double letters = length (vowels and consonants alike), ä→æ, ö→ø, y→y,
+// ng→ŋː, nk→ŋk. Stress: always the first syllable.
+
+std::string phonemize_word_fi(const std::string& raw) {
+  std::string w;
+  for (size_t i = 0; i < raw.size();) {
+    unsigned char c = raw[i];
+    if (c < 128) { w += static_cast<char>(c); ++i; continue; }
+    if (c == 0xC3 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0xA4 || d == 0x84) w += '@';       // ä
+      else if (d == 0xB6 || d == 0x96) w += '#';  // ö
+      else if (d == 0xA5 || d == 0x85) w += 'o';  // å (Swedish loans) → o
+      i += 2; continue;
+    }
+    ++i;
+  }
+
+  auto fi_vowel = [](char c) {
+    return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'||c=='y'||c=='@'||c=='#';
+  };
+  struct FP { std::string ipa; bool vowel; };
+  std::vector<FP> ph;
+  size_t n = w.size();
+  auto base_of = [](char c) -> const char* {
+    switch (c) {
+      case 'a': return "ɑ"; case 'e': return "e"; case 'i': return "i";
+      case 'o': return "o"; case 'u': return "u"; case 'y': return "y";
+      case '@': return "æ"; case '#': return "ø";
+      case 'b': return "b"; case 'c': return "k"; case 'd': return "d";
+      case 'f': return "f"; case 'g': return "ɡ"; case 'h': return "h";
+      case 'j': return "j"; case 'k': return "k"; case 'l': return "l";
+      case 'm': return "m"; case 'n': return "n"; case 'p': return "p";
+      case 'r': return "r"; case 's': return "s"; case 't': return "t";
+      case 'v': case 'w': return "ʋ"; case 'z': return "ts"; case 'x': return "ks";
+      default: return "";
+    }
+  };
+  for (size_t i = 0; i < n;) {
+    char c = w[i];
+    char c1 = (i + 1 < n) ? w[i + 1] : '\0';
+    if (c=='n' && c1=='g') { ph.push_back({"ŋː", false}); i += 2; continue; }
+    if (c=='n' && c1=='k') { ph.push_back({"ŋk", false}); i += 2; continue; }
+    const char* b = base_of(c);
+    if (!*b) { ++i; continue; }
+    if (c1 == c) {  // doubled letter = long
+      ph.push_back({std::string(b) + "ː", fi_vowel(c)});
+      i += 2; continue;
+    }
+    ph.push_back({b, fi_vowel(c)});
+    ++i;
+  }
+
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  bool placed = false;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel && !placed) { if (total > 1) out += "ˈ"; placed = true; }
+    out += p.ipa;
+  }
+  return out;
+}
+
+// --- Hungarian --------------------------------------------------------------
+// Regular with distinctive digraphs: s→ʃ but sz→s, zs→ʒ, cs→tʃ, gy→ɟ,
+// ty→c, ny→ɲ, ly→j, c→ts; short a→ɒ, é/á/ó/ő/ű long. Stress: first
+// syllable, always.
+
+std::string phonemize_word_hu(const std::string& raw) {
+  // Markers: A=á E=é I=í O=ó U=ú 1=ö 2=ő 3=ü 4=ű
+  std::string w;
+  for (size_t i = 0; i < raw.size();) {
+    unsigned char c = raw[i];
+    if (c < 128) { w += static_cast<char>(c); ++i; continue; }
+    if (c == 0xC3 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      switch (d) {
+        case 0xA1: case 0x81: w += 'A'; break;  // á
+        case 0xA9: case 0x89: w += 'E'; break;  // é
+        case 0xAD: case 0x8D: w += 'I'; break;  // í
+        case 0xB3: case 0x93: w += 'O'; break;  // ó
+        case 0xBA: case 0x9A: w += 'U'; break;  // ú
+        case 0xB6: case 0x96: w += '1'; break;  // ö
+        case 0xBC: case 0x9C: w += '3'; break;  // ü
+      }
+      i += 2; continue;
+    }
+    if (c == 0xC5 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0x91 || d == 0x90) w += '2';       // ő
+      else if (d == 0xB1 || d == 0xB0) w += '4';  // ű
+      i += 2; continue;
+    }
+    ++i;
+  }
+
+  auto hu_vowel = [](char c) {
+    return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'||c=='A'||c=='E'||c=='I'||
+           c=='O'||c=='U'||c=='1'||c=='2'||c=='3'||c=='4';
+  };
+  struct HP { std::string ipa; bool vowel; };
+  std::vector<HP> ph;
+  size_t n = w.size();
+  for (size_t i = 0; i < n;) {
+    char c = w[i];
+    char c1 = (i + 1 < n) ? w[i + 1] : '\0';
+    char c2 = (i + 2 < n) ? w[i + 2] : '\0';
+    // digraphs (doubled digraphs like ssz/ggy simplify to the digraph)
+    if (c=='d' && c1=='z' && c2=='s') { ph.push_back({"dʒ", false}); i += 3; continue; }
+    if (c=='s' && c1=='z') { ph.push_back({"s", false}); i += 2; continue; }
+    if (c=='z' && c1=='s') { ph.push_back({"ʒ", false}); i += 2; continue; }
+    if (c=='c' && c1=='s') { ph.push_back({"tʃ", false}); i += 2; continue; }
+    if (c=='g' && c1=='y') { ph.push_back({"ɟ", false}); i += 2; continue; }
+    if (c=='t' && c1=='y') { ph.push_back({"c", false}); i += 2; continue; }
+    if (c=='n' && c1=='y') { ph.push_back({"ɲ", false}); i += 2; continue; }
+    if (c=='l' && c1=='y') { ph.push_back({"j", false}); i += 2; continue; }
+    switch (c) {
+      case 'a': ph.push_back({"ɒ", true}); ++i; break;
+      case 'A': ph.push_back({"aː", true}); ++i; break;
+      case 'e': ph.push_back({"ɛ", true}); ++i; break;
+      case 'E': ph.push_back({"eː", true}); ++i; break;
+      case 'i': ph.push_back({"i", true}); ++i; break;
+      case 'I': ph.push_back({"iː", true}); ++i; break;
+      case 'o': ph.push_back({"o", true}); ++i; break;
+      case 'O': ph.push_back({"oː", true}); ++i; break;
+      case 'u': ph.push_back({"u", true}); ++i; break;
+      case 'U': ph.push_back({"uː", true}); ++i; break;
+      case '1': ph.push_back({"ø", true}); ++i; break;
+      case '2': ph.push_back({"øː", true}); ++i; break;
+      case '3': ph.push_back({"y", true}); ++i; break;
+      case '4': ph.push_back({"yː", true}); ++i; break;
+      case 'b': ph.push_back({"b", false}); ++i; break;
+      case 'c': ph.push_back({"ts", false}); ++i; break;
+      case 'd': ph.push_back({"d", false}); ++i; break;
+      case 'f': ph.push_back({"f", false}); ++i; break;
+      case 'g': ph.push_back({"ɡ", false}); ++i; break;
+      case 'h': ph.push_back({"h", false}); ++i; break;
+      case 'j': ph.push_back({"j", false}); ++i; break;
+      case 'k': ph.push_back({"k", false}); ++i; break;
+      case 'l': ph.push_back({"l", false}); ++i; break;
+      case 'm': ph.push_back({"m", false}); ++i; break;
+      case 'n': ph.push_back({"n", false}); ++i; break;
+      case 'p': ph.push_back({"p", false}); ++i; break;
+      case 'r': ph.push_back({"r", false}); ++i; break;
+      case 's': ph.push_back({"ʃ", false}); ++i; break;
+      case 't': ph.push_back({"t", false}); ++i; break;
+      case 'v': case 'w': ph.push_back({"v", false}); ++i; break;
+      case 'x': ph.push_back({"ks", false}); ++i; break;
+      case 'z': ph.push_back({"z", false}); ++i; break;
+      default: ++i; break;
+    }
+  }
+
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  bool placed = false;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel && !placed) { if (total > 1) out += "ˈ"; placed = true; }
+    out += p.ipa;
+  }
+  return out;
+}
+
+// --- Greek (modern) ---------------------------------------------------------
+// Second non-Latin script (after Cyrillic): without this, Greek text is
+// all-UNK in the grapheme fallback. Modern Greek orthography is regular AND
+// marks stress explicitly (tonos) — readings are high quality. Digraphs:
+// ου→u, αι→e, ει/οι/υι→i, αυ/ευ→av/af|ev/ef (voiced/voiceless context),
+// μπ→b, ντ→d, γκ/γγ→ɡ/ŋɡ, τσ→ts, τζ→dz; γ→ʝ before front vowels else ɣ,
+// χ→ç/x likewise, σ final→ς→s.
+
+// Letter ids: 0-23 = α..ω, with markers for stress carried separately.
+size_t el_letter(const std::string& t, size_t i, int* id, bool* stressed) {
+  *id = -1; *stressed = false;
+  unsigned char c = t[i];
+  if (c == 0xCE && i + 1 < t.size()) {
+    unsigned char d = t[i + 1];
+    // lowercase α(B1)..ω; uppercase Α(91)..Ω(A9); tonos forms.
+    if (d >= 0xB1) { *id = d - 0xB1; return 2; }         // α..ο (B1..BF → 0..14)
+    if (d >= 0x91 && d <= 0xA9 && d != 0xA2) {           // Α..Ρ, Σ..Ω
+      int k = d - 0x91;          // Α..Ρ → 0..16
+      if (d >= 0xA3) ++k;        // Σ(0xA3) → σ slot 18 (skip final-ς slot 17)
+      *id = k; return 2;
+    }
+    switch (d) {  // accented lowercase in CE page
+      case 0xAC: *id = 0; *stressed = true; return 2;   // ά
+      case 0xAD: *id = 4; *stressed = true; return 2;   // έ
+      case 0xAE: *id = 6; *stressed = true; return 2;   // ή
+      case 0xAF: *id = 8; *stressed = true; return 2;   // ί
+      case 0x86: *id = 0; *stressed = true; return 2;   // Ά
+      case 0x88: *id = 4; *stressed = true; return 2;   // Έ
+      case 0x89: *id = 6; *stressed = true; return 2;   // Ή
+      case 0x8A: *id = 8; *stressed = true; return 2;   // Ί
+      case 0x8C: *id = 14; *stressed = true; return 2;  // Ό
+    }
+    return 2;
+  }
+  if (c == 0xCF && i + 1 < t.size()) {
+    unsigned char d = t[i + 1];
+    if (d >= 0x80 && d <= 0x89) { *id = 15 + (d - 0x80); return 2; }  // π..ω
+    switch (d) {
+      case 0x8C: *id = 14; *stressed = true; return 2;  // ό
+      case 0x8D: *id = 20; *stressed = true; return 2;  // ύ
+      case 0x8E: *id = 24; *stressed = true; return 2;  // ώ
+    }
+    return 2;
+  }
+  return 0;
+}
+
+// α β γ δ ε ζ η θ ι κ λ μ ν ξ ο π ρ ς σ τ υ φ χ ψ ω → indices 0..24
+// (CE B1..BF = α..ο → 0..14; CF 80..89 = π ρ ς σ τ υ φ χ ψ ω → 15..24)
+std::string phonemize_word_el(const std::vector<std::pair<int,bool>>& w0) {
+  enum { A=0, B=1, G=2, D=3, E=4, Z=5, H=6, TH=7, I=8, K=9, L=10, M=11, N=12,
+         X=13, O=14, P=15, R=16, FS=17, S=18, T=19, Y=20, F=21, CH=22, PS=23, W=24 };
+  std::vector<int> w;
+  std::vector<bool> st;
+  for (auto& pr : w0) { w.push_back(pr.first); st.push_back(pr.second); }
+  size_t n = w.size();
+  auto is_v = [&](int id) { return id==A||id==E||id==H||id==I||id==O||id==Y||id==W; };
+  auto front_next = [&](size_t i) {
+    // front vowel follows (ε/ι-type sounds) → palatal γ/χ.
+    if (i + 1 >= n) return false;
+    int v = w[i + 1];
+    return v==E||v==H||v==I||v==Y;
+  };
+  auto voiced_next = [&](size_t i) {
+    if (i + 1 >= n) return false;  // word-final αυ/ευ → f
+    int c = w[i + 1];
+    return is_v(c) || c==B||c==G||c==D||c==Z||c==L||c==M||c==N||c==R;
+  };
+
+  struct GP { std::string ipa; bool vowel; bool stressed; };
+  std::vector<GP> ph;
+  for (size_t i = 0; i < n;) {
+    int c = w[i];
+    int c1 = (i + 1 < n) ? w[i + 1] : -1;
+    bool s0 = st[i];
+    bool s1 = (i + 1 < n) ? st[i + 1] : false;
+    // vowel digraphs (stress on either letter marks the nucleus)
+    if (c==O && c1==Y) { ph.push_back({"u", true, s0 || s1}); i += 2; continue; }
+    if (c==A && c1==I) { ph.push_back({"e", true, s0 || s1}); i += 2; continue; }
+    if ((c==E || c==O || c==Y) && c1==I) { ph.push_back({"i", true, s0 || s1}); i += 2; continue; }
+    if (c==A && c1==Y) { ph.push_back({voiced_next(i + 1) ? "av" : "af", true, s0 || s1}); i += 2; continue; }
+    if (c==E && c1==Y) { ph.push_back({voiced_next(i + 1) ? "ev" : "ef", true, s0 || s1}); i += 2; continue; }
+    // consonant digraphs
+    if (c==M && c1==P) { ph.push_back({(i == 0) ? "b" : "mb", false, false}); i += 2; continue; }
+    if (c==N && c1==T) { ph.push_back({(i == 0) ? "d" : "nd", false, false}); i += 2; continue; }
+    if (c==G && c1==K) { ph.push_back({(i == 0) ? "ɡ" : "ŋɡ", false, false}); i += 2; continue; }
+    if (c==G && c1==G) { ph.push_back({"ŋɡ", false, false}); i += 2; continue; }
+    if (c==T && c1==S) { ph.push_back({"ts", false, false}); i += 2; continue; }
+    if (c==T && c1==Z) { ph.push_back({"dz", false, false}); i += 2; continue; }
+
+    switch (c) {
+      case A: ph.push_back({"a", true, s0}); break;
+      case B: ph.push_back({"v", false, false}); break;
+      case G: ph.push_back({front_next(i) ? "ʝ" : "ɣ", false, false}); break;
+      case D: ph.push_back({"ð", false, false}); break;
+      case E: ph.push_back({"e", true, s0}); break;
+      case Z: ph.push_back({"z", false, false}); break;
+      case H: ph.push_back({"i", true, s0}); break;
+      case TH: ph.push_back({"θ", false, false}); break;
+      case I: ph.push_back({"i", true, s0}); break;
+      case K: ph.push_back({"k", false, false}); break;
+      case L: ph.push_back({"l", false, false}); break;
+      case M: ph.push_back({"m", false, false}); break;
+      case N: ph.push_back({"n", false, false}); break;
+      case X: ph.push_back({"ks", false, false}); break;
+      case O: ph.push_back({"o", true, s0}); break;
+      case P: ph.push_back({"p", false, false}); break;
+      case R: ph.push_back({"r", false, false}); break;
+      case FS: case S: ph.push_back({"s", false, false}); break;
+      case T: ph.push_back({"t", false, false}); break;
+      case Y: ph.push_back({"i", true, s0}); break;
+      case F: ph.push_back({"f", false, false}); break;
+      case CH: ph.push_back({front_next(i) ? "ç" : "x", false, false}); break;
+      case PS: ph.push_back({"ps", false, false}); break;
+      case W: ph.push_back({"o", true, s0}); break;
+      default: break;
+    }
+    ++i;
+  }
+
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel && p.stressed && total > 1) out += "ˈ";
+    out += p.ipa;
+  }
+  return out;
+}
+
+const char* phonemize_text_el(const char* utf8_text) {
+  if (!utf8_text) return nullptr;
+  std::string text(utf8_text);
+  std::string result;
+  std::vector<std::pair<int,bool>> word;
+
+  auto flush = [&]() {
+    if (!word.empty()) {
+      result += phonemize_word_el(word);
+      word.clear();
+    }
+  };
+  for (size_t i = 0; i < text.size();) {
+    int id; bool stressed;
+    size_t consumed = el_letter(text, i, &id, &stressed);
+    if (consumed) {
+      if (id >= 0 && id <= 24) word.push_back({id, stressed});
+      i += consumed;
+      continue;
+    }
+    unsigned char c = text[i];
+    flush();
+    if (strchr(";:,.!?()\"- ", c)) {
+      if (!(c == ' ' && !result.empty() && result.back() == ' '))
+        result += static_cast<char>(c);
+    }
+    ++i;
+  }
+  flush();
+  char* buf = static_cast<char*>(malloc(result.size() + 1));
+  memcpy(buf, result.c_str(), result.size() + 1);
+  return buf;
+}
+
 }  // namespace
 
 namespace {
 
-enum class Lang { EN, ES, DE, IT, FR, PT, TR, PL, NL, CS, RO };
+enum class Lang { EN, ES, DE, IT, FR, PT, TR, PL, NL, CS, RO, FI, HU };
 
 // True when the bytes at text[i] are a letter this language's engine keeps.
 // Writes the (lowercased) bytes to `word` and returns bytes consumed, or 0.
@@ -2043,6 +2374,27 @@ size_t take_letter(const std::string& text, size_t i, Lang lang, std::string* wo
     // accented vowels / ç / œ pass through; phonemize_word_fr folds them.
     if ((c == 0xC3 && ((d >= 0x80 && d <= 0xBC))) ||
         (c == 0xC5 && (d == 0x92 || d == 0x93))) {
+      *word += static_cast<char>(c);
+      *word += static_cast<char>(d);
+      return 2;
+    }
+  }
+  if (lang == Lang::FI && c == 0xC3 && i + 1 < text.size()) {
+    unsigned char d = text[i + 1];
+    if (d == 0xA4 || d == 0x84 || d == 0xB6 || d == 0x96 || d == 0xA5 || d == 0x85) {
+      *word += static_cast<char>(0xC3);
+      *word += static_cast<char>(d);
+      return 2;
+    }
+  }
+  if (lang == Lang::HU && i + 1 < text.size() && (c == 0xC3 || c == 0xC5)) {
+    unsigned char d = text[i + 1];
+    bool ok = (c == 0xC3 && (d == 0xA1 || d == 0x81 || d == 0xA9 || d == 0x89 ||
+                             d == 0xAD || d == 0x8D || d == 0xB3 || d == 0x93 ||
+                             d == 0xBA || d == 0x9A || d == 0xB6 || d == 0x96 ||
+                             d == 0xBC || d == 0x9C)) ||
+              (c == 0xC5 && (d == 0x91 || d == 0x90 || d == 0xB1 || d == 0xB0));
+    if (ok) {
       *word += static_cast<char>(c);
       *word += static_cast<char>(d);
       return 2;
@@ -2183,6 +2535,8 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
         case Lang::NL: result += phonemize_word_nl(word); break;
         case Lang::CS: result += phonemize_word_cs(word); break;
         case Lang::RO: result += phonemize_word_ro(word); break;
+        case Lang::FI: result += phonemize_word_fi(word); break;
+        case Lang::HU: result += phonemize_word_hu(word); break;
         default: result += phonemize_word(word); break;
       }
       word.clear();
@@ -2213,7 +2567,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
 
 extern "C" {
 
-int ztx_version() { return 9; }
+int ztx_version() { return 10; }
 
 // Phonemize UTF-8 text in the given language ("en", "en-us", "es", ...).
 // Returns nullptr for unsupported languages (caller falls back). Returned
@@ -2232,6 +2586,9 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (strncmp(lang, "nl", 2) == 0) return phonemize_text(utf8_text, Lang::NL);
   if (strncmp(lang, "cs", 2) == 0) return phonemize_text(utf8_text, Lang::CS);
   if (strncmp(lang, "ro", 2) == 0) return phonemize_text(utf8_text, Lang::RO);
+  if (strncmp(lang, "fi", 2) == 0) return phonemize_text(utf8_text, Lang::FI);
+  if (strncmp(lang, "hu", 2) == 0) return phonemize_text(utf8_text, Lang::HU);
+  if (strncmp(lang, "el", 2) == 0) return phonemize_text_el(utf8_text);
   return nullptr;
 }
 

@@ -134,8 +134,8 @@ def test_grapheme_fallback_warns_loudly(monkeypatch, caplog):
     monkeypatch.setattr(E, "_load", lambda: None)
     E._WARNED_LANGS.clear()
     with caplog.at_level(logging.WARNING, logger="zonos_tpu"):
-        out = E.phonemize(["jó reggelt", "jó estét"], ["hu", "hu"])
-    assert out == ["jó reggelt", "jó estét"]
+        out = E.phonemize(["god morgon", "god kväll"], ["sv", "sv"])
+    assert out == ["god morgon", "god kväll"]
     warnings = [r for r in caplog.records if "falling back" in r.message]
     assert len(warnings) == 1  # loud once, not per request
 
@@ -387,3 +387,54 @@ def test_ro_rule_engine():
     assert ph("când") == "kɨnd"  # â → ɨ
     assert ph("faci").endswith("tʃʲ")  # final -i = palatal glide
     assert "oa" in ph("foarte")
+
+
+def test_fi_rule_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "fi")
+    assert ph("kiitos") == "kˈiːtos"  # double vowel long, first-syllable stress
+    assert ph("hyvää") == "hˈyʋæː"
+    assert ph("kukka") == "kˈukːɑ"  # double consonant long
+    assert ph("kengät").startswith("kˈeŋː")  # ng
+
+
+def test_hu_rule_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "hu")
+    assert ph("szép") == "seːp"  # sz → s
+    assert ph("sör") == "ʃør"  # s → ʃ
+    assert ph("gyerek") == "ɟˈɛrɛk"  # gy → palatal stop
+    assert ph("nyár") == "ɲaːr"
+    assert ph("csók") == "tʃoːk"
+    assert ph("magyar") == "mˈɒɟɒr"  # short a → open o
+
+
+def test_el_rule_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "el")
+    # orthographic stress (tonos) is exact
+    assert ph("καλημέρα") == "kalimˈera"
+    assert ph("ευχαριστώ") == "efxaristˈo"  # ευ → ef before voiceless
+    assert ph("αύριο") == "ˈavrio"  # αυ → av before voiced
+    assert ph("ούζο") == "ˈuzo"  # ου → u
+    assert ph("είναι") == "ˈine"  # ει → i, αι → e
+    assert ph("γεια") == "ʝia"  # γ palatal before front vowel
+    assert ph("χώρα") == "xˈora"  # χ velar before back vowel
+    assert ph("μπύρα") == "bˈira"  # initial μπ → b
+    assert ph("θάλασσα") == "θˈalassa"
+    assert ph("ψωμί") == "psomˈi"
+    # uppercase folds
+    assert ph("Ελλάδα") == ph("ελλάδα")
+    # no UNK symbols
+    from zonos_tpu.conditioning.text import UNK_ID, get_symbol_ids
+
+    assert UNK_ID not in get_symbol_ids(ph("καλημέρα, τι κάνεις"))

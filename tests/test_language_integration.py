@@ -27,6 +27,9 @@ NATIVE_CASES = {
     "nl": "De snelle bruine vos springt over de luie hond.",
     "cs": "Rychlá hnědá liška skáče přes líného psa.",
     "ro": "Vulpea maronie sare peste câinele leneș.",
+    "fi": "Nopea ruskea kettu hyppää laiskan koiran yli.",
+    "hu": "A gyors barna róka átugrik a lusta kutya felett.",
+    "el": "Η γρήγορη καφέ αλεπού πηδάει πάνω από το τεμπέλικο σκυλί.",
 }
 
 
@@ -59,8 +62,8 @@ def test_japanese_tier(no_espeak):
 
 def test_grapheme_tier_latin(no_espeak, monkeypatch):
     # Unsupported Latin-script language: lowercase graphemes, usable tokens.
-    out = E.phonemize(["Jó reggelt"], ["hu"])[0]
-    assert out == "jó reggelt"
+    out = E.phonemize(["God morgon"], ["sv"])[0]
+    assert out == "god morgon"
 
 
 def test_phoneme_conditioner_end_to_end(no_espeak):
