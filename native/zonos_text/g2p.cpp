@@ -2351,6 +2351,120 @@ const char* phonemize_text_el(const char* utf8_text) {
   return buf;
 }
 
+// --- Korean -----------------------------------------------------------------
+// Hangul decomposes algorithmically: syllable = U+AC00 + (initial·21 +
+// medial)·28 + final — so Korean reading is fully regular given the jamo →
+// IPA tables plus basic liaison (연음: a final consonant resyllabifies onto
+// a following vowel-initial syllable). Third non-Latin tier (after
+// Cyrillic and Greek); Korean text was all-UNK before.
+
+std::string phonemize_text_ko_word(const std::vector<int>& sylls) {
+  // Jamo tables. Finals use unreleased-stop neutralizations (k/t/p).
+  static const char* kInit[19] = {
+      "k", "k͈", "n", "t", "t͈", "ɾ", "m", "p", "p͈", "s", "s͈", "",
+      "tɕ", "t͈ɕ", "tɕʰ", "kʰ", "tʰ", "pʰ", "h"};
+  static const char* kInitPlain[19] = {  // table-safe (no combining U+0348)
+      "k", "k", "n", "t", "t", "ɾ", "m", "p", "p", "s", "s", "",
+      "tɕ", "tɕ", "tɕʰ", "kʰ", "tʰ", "pʰ", "h"};
+  static const char* kMed[21] = {
+      "a", "ɛ", "ja", "jɛ", "ʌ", "e", "jʌ", "je", "o", "wa", "wɛ",
+      "we", "jo", "u", "wʌ", "we", "wi", "ju", "ɯ", "ɰi", "i"};
+  static const char* kFin[28] = {
+      "", "k", "k", "k", "n", "n", "n", "t", "l", "k", "m", "l", "l",
+      "l", "p", "l", "m", "p", "p", "t", "t", "ŋ", "t", "t", "k", "t",
+      "p", "t"};
+  // Liaison onsets by UNDERLYING final index (연음 restores the lexical
+  // consonant; ㅎ deletes, stops voice intervocalically).
+  static const char* kLiaison[28] = {
+      "", "ɡ", "k", "ks", "n", "ndʑ", "n", "d", "ɾ", "lɡ", "lm", "lb",
+      "ls", "ltʰ", "lpʰ", "ɾ", "m", "b", "ps", "s", "s", "ŋ", "dʑ",
+      "tɕʰ", "kʰ", "tʰ", "pʰ", ""};
+  (void)kInit;
+
+  std::string out;
+  size_t n = sylls.size();
+  for (size_t i = 0; i < n; ++i) {
+    int s = sylls[i];
+    int ini = s / (21 * 28);
+    int med = (s / 28) % 21;
+    int fin = s % 28;
+    int next_ini = (i + 1 < n) ? sylls[i + 1] / (21 * 28) : -1;
+    int prev_fin = (i > 0) ? sylls[i - 1] % 28 : -1;
+    bool prev_open = (i > 0) && (prev_fin == 0 || prev_fin == 27);  // vowel/ㅎ
+    bool prev_sonorant =
+        (i > 0) && (prev_fin == 4 || prev_fin == 5 || prev_fin == 6 ||  // ㄴ-type
+                    prev_fin == 8 || prev_fin == 10 || prev_fin == 16 ||  // ㄹ ㄻ ㅁ
+                    prev_fin == 21);                                      // ㅇ
+
+    std::string onset = kInitPlain[ini];
+    // Intervocalic / post-sonorant lenition of plain stops (표준 발음):
+    // ㄱ ㄷ ㅂ ㅈ voice between voiced sounds.
+    if ((prev_open || prev_sonorant) && i > 0) {
+      if (ini == 0) onset = "ɡ";
+      else if (ini == 3) onset = "d";
+      else if (ini == 7) onset = "b";
+      else if (ini == 12) onset = "dʑ";
+    }
+    out += onset;
+    out += kMed[med];
+    if (fin) {
+      if (next_ini == 11) {
+        out += kLiaison[fin];  // resyllabified onto the next vowel
+      } else {
+        const char* coda = kFin[fin];
+        // Nasal assimilation: obstruent coda + nasal onset → nasal coda.
+        int ni = next_ini;
+        bool nasal_next = (ni == 2 || ni == 6);  // ㄴ ㅁ
+        if (nasal_next) {
+          if (strcmp(coda, "k") == 0) coda = "ŋ";
+          else if (strcmp(coda, "t") == 0) coda = "n";
+          else if (strcmp(coda, "p") == 0) coda = "m";
+        }
+        out += coda;
+      }
+    }
+  }
+  return out;
+}
+
+const char* phonemize_text_ko(const char* utf8_text) {
+  if (!utf8_text) return nullptr;
+  std::string text(utf8_text);
+  std::string result;
+  std::vector<int> word;
+
+  auto flush = [&]() {
+    if (!word.empty()) {
+      result += phonemize_text_ko_word(word);
+      word.clear();
+    }
+  };
+  for (size_t i = 0; i < text.size();) {
+    unsigned char c = text[i];
+    // Hangul syllables: U+AC00–U+D7A3 = 3-byte UTF-8 EA B0 80 … ED 9E A3.
+    if ((c == 0xEA || c == 0xEB || c == 0xEC || c == 0xED) && i + 2 < text.size()) {
+      unsigned cp = ((c & 0x0F) << 12) | ((text[i + 1] & 0x3F) << 6) | (text[i + 2] & 0x3F);
+      if (cp >= 0xAC00 && cp <= 0xD7A3) {
+        word.push_back(static_cast<int>(cp - 0xAC00));
+        i += 3;
+        continue;
+      }
+      i += 3;
+      continue;
+    }
+    flush();
+    if (c < 128 && strchr(";:,.!?()\"- ", c)) {
+      if (!(c == ' ' && !result.empty() && result.back() == ' '))
+        result += static_cast<char>(c);
+    }
+    i += (c < 128) ? 1 : ((c >> 5) == 0x6 ? 2 : (c >> 4) == 0xE ? 3 : 4);
+  }
+  flush();
+  char* buf = static_cast<char*>(malloc(result.size() + 1));
+  memcpy(buf, result.c_str(), result.size() + 1);
+  return buf;
+}
+
 }  // namespace
 
 namespace {
@@ -2567,7 +2681,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
 
 extern "C" {
 
-int ztx_version() { return 10; }
+int ztx_version() { return 11; }
 
 // Phonemize UTF-8 text in the given language ("en", "en-us", "es", ...).
 // Returns nullptr for unsupported languages (caller falls back). Returned
@@ -2589,6 +2703,7 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (strncmp(lang, "fi", 2) == 0) return phonemize_text(utf8_text, Lang::FI);
   if (strncmp(lang, "hu", 2) == 0) return phonemize_text(utf8_text, Lang::HU);
   if (strncmp(lang, "el", 2) == 0) return phonemize_text_el(utf8_text);
+  if (strncmp(lang, "ko", 2) == 0) return phonemize_text_ko(utf8_text);
   return nullptr;
 }
 

@@ -438,3 +438,25 @@ def test_el_rule_engine():
     from zonos_tpu.conditioning.text import UNK_ID, get_symbol_ids
 
     assert UNK_ID not in get_symbol_ids(ph("καλημέρα, τι κάνεις"))
+
+
+def test_ko_rule_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "ko")
+    assert ph("안녕하세요") == "annjʌŋhasejo"
+    # nasal assimilation (ㅂ+ㄴ → mn) + intervocalic voicing (ㄷ → d)
+    assert ph("감사합니다") == "kamsahamnida"
+    # liaison restores the underlying consonant; ㅎ-final deletes
+    assert ph("한국어") == "hanɡuɡʌ"
+    assert ph("좋은") == "tɕoɯn"
+    assert ph("있어요") == "isʌjo"
+    # jamo basics
+    assert ph("사랑") == "saɾaŋ"
+    assert ph("물") == "mul"
+    # no UNK symbols in the output
+    from zonos_tpu.conditioning.text import UNK_ID, get_symbol_ids
+
+    assert UNK_ID not in get_symbol_ids(ph("안녕하세요 감사합니다"))

@@ -30,6 +30,7 @@ NATIVE_CASES = {
     "fi": "Nopea ruskea kettu hyppää laiskan koiran yli.",
     "hu": "A gyors barna róka átugrik a lusta kutya felett.",
     "el": "Η γρήγορη καφέ αλεπού πηδάει πάνω από το τεμπέλικο σκυλί.",
+    "ko": "빠른 갈색 여우가 게으른 개를 뛰어넘습니다.",
 }
 
 
