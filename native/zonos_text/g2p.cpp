@@ -2465,11 +2465,143 @@ const char* phonemize_text_ko(const char* utf8_text) {
   return buf;
 }
 
+// --- Indonesian / Malay -----------------------------------------------------
+// Near 1:1: c→tʃ, j→dʒ, ny→ɲ, ng→ŋ, sy→ʃ, kh→x, y→j; e is ə in closed/
+// penultimate positions (approximated as ə except word-finally), final
+// k→ʔ-like unreleased (kept as k). Stress: penultimate.
+
+std::string phonemize_word_id(const std::string& raw) {
+  std::string w;
+  for (char ch : raw) if (static_cast<unsigned char>(ch) < 128) w += ch;
+
+  auto id_vowel = [](char c) { return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'; };
+  struct IP { std::string ipa; bool vowel; };
+  std::vector<IP> ph;
+  size_t n = w.size();
+  for (size_t i = 0; i < n;) {
+    char c = w[i];
+    char c1 = (i + 1 < n) ? w[i + 1] : '\0';
+    if (c=='n' && c1=='y') { ph.push_back({"ɲ", false}); i += 2; continue; }
+    if (c=='n' && c1=='g') { ph.push_back({"ŋ", false}); i += 2; continue; }
+    if (c=='s' && c1=='y') { ph.push_back({"ʃ", false}); i += 2; continue; }
+    if (c=='k' && c1=='h') { ph.push_back({"x", false}); i += 2; continue; }
+    switch (c) {
+      case 'a': ph.push_back({"a", true}); ++i; break;
+      case 'e': ph.push_back({"ə", true}); ++i; break;
+      case 'i': ph.push_back({"i", true}); ++i; break;
+      case 'o': ph.push_back({"o", true}); ++i; break;
+      case 'u': ph.push_back({"u", true}); ++i; break;
+      case 'b': ph.push_back({"b", false}); ++i; break;
+      case 'c': ph.push_back({"tʃ", false}); ++i; break;
+      case 'd': ph.push_back({"d", false}); ++i; break;
+      case 'f': ph.push_back({"f", false}); ++i; break;
+      case 'g': ph.push_back({"ɡ", false}); ++i; break;
+      case 'h': ph.push_back({"h", false}); ++i; break;
+      case 'j': ph.push_back({"dʒ", false}); ++i; break;
+      case 'k': ph.push_back({"k", false}); ++i; break;
+      case 'l': ph.push_back({"l", false}); ++i; break;
+      case 'm': ph.push_back({"m", false}); ++i; break;
+      case 'n': ph.push_back({"n", false}); ++i; break;
+      case 'p': ph.push_back({"p", false}); ++i; break;
+      case 'q': ph.push_back({"k", false}); ++i; break;
+      case 'r': ph.push_back({"r", false}); ++i; break;
+      case 's': ph.push_back({"s", false}); ++i; break;
+      case 't': ph.push_back({"t", false}); ++i; break;
+      case 'v': ph.push_back({"f", false}); ++i; break;
+      case 'w': ph.push_back({"w", false}); ++i; break;
+      case 'x': ph.push_back({"ks", false}); ++i; break;
+      case 'y': ph.push_back({"j", false}); ++i; break;
+      case 'z': ph.push_back({"z", false}); ++i; break;
+      default: ++i; break;
+    }
+    (void)id_vowel;
+  }
+
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  int target = (total > 1) ? total - 1 : -1;  // penultimate
+  int seen = 0;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel) { ++seen; if (seen == target) out += "ˈ"; }
+    out += p.ipa;
+  }
+  return out;
+}
+
+// --- Swahili ----------------------------------------------------------------
+// Fully regular: pure five vowels, ch→tʃ, sh→ʃ, ny→ɲ, ng'→ŋ, ng→ŋɡ,
+// dh→ð, th→θ, gh→ɣ, j→dʒ, y→j. Stress: penultimate, always.
+
+std::string phonemize_word_sw(const std::string& raw) {
+  std::string w;
+  for (char ch : raw) {
+    unsigned char u = static_cast<unsigned char>(ch);
+    if (u < 128) w += ch;
+  }
+
+  auto sw_vowel = [](char c) { return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'; };
+  struct SP { std::string ipa; bool vowel; };
+  std::vector<SP> ph;
+  size_t n = w.size();
+  for (size_t i = 0; i < n;) {
+    char c = w[i];
+    char c1 = (i + 1 < n) ? w[i + 1] : '\0';
+    char c2 = (i + 2 < n) ? w[i + 2] : '\0';
+    if (c=='c' && c1=='h') { ph.push_back({"tʃ", false}); i += 2; continue; }
+    if (c=='s' && c1=='h') { ph.push_back({"ʃ", false}); i += 2; continue; }
+    if (c=='n' && c1=='y') { ph.push_back({"ɲ", false}); i += 2; continue; }
+    if (c=='n' && c1=='g' && c2=='\'') { ph.push_back({"ŋ", false}); i += 3; continue; }
+    if (c=='n' && c1=='g') { ph.push_back({"ŋɡ", false}); i += 2; continue; }
+    if (c=='d' && c1=='h') { ph.push_back({"ð", false}); i += 2; continue; }
+    if (c=='t' && c1=='h') { ph.push_back({"θ", false}); i += 2; continue; }
+    if (c=='g' && c1=='h') { ph.push_back({"ɣ", false}); i += 2; continue; }
+    switch (c) {
+      case 'a': ph.push_back({"a", true}); ++i; break;
+      case 'e': ph.push_back({"ɛ", true}); ++i; break;
+      case 'i': ph.push_back({"i", true}); ++i; break;
+      case 'o': ph.push_back({"ɔ", true}); ++i; break;
+      case 'u': ph.push_back({"u", true}); ++i; break;
+      case 'b': ph.push_back({"b", false}); ++i; break;
+      case 'd': ph.push_back({"d", false}); ++i; break;
+      case 'f': ph.push_back({"f", false}); ++i; break;
+      case 'g': ph.push_back({"ɡ", false}); ++i; break;
+      case 'h': ph.push_back({"h", false}); ++i; break;
+      case 'j': ph.push_back({"dʒ", false}); ++i; break;
+      case 'k': ph.push_back({"k", false}); ++i; break;
+      case 'l': ph.push_back({"l", false}); ++i; break;
+      case 'm': ph.push_back({"m", false}); ++i; break;
+      case 'n': ph.push_back({"n", false}); ++i; break;
+      case 'p': ph.push_back({"p", false}); ++i; break;
+      case 'r': ph.push_back({"r", false}); ++i; break;
+      case 's': ph.push_back({"s", false}); ++i; break;
+      case 't': ph.push_back({"t", false}); ++i; break;
+      case 'v': ph.push_back({"v", false}); ++i; break;
+      case 'w': ph.push_back({"w", false}); ++i; break;
+      case 'y': ph.push_back({"j", false}); ++i; break;
+      case 'z': ph.push_back({"z", false}); ++i; break;
+      default: ++i; break;
+    }
+    (void)sw_vowel;
+  }
+
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  int target = (total > 1) ? total - 1 : -1;
+  int seen = 0;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel) { ++seen; if (seen == target) out += "ˈ"; }
+    out += p.ipa;
+  }
+  return out;
+}
+
 }  // namespace
 
 namespace {
 
-enum class Lang { EN, ES, DE, IT, FR, PT, TR, PL, NL, CS, RO, FI, HU };
+enum class Lang { EN, ES, DE, IT, FR, PT, TR, PL, NL, CS, RO, FI, HU, ID, SW };
 
 // True when the bytes at text[i] are a letter this language's engine keeps.
 // Writes the (lowercased) bytes to `word` and returns bytes consumed, or 0.
@@ -2479,7 +2611,7 @@ size_t take_letter(const std::string& text, size_t i, Lang lang, std::string* wo
     *word += static_cast<char>(tolower(c));
     return 1;
   }
-  if (c == '\'' && lang == Lang::EN) {
+  if (c == '\'' && (lang == Lang::EN || lang == Lang::SW)) {
     *word += static_cast<char>(c);  // keep apostrophes inside words (don't)
     return 1;
   }
@@ -2651,6 +2783,8 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
         case Lang::RO: result += phonemize_word_ro(word); break;
         case Lang::FI: result += phonemize_word_fi(word); break;
         case Lang::HU: result += phonemize_word_hu(word); break;
+        case Lang::ID: result += phonemize_word_id(word); break;
+        case Lang::SW: result += phonemize_word_sw(word); break;
         default: result += phonemize_word(word); break;
       }
       word.clear();
@@ -2681,7 +2815,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
 
 extern "C" {
 
-int ztx_version() { return 11; }
+int ztx_version() { return 12; }
 
 // Phonemize UTF-8 text in the given language ("en", "en-us", "es", ...).
 // Returns nullptr for unsupported languages (caller falls back). Returned
@@ -2704,6 +2838,9 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (strncmp(lang, "hu", 2) == 0) return phonemize_text(utf8_text, Lang::HU);
   if (strncmp(lang, "el", 2) == 0) return phonemize_text_el(utf8_text);
   if (strncmp(lang, "ko", 2) == 0) return phonemize_text_ko(utf8_text);
+  if (strncmp(lang, "id", 2) == 0 || strncmp(lang, "ms", 2) == 0)
+    return phonemize_text(utf8_text, Lang::ID);
+  if (strncmp(lang, "sw", 2) == 0) return phonemize_text(utf8_text, Lang::SW);
   return nullptr;
 }
 

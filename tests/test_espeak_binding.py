@@ -460,3 +460,32 @@ def test_ko_rule_engine():
     from zonos_tpu.conditioning.text import UNK_ID, get_symbol_ids
 
     assert UNK_ID not in get_symbol_ids(ph("안녕하세요 감사합니다"))
+
+
+def test_id_rule_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "id")
+    assert ph("terima") == "tərˈima"  # e → ə, penultimate stress
+    assert ph("banyak") == "bˈaɲak"  # ny → ɲ
+    assert ph("cinta").startswith("tʃ")
+    assert ph("jalan").startswith("dʒ")
+    assert "ŋ" in ph("tangan")
+    assert native_g2p.phonemize("selamat", "ms") == ph("selamat")  # ms alias
+
+
+def test_sw_rule_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "sw")
+    assert ph("asante") == "asˈantɛ"  # penultimate stress
+    assert ph("chakula").startswith("tʃ")
+    assert ph("shule").startswith("ʃ")
+    assert ph("ng'ombe") == "ŋˈɔmbɛ"  # ng' velar nasal alone
+    assert ph("ngoma").startswith("ŋɡ")  # ng prenasalized
+    assert ph("dhahabu").startswith("ð")
+    assert ph("maji") == "mˈadʒi"

@@ -31,6 +31,8 @@ NATIVE_CASES = {
     "hu": "A gyors barna róka átugrik a lusta kutya felett.",
     "el": "Η γρήγορη καφέ αλεπού πηδάει πάνω από το τεμπέλικο σκυλί.",
     "ko": "빠른 갈색 여우가 게으른 개를 뛰어넘습니다.",
+    "id": "Rubah coklat cepat melompati anjing malas.",
+    "sw": "Mbweha mwepesi anaruka juu ya mbwa mvivu.",
 }
 
 
