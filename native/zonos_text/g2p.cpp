@@ -1255,6 +1255,10 @@ enum RuL {
   RA, RB, RV, RG, RD, RE, RZH, RZ, RI, RJ, RK, RL, RM, RN, RO, RP,   // а..п
   RR, RS, RT, RU, RF, RH, RC, RCH, RSH, RSHCH, RHARD, RY, RSOFT, REH, RYU, RYA,  // р..я
   RYO,
+  RUKI,   // ukr і
+  RUKJI,  // ukr ї
+  RUKJE,  // ukr є
+  RUKG,   // ukr ґ
   R_NONE
 };
 
@@ -1266,6 +1270,9 @@ size_t ru_letter(const std::string& t, size_t i, int* id) {
   if (c == 0xD0 && i + 1 < t.size()) {
     unsigned char d = t[i + 1];
     if (d == 0x81) { *id = RYO; return 2; }                       // Ё
+    if (d == 0x86) { *id = RUKI; return 2; }                      // І
+    if (d == 0x87) { *id = RUKJI; return 2; }                     // Ї
+    if (d == 0x84) { *id = RUKJE; return 2; }                     // Є
     if (d >= 0x90 && d <= 0x9F) { *id = d - 0x90; return 2; }     // А..П
     if (d >= 0xA0 && d <= 0xAF) { *id = RR + (d - 0xA0); return 2; }  // Р..Я
     if (d >= 0xB0 && d <= 0xBF) { *id = d - 0xB0; return 2; }     // а..п
@@ -1275,6 +1282,16 @@ size_t ru_letter(const std::string& t, size_t i, int* id) {
     unsigned char d = t[i + 1];
     if (d == 0x91) { *id = RYO; return 2; }           // ё
     if (d >= 0x80 && d <= 0x8F) { *id = RR + (d - 0x80); return 2; }  // р..я
+    switch (d) {  // Ukrainian lowercase
+      case 0x96: *id = RUKI; return 2;   // і
+      case 0x97: *id = RUKJI; return 2;  // ї
+      case 0x94: *id = RUKJE; return 2;  // є
+    }
+    return 2;
+  }
+  if (c == 0xD2 && i + 1 < t.size()) {
+    unsigned char d = t[i + 1];
+    if (d == 0x91 || d == 0x90) { *id = RUKG; return 2; }  // ґ Ґ
     return 2;
   }
   return 0;
@@ -1360,6 +1377,177 @@ std::string phonemize_word_ru(const std::vector<int>& w0) {
     }
   }
   return out;
+}
+
+// Ukrainian: mostly phonemic — и→ɪ (hard), і→i (palatalizing), е→ɛ (plain,
+// never j-onset), є/ї carry the glide, г→ɦ vs ґ→ɡ, щ→ʃtʃ, hard ч/ш/ж,
+// NO final devoicing, no vowel reduction.
+std::string phonemize_word_uk(const std::vector<int>& w) {
+  size_t n = w.size();
+  auto is_vowel = [](int id) {
+    return id==RA||id==RE||id==RI||id==RO||id==RU||id==RY||id==RYU||id==RYA||
+           id==RUKI||id==RUKJI||id==RUKJE;
+  };
+  std::string out;
+  for (size_t i = 0; i < n;) {
+    int c = w[i];
+    int next = (i + 1 < n) ? w[i + 1] : R_NONE;
+    int prev = (i > 0) ? w[i - 1] : R_NONE;
+    switch (c) {
+      case RA: out += "a"; break;
+      case RB: out += "b"; break;
+      case RV: out += "v"; break;
+      case RG: out += "ɦ"; break;       // г
+      case RUKG: out += "ɡ"; break;     // ґ
+      case RD: out += "d"; break;
+      case RE: out += "ɛ"; break;       // е plain
+      case RZH: out += "ʒ"; break;
+      case RZ: out += "z"; break;
+      case RI: out += "ɪ"; break;       // и hard
+      case RUKI: out += "i"; break;     // і
+      case RUKJI: out += "ji"; break;   // ї
+      case RUKJE: {                     // є
+        bool j = (prev == R_NONE) || is_vowel(prev) || prev == RSOFT;
+        out += j ? "jɛ" : "ʲɛ";
+        break;
+      }
+      case RJ: out += "j"; break;
+      case RK: out += "k"; break;
+      case RL: out += "l"; break;
+      case RM: out += "m"; break;
+      case RN: out += "n"; break;
+      case RO: out += "o"; break;
+      case RP: out += "p"; break;
+      case RR: out += "r"; break;
+      case RS: out += "s"; break;
+      case RT: out += "t"; break;
+      case RU: out += "u"; break;
+      case RF: out += "f"; break;
+      case RH: out += "x"; break;
+      case RC: out += "ts"; break;
+      case RCH: out += "tʃ"; break;
+      case RSH: out += "ʃ"; break;
+      case RSHCH: out += "ʃtʃ"; break;
+      case RYU: {
+        bool j = (prev == R_NONE) || is_vowel(prev) || prev == RSOFT;
+        out += j ? "ju" : "ʲu";
+        break;
+      }
+      case RYA: {
+        bool j = (prev == R_NONE) || is_vowel(prev) || prev == RSOFT;
+        out += j ? "ja" : "ʲa";
+        break;
+      }
+      case RSOFT:
+        if (next == R_NONE && !out.empty()) out += "ʲ";
+        break;
+      default: break;
+    }
+    ++i;
+  }
+  return out;
+}
+
+// Bulgarian: ъ is a full vowel /ɤ/, щ→ʃt, е→ɛ (plain), я/ю get j-onset or
+// palatalize, final devoicing applies, no ы/э/ё/і.
+std::string phonemize_word_bg(const std::vector<int>& w) {
+  size_t n = w.size();
+  auto is_vowel = [](int id) {
+    return id==RA||id==RE||id==RI||id==RO||id==RU||id==RHARD||id==RYU||id==RYA;
+  };
+  std::string out;
+  for (size_t i = 0; i < n;) {
+    int c = w[i];
+    int next = (i + 1 < n) ? w[i + 1] : R_NONE;
+    int prev = (i > 0) ? w[i - 1] : R_NONE;
+    bool fin = (i + 1 >= n);
+    switch (c) {
+      case RA: out += "a"; break;
+      case RB: out += fin ? "p" : "b"; break;
+      case RV: out += fin ? "f" : "v"; break;
+      case RG: out += fin ? "k" : "ɡ"; break;
+      case RD: out += fin ? "t" : "d"; break;
+      case RE: out += "ɛ"; break;
+      case RZH: out += fin ? "ʃ" : "ʒ"; break;
+      case RZ: out += fin ? "s" : "z"; break;
+      case RI: out += "i"; break;
+      case RJ: out += "j"; break;
+      case RK: out += "k"; break;
+      case RL: out += "l"; break;
+      case RM: out += "m"; break;
+      case RN: out += "n"; break;
+      case RO: out += "o"; break;
+      case RP: out += "p"; break;
+      case RR: out += "r"; break;
+      case RS: out += "s"; break;
+      case RT: out += "t"; break;
+      case RU: out += "u"; break;
+      case RF: out += "f"; break;
+      case RH: out += "x"; break;
+      case RC: out += "ts"; break;
+      case RCH: out += "tʃ"; break;
+      case RSH: out += "ʃ"; break;
+      case RSHCH: out += "ʃt"; break;   // щ
+      case RHARD: out += "ɤ"; break;    // ъ is a vowel in Bulgarian
+      case RYU: {
+        bool j = (prev == R_NONE) || is_vowel(prev) || prev == RSOFT;
+        out += j ? "ju" : "ʲu";
+        break;
+      }
+      case RYA: {
+        bool j = (prev == R_NONE) || is_vowel(prev) || prev == RSOFT;
+        out += j ? "ja" : "ʲa";
+        break;
+      }
+      case RSOFT: break;  // ьо handled by following о
+      default: break;
+    }
+    (void)next;
+    ++i;
+  }
+  return out;
+}
+
+const char* phonemize_text_cyrillic(const char* utf8_text, int which) {
+  // which: 0 = uk, 1 = bg. Same tokenizer loop as Russian.
+  if (!utf8_text) return nullptr;
+  std::string text(utf8_text);
+  std::string result;
+  std::vector<int> word;
+  auto flush = [&]() {
+    if (word.empty()) return;
+    result += (which == 0) ? phonemize_word_uk(word) : phonemize_word_bg(word);
+    word.clear();
+  };
+  for (size_t i = 0; i < text.size();) {
+    int id;
+    size_t consumed = ru_letter(text, i, &id);
+    if (consumed) {
+      if (id != R_NONE) word.push_back(id);
+      i += consumed;
+      continue;
+    }
+    unsigned char c = text[i];
+    if (which == 0 && c == 0xE2 && i + 2 < text.size() &&
+        static_cast<unsigned char>(text[i+1]) == 0x80 &&
+        static_cast<unsigned char>(text[i+2]) == 0x99) {
+      // U+2019 apostrophe inside Ukrainian words (м'ята) = separator like ъ.
+      word.push_back(RHARD);
+      i += 3;
+      continue;
+    }
+    if (c == '\'' && which == 0) { word.push_back(RHARD); ++i; continue; }
+    flush();
+    if (c < 128 && strchr(";:,.!?()\"- ", c)) {
+      if (!(c == ' ' && !result.empty() && result.back() == ' '))
+        result += static_cast<char>(c);
+    }
+    i += (c < 128) ? 1 : ((c >> 5) == 0x6 ? 2 : (c >> 4) == 0xE ? 3 : 4);
+  }
+  flush();
+  char* buf = static_cast<char*>(malloc(result.size() + 1));
+  memcpy(buf, result.c_str(), result.size() + 1);
+  return buf;
 }
 
 const char* phonemize_text_ru(const char* utf8_text) {
@@ -2815,7 +3003,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
 
 extern "C" {
 
-int ztx_version() { return 12; }
+int ztx_version() { return 13; }
 
 // Phonemize UTF-8 text in the given language ("en", "en-us", "es", ...).
 // Returns nullptr for unsupported languages (caller falls back). Returned
@@ -2841,6 +3029,8 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (strncmp(lang, "id", 2) == 0 || strncmp(lang, "ms", 2) == 0)
     return phonemize_text(utf8_text, Lang::ID);
   if (strncmp(lang, "sw", 2) == 0) return phonemize_text(utf8_text, Lang::SW);
+  if (strncmp(lang, "uk", 2) == 0) return phonemize_text_cyrillic(utf8_text, 0);
+  if (strncmp(lang, "bg", 2) == 0) return phonemize_text_cyrillic(utf8_text, 1);
   return nullptr;
 }
 

@@ -489,3 +489,33 @@ def test_sw_rule_engine():
     assert ph("ngoma").startswith("ŋɡ")  # ng prenasalized
     assert ph("dhahabu").startswith("ð")
     assert ph("maji") == "mˈadʒi"
+
+
+def test_uk_rule_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "uk")
+    assert ph("день") == "dɛnʲ"  # е plain ɛ; final soft sign
+    assert ph("гаразд") == "ɦarazd"  # г → ɦ, NO final devoicing
+    assert ph("ґанок").startswith("ɡ")  # ґ → hard g
+    assert ph("Україна") == "ukrajina"  # ї → ji
+    assert ph("і") == "i"
+    assert ph("дякую") == "dʲakuju"
+    assert ph("що") == "ʃtʃo"  # щ → ʃtʃ
+    assert "ɪ" in ph("справи")  # и → ɪ
+
+
+def test_bg_rule_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "bg")
+    assert ph("България") == "bɤlɡarija"  # ъ is the vowel ɤ
+    assert ph("добър") == "dobɤr"
+    assert ph("що") == "ʃto"  # щ → ʃt (vs Ukrainian ʃtʃ, Russian ɕː)
+    assert ph("град") == "ɡrat"  # final devoicing
+    assert ph("ден") == "dɛn"
+    assert ph("благодаря") == "blaɡodarʲa"
