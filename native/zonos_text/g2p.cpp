@@ -2785,11 +2785,92 @@ std::string phonemize_word_sw(const std::string& raw) {
   return out;
 }
 
+// --- Croatian / Bosnian / Serbian (Latin) -----------------------------------
+// Gajica is fully phonemic: č→tʃ, ć→tɕ, š→ʃ, ž→ʒ, đ→dʑ, dž→dʒ, lj→ʎ,
+// nj→ɲ, c→ts, j→j, h→x; five pure vowels, syllabic r tolerated as r.
+// Pitch accent is lexical — first-syllable stress as a neutral default.
+
+std::string phonemize_word_hr(const std::string& raw) {
+  // Markers: C=č 6=ć S=š Z=ž D=đ
+  std::string w;
+  for (size_t i = 0; i < raw.size();) {
+    unsigned char c = raw[i];
+    if (c < 128) { w += static_cast<char>(c); ++i; continue; }
+    if (c == 0xC4 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0x8D || d == 0x8C) w += 'C';       // č
+      else if (d == 0x87 || d == 0x86) w += '6';  // ć
+      else if (d == 0x91 || d == 0x90) w += 'D';  // đ
+      i += 2; continue;
+    }
+    if (c == 0xC5 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0xA1 || d == 0xA0) w += 'S';       // š
+      else if (d == 0xBE || d == 0xBD) w += 'Z';  // ž
+      i += 2; continue;
+    }
+    ++i;
+  }
+
+  auto hr_vowel = [](char c) { return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'; };
+  struct HRP { std::string ipa; bool vowel; };
+  std::vector<HRP> ph;
+  size_t n = w.size();
+  for (size_t i = 0; i < n;) {
+    char c = w[i];
+    char c1 = (i + 1 < n) ? w[i + 1] : '\0';
+    if (c=='d' && c1=='Z') { ph.push_back({"dʒ", false}); i += 2; continue; }  // dž
+    if (c=='l' && c1=='j') { ph.push_back({"ʎ", false}); i += 2; continue; }
+    if (c=='n' && c1=='j') { ph.push_back({"ɲ", false}); i += 2; continue; }
+    switch (c) {
+      case 'a': ph.push_back({"a", true}); ++i; break;
+      case 'e': ph.push_back({"e", true}); ++i; break;
+      case 'i': ph.push_back({"i", true}); ++i; break;
+      case 'o': ph.push_back({"o", true}); ++i; break;
+      case 'u': ph.push_back({"u", true}); ++i; break;
+      case 'b': ph.push_back({"b", false}); ++i; break;
+      case 'c': ph.push_back({"ts", false}); ++i; break;
+      case 'C': ph.push_back({"tʃ", false}); ++i; break;
+      case '6': ph.push_back({"tɕ", false}); ++i; break;
+      case 'd': ph.push_back({"d", false}); ++i; break;
+      case 'D': ph.push_back({"dʑ", false}); ++i; break;
+      case 'f': ph.push_back({"f", false}); ++i; break;
+      case 'g': ph.push_back({"ɡ", false}); ++i; break;
+      case 'h': ph.push_back({"x", false}); ++i; break;
+      case 'j': ph.push_back({"j", false}); ++i; break;
+      case 'k': ph.push_back({"k", false}); ++i; break;
+      case 'l': ph.push_back({"l", false}); ++i; break;
+      case 'm': ph.push_back({"m", false}); ++i; break;
+      case 'n': ph.push_back({"n", false}); ++i; break;
+      case 'p': ph.push_back({"p", false}); ++i; break;
+      case 'r': ph.push_back({"r", false}); ++i; break;
+      case 's': ph.push_back({"s", false}); ++i; break;
+      case 'S': ph.push_back({"ʃ", false}); ++i; break;
+      case 't': ph.push_back({"t", false}); ++i; break;
+      case 'v': ph.push_back({"v", false}); ++i; break;
+      case 'z': ph.push_back({"z", false}); ++i; break;
+      case 'Z': ph.push_back({"ʒ", false}); ++i; break;
+      default: ++i; break;
+    }
+    (void)hr_vowel;
+  }
+
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  bool placed = false;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel && !placed) { if (total > 1) out += "ˈ"; placed = true; }
+    out += p.ipa;
+  }
+  return out;
+}
+
 }  // namespace
 
 namespace {
 
-enum class Lang { EN, ES, DE, IT, FR, PT, TR, PL, NL, CS, RO, FI, HU, ID, SW };
+enum class Lang { EN, ES, DE, IT, FR, PT, TR, PL, NL, CS, RO, FI, HU, ID, SW, HR };
 
 // True when the bytes at text[i] are a letter this language's engine keeps.
 // Writes the (lowercased) bytes to `word` and returns bytes consumed, or 0.
@@ -2828,6 +2909,17 @@ size_t take_letter(const std::string& text, size_t i, Lang lang, std::string* wo
                              d == 0xBA || d == 0x9A || d == 0xB6 || d == 0x96 ||
                              d == 0xBC || d == 0x9C)) ||
               (c == 0xC5 && (d == 0x91 || d == 0x90 || d == 0xB1 || d == 0xB0));
+    if (ok) {
+      *word += static_cast<char>(c);
+      *word += static_cast<char>(d);
+      return 2;
+    }
+  }
+  if (lang == Lang::HR && i + 1 < text.size() && (c == 0xC4 || c == 0xC5)) {
+    unsigned char d = text[i + 1];
+    bool ok = (c == 0xC4 && (d == 0x8D || d == 0x8C || d == 0x87 || d == 0x86 ||
+                             d == 0x91 || d == 0x90)) ||
+              (c == 0xC5 && (d == 0xA1 || d == 0xA0 || d == 0xBE || d == 0xBD));
     if (ok) {
       *word += static_cast<char>(c);
       *word += static_cast<char>(d);
@@ -2973,6 +3065,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
         case Lang::HU: result += phonemize_word_hu(word); break;
         case Lang::ID: result += phonemize_word_id(word); break;
         case Lang::SW: result += phonemize_word_sw(word); break;
+        case Lang::HR: result += phonemize_word_hr(word); break;
         default: result += phonemize_word(word); break;
       }
       word.clear();
@@ -3003,7 +3096,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
 
 extern "C" {
 
-int ztx_version() { return 13; }
+int ztx_version() { return 14; }
 
 // Phonemize UTF-8 text in the given language ("en", "en-us", "es", ...).
 // Returns nullptr for unsupported languages (caller falls back). Returned
@@ -3031,6 +3124,9 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (strncmp(lang, "sw", 2) == 0) return phonemize_text(utf8_text, Lang::SW);
   if (strncmp(lang, "uk", 2) == 0) return phonemize_text_cyrillic(utf8_text, 0);
   if (strncmp(lang, "bg", 2) == 0) return phonemize_text_cyrillic(utf8_text, 1);
+  if (strncmp(lang, "hr", 2) == 0 || strncmp(lang, "bs", 2) == 0 ||
+      strncmp(lang, "sr", 2) == 0)
+    return phonemize_text(utf8_text, Lang::HR);
   return nullptr;
 }
 

@@ -519,3 +519,22 @@ def test_bg_rule_engine():
     assert ph("град") == "ɡrat"  # final devoicing
     assert ph("ден") == "dɛn"
     assert ph("благодаря") == "blaɡodarʲa"
+
+
+def test_hr_rule_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "hr")
+    assert ph("čovjek") == "tʃˈovjek"  # č vs ć distinction
+    assert ph("kuća") == "kˈutɕa"
+    assert ph("džak") == "dʒak"
+    assert ph("đak") == "dʑak"
+    assert ph("ljeto") == "ʎˈeto"
+    assert ph("njiva") == "ɲˈiva"
+    assert ph("žut") == "ʒut"
+    assert ph("šuma").startswith("ʃ")
+    # bs / sr share the engine
+    assert native_g2p.phonemize("dobar", "sr") == ph("dobar")
+    assert native_g2p.phonemize("dobar", "bs") == ph("dobar")

@@ -33,6 +33,7 @@ NATIVE_CASES = {
     "ko": "빠른 갈색 여우가 게으른 개를 뛰어넘습니다.",
     "id": "Rubah coklat cepat melompati anjing malas.",
     "sw": "Mbweha mwepesi anaruka juu ya mbwa mvivu.",
+    "hr": "Brza smeđa lisica preskače lijenog psa.",
     "uk": "Швидка бура лисиця стрибає через ледачого пса.",
     "bg": "Бързата кафява лисица прескача мързеливото куче.",
 }
