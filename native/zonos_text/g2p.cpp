@@ -1628,6 +1628,15 @@ std::string phonemize_word_tr(const std::string& raw) {
       }
       i += 2; continue;
     }
+    if (c == 0xC9 && i + 1 < raw.size()) {
+      if (raw[i + 1] == '\x99') w += 'E';  // ə (Azerbaijani schwa-letter → æ)
+      i += 2; continue;
+    }
+    if (c == 0xC6 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0x8F) w += 'E';  // Ə
+      i += 2; continue;
+    }
     ++i;
   }
 
@@ -1648,6 +1657,7 @@ std::string phonemize_word_tr(const std::string& raw) {
       case 'O': ph.push_back({"œ", true}); break;
       case 'u': ph.push_back({"u", true}); break;
       case 'U': ph.push_back({"y", true}); break;
+      case 'E': ph.push_back({"æ", true}); break;  // Azerbaijani ə
       case 'b': ph.push_back({"b", false}); break;
       case 'c': ph.push_back({"dʒ", false}); break;
       case 'C': ph.push_back({"tʃ", false}); break;
@@ -1672,6 +1682,8 @@ std::string phonemize_word_tr(const std::string& raw) {
       case 'v': ph.push_back({"v", false}); break;
       case 'y': ph.push_back({"j", false}); break;
       case 'z': ph.push_back({"z", false}); break;
+      case 'q': ph.push_back({"ɡ", false}); break;  // Azerbaijani
+      case 'x': ph.push_back({"x", false}); break;  // Azerbaijani
       default: break;
     }
     (void)tr_vowel;
@@ -1977,6 +1989,8 @@ std::string phonemize_word_cs(const std::string& raw) {
         case 0xB3: case 0x93: w += 'O'; break;  // ó
         case 0xBA: case 0x9A: w += 'U'; break;  // ú
         case 0xBD: case 0x9D: w += 'Y'; break;  // ý
+        case 0xA4: case 0x84: w += '4'; break;  // ä (Slovak)
+        case 0xB4: case 0x94: w += '8'; break;  // ô (Slovak)
       }
       i += 2; continue;
     }
@@ -1985,6 +1999,8 @@ std::string phonemize_word_cs(const std::string& raw) {
       if (d == 0x8D || d == 0x8C) w += 'C';       // č
       else if (d == 0x8F || d == 0x8E) w += 'D';  // ď
       else if (d == 0x9B || d == 0x9A) w += 'J';  // ě
+      else if (d == 0xBE || d == 0xBD) w += 'G';  // ľ (Slovak)
+      else if (d == 0xBA || d == 0xB9) w += 'H';  // ĺ (Slovak)
       i += 2; continue;
     }
     if (c == 0xC5 && i + 1 < raw.size()) {
@@ -2040,6 +2056,10 @@ std::string phonemize_word_cs(const std::string& raw) {
       case 'u': ph.push_back({"u", true}); ++i; break;
       case 'U': case 'W': ph.push_back({"uː", true}); ++i; break;
       case 'J': ph.push_back({"jɛ", true}); ++i; break;  // ě elsewhere (vě→vjɛ)
+      case '4': ph.push_back({"ɛ", true}); ++i; break;    // ä (Slovak)
+      case '8': ph.push_back({"uo", true}); ++i; break;   // ô (Slovak)
+      case 'G': ph.push_back({"ʎ", false}); ++i; break;   // ľ
+      case 'H': ph.push_back({"lː", false}); ++i; break;  // ĺ
       case 'b': ph.push_back({fin ? "p" : "b", false}); ++i; break;
       case 'c': ph.push_back({"ts", false}); ++i; break;
       case 'C': ph.push_back({"tʃ", false}); ++i; break;
@@ -2223,13 +2243,15 @@ std::string phonemize_word_fi(const std::string& raw) {
       if (d == 0xA4 || d == 0x84) w += '@';       // ä
       else if (d == 0xB6 || d == 0x96) w += '#';  // ö
       else if (d == 0xA5 || d == 0x85) w += 'o';  // å (Swedish loans) → o
+      else if (d == 0xB5 || d == 0x95) w += '~';  // õ (Estonian) → ɤ
+      else if (d == 0xBC || d == 0x9C) w += 'y';  // ü (Estonian) → y
       i += 2; continue;
     }
     ++i;
   }
 
   auto fi_vowel = [](char c) {
-    return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'||c=='y'||c=='@'||c=='#';
+    return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'||c=='y'||c=='@'||c=='#'||c=='~';
   };
   struct FP { std::string ipa; bool vowel; };
   std::vector<FP> ph;
@@ -2238,7 +2260,7 @@ std::string phonemize_word_fi(const std::string& raw) {
     switch (c) {
       case 'a': return "ɑ"; case 'e': return "e"; case 'i': return "i";
       case 'o': return "o"; case 'u': return "u"; case 'y': return "y";
-      case '@': return "æ"; case '#': return "ø";
+      case '@': return "æ"; case '#': return "ø"; case '~': return "ɤ";
       case 'b': return "b"; case 'c': return "k"; case 'd': return "d";
       case 'f': return "f"; case 'g': return "ɡ"; case 'h': return "h";
       case 'j': return "j"; case 'k': return "k"; case 'l': return "l";
@@ -2866,11 +2888,88 @@ std::string phonemize_word_hr(const std::string& raw) {
   return out;
 }
 
+// --- Esperanto --------------------------------------------------------------
+// Designed-regular: one letter = one phoneme; ĉ→tʃ ĝ→dʒ ĥ→x ĵ→ʒ ŝ→ʃ ŭ→w,
+// c→ts, stress ALWAYS penultimate.
+
+std::string phonemize_word_eo(const std::string& raw) {
+  // Markers: C=ĉ G=ĝ H=ĥ J=ĵ S=ŝ W=ŭ
+  std::string w;
+  for (size_t i = 0; i < raw.size();) {
+    unsigned char c = raw[i];
+    if (c < 128) { w += static_cast<char>(c); ++i; continue; }
+    if (c == 0xC4 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0x89 || d == 0x88) w += 'C';       // ĉ
+      else if (d == 0x9D || d == 0x9C) w += 'G';  // ĝ
+      else if (d == 0xA5 || d == 0xA4) w += 'H';  // ĥ
+      else if (d == 0xB5 || d == 0xB4) w += 'J';  // ĵ
+      i += 2; continue;
+    }
+    if (c == 0xC5 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0x9D || d == 0x9C) w += 'S';       // ŝ
+      else if (d == 0xAD || d == 0xAC) w += 'W';  // ŭ
+      i += 2; continue;
+    }
+    ++i;
+  }
+
+  auto eo_vowel = [](char c) { return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'; };
+  struct EP { std::string ipa; bool vowel; };
+  std::vector<EP> ph;
+  for (char c : w) {
+    switch (c) {
+      case 'a': ph.push_back({"a", true}); break;
+      case 'e': ph.push_back({"e", true}); break;
+      case 'i': ph.push_back({"i", true}); break;
+      case 'o': ph.push_back({"o", true}); break;
+      case 'u': ph.push_back({"u", true}); break;
+      case 'b': ph.push_back({"b", false}); break;
+      case 'c': ph.push_back({"ts", false}); break;
+      case 'C': ph.push_back({"tʃ", false}); break;
+      case 'd': ph.push_back({"d", false}); break;
+      case 'f': ph.push_back({"f", false}); break;
+      case 'g': ph.push_back({"ɡ", false}); break;
+      case 'G': ph.push_back({"dʒ", false}); break;
+      case 'h': ph.push_back({"h", false}); break;
+      case 'H': ph.push_back({"x", false}); break;
+      case 'j': ph.push_back({"j", false}); break;
+      case 'J': ph.push_back({"ʒ", false}); break;
+      case 'k': ph.push_back({"k", false}); break;
+      case 'l': ph.push_back({"l", false}); break;
+      case 'm': ph.push_back({"m", false}); break;
+      case 'n': ph.push_back({"n", false}); break;
+      case 'p': ph.push_back({"p", false}); break;
+      case 'r': ph.push_back({"r", false}); break;
+      case 's': ph.push_back({"s", false}); break;
+      case 'S': ph.push_back({"ʃ", false}); break;
+      case 't': ph.push_back({"t", false}); break;
+      case 'v': ph.push_back({"v", false}); break;
+      case 'W': ph.push_back({"w", false}); break;
+      case 'z': ph.push_back({"z", false}); break;
+      default: break;
+    }
+  }
+  (void)eo_vowel;
+
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  int target = (total > 1) ? total - 1 : -1;
+  int seen = 0;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel) { ++seen; if (seen == target) out += "ˈ"; }
+    out += p.ipa;
+  }
+  return out;
+}
+
 }  // namespace
 
 namespace {
 
-enum class Lang { EN, ES, DE, IT, FR, PT, TR, PL, NL, CS, RO, FI, HU, ID, SW, HR };
+enum class Lang { EN, ES, DE, IT, FR, PT, TR, PL, NL, CS, RO, FI, HU, ID, SW, HR, EO };
 
 // True when the bytes at text[i] are a letter this language's engine keeps.
 // Writes the (lowercased) bytes to `word` and returns bytes consumed, or 0.
@@ -2896,7 +2995,8 @@ size_t take_letter(const std::string& text, size_t i, Lang lang, std::string* wo
   }
   if (lang == Lang::FI && c == 0xC3 && i + 1 < text.size()) {
     unsigned char d = text[i + 1];
-    if (d == 0xA4 || d == 0x84 || d == 0xB6 || d == 0x96 || d == 0xA5 || d == 0x85) {
+    if (d == 0xA4 || d == 0x84 || d == 0xB6 || d == 0x96 || d == 0xA5 || d == 0x85 ||
+        d == 0xB5 || d == 0x95 || d == 0xBC || d == 0x9C) {
       *word += static_cast<char>(0xC3);
       *word += static_cast<char>(d);
       return 2;
@@ -2909,6 +3009,17 @@ size_t take_letter(const std::string& text, size_t i, Lang lang, std::string* wo
                              d == 0xBA || d == 0x9A || d == 0xB6 || d == 0x96 ||
                              d == 0xBC || d == 0x9C)) ||
               (c == 0xC5 && (d == 0x91 || d == 0x90 || d == 0xB1 || d == 0xB0));
+    if (ok) {
+      *word += static_cast<char>(c);
+      *word += static_cast<char>(d);
+      return 2;
+    }
+  }
+  if (lang == Lang::EO && i + 1 < text.size() && (c == 0xC4 || c == 0xC5)) {
+    unsigned char d = text[i + 1];
+    bool ok = (c == 0xC4 && (d == 0x89 || d == 0x88 || d == 0x9D || d == 0x9C ||
+                             d == 0xA5 || d == 0xA4 || d == 0xB5 || d == 0xB4)) ||
+              (c == 0xC5 && (d == 0x9D || d == 0x9C || d == 0xAD || d == 0xAC));
     if (ok) {
       *word += static_cast<char>(c);
       *word += static_cast<char>(d);
@@ -2930,7 +3041,9 @@ size_t take_letter(const std::string& text, size_t i, Lang lang, std::string* wo
       (c == 0xC3 || c == 0xC4 || c == 0xC5)) {
     unsigned char d = text[i + 1];
     bool ok = (c == 0xC3) || (c == 0xC4 && (d == 0x8D || d == 0x8C || d == 0x8F ||
-                                            d == 0x8E || d == 0x9B || d == 0x9A)) ||
+                                            d == 0x8E || d == 0x9B || d == 0x9A ||
+                                            d == 0xBE || d == 0xBD || d == 0xBA ||
+                                            d == 0xB9)) ||
               (c == 0xC5 && (d == 0xA1 || d == 0xA0 || d == 0xBE || d == 0xBD ||
                              d == 0x99 || d == 0x98 || d == 0xA5 || d == 0xA4 ||
                              d == 0x88 || d == 0x87 || d == 0xAF || d == 0xAE));
@@ -2977,10 +3090,11 @@ size_t take_letter(const std::string& text, size_t i, Lang lang, std::string* wo
     }
   }
   if (lang == Lang::TR && i + 1 < text.size() &&
-      (c == 0xC3 || c == 0xC4 || c == 0xC5)) {
+      (c == 0xC3 || c == 0xC4 || c == 0xC5 || c == 0xC9 || c == 0xC6)) {
     unsigned char d = text[i + 1];
     bool ok = (c == 0xC4 && (d == 0xB0 || d == 0xB1 || d == 0x9E || d == 0x9F)) ||
               (c == 0xC5 && (d == 0x9E || d == 0x9F)) ||
+              (c == 0xC9 && d == 0x99) || (c == 0xC6 && d == 0x8F) ||
               (c == 0xC3 && (d == 0xA7 || d == 0x87 || d == 0xB6 || d == 0x96 ||
                              d == 0xBC || d == 0x9C || d == 0xA2 || d == 0xAE || d == 0xBB));
     if (ok) {
@@ -3066,6 +3180,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
         case Lang::ID: result += phonemize_word_id(word); break;
         case Lang::SW: result += phonemize_word_sw(word); break;
         case Lang::HR: result += phonemize_word_hr(word); break;
+        case Lang::EO: result += phonemize_word_eo(word); break;
         default: result += phonemize_word(word); break;
       }
       word.clear();
@@ -3096,7 +3211,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
 
 extern "C" {
 
-int ztx_version() { return 14; }
+int ztx_version() { return 15; }
 
 // Phonemize UTF-8 text in the given language ("en", "en-us", "es", ...).
 // Returns nullptr for unsupported languages (caller falls back). Returned
@@ -3125,8 +3240,12 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (strncmp(lang, "uk", 2) == 0) return phonemize_text_cyrillic(utf8_text, 0);
   if (strncmp(lang, "bg", 2) == 0) return phonemize_text_cyrillic(utf8_text, 1);
   if (strncmp(lang, "hr", 2) == 0 || strncmp(lang, "bs", 2) == 0 ||
-      strncmp(lang, "sr", 2) == 0)
+      strncmp(lang, "sr", 2) == 0 || strncmp(lang, "sl", 2) == 0)
     return phonemize_text(utf8_text, Lang::HR);
+  if (strncmp(lang, "sk", 2) == 0) return phonemize_text(utf8_text, Lang::CS);
+  if (strncmp(lang, "et", 2) == 0) return phonemize_text(utf8_text, Lang::FI);
+  if (strncmp(lang, "az", 2) == 0) return phonemize_text(utf8_text, Lang::TR);
+  if (strncmp(lang, "eo", 2) == 0) return phonemize_text(utf8_text, Lang::EO);
   return nullptr;
 }
 

@@ -538,3 +538,33 @@ def test_hr_rule_engine():
     # bs / sr share the engine
     assert native_g2p.phonemize("dobar", "sr") == ph("dobar")
     assert native_g2p.phonemize("dobar", "bs") == ph("dobar")
+
+
+def test_sk_sl_et_az_eo_engines():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = native_g2p.phonemize
+    # Slovak (Czech-family engine + ä/ô/ľ/ĺ)
+    assert ph("ďakujem", "sk") == "ɟˈakujɛm"
+    assert ph("mäkké", "sk") == "mˈɛkkɛː"
+    assert "ʎ" in ph("ľudské", "sk")
+    assert "uo" in ph("stôl", "sk")
+    # Slovene routes through the Gajica engine
+    assert ph("človek", "sl").startswith("tʃ")
+    assert ph("žena", "sl").startswith("ʒ")
+    # Estonian (Finnish-family + õ/ü)
+    assert ph("kõik", "et") == "kˈɤik"
+    assert ph("üks", "et") == "yks"
+    assert ph("tere", "et") == "tˈere"
+    # Azerbaijani (Turkish-family + ə/q/x)
+    assert ph("necəsən", "az") == "nedʒæsˈæn"
+    assert ph("qız", "az").startswith("ɡ")
+    assert ph("xox", "az").startswith("x")
+    # Esperanto (penultimate stress, circumflex consonants)
+    assert ph("saluton", "eo") == "salˈuton"
+    assert ph("ĉio", "eo") == "tʃˈio"
+    assert ph("ĝis", "eo") == "dʒis"
+    assert ph("ŝi", "eo") == "ʃi"
+    assert ph("aŭto", "eo") == "ˈawto"
