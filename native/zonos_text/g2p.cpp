@@ -1259,6 +1259,7 @@ enum RuL {
   RUKJI,  // ukr ї
   RUKJE,  // ukr є
   RUKG,   // ukr ґ
+  RMKJ, RMKLJ, RMKNJ, RMKDZH, RMKGJ, RMKKJ, RMKDZ,  // mk/sr-cyr ј љ њ џ ѓ ќ ѕ
   R_NONE
 };
 
@@ -1273,6 +1274,13 @@ size_t ru_letter(const std::string& t, size_t i, int* id) {
     if (d == 0x86) { *id = RUKI; return 2; }                      // І
     if (d == 0x87) { *id = RUKJI; return 2; }                     // Ї
     if (d == 0x84) { *id = RUKJE; return 2; }                     // Є
+    if (d == 0x88) { *id = RMKJ; return 2; }                      // Ј
+    if (d == 0x89) { *id = RMKLJ; return 2; }                     // Љ
+    if (d == 0x8A) { *id = RMKNJ; return 2; }                     // Њ
+    if (d == 0x8F) { *id = RMKDZH; return 2; }                    // Џ
+    if (d == 0x83) { *id = RMKGJ; return 2; }                     // Ѓ
+    if (d == 0x8C) { *id = RMKKJ; return 2; }                     // Ќ
+    if (d == 0x85) { *id = RMKDZ; return 2; }                     // Ѕ
     if (d >= 0x90 && d <= 0x9F) { *id = d - 0x90; return 2; }     // А..П
     if (d >= 0xA0 && d <= 0xAF) { *id = RR + (d - 0xA0); return 2; }  // Р..Я
     if (d >= 0xB0 && d <= 0xBF) { *id = d - 0xB0; return 2; }     // а..п
@@ -1282,10 +1290,17 @@ size_t ru_letter(const std::string& t, size_t i, int* id) {
     unsigned char d = t[i + 1];
     if (d == 0x91) { *id = RYO; return 2; }           // ё
     if (d >= 0x80 && d <= 0x8F) { *id = RR + (d - 0x80); return 2; }  // р..я
-    switch (d) {  // Ukrainian lowercase
+    switch (d) {  // Ukrainian / Macedonian-Serbian lowercase
       case 0x96: *id = RUKI; return 2;   // і
       case 0x97: *id = RUKJI; return 2;  // ї
       case 0x94: *id = RUKJE; return 2;  // є
+      case 0x98: *id = RMKJ; return 2;   // ј
+      case 0x99: *id = RMKLJ; return 2;  // љ
+      case 0x9A: *id = RMKNJ; return 2;  // њ
+      case 0x9F: *id = RMKDZH; return 2; // џ
+      case 0x93: *id = RMKGJ; return 2;  // ѓ
+      case 0x9C: *id = RMKKJ; return 2;  // ќ
+      case 0x95: *id = RMKDZ; return 2;  // ѕ
     }
     return 2;
   }
@@ -1508,6 +1523,61 @@ std::string phonemize_word_bg(const std::vector<int>& w) {
   return out;
 }
 
+// Macedonian: Cyrillic with ј/љ/њ/џ/ѕ/ѓ/ќ, plain five vowels, no yers in
+// modern orthography, and FIXED antepenultimate stress.
+std::string phonemize_word_mk(const std::vector<int>& w) {
+  struct MP { std::string ipa; bool vowel; };
+  std::vector<MP> ph;
+  for (int c : w) {
+    switch (c) {
+      case RA: ph.push_back({"a", true}); break;
+      case RB: ph.push_back({"b", false}); break;
+      case RV: ph.push_back({"v", false}); break;
+      case RG: ph.push_back({"ɡ", false}); break;
+      case RD: ph.push_back({"d", false}); break;
+      case RE: ph.push_back({"ɛ", true}); break;
+      case RZH: ph.push_back({"ʒ", false}); break;
+      case RZ: ph.push_back({"z", false}); break;
+      case RI: ph.push_back({"i", true}); break;
+      case RMKJ: case RJ: ph.push_back({"j", false}); break;
+      case RK: ph.push_back({"k", false}); break;
+      case RL: ph.push_back({"l", false}); break;
+      case RM: ph.push_back({"m", false}); break;
+      case RN: ph.push_back({"n", false}); break;
+      case RO: ph.push_back({"o", true}); break;
+      case RP: ph.push_back({"p", false}); break;
+      case RR: ph.push_back({"r", false}); break;
+      case RS: ph.push_back({"s", false}); break;
+      case RT: ph.push_back({"t", false}); break;
+      case RU: ph.push_back({"u", true}); break;
+      case RF: ph.push_back({"f", false}); break;
+      case RH: ph.push_back({"x", false}); break;
+      case RC: ph.push_back({"ts", false}); break;
+      case RCH: ph.push_back({"tʃ", false}); break;
+      case RSH: ph.push_back({"ʃ", false}); break;
+      case RMKLJ: ph.push_back({"ʎ", false}); break;
+      case RMKNJ: ph.push_back({"ɲ", false}); break;
+      case RMKDZH: ph.push_back({"dʒ", false}); break;
+      case RMKGJ: ph.push_back({"ɟ", false}); break;
+      case RMKKJ: ph.push_back({"c", false}); break;
+      case RMKDZ: ph.push_back({"dz", false}); break;
+      default: break;
+    }
+  }
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  // Antepenultimate, or as far left as the word allows.
+  int target = total - 2;  // 1-indexed: total-2 = antepenult
+  if (target < 1) target = 1;
+  int seen = 0;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel) { ++seen; if (seen == target && total > 1) out += "ˈ"; }
+    out += p.ipa;
+  }
+  return out;
+}
+
 const char* phonemize_text_cyrillic(const char* utf8_text, int which) {
   // which: 0 = uk, 1 = bg. Same tokenizer loop as Russian.
   if (!utf8_text) return nullptr;
@@ -1516,7 +1586,9 @@ const char* phonemize_text_cyrillic(const char* utf8_text, int which) {
   std::vector<int> word;
   auto flush = [&]() {
     if (word.empty()) return;
-    result += (which == 0) ? phonemize_word_uk(word) : phonemize_word_bg(word);
+    if (which == 0) result += phonemize_word_uk(word);
+    else if (which == 1) result += phonemize_word_bg(word);
+    else result += phonemize_word_mk(word);
     word.clear();
   };
   for (size_t i = 0; i < text.size();) {
@@ -1545,6 +1617,46 @@ const char* phonemize_text_cyrillic(const char* utf8_text, int which) {
     i += (c < 128) ? 1 : ((c >> 5) == 0x6 ? 2 : (c >> 4) == 0xE ? 3 : 4);
   }
   flush();
+  char* buf = static_cast<char*>(malloc(result.size() + 1));
+  memcpy(buf, result.c_str(), result.size() + 1);
+  return buf;
+}
+
+// Georgian: mkhedruli is strictly one letter = one phoneme, including the
+// aspirated/ejective stop series (ejectives marked with the IPA apostrophe,
+// which is in the model's symbol table). No lexical stress marks (Georgian
+// stress is weak). Fourth non-Latin script tier.
+const char* phonemize_text_ka(const char* utf8_text) {
+  if (!utf8_text) return nullptr;
+  static const char* kGe[33] = {
+      "a", "b", "ɡ", "d", "e", "v", "z", "tʰ", "i", "kʼ", "l", "m", "n",
+      "o", "pʼ", "ʒ", "r", "s", "tʼ", "u", "pʰ", "kʰ", "ɣ", "qʼ", "ʃ",
+      "tʃʰ", "tsʰ", "dz", "tsʼ", "tʃʼ", "x", "dʒ", "h"};
+  std::string text(utf8_text);
+  std::string result;
+  for (size_t i = 0; i < text.size();) {
+    unsigned char c = text[i];
+    if (c == 0xE1 && i + 2 < text.size()) {
+      unsigned cp = ((c & 0x0F) << 12) |
+                    ((text[i + 1] & 0x3F) << 6) | (text[i + 2] & 0x3F);
+      if (cp >= 0x10D0 && cp <= 0x10F0) {
+        // Main mkhedruli block; archaic ჱ(10F1)+ excluded by range.
+        unsigned k = cp - 0x10D0;
+        if (k < 33) result += kGe[k];
+        i += 3;
+        continue;
+      }
+      i += 3;
+      continue;
+    }
+    if (c < 128 && strchr(";:,.!?()\"- ", c)) {
+      if (!(c == ' ' && !result.empty() && result.back() == ' '))
+        result += static_cast<char>(c);
+      ++i;
+      continue;
+    }
+    i += (c < 128) ? 1 : ((c >> 5) == 0x6 ? 2 : (c >> 4) == 0xE ? 3 : 4);
+  }
   char* buf = static_cast<char*>(malloc(result.size() + 1));
   memcpy(buf, result.c_str(), result.size() + 1);
   return buf;
@@ -2965,11 +3077,77 @@ std::string phonemize_word_eo(const std::string& raw) {
   return out;
 }
 
+// --- Basque -----------------------------------------------------------------
+// Standard Basque is near 1:1: tx→tʃ, ts/tz→ts, x→ʃ, z/s→s, ñ→ɲ, ll→ʎ,
+// in→iɲ-ish (left as written), j→j (standard), h kept; weak penult stress.
+
+std::string phonemize_word_eu(const std::string& raw) {
+  std::string w;
+  for (size_t i = 0; i < raw.size();) {
+    unsigned char c = raw[i];
+    if (c < 128) { w += static_cast<char>(c); ++i; continue; }
+    if (c == 0xC3 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0xB1 || d == 0x91) w += '~';  // ñ
+      i += 2; continue;
+    }
+    ++i;
+  }
+  auto eu_vowel = [](char c) { return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'; };
+  struct BP { std::string ipa; bool vowel; };
+  std::vector<BP> ph;
+  size_t n = w.size();
+  for (size_t i = 0; i < n;) {
+    char c = w[i];
+    char c1 = (i + 1 < n) ? w[i + 1] : '\0';
+    if (c=='t' && c1=='x') { ph.push_back({"tʃ", false}); i += 2; continue; }
+    if (c=='t' && (c1=='s' || c1=='z')) { ph.push_back({"ts", false}); i += 2; continue; }
+    if (c=='l' && c1=='l') { ph.push_back({"ʎ", false}); i += 2; continue; }
+    if (c=='r' && c1=='r') { ph.push_back({"r", false}); i += 2; continue; }
+    switch (c) {
+      case 'a': ph.push_back({"a", true}); ++i; break;
+      case 'e': ph.push_back({"e", true}); ++i; break;
+      case 'i': ph.push_back({"i", true}); ++i; break;
+      case 'o': ph.push_back({"o", true}); ++i; break;
+      case 'u': ph.push_back({"u", true}); ++i; break;
+      case 'b': ph.push_back({"b", false}); ++i; break;
+      case 'd': ph.push_back({"d", false}); ++i; break;
+      case 'f': ph.push_back({"f", false}); ++i; break;
+      case 'g': ph.push_back({"ɡ", false}); ++i; break;
+      case 'h': ph.push_back({"h", false}); ++i; break;
+      case 'j': ph.push_back({"j", false}); ++i; break;
+      case 'k': ph.push_back({"k", false}); ++i; break;
+      case 'l': ph.push_back({"l", false}); ++i; break;
+      case 'm': ph.push_back({"m", false}); ++i; break;
+      case 'n': ph.push_back({"n", false}); ++i; break;
+      case '~': ph.push_back({"ɲ", false}); ++i; break;
+      case 'p': ph.push_back({"p", false}); ++i; break;
+      case 'r': ph.push_back({"ɾ", false}); ++i; break;
+      case 's': ph.push_back({"s", false}); ++i; break;
+      case 't': ph.push_back({"t", false}); ++i; break;
+      case 'x': ph.push_back({"ʃ", false}); ++i; break;
+      case 'z': ph.push_back({"s", false}); ++i; break;
+      default: ++i; break;
+    }
+    (void)eu_vowel;
+  }
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  int target = (total > 1) ? total - 1 : -1;
+  int seen = 0;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel) { ++seen; if (seen == target) out += "ˈ"; }
+    out += p.ipa;
+  }
+  return out;
+}
+
 }  // namespace
 
 namespace {
 
-enum class Lang { EN, ES, DE, IT, FR, PT, TR, PL, NL, CS, RO, FI, HU, ID, SW, HR, EO };
+enum class Lang { EN, ES, DE, IT, FR, PT, TR, PL, NL, CS, RO, FI, HU, ID, SW, HR, EO, EU };
 
 // True when the bytes at text[i] are a letter this language's engine keeps.
 // Writes the (lowercased) bytes to `word` and returns bytes consumed, or 0.
@@ -3011,6 +3189,14 @@ size_t take_letter(const std::string& text, size_t i, Lang lang, std::string* wo
               (c == 0xC5 && (d == 0x91 || d == 0x90 || d == 0xB1 || d == 0xB0));
     if (ok) {
       *word += static_cast<char>(c);
+      *word += static_cast<char>(d);
+      return 2;
+    }
+  }
+  if (lang == Lang::EU && c == 0xC3 && i + 1 < text.size()) {
+    unsigned char d = text[i + 1];
+    if (d == 0xB1 || d == 0x91) {
+      *word += static_cast<char>(0xC3);
       *word += static_cast<char>(d);
       return 2;
     }
@@ -3181,6 +3367,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
         case Lang::SW: result += phonemize_word_sw(word); break;
         case Lang::HR: result += phonemize_word_hr(word); break;
         case Lang::EO: result += phonemize_word_eo(word); break;
+        case Lang::EU: result += phonemize_word_eu(word); break;
         default: result += phonemize_word(word); break;
       }
       word.clear();
@@ -3211,7 +3398,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
 
 extern "C" {
 
-int ztx_version() { return 15; }
+int ztx_version() { return 16; }
 
 // Phonemize UTF-8 text in the given language ("en", "en-us", "es", ...).
 // Returns nullptr for unsupported languages (caller falls back). Returned
@@ -3246,6 +3433,9 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (strncmp(lang, "et", 2) == 0) return phonemize_text(utf8_text, Lang::FI);
   if (strncmp(lang, "az", 2) == 0) return phonemize_text(utf8_text, Lang::TR);
   if (strncmp(lang, "eo", 2) == 0) return phonemize_text(utf8_text, Lang::EO);
+  if (strncmp(lang, "eu", 2) == 0) return phonemize_text(utf8_text, Lang::EU);
+  if (strncmp(lang, "mk", 2) == 0) return phonemize_text_cyrillic(utf8_text, 2);
+  if (strncmp(lang, "ka", 2) == 0) return phonemize_text_ka(utf8_text);
   return nullptr;
 }
 

@@ -568,3 +568,26 @@ def test_sk_sl_et_az_eo_engines():
     assert ph("ĝis", "eo") == "dʒis"
     assert ph("ŝi", "eo") == "ʃi"
     assert ph("aŭto", "eo") == "ˈawto"
+
+
+def test_ka_mk_eu_engines():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = native_g2p.phonemize
+    # Georgian: strict 1:1 incl. aspirated/ejective series
+    assert ph("გამარჯობა", "ka") == "ɡamardʒoba"
+    assert ph("მადლობა", "ka") == "madloba"
+    assert ph("თბილისი", "ka") == "tʰbilisi"  # aspirated t
+    assert "kʼ" in ph("კარგი", "ka")  # ejective k
+    assert "qʼ" in ph("ყავა", "ka")  # ejective q
+    # Macedonian: antepenultimate stress + ј/љ/њ/џ/ѓ/ќ/ѕ
+    assert ph("македонски", "mk") == "makˈɛdonski"
+    assert ph("јас", "mk") == "jas"
+    assert ph("луѓе", "mk") == "lˈuɟɛ"
+    assert ph("ќерка", "mk") == "cˈɛrka"
+    # Basque: tx/ts/tz, x → ʃ, z → s
+    assert ph("etxea", "eu").startswith("etʃ")
+    assert ph("eskerrik", "eu") == "eskˈerik"  # rr trill vs ɾ tap
+    assert ph("zazpi", "eu") == "sˈaspi"
