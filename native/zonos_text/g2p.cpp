@@ -1626,6 +1626,95 @@ const char* phonemize_text_cyrillic(const char* utf8_text, int which) {
 // aspirated/ejective stop series (ejectives marked with the IPA apostrophe,
 // which is in the model's symbol table). No lexical stress marks (Georgian
 // stress is weak). Fourth non-Latin script tier.
+// Armenian (Eastern): regular script — each letter one phoneme, with the
+// aspirated series (tʰ tʃʰ tsʰ pʰ kʰ), ե/ո gaining j/v onsets word-
+// initially, the ու digraph → u, and final-syllable stress. 5th script.
+const char* phonemize_text_hy(const char* utf8_text) {
+  if (!utf8_text) return nullptr;
+  // ա(0561)..ֆ(0586) → indices 0..37; և handled separately.
+  static const char* kHy[38] = {
+      "a", "b", "ɡ", "d", "e", "z", "e", "ə", "tʰ", "ʒ", "i", "l", "x",
+      "ts", "k", "h", "dz", "ʁ", "tʃ", "m", "j", "n", "ʃ", "o", "tʃʰ",
+      "p", "dʒ", "r", "s", "v", "t", "ɾ", "tsʰ", "v", "pʰ", "kʰ", "o", "f"};
+  static const bool kHyVowel[38] = {
+      true, false, false, false, true, false, true, true, false, false, true,
+      false, false, false, false, false, false, false, false, false, false,
+      false, false, true, false, false, false, false, false, false, false,
+      false, false, false, false, false, true, false};
+
+  std::string text(utf8_text);
+  std::string result;
+  std::vector<int> word;
+
+  auto decode = [&](size_t i, int* id) -> size_t {
+    *id = -1;
+    unsigned char c = text[i];
+    if ((c == 0xD4 || c == 0xD5 || c == 0xD6) && i + 1 < text.size()) {
+      unsigned cp = ((c & 0x1F) << 6) | (text[i + 1] & 0x3F);
+      if (cp >= 0x0561 && cp <= 0x0586) *id = static_cast<int>(cp - 0x0561);
+      else if (cp >= 0x0531 && cp <= 0x0556) *id = static_cast<int>(cp - 0x0531);
+      else if (cp == 0x0587) *id = 100;  // և = ev
+      return 2;
+    }
+    return 0;
+  };
+
+  auto flush = [&]() {
+    if (word.empty()) { return; }
+    struct HP { std::string ipa; bool vowel; };
+    std::vector<HP> ph;
+    size_t n = word.size();
+    for (size_t i = 0; i < n; ++i) {
+      int id = word[i];
+      if (id == 100) { ph.push_back({"e", true}); ph.push_back({"v", false}); continue; }
+      // ու digraph: ո(23) + ւ(33) → u.
+      if (id == 23 && i + 1 < n && word[i + 1] == 33) {
+        ph.push_back({"u", true});
+        ++i;
+        continue;
+      }
+      std::string ipa = kHy[id];
+      bool vowel = kHyVowel[id];
+      // Word-initial ե → je, ո → vo.
+      if (i == 0 && id == 4) ipa = "je";
+      if (i == 0 && id == 23) ipa = "vo";
+      ph.push_back({ipa, vowel});
+    }
+    int total = 0;
+    for (const auto& p : ph) total += p.vowel ? 1 : 0;
+    int seen = 0;
+    for (const auto& p : ph) {
+      if (p.vowel) {
+        ++seen;
+        if (seen == total && total > 1 && p.ipa != "ə") result += "ˈ";
+      }
+      result += p.ipa;
+    }
+    word.clear();
+  };
+
+  for (size_t i = 0; i < text.size();) {
+    int id;
+    size_t consumed = decode(i, &id);
+    if (consumed) {
+      if (id >= 0) word.push_back(id);
+      i += consumed;
+      continue;
+    }
+    unsigned char c = text[i];
+    flush();
+    if (c < 128 && strchr(";:,.!?()\"- ", c)) {
+      if (!(c == ' ' && !result.empty() && result.back() == ' '))
+        result += static_cast<char>(c);
+    }
+    i += (c < 128) ? 1 : ((c >> 5) == 0x6 ? 2 : (c >> 4) == 0xE ? 3 : 4);
+  }
+  flush();
+  char* buf = static_cast<char*>(malloc(result.size() + 1));
+  memcpy(buf, result.c_str(), result.size() + 1);
+  return buf;
+}
+
 const char* phonemize_text_ka(const char* utf8_text) {
   if (!utf8_text) return nullptr;
   static const char* kGe[33] = {
@@ -3143,11 +3232,185 @@ std::string phonemize_word_eu(const std::string& raw) {
   return out;
 }
 
+// --- Latvian ----------------------------------------------------------------
+// Regular: macron = length, č/š/ž as usual, ķ→c ģ→ɟ ļ→ʎ ņ→ɲ, native o→uo,
+// c→ts, dz/dž affricates. Stress: first syllable, always.
+
+std::string phonemize_word_lv(const std::string& raw) {
+  // Markers: A E I U = long vowels; C=č S=š Z=ž K=ķ G=ģ L=ļ N=ņ
+  std::string w;
+  for (size_t i = 0; i < raw.size();) {
+    unsigned char c = raw[i];
+    if (c < 128) { w += static_cast<char>(c); ++i; continue; }
+    if (c == 0xC4 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0x81 || d == 0x80) w += 'A';       // ā
+      else if (d == 0x93 || d == 0x92) w += 'E';  // ē
+      else if (d == 0xAB || d == 0xAA) w += 'I';  // ī
+      else if (d == 0x8D || d == 0x8C) w += 'C';  // č
+      else if (d == 0xB7 || d == 0xB6) w += 'K';  // ķ
+      else if (d == 0xA3 || d == 0xA2) w += 'G';  // ģ
+      else if (d == 0xBC || d == 0xBB) w += 'L';  // ļ
+      i += 2; continue;
+    }
+    if (c == 0xC5 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0xAB || d == 0xAA) w += 'U';       // ū
+      else if (d == 0xA1 || d == 0xA0) w += 'S';  // š
+      else if (d == 0xBE || d == 0xBD) w += 'Z';  // ž
+      else if (d == 0x86 || d == 0x85) w += 'N';  // ņ
+      i += 2; continue;
+    }
+    ++i;
+  }
+  auto lv_vowel = [](char c) {
+    return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'||c=='A'||c=='E'||c=='I'||c=='U';
+  };
+  struct LP { std::string ipa; bool vowel; };
+  std::vector<LP> ph;
+  size_t n = w.size();
+  for (size_t i = 0; i < n;) {
+    char c = w[i];
+    char c1 = (i + 1 < n) ? w[i + 1] : '\0';
+    if (c=='d' && c1=='z') { ph.push_back({"dz", false}); i += 2; continue; }
+    if (c=='d' && c1=='Z') { ph.push_back({"dʒ", false}); i += 2; continue; }
+    switch (c) {
+      case 'a': ph.push_back({"a", true}); ++i; break;
+      case 'A': ph.push_back({"aː", true}); ++i; break;
+      case 'e': ph.push_back({"ɛ", true}); ++i; break;
+      case 'E': ph.push_back({"ɛː", true}); ++i; break;
+      case 'i': ph.push_back({"i", true}); ++i; break;
+      case 'I': ph.push_back({"iː", true}); ++i; break;
+      case 'o': ph.push_back({"uo", true}); ++i; break;
+      case 'u': ph.push_back({"u", true}); ++i; break;
+      case 'U': ph.push_back({"uː", true}); ++i; break;
+      case 'b': ph.push_back({"b", false}); ++i; break;
+      case 'c': ph.push_back({"ts", false}); ++i; break;
+      case 'C': ph.push_back({"tʃ", false}); ++i; break;
+      case 'd': ph.push_back({"d", false}); ++i; break;
+      case 'f': ph.push_back({"f", false}); ++i; break;
+      case 'g': ph.push_back({"ɡ", false}); ++i; break;
+      case 'G': ph.push_back({"ɟ", false}); ++i; break;
+      case 'h': ph.push_back({"x", false}); ++i; break;
+      case 'j': ph.push_back({"j", false}); ++i; break;
+      case 'k': ph.push_back({"k", false}); ++i; break;
+      case 'K': ph.push_back({"c", false}); ++i; break;
+      case 'l': ph.push_back({"l", false}); ++i; break;
+      case 'L': ph.push_back({"ʎ", false}); ++i; break;
+      case 'm': ph.push_back({"m", false}); ++i; break;
+      case 'n': ph.push_back({"n", false}); ++i; break;
+      case 'N': ph.push_back({"ɲ", false}); ++i; break;
+      case 'p': ph.push_back({"p", false}); ++i; break;
+      case 'r': ph.push_back({"r", false}); ++i; break;
+      case 's': ph.push_back({"s", false}); ++i; break;
+      case 'S': ph.push_back({"ʃ", false}); ++i; break;
+      case 't': ph.push_back({"t", false}); ++i; break;
+      case 'v': ph.push_back({"v", false}); ++i; break;
+      case 'z': ph.push_back({"z", false}); ++i; break;
+      case 'Z': ph.push_back({"ʒ", false}); ++i; break;
+      default: ++i; break;
+    }
+    (void)lv_vowel;
+  }
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  bool placed = false;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel && !placed) { if (total > 1) out += "ˈ"; placed = true; }
+    out += p.ipa;
+  }
+  return out;
+}
+
+// --- Welsh ------------------------------------------------------------------
+// Regular: ll→ɬ, dd→ð, ff→f vs f→v, ch→x, th→θ, rh→r̥(→r), w as the vowel
+// u, y→ə (ɨ in final syllables — approximated as ɨ word-finally), u→ɨ,
+// si+vowel→ʃ. Stress: penultimate.
+
+std::string phonemize_word_cy(const std::string& raw) {
+  std::string w;
+  for (size_t i = 0; i < raw.size();) {
+    unsigned char c = raw[i];
+    if (c < 128) { w += static_cast<char>(c); ++i; continue; }
+    if (c == 0xC5 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0xB5 || d == 0xB4) w += 'w';  // ŵ
+      else if (d == 0xB7 || d == 0xB6) w += 'y';  // ŷ
+      i += 2; continue;
+    }
+    if (c == 0xC3 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      // â ê î ô û fold to plain vowels
+      switch (d) {
+        case 0xA2: w += 'a'; break; case 0xAA: w += 'e'; break;
+        case 0xAE: w += 'i'; break; case 0xB4: w += 'o'; break;
+        case 0xBB: w += 'u'; break;
+      }
+      i += 2; continue;
+    }
+    ++i;
+  }
+  auto cy_vowel = [](char c) {
+    return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'||c=='w'||c=='y';
+  };
+  struct WP { std::string ipa; bool vowel; };
+  std::vector<WP> ph;
+  size_t n = w.size();
+  for (size_t i = 0; i < n;) {
+    char c = w[i];
+    char c1 = (i + 1 < n) ? w[i + 1] : '\0';
+    char c2 = (i + 2 < n) ? w[i + 2] : '\0';
+    if (c=='l' && c1=='l') { ph.push_back({"ɬ", false}); i += 2; continue; }
+    if (c=='d' && c1=='d') { ph.push_back({"ð", false}); i += 2; continue; }
+    if (c=='f' && c1=='f') { ph.push_back({"f", false}); i += 2; continue; }
+    if (c=='c' && c1=='h') { ph.push_back({"x", false}); i += 2; continue; }
+    if (c=='t' && c1=='h') { ph.push_back({"θ", false}); i += 2; continue; }
+    if (c=='r' && c1=='h') { ph.push_back({"r", false}); i += 2; continue; }
+    if (c=='s' && c1=='i' && cy_vowel(c2)) { ph.push_back({"ʃ", false}); i += 2; continue; }
+    if (c=='n' && c1=='g') { ph.push_back({"ŋ", false}); i += 2; continue; }
+    switch (c) {
+      case 'a': ph.push_back({"a", true}); ++i; break;
+      case 'e': ph.push_back({"ɛ", true}); ++i; break;
+      case 'i': ph.push_back({"i", true}); ++i; break;
+      case 'o': ph.push_back({"ɔ", true}); ++i; break;
+      case 'u': ph.push_back({"ɨ", true}); ++i; break;
+      case 'w': ph.push_back({cy_vowel(c1) && c1 ? "w" : "u", !(cy_vowel(c1) && c1)}); ++i; break;
+      case 'y': ph.push_back({(i + 1 >= n || !cy_vowel(c1)) && i + 2 >= n ? "ɨ" : "ə", true}); ++i; break;
+      case 'b': ph.push_back({"b", false}); ++i; break;
+      case 'c': ph.push_back({"k", false}); ++i; break;
+      case 'd': ph.push_back({"d", false}); ++i; break;
+      case 'f': ph.push_back({"v", false}); ++i; break;
+      case 'g': ph.push_back({"ɡ", false}); ++i; break;
+      case 'h': ph.push_back({"h", false}); ++i; break;
+      case 'j': ph.push_back({"dʒ", false}); ++i; break;
+      case 'l': ph.push_back({"l", false}); ++i; break;
+      case 'm': ph.push_back({"m", false}); ++i; break;
+      case 'n': ph.push_back({"n", false}); ++i; break;
+      case 'p': ph.push_back({"p", false}); ++i; break;
+      case 'r': ph.push_back({"r", false}); ++i; break;
+      case 's': ph.push_back({"s", false}); ++i; break;
+      case 't': ph.push_back({"t", false}); ++i; break;
+      default: ++i; break;
+    }
+  }
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  int target = (total > 1) ? total - 1 : -1;
+  int seen = 0;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel) { ++seen; if (seen == target) out += "ˈ"; }
+    out += p.ipa;
+  }
+  return out;
+}
+
 }  // namespace
 
 namespace {
 
-enum class Lang { EN, ES, DE, IT, FR, PT, TR, PL, NL, CS, RO, FI, HU, ID, SW, HR, EO, EU };
+enum class Lang { EN, ES, DE, IT, FR, PT, TR, PL, NL, CS, RO, FI, HU, ID, SW, HR, EO, EU, LV, CY };
 
 // True when the bytes at text[i] are a letter this language's engine keeps.
 // Writes the (lowercased) bytes to `word` and returns bytes consumed, or 0.
@@ -3187,6 +3450,30 @@ size_t take_letter(const std::string& text, size_t i, Lang lang, std::string* wo
                              d == 0xBA || d == 0x9A || d == 0xB6 || d == 0x96 ||
                              d == 0xBC || d == 0x9C)) ||
               (c == 0xC5 && (d == 0x91 || d == 0x90 || d == 0xB1 || d == 0xB0));
+    if (ok) {
+      *word += static_cast<char>(c);
+      *word += static_cast<char>(d);
+      return 2;
+    }
+  }
+  if (lang == Lang::LV && i + 1 < text.size() && (c == 0xC4 || c == 0xC5)) {
+    unsigned char d = text[i + 1];
+    bool ok = (c == 0xC4 && (d == 0x81 || d == 0x80 || d == 0x93 || d == 0x92 ||
+                             d == 0xAB || d == 0xAA || d == 0x8D || d == 0x8C ||
+                             d == 0xB7 || d == 0xB6 || d == 0xA3 || d == 0xA2 ||
+                             d == 0xBC || d == 0xBB)) ||
+              (c == 0xC5 && (d == 0xAB || d == 0xAA || d == 0xA1 || d == 0xA0 ||
+                             d == 0xBE || d == 0xBD || d == 0x86 || d == 0x85));
+    if (ok) {
+      *word += static_cast<char>(c);
+      *word += static_cast<char>(d);
+      return 2;
+    }
+  }
+  if (lang == Lang::CY && i + 1 < text.size() && (c == 0xC3 || c == 0xC5)) {
+    unsigned char d = text[i + 1];
+    bool ok = (c == 0xC5 && (d == 0xB5 || d == 0xB4 || d == 0xB7 || d == 0xB6)) ||
+              (c == 0xC3 && (d == 0xA2 || d == 0xAA || d == 0xAE || d == 0xB4 || d == 0xBB));
     if (ok) {
       *word += static_cast<char>(c);
       *word += static_cast<char>(d);
@@ -3368,6 +3655,8 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
         case Lang::HR: result += phonemize_word_hr(word); break;
         case Lang::EO: result += phonemize_word_eo(word); break;
         case Lang::EU: result += phonemize_word_eu(word); break;
+        case Lang::LV: result += phonemize_word_lv(word); break;
+        case Lang::CY: result += phonemize_word_cy(word); break;
         default: result += phonemize_word(word); break;
       }
       word.clear();
@@ -3398,7 +3687,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
 
 extern "C" {
 
-int ztx_version() { return 16; }
+int ztx_version() { return 17; }
 
 // Phonemize UTF-8 text in the given language ("en", "en-us", "es", ...).
 // Returns nullptr for unsupported languages (caller falls back). Returned
@@ -3436,6 +3725,9 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (strncmp(lang, "eu", 2) == 0) return phonemize_text(utf8_text, Lang::EU);
   if (strncmp(lang, "mk", 2) == 0) return phonemize_text_cyrillic(utf8_text, 2);
   if (strncmp(lang, "ka", 2) == 0) return phonemize_text_ka(utf8_text);
+  if (strncmp(lang, "hy", 2) == 0) return phonemize_text_hy(utf8_text);
+  if (strncmp(lang, "lv", 2) == 0) return phonemize_text(utf8_text, Lang::LV);
+  if (strncmp(lang, "cy", 2) == 0) return phonemize_text(utf8_text, Lang::CY);
   return nullptr;
 }
 

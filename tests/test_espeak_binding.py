@@ -591,3 +591,28 @@ def test_ka_mk_eu_engines():
     assert ph("etxea", "eu").startswith("etʃ")
     assert ph("eskerrik", "eu") == "eskˈerik"  # rr trill vs ɾ tap
     assert ph("zazpi", "eu") == "sˈaspi"
+
+
+def test_hy_lv_cy_engines():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = native_g2p.phonemize
+    # Armenian: barev with ev-ligature, final stress, aspirated series
+    assert ph("բարև", "hy") == "baɾˈev"
+    assert ph("շնորհակալություն", "hy").endswith("ˈun")
+    assert "tʰ" in ph("թեյ", "hy")
+    assert ph("ուր", "hy") == "uɾ"  # ու digraph → u
+    assert ph("երևան", "hy").startswith("je")  # word-initial ե → je
+    # Latvian: macron length, first-syllable stress, palatals
+    assert ph("paldies", "lv") == "pˈaldiɛs"
+    assert ph("kā", "lv") == "kaː"
+    assert "ʎ" in ph("ļoti", "lv")
+    assert "ɲ" in ph("ņemt", "lv")
+    # Welsh: ll → voiceless lateral fricative, dd → ð, penult stress
+    assert ph("llanelli", "cy") == "ɬanˈɛɬi"
+    assert ph("dydd", "cy").endswith("ð")
+    assert ph("bach", "cy") == "bax"
+    assert ph("ffenestr", "cy").startswith("f")
+    assert ph("fawr", "cy").startswith("v")
