@@ -1,4 +1,4 @@
-// zonos_text: host-side native text frontend — English grapheme→phoneme.
+// zonos_text: host-side native text frontend — multilingual grapheme→phoneme.
 //
 // Role: the reference stack leans on the eSpeak NG C library for G2P
 // (reference zonos/conditioning.py:291-335, installed natively per
@@ -14,11 +14,12 @@
 //   void        ztx_free(const char* p);
 //   int         ztx_version();
 //
-// Languages: "en" — NRL-style rule engine + irregular-word lexicon + stress
-// heuristic; "es" / "it" — orthographic rule engines (near-phonemic
-// orthographies) with orthographic stress; "de" — German rule engine with
-// final devoicing, ich/ach-laut and prefix-aware stress. Other codes return
-// nullptr (caller falls back).
+// Languages (see ztx_phonemize_lang at the bottom for the full dispatch and
+// docs/LANGUAGES.md for per-language status): "en" is an NRL-style rule
+// engine + irregular-word lexicon + stress heuristic; the other engines are
+// per-language orthographic rule sets over Latin, Cyrillic, Greek, Hangul,
+// Georgian and Armenian scripts, each with language-appropriate stress
+// placement. Unsupported codes return nullptr (caller falls back).
 //
 // Build: g++ -O2 -fPIC -shared g2p.cpp -o libzonos_text.so
 

@@ -27,10 +27,35 @@ supported_language_codes = [
 ]  # 127 languages, matching reference conditioning.py:525-536
 
 
+# Codes the G2P frontend can phonemize but the checkpoint's language-id table
+# (above, fixed at training time) doesn't contain. Each maps to the closest
+# in-table id so the request is servable instead of asserting; phonemization
+# still runs in the REQUESTED language (the espeak entry keeps the original
+# code) — only the learned language-id embedding is approximated.
+_LANGUAGE_ID_ALIASES = {
+    "uk": "ru",  # Ukrainian: East Slavic, closest in-table id (docs/LANGUAGES.md)
+    "no": "nb",  # generic Norwegian → Bokmål
+}
+
+_ALIAS_WARNED: set[str] = set()
+
+
 @functools.lru_cache(maxsize=128)
 def _get_language_id(language: str) -> int:
     table = {lang: i for i, lang in enumerate(supported_language_codes)}
-    lid = table.get(language.lower(), -1)
+    lang = language.lower()
+    alias = _LANGUAGE_ID_ALIASES.get(lang)
+    if alias is not None and lang not in table:
+        if lang not in _ALIAS_WARNED:
+            _ALIAS_WARNED.add(lang)
+            import logging
+
+            logging.getLogger("zonos_tpu").info(
+                "language %r has no checkpoint language-id; using the %r id "
+                "(phonemization still runs as %r)", lang, alias, lang,
+            )
+        lang = alias
+    lid = table.get(lang, -1)
     assert lid != -1, f"Unsupported language: {language}. Pick from {supported_language_codes}"
     return lid
 

@@ -106,10 +106,11 @@ def phonemize(texts: list[str], languages: list[str]) -> list[str]:
     """Clean + phonemize a batch (reference conditioning.py:307-335).
 
     Backend order: libespeak-ng (all 127 languages) → native C++ rule engines
-    (English + Spanish, native/zonos_text; with lexicon + stress marks) →
-    kana mapper (ja) → lowercase graphemes (representable in the model symbol
-    table, degraded quality — logged once per language so the degradation is
-    loud, not silent).
+    (native/zonos_text — dozens of language codes across six scripts, with
+    lexicon + stress marks; see docs/LANGUAGES.md) → kana mapper (ja) →
+    lowercase graphemes (representable in the model symbol table, degraded
+    quality — logged once per language so the degradation is loud, not
+    silent).
     """
     texts = clean(texts, languages)
     with _LOCK:
@@ -125,8 +126,12 @@ def phonemize(texts: list[str], languages: list[str]) -> list[str]:
         ipa = native_g2p.phonemize(t, lang)
         if ipa is None and lang.startswith("ja") and has_kana(t):
             ipa = kana_to_ipa(t)
-        if ipa is None:
+        if (ipa is None or not ipa.strip()) and t.strip():
+            # None = no engine for the language; empty = the engine dropped
+            # every byte (e.g. script mismatch). Both degrade to graphemes
+            # and both must be loud.
             _warn_grapheme_fallback(lang)
+            ipa = None
         out.append(ipa if ipa else t.lower())
     return out
 

@@ -46,12 +46,12 @@ FUSED_MLP = os.environ.get("ZONOS_FUSED_MLP", "0") == "1"
 PALLAS_ATTN = os.environ.get("ZONOS_PALLAS_ATTN", "0") == "1"
 
 
-def _pallas_attn_ok(s, pad_amount, b, attend_len, hkv, dh) -> bool:
+def _pallas_attn_ok(s, pad_amount, b, attend_len, hkv, dh, hq) -> bool:
     if not PALLAS_ATTN or s != 1 or pad_amount is None:
         return False
     from zonos_tpu.ops.pallas_attention import vmem_ok
 
-    return hkv * dh % 128 == 0 and vmem_ok(b, attend_len, hkv, dh)
+    return hkv * dh % 128 == 0 and vmem_ok(b, attend_len, hkv, dh, hq)
 
 
 def _fused_mlp_maybe(h2: jnp.ndarray, mlp_p: dict) -> jnp.ndarray | None:
@@ -205,7 +205,7 @@ def _attn_block(
         ks_att = jax.lax.dynamic_slice_in_dim(ks_l, 0, attend_len, axis=2)
         v_att = jax.lax.dynamic_slice_in_dim(v_cache_l, 0, attend_len, axis=1)
         vs_att = jax.lax.dynamic_slice_in_dim(vs_l, 0, attend_len, axis=2)
-        if _pallas_attn_ok(s, pad_amount, b, attend_len, hkv, dh):
+        if _pallas_attn_ok(s, pad_amount, b, attend_len, hkv, dh, q.shape[2]):
             from zonos_tpu.ops.pallas_attention import attn_core_int8
 
             att = attn_core_int8(

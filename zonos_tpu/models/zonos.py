@@ -276,11 +276,12 @@ class Zonos:
         return self._generate_with_callback(
             prefix_conditioning, audio_prefix_codes, max_new_tokens, cfg_scale,
             batch_size, sampling_params, seed, callback, callback_interval,
+            kv_int8,
         )
 
     def _generate_with_callback(
         self, prefix_conditioning, audio_prefix_codes, max_new_tokens, cfg_scale,
-        batch_size, sampling_params, seed, callback, callback_interval,
+        batch_size, sampling_params, seed, callback, callback_interval, kv_int8,
     ) -> np.ndarray:
         from zonos_tpu.runtime.streaming import generate_stream
 
@@ -300,7 +301,7 @@ class Zonos:
             first_chunk_frames=callback_interval,
             chunk_frames=callback_interval,
             dtype=self.dtype,
-            kv_int8=self.default_kv_int8,
+            kv_int8=kv_int8,
             on_progress=lambda steps: callback(None, steps, max_steps),
         ):
             if item is not None:

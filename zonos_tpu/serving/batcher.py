@@ -80,6 +80,11 @@ class TTSRequest:
 class DynamicBatcher:
     """Background-thread batcher around a Zonos model."""
 
+    # Measured KV-dtype crossover (NOTES.md round-2 batch scaling): int8 KV
+    # wins up to batch 8; past it the int8->bf16 convert of the K/V operand
+    # materializes and bf16 KV is faster (batch 16: 25.9x vs 23.2x aggregate).
+    KV8_MAX_BATCH = 8
+
     def __init__(self, model, max_batch: int = 8, window_ms: float = 30.0):
         self.model = model
         self.max_batch = max_batch
@@ -193,6 +198,9 @@ class DynamicBatcher:
 
         conditioning = self.model.prepare_conditioning(cond_dict, cfg_scale=first.cfg_scale)
         max_new = max(r.max_new_tokens for r in batch)
+        # Adaptive KV dtype: int8 KV below the measured crossover, bf16 above
+        # (None = model default, which is int8 for quantized serving models).
+        kv_int8 = False if b > self.KV8_MAX_BATCH else None
         codes, lengths = self.model.generate(
             conditioning,
             max_new_tokens=max_new,
@@ -200,6 +208,7 @@ class DynamicBatcher:
             batch_size=b,
             sampling_params=first.sampling,
             seed=first.seed,
+            kv_int8=kv_int8,
             return_lengths=True,
         )
         wavs = self.model.autoencoder.decode(codes)  # [B, 1, T]

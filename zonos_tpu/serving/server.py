@@ -83,7 +83,12 @@ def _get_batcher(model):
         if _BATCHER is None:
             from zonos_tpu.serving.batcher import DynamicBatcher
 
-            _BATCHER = DynamicBatcher(model, max_batch=8, window_ms=30)
+            max_batch = int(
+                os.environ.get("ZONOS_MAX_BATCH", 0)
+                or _APP_CONFIG.get("ZONOS_MAX_BATCH", 0)
+                or 8
+            )
+            _BATCHER = DynamicBatcher(model, max_batch=max_batch, window_ms=30)
         return _BATCHER
 
 
@@ -220,7 +225,11 @@ def handle_stream(body: dict):
     speaker = setup_speaker_conditioning(model_name, body.get("speaker_audio"))
     prefix_codes = setup_prefix_audio(body.get("prefix_audio"), model.autoencoder)
     cond_dict = build_cond_dict(model, text=text, speaker=speaker, **_control_kwargs(body))
-    conditioning = model.prepare_conditioning(cond_dict, cfg_scale=params.cfg_scale)
+    # use_cache: repeated streaming requests with identical conditioning skip
+    # the conditioner stack, matching the /generate path (pipeline.tts).
+    conditioning = model.prepare_conditioning(
+        cond_dict, cfg_scale=params.cfg_scale, use_cache=True
+    )
 
     with _GEN_SEMAPHORE:
         for wav, sr in model.stream(
