@@ -1261,6 +1261,7 @@ enum RuL {
   RUKJE,  // ukr є
   RUKG,   // ukr ґ
   RMKJ, RMKLJ, RMKNJ, RMKDZH, RMKGJ, RMKKJ, RMKDZ,  // mk/sr-cyr ј љ њ џ ѓ ќ ѕ
+  RSRDJ, RSRTJ,  // sr-cyr ђ ћ
   R_NONE
 };
 
@@ -1282,6 +1283,8 @@ size_t ru_letter(const std::string& t, size_t i, int* id) {
     if (d == 0x83) { *id = RMKGJ; return 2; }                     // Ѓ
     if (d == 0x8C) { *id = RMKKJ; return 2; }                     // Ќ
     if (d == 0x85) { *id = RMKDZ; return 2; }                     // Ѕ
+    if (d == 0x82) { *id = RSRDJ; return 2; }                     // Ђ
+    if (d == 0x8B) { *id = RSRTJ; return 2; }                     // Ћ
     if (d >= 0x90 && d <= 0x9F) { *id = d - 0x90; return 2; }     // А..П
     if (d >= 0xA0 && d <= 0xAF) { *id = RR + (d - 0xA0); return 2; }  // Р..Я
     if (d >= 0xB0 && d <= 0xBF) { *id = d - 0xB0; return 2; }     // а..п
@@ -1302,6 +1305,8 @@ size_t ru_letter(const std::string& t, size_t i, int* id) {
       case 0x93: *id = RMKGJ; return 2;  // ѓ
       case 0x9C: *id = RMKKJ; return 2;  // ќ
       case 0x95: *id = RMKDZ; return 2;  // ѕ
+      case 0x92: *id = RSRDJ; return 2;  // ђ
+      case 0x9B: *id = RSRTJ; return 2;  // ћ
     }
     return 2;
   }
@@ -1579,8 +1584,62 @@ std::string phonemize_word_mk(const std::vector<int>& w) {
   return out;
 }
 
+// --- Serbian (Cyrillic) -----------------------------------------------------
+// Vukovica is a strict 1:1 transliteration of Gajica (one letter per sound,
+// "пиши као што говориш"); emits the SAME IPA inventory as the Latin hr/bs/sr
+// engine (phonemize_word_hr) so both scripts of Serbian sound identical.
+// Neutral first-syllable stress (pitch accent is lexical, as for hr).
+std::string phonemize_word_sr_cyr(const std::vector<int>& w) {
+  struct SP { std::string ipa; bool vowel; };
+  std::vector<SP> ph;
+  for (int c : w) {
+    switch (c) {
+      case RA: ph.push_back({"a", true}); break;
+      case RB: ph.push_back({"b", false}); break;
+      case RV: ph.push_back({"v", false}); break;
+      case RG: ph.push_back({"\xc9\xa1", false}); break;
+      case RD: ph.push_back({"d", false}); break;
+      case RSRDJ: ph.push_back({"d\xca\x91", false}); break;   // ђ = đ
+      case RE: ph.push_back({"e", true}); break;
+      case RZH: ph.push_back({"\xca\x92", false}); break;
+      case RZ: ph.push_back({"z", false}); break;
+      case RI: ph.push_back({"i", true}); break;
+      case RMKJ: case RJ: ph.push_back({"j", false}); break;
+      case RK: ph.push_back({"k", false}); break;
+      case RL: ph.push_back({"l", false}); break;
+      case RMKLJ: ph.push_back({"\xca\x8e", false}); break;    // љ
+      case RM: ph.push_back({"m", false}); break;
+      case RN: ph.push_back({"n", false}); break;
+      case RMKNJ: ph.push_back({"\xc9\xb2", false}); break;    // њ
+      case RO: ph.push_back({"o", true}); break;
+      case RP: ph.push_back({"p", false}); break;
+      case RR: ph.push_back({"r", false}); break;
+      case RS: ph.push_back({"s", false}); break;
+      case RT: ph.push_back({"t", false}); break;
+      case RSRTJ: ph.push_back({"t\xc9\x95", false}); break;   // ћ = ć
+      case RU: ph.push_back({"u", true}); break;
+      case RF: ph.push_back({"f", false}); break;
+      case RH: ph.push_back({"x", false}); break;
+      case RC: ph.push_back({"ts", false}); break;
+      case RCH: ph.push_back({"t\xca\x83", false}); break;     // ч
+      case RMKDZH: ph.push_back({"d\xca\x92", false}); break;  // џ
+      case RSH: ph.push_back({"\xca\x83", false}); break;      // ш
+      default: break;  // non-Serbian Cyrillic letters dropped
+    }
+  }
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  bool placed = false;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel && !placed) { if (total > 1) out += "\xcb\x88"; placed = true; }
+    out += p.ipa;
+  }
+  return out;
+}
+
 const char* phonemize_text_cyrillic(const char* utf8_text, int which) {
-  // which: 0 = uk, 1 = bg. Same tokenizer loop as Russian.
+  // which: 0 = uk, 1 = bg, 2 = mk, 3 = sr. Same tokenizer loop as Russian.
   if (!utf8_text) return nullptr;
   std::string text(utf8_text);
   std::string result;
@@ -1589,6 +1648,7 @@ const char* phonemize_text_cyrillic(const char* utf8_text, int which) {
     if (word.empty()) return;
     if (which == 0) result += phonemize_word_uk(word);
     else if (which == 1) result += phonemize_word_bg(word);
+    else if (which == 3) result += phonemize_word_sr_cyr(word);
     else result += phonemize_word_mk(word);
     word.clear();
   };
@@ -3407,6 +3467,200 @@ std::string phonemize_word_cy(const std::string& raw) {
   return out;
 }
 
+// --- Vietnamese -------------------------------------------------------------
+// Quốc ngữ is a regular Latin orthography once the diacritics are decoded:
+// tone marks (sắc/huyền/hỏi/ngã/nặng) are DROPPED EXPLICITLY — the model's
+// phoneme table has no tone letters (conditioning/text.py _letters_ipa) — and
+// vowel-quality diacritics (ă â ê ô ơ ư) are kept. Segment mapping follows a
+// composite literary standard (retroflex s/tr kept distinct, d/gi/r → z as in
+// the north). Each syllable = onset + nucleus + coda; no stress marks
+// (Vietnamese has none).
+//
+// Internal markers after decoding: 1=ă 2=â 3=ê 4=ô 5=ơ 6=ư 7=đ.
+
+// Map one codepoint to its tone-stripped marker char; 0 if not Vietnamese.
+char vi_fold(unsigned int cp) {
+  if (cp < 128) {
+    char c = (char)tolower((int)cp);
+    if (c >= 'a' && c <= 'z') return c;
+    return 0;
+  }
+  if (cp >= 0x41 && cp <= 0x5A) return (char)(cp + 0x20);
+  // Latin-1 precomposed (tone on plain vowels + â ê ô)
+  if (cp >= 0xC0 && cp <= 0xDD) cp += 0x20;  // uppercase → lowercase
+  switch (cp) {
+    case 0xE0: case 0xE1: case 0xE3: return 'a';   // à á ã
+    case 0xE2: return '2';                         // â
+    case 0xE8: case 0xE9: return 'e';              // è é
+    case 0xEA: return '3';                         // ê
+    case 0xEC: case 0xED: return 'i';              // ì í
+    case 0xF2: case 0xF3: case 0xF5: return 'o';   // ò ó õ
+    case 0xF4: return '4';                         // ô
+    case 0xF9: case 0xFA: return 'u';              // ù ú
+    case 0xFD: return 'y';                         // ý
+  }
+  switch (cp) {
+    case 0x102: case 0x103: return '1';  // Ă ă
+    case 0x110: case 0x111: return '7';  // Đ đ
+    case 0x128: case 0x129: return 'i';  // Ĩ ĩ
+    case 0x168: case 0x169: return 'u';  // Ũ ũ
+    case 0x1A0: case 0x1A1: return '5';  // Ơ ơ
+    case 0x1AF: case 0x1B0: return '6';  // Ư ư
+    case 0x1EF8: case 0x1EF9: return 'y';  // Ỹ ỹ (handled below too)
+  }
+  if (cp >= 0x1EA0 && cp <= 0x1EF9) {
+    if ((cp & 1) == 0) ++cp;  // uppercase → lowercase (Ạ=1EA0, ạ=1EA1, ...)
+    if (cp <= 0x1EA3) return 'a';              // ạ ả
+    if (cp <= 0x1EAD) return '2';              // ấ ầ ẩ ẫ ậ
+    if (cp <= 0x1EB7) return '1';              // ắ ằ ẳ ẵ ặ
+    if (cp <= 0x1EBD) return 'e';              // ẹ ẻ ẽ
+    if (cp <= 0x1EC7) return '3';              // ế ề ể ễ ệ
+    if (cp <= 0x1ECB) return 'i';              // ỉ ị
+    if (cp <= 0x1ECF) return 'o';              // ọ ỏ
+    if (cp <= 0x1ED9) return '4';              // ố ồ ổ ỗ ộ
+    if (cp <= 0x1EE3) return '5';              // ớ ờ ở ỡ ợ
+    if (cp <= 0x1EE7) return 'u';              // ụ ủ
+    if (cp <= 0x1EF1) return '6';              // ứ ừ ử ữ ự
+    return 'y';                                // ỳ ỵ ỷ ỹ
+  }
+  return 0;
+}
+
+bool vi_is_vowel_marker(char c) {
+  return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'||c=='y'||
+         c=='1'||c=='2'||c=='3'||c=='4'||c=='5'||c=='6';
+}
+
+// One syllable (folded markers) → IPA.
+std::string phonemize_syllable_vi(const std::string& w) {
+  size_t n = w.size(), i = 0;
+  std::string out;
+  auto at = [&](size_t k) { return k < n ? w[k] : '\0'; };
+
+  // --- onset (longest match first) ---
+  char c0 = at(0), c1 = at(1), c2 = at(2);
+  if (c0=='n' && c1=='g' && c2=='h') { out += "\xc5\x8b"; i = 3; }          // ngh → ŋ
+  else if (c0=='n' && c1=='g') { out += "\xc5\x8b"; i = 2; }                  // ng → ŋ
+  else if (c0=='g' && c1=='h') { out += "\xc9\xa3"; i = 2; }                  // gh → ɣ
+  else if (c0=='g' && c1=='i') {
+    // gi- = /z/: "gi"+vowel consumes the i (gia → za); bare "gi(n)" keeps
+    // the i as nucleus (gì → zi).
+    out += "z";
+    i = (n > 2 && vi_is_vowel_marker(c2)) ? 2 : 1;
+  }
+  else if (c0=='k' && c1=='h') { out += "x"; i = 2; }                          // kh
+  else if (c0=='p' && c1=='h') { out += "f"; i = 2; }                          // ph
+  else if (c0=='t' && c1=='h') { out += "t\xca\xb0"; i = 2; }                // th → tʰ
+  else if (c0=='t' && c1=='r') { out += "\xca\x88\xca\x82"; i = 2; }       // tr → ʈʂ
+  else if (c0=='c' && c1=='h') { out += "t\xc9\x95"; i = 2; }                // ch → tɕ
+  else if (c0=='n' && c1=='h') { out += "\xc9\xb2"; i = 2; }                 // nh → ɲ
+  else if (c0=='q' && c1=='u') { out += "kw"; i = 2; }                         // qu → kw
+  else if (c0=='b') { out += "\xc9\x93"; i = 1; }                               // b → ɓ
+  else if (c0=='7') { out += "\xc9\x97"; i = 1; }                               // đ → ɗ
+  else if (c0=='d') { out += "z"; i = 1; }                                        // d → z
+  else if (c0=='r') { out += "z"; i = 1; }                                        // r → z
+  else if (c0=='x') { out += "s"; i = 1; }                                        // x → s
+  else if (c0=='s') { out += "\xca\x82"; i = 1; }                               // s → ʂ
+  else if (c0=='c' || c0=='k' || c0=='q') { out += "k"; i = 1; }
+  else if (c0=='g') { out += "\xc9\xa3"; i = 1; }                               // g → ɣ
+  else if (c0=='v') { out += "v"; i = 1; }
+  else if (c0=='l') { out += "l"; i = 1; }
+  else if (c0=='m') { out += "m"; i = 1; }
+  else if (c0=='n') { out += "n"; i = 1; }
+  else if (c0=='h') { out += "h"; i = 1; }
+  else if (c0=='t') { out += "t"; i = 1; }
+  else if (c0=='p') { out += "p"; i = 1; }
+  else if (c0=='f') { out += "f"; i = 1; }  // loanwords
+  else if (c0=='w') { out += "w"; i = 1; }
+  else if (c0=='j') { out += "z"; i = 1; }
+
+  // --- nucleus: collect vowel markers ---
+  std::string nuc;
+  while (i < n && vi_is_vowel_marker(w[i])) { nuc += w[i]; ++i; }
+
+  // --- coda ---
+  std::string coda;
+  char f0 = at(i), f1 = at(i + 1);
+  if (f0=='n' && f1=='g') coda = "\xc5\x8b";        // -ng → ŋ
+  else if (f0=='n' && f1=='h') coda = "\xc9\xb2";   // -nh → ɲ
+  else if (f0=='c' && f1=='h') coda = "k";            // -ch → k
+  else if (f0=='c') coda = "k";
+  else if (f0=='m') coda = "m";
+  else if (f0=='n') coda = "n";
+  else if (f0=='p') coda = "p";
+  else if (f0=='t') coda = "t";
+
+  // Off-glide vowels at the end of the nucleus become j/w codas.
+  std::string glide;
+  if (coda.empty() && nuc.size() >= 2) {
+    char last = nuc.back();
+    if (last=='i' || last=='y') { glide = "j"; nuc.pop_back(); }
+    else if (last=='u' || last=='o') { glide = "w"; nuc.pop_back(); }
+  }
+
+  // --- nucleus mapping (diphthongs first) ---
+  auto one = [&](char c) -> const char* {
+    switch (c) {
+      case 'a': return "a";
+      case '1': return "a";            // ă (short a)
+      case '2': return "\xc9\x99";    // â → ə
+      case 'e': return "\xc9\x9b";    // e → ɛ
+      case '3': return "e";            // ê → e
+      case 'i': case 'y': return "i";
+      case 'o': return "\xc9\x94";    // o → ɔ
+      case '4': return "o";            // ô → o
+      case '5': return "\xc9\xa4";    // ơ → ɤ
+      case 'u': return "u";
+      case '6': return "\xc9\xaf";    // ư → ɯ
+    }
+    return "";
+  };
+  std::string nipa;
+  if (nuc == "i3" || nuc == "ia" || nuc == "y3") nipa = "i\xc9\x99";        // iê/ia → iə
+  else if (nuc == "65" || nuc == "6a") nipa = "\xc9\xaf\xc9\x99";         // ươ/ưa → ɯə
+  else if (nuc == "u4" || nuc == "ua") nipa = "u\xc9\x99";                  // uô/ua → uə
+  else {
+    for (size_t k = 0; k < nuc.size(); ++k) {
+      // medial o/u before a main vowel = /w/ on-glide (hoa → hwa, huy → hwi)
+      if (k + 1 < nuc.size() && (nuc[k]=='o' || nuc[k]=='u')) nipa += "w";
+      else nipa += one(nuc[k]);
+    }
+  }
+  out += nipa + glide + coda;
+  return out;
+}
+
+const char* phonemize_text_vi(const char* utf8_text) {
+  if (!utf8_text) return nullptr;
+  std::string text(utf8_text);
+  std::string result, word;
+  auto flush = [&]() {
+    if (!word.empty()) { result += phonemize_syllable_vi(word); word.clear(); }
+  };
+  for (size_t i = 0; i < text.size();) {
+    unsigned char c = text[i];
+    unsigned int cp = 0; size_t len = 1;
+    if (c < 0x80) { cp = c; }
+    else if ((c >> 5) == 0x6 && i + 1 < text.size()) {
+      cp = ((c & 0x1F) << 6) | (text[i+1] & 0x3F); len = 2;
+    } else if ((c >> 4) == 0xE && i + 2 < text.size()) {
+      cp = ((c & 0x0F) << 12) | ((text[i+1] & 0x3F) << 6) | (text[i+2] & 0x3F); len = 3;
+    } else if ((c >> 3) == 0x1E && i + 3 < text.size()) { len = 4; }
+    char m = cp ? vi_fold(cp) : 0;
+    if (m) { word += m; i += len; continue; }
+    flush();
+    if (cp < 128 && cp && strchr(";:,.!?()\"- ", (int)cp)) {
+      if (!((char)cp == ' ' && !result.empty() && result.back() == ' '))
+        result += (char)cp;
+    }
+    i += len;
+  }
+  flush();
+  char* buf = static_cast<char*>(malloc(result.size() + 1));
+  memcpy(buf, result.c_str(), result.size() + 1);
+  return buf;
+}
+
 }  // namespace
 
 namespace {
@@ -3688,7 +3942,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
 
 extern "C" {
 
-int ztx_version() { return 17; }
+int ztx_version() { return 18; }
 
 // Phonemize UTF-8 text in the given language ("en", "en-us", "es", ...).
 // Returns nullptr for unsupported languages (caller falls back). Returned
@@ -3716,8 +3970,15 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (strncmp(lang, "sw", 2) == 0) return phonemize_text(utf8_text, Lang::SW);
   if (strncmp(lang, "uk", 2) == 0) return phonemize_text_cyrillic(utf8_text, 0);
   if (strncmp(lang, "bg", 2) == 0) return phonemize_text_cyrillic(utf8_text, 1);
+  if (strncmp(lang, "sr", 2) == 0) {
+    // Serbian is digraphic: route by the script actually present.
+    for (const unsigned char* p = (const unsigned char*)utf8_text; p && *p; ++p)
+      if (*p >= 0xD0 && *p <= 0xD3)
+        return phonemize_text_cyrillic(utf8_text, 3);
+    return phonemize_text(utf8_text, Lang::HR);
+  }
   if (strncmp(lang, "hr", 2) == 0 || strncmp(lang, "bs", 2) == 0 ||
-      strncmp(lang, "sr", 2) == 0 || strncmp(lang, "sl", 2) == 0)
+      strncmp(lang, "sl", 2) == 0)
     return phonemize_text(utf8_text, Lang::HR);
   if (strncmp(lang, "sk", 2) == 0) return phonemize_text(utf8_text, Lang::CS);
   if (strncmp(lang, "et", 2) == 0) return phonemize_text(utf8_text, Lang::FI);
@@ -3728,6 +3989,7 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (strncmp(lang, "ka", 2) == 0) return phonemize_text_ka(utf8_text);
   if (strncmp(lang, "hy", 2) == 0) return phonemize_text_hy(utf8_text);
   if (strncmp(lang, "lv", 2) == 0) return phonemize_text(utf8_text, Lang::LV);
+  if (strncmp(lang, "vi", 2) == 0) return phonemize_text_vi(utf8_text);
   if (strncmp(lang, "cy", 2) == 0) return phonemize_text(utf8_text, Lang::CY);
   return nullptr;
 }

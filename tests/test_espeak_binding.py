@@ -616,3 +616,53 @@ def test_hy_lv_cy_engines():
     assert ph("bach", "cy") == "bax"
     assert ph("ffenestr", "cy").startswith("f")
     assert ph("fawr", "cy").startswith("v")
+
+
+def test_sr_cyrillic_engine():
+    """Serbian is digraphic: Cyrillic input routes through the Vukovica
+    decoder and must sound IDENTICAL to the Gajica (Latin) engine."""
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "sr")
+    # 1:1 transliteration parity with the Latin engine
+    assert ph("ђак") == ph("đak") == "dʑak"
+    assert ph("кућа") == ph("kuća") == "kˈutɕa"
+    assert ph("човек") == ph("čovek")
+    assert ph("џак") == ph("džak") == "dʒak"
+    assert ph("љето") == ph("ljeto") == "ʎˈeto"
+    assert ph("њива") == ph("njiva") == "ɲˈiva"
+    assert ph("шума") == ph("šuma")
+    assert ph("жут") == ph("žut") == "ʒut"
+    assert ph("Србија") == ph("Srbija")
+    # mixed sentence: any Cyrillic routes the whole text through Vukovica
+    assert "dˈobro" in ph("Добро јутро")
+
+
+def test_vi_rule_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "vi")
+    # tones are dropped (no tone letters in the model's symbol table);
+    # quality diacritics are kept
+    assert ph("Việt") == "viət"          # iê diphthong + final t
+    assert ph("chào") == "tɕaw"          # ch → tɕ, off-glide o → w
+    assert ph("không") == "xoŋ"          # kh → x, ô → o, ng → ŋ
+    assert ph("người") == "ŋɯəj"         # ngh/ng → ŋ, ươ → ɯə, i-glide
+    assert ph("được") == "ɗɯək"          # đ → ɗ implosive
+    assert ph("bạn") == "ɓan"            # b → ɓ implosive
+    assert ph("gì") == "zi"              # bare gi- keeps i as nucleus
+    assert ph("giá") == "za"             # gi+vowel consumes the i
+    assert ph("quyển") == "kwiən"        # qu → kw
+    assert ph("tiếng") == "tiəŋ"
+    assert ph("thơ") == "tʰɤ"            # th → tʰ, ơ → ɤ
+    assert ph("trà") == "ʈʂa"            # tr retroflex
+    assert ph("sông") == "ʂoŋ"           # s retroflex
+    assert ph("xanh") == "saɲ"           # x → s, final nh → ɲ
+    assert ph("phở") == "fɤ"
+    assert ph("đường") == "ɗɯəŋ"
+    assert ph("hoa") == "hwa"            # medial o → w on-glide
+    assert ph("ăn") == "an"              # ă folds to short a

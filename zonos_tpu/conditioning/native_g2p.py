@@ -8,8 +8,11 @@ German, Italian, French, Portuguese, Russian, Turkish, Polish, Dutch,
 Czech, Romanian, Finnish, Hungarian, Greek, Korean, Indonesian/Malay,
 Swahili, Ukrainian, Bulgarian, Croatian/Bosnian/Serbian-Latin/Slovene,
 Slovak, Estonian, Azerbaijani, Esperanto, Basque, Macedonian, Georgian,
-Armenian, Latvian and Welsh (orthographic rule engines); other languages go through
-eSpeak when present, else grapheme passthrough (conditioning/espeak.py).
+Armenian, Latvian, Welsh, Serbian in BOTH scripts (Cyrillic Vukovica and
+Latin Gajica, script-sniffed) and Vietnamese (tones dropped — no tone
+letters in the model symbol table) (orthographic rule engines); other
+languages go through eSpeak when present, else grapheme passthrough
+(conditioning/espeak.py).
 """
 
 from __future__ import annotations
@@ -24,7 +27,7 @@ _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
 
-_ABI_VERSION = 17  # bump when g2p.cpp's C ABI or tables change materially
+_ABI_VERSION = 18  # bump when g2p.cpp's C ABI or tables change materially
 
 _SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native", "zonos_text")
 # Versioned filename: dlopen caches handles by path within a process, so an
@@ -87,7 +90,8 @@ def phonemize(text: str, language: str) -> str | None:
     """Text → IPA via the native rule engines; None if the language (or the
     library) is unavailable. Languages: en*, es*, de*, it*, fr*,
     pt*, ru*, tr*, pl*, nl*, cs*, ro*, fi*, hu*, el*, ko*, id*/ms*, sw*, uk*,
-    bg*, hr*/bs*/sr*/sl*, sk*, et*, az*, eo*, eu*, mk*, ka*, hy*, lv*, cy*."""
+    bg*, hr*/bs*/sr*/sl* (sr in both scripts), sk*, et*, az*, eo*, eu*, mk*,
+    ka*, hy*, lv*, cy*, vi*."""
     with _LOCK:
         lib = _load()
         if lib is None:
