@@ -3661,11 +3661,306 @@ const char* phonemize_text_vi(const char* utf8_text) {
   return buf;
 }
 
+// --- Swedish ----------------------------------------------------------------
+// Orthography with regular front/back alternations: k/sk/g soften before
+// front vowels (e i y ä ö), sj/skj/stj/sch → ɧ (the sje-sound — the symbol
+// table carries ɧ), tj/kj → ɕ, retroflexion of r+dental clusters (rs→ʂ
+// rt→ʈ rd→ɖ rn→ɳ rl→ɭ), o→u shift, u→ʉ. Pitch accent is lexical; neutral
+// first-syllable stress. Markers: A=å E=ä O=ö.
+
+bool sv_front(char c) { return c=='e'||c=='i'||c=='y'||c=='E'||c=='O'; }
+
+std::string phonemize_word_sv(const std::string& raw) {
+  if (raw == "och") return "ɔk";
+  if (raw == "det") return "deː";
+  if (raw == "jag") return "jɑː";
+  std::string w;
+  for (size_t i = 0; i < raw.size();) {
+    unsigned char c = raw[i];
+    if (c < 128) { w += static_cast<char>(tolower(c)); ++i; continue; }
+    if (c == 0xC3 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0xA5 || d == 0x85) w += 'A';       // å
+      else if (d == 0xA4 || d == 0x84) w += 'E';  // ä
+      else if (d == 0xB6 || d == 0x96) w += 'O';  // ö
+      i += 2; continue;
+    }
+    ++i;
+  }
+  auto vow = [](char c) { return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'||c=='y'||c=='A'||c=='E'||c=='O'; };
+  struct SVP { std::string ipa; bool vowel; };
+  std::vector<SVP> ph;
+  size_t n = w.size();
+  for (size_t i = 0; i < n;) {
+    char c = w[i];
+    char c1 = (i + 1 < n) ? w[i + 1] : '\0';
+    char c2 = (i + 2 < n) ? w[i + 2] : '\0';
+    // sje-sound clusters
+    if (c=='s' && c1=='t' && c2=='j') { ph.push_back({"ɧ", false}); i += 3; continue; }
+    if (c=='s' && c1=='k' && c2=='j') { ph.push_back({"ɧ", false}); i += 3; continue; }
+    if (c=='s' && c1=='c' && c2=='h') { ph.push_back({"ɧ", false}); i += 3; continue; }
+    if (c=='s' && c1=='j') { ph.push_back({"ɧ", false}); i += 2; continue; }
+    if (c=='s' && c1=='k' && sv_front(c2)) { ph.push_back({"ɧ", false}); i += 2; continue; }
+    // tje-sound
+    if ((c=='t' || c=='k') && c1=='j') { ph.push_back({"ɕ", false}); i += 2; continue; }
+    if (c=='k' && sv_front(c1) && i == 0) { ph.push_back({"ɕ", false}); ++i; continue; }
+    // silent-j onsets
+    if (i == 0 && (c=='d' || c=='g' || c=='h' || c=='l') && c1=='j') {
+      ph.push_back({"j", false}); i += 2; continue;
+    }
+    if (c=='g' && i == 0 && sv_front(c1)) { ph.push_back({"j", false}); ++i; continue; }
+    // final -g after l/r → j (berg, älg)
+    if (c=='g' && i + 1 == n && i > 0 && (w[i-1]=='l' || w[i-1]=='r')) {
+      ph.push_back({"j", false}); ++i; continue;
+    }
+    // retroflexion
+    if (c=='r' && c1=='s') { ph.push_back({"ʂ", false}); i += 2; continue; }
+    if (c=='r' && c1=='t') { ph.push_back({"ʈ", false}); i += 2; continue; }
+    if (c=='r' && c1=='d') { ph.push_back({"ɖ", false}); i += 2; continue; }
+    if (c=='r' && c1=='n') { ph.push_back({"ɳ", false}); i += 2; continue; }
+    if (c=='r' && c1=='l') { ph.push_back({"ɭ", false}); i += 2; continue; }
+    if (c=='c' && c1=='k') { ph.push_back({"k", false}); i += 2; continue; }
+    // double letters: fold
+    if (c == c1 && c != '\0') {
+      // long consonant — emit once; vowel length handled below
+      if (!vow(c)) { w.erase(i + 1, 1); n = w.size(); continue; }
+    }
+    switch (c) {
+      case 'a': ph.push_back({"a", true}); ++i; break;
+      case 'A': ph.push_back({"oː", true}); ++i; break;  // å
+      case 'e': ph.push_back({"ɛ", true}); ++i; break;
+      case 'E': ph.push_back({"ɛ", true}); ++i; break;   // ä
+      case 'i': ph.push_back({"i", true}); ++i; break;
+      case 'o': ph.push_back({"u", true}); ++i; break;   // o → u shift
+      case 'O': ph.push_back({"ø", true}); ++i; break;   // ö
+      case 'u': ph.push_back({"ʉ", true}); ++i; break;
+      case 'y': ph.push_back({"ʏ", true}); ++i; break;
+      case 'b': ph.push_back({"b", false}); ++i; break;
+      case 'c': ph.push_back({sv_front(c1) ? "s" : "k", false}); ++i; break;
+      case 'd': ph.push_back({"d", false}); ++i; break;
+      case 'f': ph.push_back({"f", false}); ++i; break;
+      case 'g': ph.push_back({"ɡ", false}); ++i; break;
+      case 'h': ph.push_back({"h", false}); ++i; break;
+      case 'j': ph.push_back({"j", false}); ++i; break;
+      case 'k': ph.push_back({"k", false}); ++i; break;
+      case 'l': ph.push_back({"l", false}); ++i; break;
+      case 'm': ph.push_back({"m", false}); ++i; break;
+      case 'n': ph.push_back({"n", false}); ++i; break;
+      case 'p': ph.push_back({"p", false}); ++i; break;
+      case 'q': ph.push_back({"k", false}); ++i; break;
+      case 'r': ph.push_back({"r", false}); ++i; break;
+      case 's': ph.push_back({"s", false}); ++i; break;
+      case 't': ph.push_back({"t", false}); ++i; break;
+      case 'v': case 'w': ph.push_back({"v", false}); ++i; break;
+      case 'x': ph.push_back({"ks", false}); ++i; break;
+      case 'z': ph.push_back({"s", false}); ++i; break;
+      default: ++i; break;
+    }
+  }
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  bool placed = false;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel && !placed) { if (total > 1) out += "ˈ"; placed = true; }
+    out += p.ipa;
+  }
+  return out;
+}
+
+// --- Norwegian (Bokmål) -----------------------------------------------------
+// East-Norwegian conventions: kj/k+front → ç, skj/sj/sk+front → ʃ, gj/hj → j,
+// g before i/y → j, hv → v, o → u shift, u → ʉ, retroflex r-clusters as in
+// Swedish, final -ig drops the g. Markers: A=å E=æ O=ø.
+
+bool nb_front(char c) { return c=='e'||c=='i'||c=='y'||c=='E'||c=='O'; }
+
+std::string phonemize_word_nb(const std::string& raw) {
+  if (raw == "jeg") return "jæj";
+  if (raw == "det") return "de";
+  if (raw == "og") return "ɔ";
+  std::string w;
+  for (size_t i = 0; i < raw.size();) {
+    unsigned char c = raw[i];
+    if (c < 128) { w += static_cast<char>(tolower(c)); ++i; continue; }
+    if (c == 0xC3 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0xA5 || d == 0x85) w += 'A';       // å
+      else if (d == 0xA6 || d == 0x86) w += 'E';  // æ
+      else if (d == 0xB8 || d == 0x98) w += 'O';  // ø
+      i += 2; continue;
+    }
+    ++i;
+  }
+  auto vow = [](char c) { return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'||c=='y'||c=='A'||c=='E'||c=='O'; };
+  struct NBP { std::string ipa; bool vowel; };
+  std::vector<NBP> ph;
+  size_t n = w.size();
+  // final -ig: g is silent (viktig → viktii → fold below)
+  if (n >= 2 && w[n-1]=='g' && w[n-2]=='i') { w.erase(n - 1, 1); n = w.size(); }
+  for (size_t i = 0; i < n;) {
+    char c = w[i];
+    char c1 = (i + 1 < n) ? w[i + 1] : '\0';
+    char c2 = (i + 2 < n) ? w[i + 2] : '\0';
+    if (c=='s' && c1=='k' && c2=='j') { ph.push_back({"ʃ", false}); i += 3; continue; }
+    if (c=='s' && c1=='j') { ph.push_back({"ʃ", false}); i += 2; continue; }
+    if (c=='s' && c1=='k' && (c2=='i' || c2=='y')) { ph.push_back({"ʃ", false}); i += 2; continue; }
+    if (c=='k' && c1=='j') { ph.push_back({"ç", false}); i += 2; continue; }
+    if (c=='k' && i == 0 && (c1=='i' || c1=='y')) { ph.push_back({"ç", false}); ++i; continue; }
+    if ((c=='g' || c=='h') && c1=='j') { ph.push_back({"j", false}); i += 2; continue; }
+    if (c=='g' && i == 0 && (c1=='i' || c1=='y')) { ph.push_back({"j", false}); ++i; continue; }
+    if (c=='h' && c1=='v') { ph.push_back({"v", false}); i += 2; continue; }
+    if (c=='r' && c1=='s') { ph.push_back({"ʂ", false}); i += 2; continue; }
+    if (c=='r' && c1=='t') { ph.push_back({"ʈ", false}); i += 2; continue; }
+    if (c=='r' && c1=='d') { ph.push_back({"ɖ", false}); i += 2; continue; }
+    if (c=='r' && c1=='n') { ph.push_back({"ɳ", false}); i += 2; continue; }
+    if (c=='r' && c1=='l') { ph.push_back({"ɭ", false}); i += 2; continue; }
+    if (c=='c' && c1=='k') { ph.push_back({"k", false}); i += 2; continue; }
+    if (c == c1 && !vow(c) && c != '\0') { w.erase(i + 1, 1); n = w.size(); continue; }
+    switch (c) {
+      case 'a': ph.push_back({"ɑ", true}); ++i; break;
+      case 'A': ph.push_back({"ɔ", true}); ++i; break;   // å
+      case 'e': ph.push_back({(i + 1 >= n && n > 2) ? "ə" : "e", true}); ++i; break;
+      case 'E': ph.push_back({"æ", true}); ++i; break;   // æ
+      case 'i': ph.push_back({"i", true}); ++i; break;
+      case 'o': ph.push_back({"u", true}); ++i; break;   // o → u shift
+      case 'O': ph.push_back({"ø", true}); ++i; break;   // ø
+      case 'u': ph.push_back({"ʉ", true}); ++i; break;
+      case 'y': ph.push_back({"ʏ", true}); ++i; break;
+      case 'b': ph.push_back({"b", false}); ++i; break;
+      case 'c': ph.push_back({nb_front(c1) ? "s" : "k", false}); ++i; break;
+      case 'd': ph.push_back({"d", false}); ++i; break;
+      case 'f': ph.push_back({"f", false}); ++i; break;
+      case 'g': ph.push_back({"ɡ", false}); ++i; break;
+      case 'h': ph.push_back({"h", false}); ++i; break;
+      case 'j': ph.push_back({"j", false}); ++i; break;
+      case 'k': ph.push_back({"k", false}); ++i; break;
+      case 'l': ph.push_back({"l", false}); ++i; break;
+      case 'm': ph.push_back({"m", false}); ++i; break;
+      case 'n': ph.push_back({"n", false}); ++i; break;
+      case 'p': ph.push_back({"p", false}); ++i; break;
+      case 'q': ph.push_back({"k", false}); ++i; break;
+      case 'r': ph.push_back({"r", false}); ++i; break;
+      case 's': ph.push_back({"s", false}); ++i; break;
+      case 't': ph.push_back({"t", false}); ++i; break;
+      case 'v': case 'w': ph.push_back({"v", false}); ++i; break;
+      case 'x': ph.push_back({"ks", false}); ++i; break;
+      case 'z': ph.push_back({"s", false}); ++i; break;
+      default: ++i; break;
+    }
+  }
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  bool placed = false;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel && !placed) { if (total > 1) out += "ˈ"; placed = true; }
+    out += p.ipa;
+  }
+  return out;
+}
+
+// --- Danish -----------------------------------------------------------------
+// The most reduced Scandinavian orthography-to-sound mapping; approximations:
+// soft d (post-vocalic) → ð, post-vocalic g → j (kage) or dropped after
+// rounded vowels, r → ʁ (uvular) with coda vocalization to ɐ, final -e → ə,
+// hv → v, hj → j, af/av coda v → w. Stød is not representable and is
+// dropped. Markers: A=å E=æ O=ø.
+
+std::string phonemize_word_da(const std::string& raw) {
+  if (raw == "jeg") return "jɑj";
+  if (raw == "det") return "de";
+  if (raw == "og") return "ɔw";
+  std::string w;
+  for (size_t i = 0; i < raw.size();) {
+    unsigned char c = raw[i];
+    if (c < 128) { w += static_cast<char>(tolower(c)); ++i; continue; }
+    if (c == 0xC3 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      if (d == 0xA5 || d == 0x85) w += 'A';       // å
+      else if (d == 0xA6 || d == 0x86) w += 'E';  // æ
+      else if (d == 0xB8 || d == 0x98) w += 'O';  // ø
+      i += 2; continue;
+    }
+    ++i;
+  }
+  auto vow = [](char c) { return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'||c=='y'||c=='A'||c=='E'||c=='O'; };
+  struct DAP { std::string ipa; bool vowel; };
+  std::vector<DAP> ph;
+  size_t n = w.size();
+  for (size_t i = 0; i < n;) {
+    char c = w[i];
+    char c1 = (i + 1 < n) ? w[i + 1] : '\0';
+    bool after_vowel = (i > 0) && vow(w[i - 1]);
+    if (c=='h' && c1=='v') { ph.push_back({"v", false}); i += 2; continue; }
+    if (c=='h' && c1=='j') { ph.push_back({"j", false}); i += 2; continue; }
+    if (c=='c' && c1=='k') { ph.push_back({"k", false}); i += 2; continue; }
+    if (c=='s' && c1=='j') { ph.push_back({"ɕ", false}); i += 2; continue; }
+    if (c == c1 && !vow(c) && c != '\0') { w.erase(i + 1, 1); n = w.size(); continue; }
+    switch (c) {
+      case 'a': ph.push_back({"æ", true}); ++i; break;
+      case 'A': ph.push_back({"ɔ", true}); ++i; break;   // å
+      case 'e': ph.push_back({(i + 1 >= n && n > 2) ? "ə" : "e", true}); ++i; break;
+      case 'E': ph.push_back({"ɛ", true}); ++i; break;   // æ
+      case 'i': ph.push_back({"i", true}); ++i; break;
+      case 'o': ph.push_back({"ɔ", true}); ++i; break;
+      case 'O': ph.push_back({"ø", true}); ++i; break;   // ø
+      case 'u': ph.push_back({"u", true}); ++i; break;
+      case 'y': ph.push_back({"y", true}); ++i; break;
+      case 'b': ph.push_back({"b", false}); ++i; break;
+      case 'c': ph.push_back({(c1=='e'||c1=='i'||c1=='y'||c1=='E') ? "s" : "k", false}); ++i; break;
+      case 'd':
+        // soft d: post-vocalic, not followed by another consonant
+        if (after_vowel && (c1=='\0' || vow(c1) || c1=='e'))
+          ph.push_back({"ð", false});
+        else ph.push_back({"d", false});
+        ++i; break;
+      case 'f': ph.push_back({"f", false}); ++i; break;
+      case 'g':
+        if (after_vowel && (c1=='\0' || vow(c1))) ph.push_back({"j", false});
+        else ph.push_back({"ɡ", false});
+        ++i; break;
+      case 'h': ph.push_back({"h", false}); ++i; break;
+      case 'j': ph.push_back({"j", false}); ++i; break;
+      case 'k': ph.push_back({"k", false}); ++i; break;
+      case 'l': ph.push_back({"l", false}); ++i; break;
+      case 'm': ph.push_back({"m", false}); ++i; break;
+      case 'n': ph.push_back({"n", false}); ++i; break;
+      case 'p': ph.push_back({"p", false}); ++i; break;
+      case 'q': ph.push_back({"k", false}); ++i; break;
+      case 'r':
+        // coda r vocalizes to ɐ; onset r is uvular ʁ
+        if (after_vowel && (c1=='\0' || !vow(c1))) ph.push_back({"ɐ", true});
+        else ph.push_back({"ʁ", false});
+        ++i; break;
+      case 's': ph.push_back({"s", false}); ++i; break;
+      case 't': ph.push_back({"t", false}); ++i; break;
+      case 'v':
+        if (after_vowel && (c1=='\0' || !vow(c1))) ph.push_back({"w", false});
+        else ph.push_back({"v", false});
+        ++i; break;
+      case 'w': ph.push_back({"v", false}); ++i; break;
+      case 'x': ph.push_back({"ks", false}); ++i; break;
+      case 'z': ph.push_back({"s", false}); ++i; break;
+      default: ++i; break;
+    }
+  }
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  bool placed = false;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel && !placed) { if (total > 1) out += "ˈ"; placed = true; }
+    out += p.ipa;
+  }
+  return out;
+}
+
 }  // namespace
 
 namespace {
 
-enum class Lang { EN, ES, DE, IT, FR, PT, TR, PL, NL, CS, RO, FI, HU, ID, SW, HR, EO, EU, LV, CY };
+enum class Lang { EN, ES, DE, IT, FR, PT, TR, PL, NL, CS, RO, FI, HU, ID, SW, HR, EO, EU, LV, CY, SV, NB, DA };
 
 // True when the bytes at text[i] are a letter this language's engine keeps.
 // Writes the (lowercased) bytes to `word` and returns bytes consumed, or 0.
@@ -3731,6 +4026,18 @@ size_t take_letter(const std::string& text, size_t i, Lang lang, std::string* wo
               (c == 0xC3 && (d == 0xA2 || d == 0xAA || d == 0xAE || d == 0xB4 || d == 0xBB));
     if (ok) {
       *word += static_cast<char>(c);
+      *word += static_cast<char>(d);
+      return 2;
+    }
+  }
+  if ((lang == Lang::SV || lang == Lang::NB || lang == Lang::DA) &&
+      c == 0xC3 && i + 1 < text.size()) {
+    unsigned char d = text[i + 1];
+    // å ä ö æ ø (+ uppercase forms); the word engines fold them to markers.
+    if (d == 0xA5 || d == 0x85 || d == 0xA4 || d == 0x84 || d == 0xB6 ||
+        d == 0x96 || d == 0xA6 || d == 0x86 || d == 0xB8 || d == 0x98 ||
+        d == 0xA9 || d == 0x89) {  // é loanwords
+      *word += static_cast<char>(0xC3);
       *word += static_cast<char>(d);
       return 2;
     }
@@ -3912,6 +4219,9 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
         case Lang::EU: result += phonemize_word_eu(word); break;
         case Lang::LV: result += phonemize_word_lv(word); break;
         case Lang::CY: result += phonemize_word_cy(word); break;
+        case Lang::SV: result += phonemize_word_sv(word); break;
+        case Lang::NB: result += phonemize_word_nb(word); break;
+        case Lang::DA: result += phonemize_word_da(word); break;
         default: result += phonemize_word(word); break;
       }
       word.clear();
@@ -3990,6 +4300,11 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (strncmp(lang, "hy", 2) == 0) return phonemize_text_hy(utf8_text);
   if (strncmp(lang, "lv", 2) == 0) return phonemize_text(utf8_text, Lang::LV);
   if (strncmp(lang, "vi", 2) == 0) return phonemize_text_vi(utf8_text);
+  if (strncmp(lang, "sv", 2) == 0) return phonemize_text(utf8_text, Lang::SV);
+  if (strncmp(lang, "nb", 2) == 0 || strncmp(lang, "nn", 2) == 0 ||
+      strncmp(lang, "no", 2) == 0)
+    return phonemize_text(utf8_text, Lang::NB);
+  if (strncmp(lang, "da", 2) == 0) return phonemize_text(utf8_text, Lang::DA);
   if (strncmp(lang, "cy", 2) == 0) return phonemize_text(utf8_text, Lang::CY);
   return nullptr;
 }

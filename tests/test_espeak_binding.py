@@ -134,8 +134,8 @@ def test_grapheme_fallback_warns_loudly(monkeypatch, caplog):
     monkeypatch.setattr(E, "_load", lambda: None)
     E._WARNED_LANGS.clear()
     with caplog.at_level(logging.WARNING, logger="zonos_tpu"):
-        out = E.phonemize(["god morgon", "god kväll"], ["sv", "sv"])
-    assert out == ["god morgon", "god kväll"]
+        out = E.phonemize(["góðan daginn", "gott kvöld"], ["is", "is"])
+    assert out == ["góðan daginn", "gott kvöld"]
     warnings = [r for r in caplog.records if "falling back" in r.message]
     assert len(warnings) == 1  # loud once, not per request
 
@@ -666,3 +666,46 @@ def test_vi_rule_engine():
     assert ph("đường") == "ɗɯəŋ"
     assert ph("hoa") == "hwa"            # medial o → w on-glide
     assert ph("ăn") == "an"              # ă folds to short a
+
+
+def test_sv_rule_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "sv")
+    assert ph("sju") == "ɧʉ"             # sj → sje-sound ɧ
+    assert ph("stjärna") == "ɧˈɛɳa"      # stj → ɧ, rn → ɳ retroflex
+    assert ph("skön") == "ɧøn"           # sk before front vowel → ɧ
+    assert ph("tjugo") == "ɕˈʉɡu"        # tj → ɕ, u → ʉ
+    assert ph("kärlek") == "ɕˈɛɭɛk"      # k before ä → ɕ, rl → ɭ
+    assert ph("berg") == "bɛrj"          # final g after r → j
+    assert ph("ljus") == "jʉs"           # lj → j
+    assert ph("och") == "ɔk"             # lexical exception
+    assert "ʂ" in ph("fors")             # rs → ʂ
+    assert ph("bo") == "bu"              # o → u shift
+
+
+def test_nb_da_rule_engines():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    nb = lambda t: native_g2p.phonemize(t, "nb")
+    assert nb("kjører") == "çˈører"      # kj → ç
+    assert nb("ski") == "ʃi"             # sk before i → ʃ
+    assert nb("hva") == "vɑ"             # hv → v
+    assert nb("viktig") == "vˈikti"      # final -ig drops g
+    assert nb("gjerne") == "jˈeɳə"       # gj → j, rn → ɳ, final e → ə
+    assert "ʂ" in nb("norsk")            # rs → ʂ
+    # generic no / nynorsk route through the Bokmål engine
+    assert native_g2p.phonemize("ski", "no") == "ʃi"
+    assert native_g2p.phonemize("ski", "nn") == "ʃi"
+
+    da = lambda t: native_g2p.phonemize(t, "da")
+    assert da("mad") == "mæð"            # soft post-vocalic d
+    assert da("gade") == "ɡˈæðə"         # intervocalic soft d, final e → ə
+    assert da("hvad") == "væð"           # hv → v
+    assert da("rød") == "ʁøð"            # r uvular, ø
+    assert da("bager") == "bˈæjeɐ"       # post-vocalic g → j, coda r → ɐ
+    assert da("og") == "ɔw"              # lexical exception
