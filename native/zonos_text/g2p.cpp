@@ -3467,6 +3467,221 @@ std::string phonemize_word_cy(const std::string& raw) {
   return out;
 }
 
+// --- Brahmic scripts (Devanagari / Bengali / Gurmukhi / Gujarati / Oriya /
+// Tamil / Telugu / Kannada / Malayalam) ---------------------------------------
+// The Unicode Indic blocks are ISCII-aligned: every script places the same
+// letter at the same offset from its block base (ka = base+0x15, the matras
+// at base+0x3E.., virama at base+0x4D). One decoder parameterized by block
+// base therefore serves twelve language codes; per-language knobs are the
+// inherent vowel (ə for Hindi, ɔ for Bengali, a for the Dravidian scripts),
+// schwa deletion (Indo-Aryan only) and Tamil positional voicing. These
+// scripts are near-phonemic — the hard part of e.g. Hindi G2P is exactly the
+// schwa-deletion rule implemented below (delete word-finally, and medially
+// in the VC_CV context applying right to left).
+// No stress marks: Indo-Aryan/Dravidian stress is light and non-contrastive.
+
+struct BrahmicCfg {
+  unsigned int base;        // block base codepoint (Devanagari 0x0900, ...)
+  const char* inherent;     // inherent vowel IPA
+  bool schwa_deletion;      // Indo-Aryan final/medial inherent-vowel drop
+  bool tamil_voicing;       // positional stop voicing (Tamil only)
+};
+
+// Offsets base+0x05..base+0x14: independent vowels.
+static const char* kBrahmicVowels[16] = {
+  "ə",   // 05 a (overridden by cfg.inherent)
+  "aː",  // 06 ā
+  "ɪ",   // 07 i
+  "iː",  // 08 ī
+  "ʊ",   // 09 u
+  "uː",  // 0A ū
+  "ri",  // 0B vocalic r
+  "li",  // 0C vocalic l
+  "æ",   // 0D candra e
+  "e",   // 0E short e (Dravidian)
+  "eː",  // 0F ē
+  "ɛː",  // 10 ai (monophthongized as in Hindi)
+  "ɒ",   // 11 candra o
+  "o",   // 12 short o (Dravidian)
+  "oː",  // 13 ō
+  "ɔː",  // 14 au
+};
+
+// Offsets base+0x15..base+0x39: consonants.
+static const char* kBrahmicCons[37] = {
+  "k", "kʰ", "ɡ", "ɡʱ", "ŋ",        // 15-19 velars
+  "tʃ", "tʃʰ", "dʒ", "dʒʱ", "ɲ",    // 1A-1E palatals
+  "ʈ", "ʈʰ", "ɖ", "ɖʱ", "ɳ",        // 1F-23 retroflexes
+  "t", "tʰ", "d", "dʱ", "n",        // 24-28 dentals
+  "n",                              // 29 nnna (Tamil ன)
+  "p", "pʰ", "b", "bʱ", "m",        // 2A-2E labials
+  "j", "r", "r", "l", "ɭ", "ɻ",     // 2F-34 sonorants (ऴ/ழ → ɻ)
+  "ʋ", "ʃ", "ʂ", "s", "ɦ",          // 35-39 glides/sibilants
+};
+
+// Devanagari nukta forms base+0x58..base+0x5F (Urdu/Persian loan sounds).
+static const char* kBrahmicNukta[8] = {
+  "q", "x", "ɣ", "z", "ɽ", "ɽʱ", "f", "j",
+};
+
+// Matras base+0x3E..base+0x4C map to the same vowel values as 06..14.
+// (index = offset - 0x3E + 1 into kBrahmicVowels)
+
+struct BrPhone {
+  std::string ipa;
+  bool vowel;
+  bool inherent;  // an inherent vowel eligible for schwa deletion
+};
+
+void brahmic_word(std::vector<BrPhone>& ph, const BrahmicCfg& cfg, std::string* out) {
+  if (ph.empty()) return;
+  // Resolve anusvara sentinels: Bengali/Assamese anusvara IS the velar nasal;
+  // elsewhere it assimilates to the following consonant's place, and a
+  // word-final one surfaces as m (Dravidian -am endings; Hindi final anusvara
+  // nasalizes the vowel, for which m is the closest representable segment).
+  for (size_t i = 0; i < ph.size(); ++i) {
+    if (ph[i].ipa != "\x01") continue;
+    if (cfg.base == 0x0980) { ph[i].ipa = "ŋ"; continue; }
+    if (i + 1 >= ph.size()) { ph[i].ipa = "m"; continue; }
+    const std::string& nx = ph[i + 1].ipa;
+    if (nx == "k" || nx == "kʰ" || nx == "ɡ" || nx == "ɡʱ") ph[i].ipa = "ŋ";
+    else if (nx == "tʃ" || nx == "tʃʰ" || nx == "dʒ" || nx == "dʒʱ") ph[i].ipa = "ɲ";
+    else if (nx == "ʈ" || nx == "ʈʰ" || nx == "ɖ" || nx == "ɖʱ") ph[i].ipa = "ɳ";
+    else if (nx == "p" || nx == "pʰ" || nx == "b" || nx == "bʱ" || nx == "m") ph[i].ipa = "m";
+    else ph[i].ipa = "n";
+  }
+  int nvowels = 0;
+  for (const auto& p : ph) nvowels += p.vowel ? 1 : 0;
+  if (cfg.schwa_deletion && nvowels > 1) {
+    // Word-final inherent vowel deletes (राम → raːm) — but never a word's
+    // only vowel (छ stays tʃʰə).
+    if (ph.back().inherent) ph.pop_back();
+    // Medial rule, right to left: delete an inherent schwa when flanked by
+    // single consonants that are themselves vowel-adjacent (V C ə C V →
+    // V C C V), e.g. कमला kə.mə.laː → kəm.laː.
+    for (int i = static_cast<int>(ph.size()) - 1; i >= 0; --i) {
+      if (!ph[i].inherent) continue;
+      bool ok = i >= 2 && i + 2 < static_cast<int>(ph.size()) &&
+                !ph[i - 1].vowel && ph[i - 2].vowel &&
+                !ph[i + 1].vowel && ph[i + 2].vowel;
+      if (ok) ph.erase(ph.begin() + i);
+    }
+  }
+  if (cfg.tamil_voicing) {
+    // Tamil stops voice intervocalically and after their homorganic nasal;
+    // intervocalic ச is the fricative s.
+    for (size_t i = 0; i < ph.size(); ++i) {
+      bool after_v = i > 0 && ph[i - 1].vowel;
+      bool after_nasal = i > 0 && !ph[i - 1].vowel &&
+        (ph[i - 1].ipa == "m" || ph[i - 1].ipa == "n" || ph[i - 1].ipa == "ɳ" ||
+         ph[i - 1].ipa == "ɲ" || ph[i - 1].ipa == "ŋ");
+      bool before_v = i + 1 < ph.size() && ph[i + 1].vowel;
+      if ((after_v && before_v) || after_nasal) {
+        if (ph[i].ipa == "k") ph[i].ipa = after_nasal ? "ɡ" : "ɣ";
+        else if (ph[i].ipa == "tʃ") ph[i].ipa = after_nasal ? "dʒ" : "s";
+        else if (ph[i].ipa == "ʈ") ph[i].ipa = "ɖ";
+        else if (ph[i].ipa == "t") ph[i].ipa = "d";
+        else if (ph[i].ipa == "p") ph[i].ipa = "b";
+      }
+    }
+  }
+  for (const auto& p : ph) *out += p.ipa;
+}
+
+const char* phonemize_text_brahmic(const char* utf8_text, const BrahmicCfg& cfg) {
+  if (!utf8_text) return nullptr;
+  std::string text(utf8_text);
+  std::string result;
+  std::vector<BrPhone> word;
+  auto flush = [&]() {
+    if (!word.empty()) { brahmic_word(word, cfg, &result); word.clear(); }
+  };
+  auto push_inherent = [&]() {
+    word.push_back({cfg.inherent, true, true});
+  };
+  bool pending_inherent = false;  // a consonant was emitted, vowel undecided
+  auto settle = [&]() {
+    if (pending_inherent) { push_inherent(); pending_inherent = false; }
+  };
+  size_t nbytes = text.size();
+  for (size_t i = 0; i < nbytes;) {
+    unsigned char c = text[i];
+    unsigned int cp = 0; size_t len = 1;
+    if (c < 0x80) { cp = c; }
+    else if ((c >> 5) == 0x6 && i + 1 < nbytes) {
+      cp = ((c & 0x1F) << 6) | (text[i+1] & 0x3F); len = 2;
+    } else if ((c >> 4) == 0xE && i + 2 < nbytes) {
+      cp = ((c & 0x0F) << 12) | ((text[i+1] & 0x3F) << 6) | (text[i+2] & 0x3F); len = 3;
+    } else if ((c >> 3) == 0x1E && i + 3 < nbytes) { len = 4; }
+    unsigned int off = cp - cfg.base;  // wraps for cp < base; range checks below
+    if (cp >= cfg.base && off <= 0x7F) {
+      if (off >= 0x05 && off <= 0x14) {            // independent vowel
+        settle();
+        word.push_back({off == 0x05 ? cfg.inherent : kBrahmicVowels[off - 0x05],
+                        true, false});
+      } else if (off >= 0x15 && off <= 0x39) {     // consonant
+        settle();
+        word.push_back({kBrahmicCons[off - 0x15], false, false});
+        pending_inherent = true;
+      } else if (off >= 0x58 && off <= 0x5F) {     // nukta forms (Devanagari)
+        settle();
+        word.push_back({kBrahmicNukta[off - 0x58], false, false});
+        pending_inherent = true;
+      } else if (off >= 0x3E && off <= 0x4C) {     // matra
+        pending_inherent = false;
+        word.push_back({kBrahmicVowels[off - 0x3E + 1], true, false});
+      } else if (off == 0x4D) {                    // virama: kill the vowel
+        pending_inherent = false;
+      } else if (off == 0x02) {                    // anusvara: homorganic nasal
+        settle();
+        word.push_back({"\x01", false, false});    // sentinel, resolved per word
+      } else if (off == 0x03) {                    // visarga
+        settle();
+        word.push_back({"h", false, false});
+      } else if (off == 0x01) {                    // candrabindu: nasalization
+        settle();                                  // (unrepresentable; dropped)
+      } else if (off == 0x3C) {                    // nukta on previous consonant
+        if (!word.empty() && !word.back().vowel) {
+          std::string& p = word.back().ipa;
+          if (p == "dʒ") p = "z";
+          else if (p == "pʰ") p = "f";
+          else if (p == "ɖ") p = "ɽ";
+          else if (p == "ɖʱ") p = "ɽʱ";
+          else if (p == "k") p = "q";
+          else if (p == "kʰ") p = "x";
+          else if (p == "ɡ") p = "ɣ";
+        }
+      } else if (off == 0x70 && cfg.base == 0x0A00) {  // Gurmukhi tippi
+        settle();
+        word.push_back({"\x01", false, false});
+      } else if (off >= 0x7A && off <= 0x7F && cfg.base == 0x0D00) {
+        // Malayalam chillu (bare final consonants)
+        static const char* chillu[6] = {"n", "n", "r", "l", "ɭ", "k"};
+        settle();
+        word.push_back({chillu[off - 0x7A], false, false});
+      }
+      // zero-width joiners / signs / digits: ignored
+      i += len;
+      continue;
+    }
+    settle();
+    flush();
+    if (cp < 128 && cp && strchr(";:,.!?()\"- ", static_cast<int>(cp))) {
+      char pc = static_cast<char>(cp);
+      if (!(pc == ' ' && !result.empty() && result.back() == ' '))
+        result += pc;
+    } else if (cp == 0x0964 || cp == 0x0965) {  // danda / double danda
+      result += '.';
+    }
+    i += len;
+  }
+  settle();
+  flush();
+  char* buf = static_cast<char*>(malloc(result.size() + 1));
+  memcpy(buf, result.c_str(), result.size() + 1);
+  return buf;
+}
+
 // --- Vietnamese -------------------------------------------------------------
 // Quốc ngữ is a regular Latin orthography once the diacritics are decoded:
 // tone marks (sắc/huyền/hỏi/ngã/nặng) are DROPPED EXPLICITLY — the model's
@@ -4305,6 +4520,26 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
       strncmp(lang, "no", 2) == 0)
     return phonemize_text(utf8_text, Lang::NB);
   if (strncmp(lang, "da", 2) == 0) return phonemize_text(utf8_text, Lang::DA);
+  {
+    // Brahmic family: one ISCII-aligned decoder per Unicode block.
+    static const struct { const char* code; BrahmicCfg cfg; } kBrahmic[] = {
+      {"hi", {0x0900, "\u0259", true,  false}},  // Hindi (Devanagari, schwa del.)
+      {"mr", {0x0900, "\u0259", true,  false}},  // Marathi
+      {"ne", {0x0900, "\u0259", true,  false}},  // Nepali
+      {"bn", {0x0980, "\u0254", true,  false}},  // Bengali (inherent \u0254)
+      {"as", {0x0980, "\u0254", true,  false}},  // Assamese (Bengali script)
+      {"pa", {0x0A00, "\u0259", true,  false}},  // Punjabi (Gurmukhi)
+      {"gu", {0x0A80, "\u0259", true,  false}},  // Gujarati
+      {"or", {0x0B00, "\u0254", false, false}},  // Odia (keeps inherent vowel)
+      {"ta", {0x0B80, "a", false, true}},         // Tamil (positional voicing)
+      {"te", {0x0C00, "a", false, false}},        // Telugu
+      {"kn", {0x0C80, "a", false, false}},        // Kannada
+      {"ml", {0x0D00, "a", false, false}},        // Malayalam
+    };
+    for (const auto& e : kBrahmic)
+      if (strncmp(lang, e.code, 2) == 0)
+        return phonemize_text_brahmic(utf8_text, e.cfg);
+  }
   if (strncmp(lang, "cy", 2) == 0) return phonemize_text(utf8_text, Lang::CY);
   return nullptr;
 }

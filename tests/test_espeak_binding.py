@@ -709,3 +709,91 @@ def test_nb_da_rule_engines():
     assert da("rød") == "ʁøð"            # r uvular, ø
     assert da("bager") == "bˈæjeɐ"       # post-vocalic g → j, coda r → ɐ
     assert da("og") == "ɔw"              # lexical exception
+
+
+def test_hi_brahmic_engine():
+    """Devanagari with the schwa-deletion rule — the crux of Hindi G2P."""
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "hi")
+    assert ph("राम") == "raːm"            # final schwa deletes
+    assert ph("कमला") == "kəmlaː"         # medial schwa deletes (VC_CV)
+    assert ph("समझ") == "səmədʒʱ"         # medial schwa KEPT (no V after)
+    assert ph("नमस्ते") == "nəməsteː"     # virama cluster st
+    assert ph("ज़रूर") == "zəruːr"        # nukta: ज़ → z
+    assert ph("फ़िल्म") == "fɪlm"         # nukta: फ़ → f
+    assert ph("है") == "ɦɛː"              # ai matra monophthong
+    assert ph("गंगा") == "ɡəŋɡaː"         # anusvara assimilates velar
+    assert ph("अंक") == "əŋk"
+    assert ph("हिंदी") == "ɦɪndiː"        # anusvara before dental → n
+    assert ph("भारत") == "bʱaːrət"        # breathy-voiced bʱ
+    # mr / ne route through the same engine
+    assert native_g2p.phonemize("मराठी", "mr") == "məraːʈʰiː"
+    assert native_g2p.phonemize("छ", "ne") == "tʃʰə"  # only vowel survives
+
+
+def test_bn_brahmic_engine():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "bn")
+    assert ph("বাংলা") == "baːŋlaː"       # Bengali anusvara IS ŋ
+    assert ph("কথা") == "kɔtʰaː"          # inherent vowel is ɔ, not ə
+    assert ph("আমি") == "aːmɪ"
+    assert native_g2p.phonemize("ভাষা", "as") == "bʱaːʂaː"  # Assamese shares
+
+
+def test_dravidian_brahmic_engines():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ta = lambda t: native_g2p.phonemize(t, "ta")
+    # Tamil positional voicing: bare stops voice between vowels/after nasals
+    assert ta("படம்") == "paɖam"          # intervocalic ʈ → ɖ
+    assert ta("வணக்கம்") == "ʋaɳakkam"    # geminate kk stays voiceless
+    assert ta("தமிழ்") == "tamɪɻ"         # ழ → retroflex approximant ɻ
+    assert ta("பந்து") == "pandʊ"         # post-nasal t → d
+    # Telugu / Kannada / Malayalam: no deletion, inherent a, final anusvara m
+    assert native_g2p.phonemize("నమస్కారం", "te") == "namaskaːram"
+    assert native_g2p.phonemize("ಕನ್ನಡ", "kn") == "kannaɖa"
+    assert native_g2p.phonemize("മലയാളം", "ml") == "malajaːɭam"
+    assert native_g2p.phonemize("നന്ദി", "ml") == "nandɪ"
+
+
+def test_gu_pa_or_brahmic_engines():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    assert native_g2p.phonemize("ગુજરાતી", "gu") == "ɡʊdʒraːtiː"  # schwa del.
+    assert native_g2p.phonemize("ਪੰਜਾਬੀ", "pa") == "pəɲdʒaːbiː"   # tippi→ɲ/dʒ
+    assert native_g2p.phonemize("ଭାଷା", "or") == "bʱaːʂaː"
+
+
+def test_brahmic_symbols_in_table():
+    """Every phoneme the Brahmic engines emit must tokenize without UNK."""
+    from zonos_tpu.conditioning import native_g2p
+    from zonos_tpu.conditioning.text import UNK_ID, get_symbol_ids
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    samples = [
+        ("नमस्ते दुनिया राम ज़रूर फ़िल्म क़िला ख़ुश ग़ज़ल बड़ा पढ़ाई", "hi"),
+        ("আমি বাংলায় গান গাই", "bn"),
+        ("தமிழ் நாடு வணக்கம்", "ta"),
+        ("తెలుగు భాష", "te"),
+        ("ಕನ್ನಡ ನಮಸ್ಕಾರ", "kn"),
+        ("മലയാളം നന്ദി", "ml"),
+        ("ਸਤਿ ਸ੍ਰੀ ਅਕਾਲ", "pa"),
+        ("કેમ છો", "gu"),
+        ("ଓଡ଼ିଆ ଭାଷା", "or"),
+    ]
+    for text, lang in samples:
+        out = native_g2p.phonemize(text, lang)
+        assert out and out.strip(), (lang, out)
+        ids = get_symbol_ids(out)
+        assert UNK_ID not in ids, (lang, out)

@@ -9,8 +9,11 @@ Czech, Romanian, Finnish, Hungarian, Greek, Korean, Indonesian/Malay,
 Swahili, Ukrainian, Bulgarian, Croatian/Bosnian/Serbian-Latin/Slovene,
 Slovak, Estonian, Azerbaijani, Esperanto, Basque, Macedonian, Georgian,
 Armenian, Latvian, Welsh, Serbian in BOTH scripts (Cyrillic Vukovica and
-Latin Gajica, script-sniffed) and Vietnamese (tones dropped — no tone
-letters in the model symbol table) (orthographic rule engines); other
+Latin Gajica, script-sniffed), Vietnamese (tones dropped — no tone letters
+in the model symbol table), Swedish/Norwegian/Danish, and the Brahmic
+family through one ISCII-aligned decoder — Hindi/Marathi/Nepali
+(Devanagari with schwa deletion), Bengali/Assamese, Punjabi, Gujarati,
+Odia, Tamil (positional voicing), Telugu, Kannada, Malayalam; other
 languages go through eSpeak when present, else grapheme passthrough
 (conditioning/espeak.py).
 """
@@ -91,7 +94,8 @@ def phonemize(text: str, language: str) -> str | None:
     library) is unavailable. Languages: en*, es*, de*, it*, fr*,
     pt*, ru*, tr*, pl*, nl*, cs*, ro*, fi*, hu*, el*, ko*, id*/ms*, sw*, uk*,
     bg*, hr*/bs*/sr*/sl* (sr in both scripts), sk*, et*, az*, eo*, eu*, mk*,
-    ka*, hy*, lv*, cy*, vi*."""
+    ka*, hy*, lv*, cy*, vi*, sv*, nb*/nn*/no*, da*, hi*, mr*, ne*, bn*, as*,
+    pa*, gu*, or*, ta*, te*, kn*, ml*."""
     with _LOCK:
         lib = _load()
         if lib is None:
