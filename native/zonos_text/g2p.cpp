@@ -3682,6 +3682,268 @@ const char* phonemize_text_brahmic(const char* utf8_text, const BrahmicCfg& cfg)
   return buf;
 }
 
+// --- Perso-Arabic scripts (Persian / Urdu / Arabic) --------------------------
+// Persian orthography is consonant-regular (each letter one sound, unlike
+// Arabic's emphatics it merges ث/س/ص → s etc.) but omits the short vowels.
+// Approach: map the consonant skeleton + long vowels exactly, honor
+// diacritics when the text carries them (fatha/kasra/damma/shadda), and
+// repair onset clusters with an epenthetic vowel (Persian syllables are
+// (C)V(C)(C) — a word can never start with CC, so word-initial CC → CVC).
+// Urdu adds the retroflex letters and do-chashmi-he aspiration; Arabic keeps
+// the emphatic/interdental distinctions Persian merges.
+
+struct PAPhone { std::string ipa; bool vowel; };
+
+struct PACfg {
+  int lang;  // 0 = fa, 1 = ur, 2 = ar
+};
+
+// Decode one codepoint to IPA; returns false if not a letter of the script.
+bool pa_letter(unsigned int cp, const PACfg& cfg, std::vector<PAPhone>* word,
+               bool word_initial) {
+  bool fa = cfg.lang == 0, ur = cfg.lang == 1, ar = cfg.lang == 2;
+  switch (cp) {
+    case 0x0621: case 0x0654: word->push_back({"ʔ", false}); return true;  // hamza
+    case 0x0622:  // alef madda آ
+      word->push_back({fa ? "ɒː" : "aː", true}); return true;
+    case 0x0623: case 0x0625:  // alef with hamza above/below
+      if (word_initial) word->push_back({ar ? "ʔa" : (fa ? "æ" : "a"), true});
+      else word->push_back({fa ? "ɒː" : "aː", true});
+      return true;
+    case 0x0627:  // alef ا
+      if (word_initial) word->push_back({fa ? "æ" : "a", true});
+      else word->push_back({fa ? "ɒː" : "aː", true});
+      return true;
+    case 0x0628: word->push_back({"b", false}); return true;   // ب
+    case 0x067E: word->push_back({"p", false}); return true;   // پ (fa/ur)
+    case 0x0629:  // ta marbuta ة (Arabic feminine ending)
+      word->push_back({"a", true}); return true;
+    case 0x062A: word->push_back({"t", false}); return true;   // ت
+    case 0x062B: word->push_back({ar ? "θ" : "s", false}); return true;  // ث
+    case 0x062C: word->push_back({"dʒ", false}); return true;  // ج
+    case 0x0686: word->push_back({"tʃ", false}); return true;  // چ (fa/ur)
+    case 0x062D: word->push_back({ar ? "ħ" : "h", false}); return true;  // ح
+    case 0x062E: word->push_back({"x", false}); return true;   // خ
+    case 0x062F: word->push_back({"d", false}); return true;   // د
+    case 0x0630: word->push_back({ar ? "ð" : "z", false}); return true;  // ذ
+    case 0x0631: word->push_back({"r", false}); return true;   // ر
+    case 0x0632: word->push_back({"z", false}); return true;   // ز
+    case 0x0698: word->push_back({"ʒ", false}); return true;   // ژ (fa/ur)
+    case 0x0633: word->push_back({"s", false}); return true;   // س
+    case 0x0634: word->push_back({"ʃ", false}); return true;   // ش
+    case 0x0635: word->push_back({ar ? "sˤ" : "s", false}); return true;  // ص
+    case 0x0636: word->push_back({ar ? "dˤ" : "z", false}); return true;  // ض
+    case 0x0637: word->push_back({ar ? "tˤ" : "t", false}); return true;  // ط
+    case 0x0638: word->push_back({ar ? "zˤ" : "z", false}); return true;  // ظ
+    case 0x0639: word->push_back({ar ? "ʕ" : "ʔ", false}); return true;   // ع
+    case 0x063A: word->push_back({"ɣ", false}); return true;   // غ
+    case 0x0641: word->push_back({"f", false}); return true;   // ف
+    case 0x0642: word->push_back({ar ? "q" : "ɣ", false}); return true;   // ق
+    case 0x0643: case 0x06A9: word->push_back({"k", false}); return true; // ك ک
+    case 0x06AF: word->push_back({"ɡ", false}); return true;   // گ (fa/ur)
+    case 0x0644: word->push_back({"l", false}); return true;   // ل
+    case 0x0645: word->push_back({"m", false}); return true;   // م
+    case 0x0646: word->push_back({"n", false}); return true;   // ن
+    case 0x06BA: word->push_back({"n", false}); return true;   // ں (ur nasal)
+    case 0x0647: case 0x06C1:  // ه / ہ
+      // Persian/Urdu final he is a vowel (خانه → xɒːne); else h.
+      word->push_back({"h", false}); return true;  // finalized in pa_word
+    case 0x06BE:  // ھ do-chashmi-he: aspirates the previous consonant (ur)
+      if (!word->empty() && !word->back().vowel) word->back().ipa += "ʰ";
+      else word->push_back({"h", false});
+      return true;
+    case 0x0648:  // و
+      // word-initial → v/w; after a consonant → uː; after a vowel → v/w
+      if (word_initial) word->push_back({ar ? "w" : "v", false});
+      else if (!word->empty() && !word->back().vowel)
+        word->push_back({"uː", true});
+      else word->push_back({ar ? "w" : "v", false});
+      return true;
+    case 0x0649:  // alef maqsura ى
+      word->push_back({"aː", true}); return true;
+    case 0x064A: case 0x06CC:  // ي / ی
+      if (word_initial) word->push_back({"j", false});
+      else if (!word->empty() && !word->back().vowel)
+        word->push_back({"iː", true});
+      else word->push_back({"j", false});
+      return true;
+    case 0x06D2:  // ے (ur: bari ye, final eː)
+      word->push_back({"eː", true}); return true;
+    case 0x0679: word->push_back({"ʈ", false}); return true;   // ٹ (ur)
+    case 0x0688: word->push_back({"ɖ", false}); return true;   // ڈ (ur)
+    case 0x0691: word->push_back({"ɽ", false}); return true;   // ڑ (ur)
+    // harakat (written diacritics — honored exactly when present)
+    case 0x064E: word->push_back({ar ? "a" : "æ", true}); return true;  // fatha
+    case 0x0650: word->push_back({ar ? "i" : "e", true}); return true;  // kasra
+    case 0x064F: word->push_back({ar ? "u" : "o", true}); return true;  // damma
+    case 0x0651:  // shadda: geminate the previous consonant
+      if (!word->empty() && !word->back().vowel)
+        word->push_back({word->back().ipa, false});
+      return true;
+    case 0x0652: return true;  // sukun: explicit no-vowel — nothing to add
+    case 0x064B: word->push_back({ar ? "an" : "æn", true}); return true; // tanwin fath
+    case 0x0640: return true;  // tatweel (kashida)
+    case 0x200C: return true;  // ZWNJ (Persian morpheme separator): transparent
+  }
+  return false;
+}
+
+void pa_word(std::vector<PAPhone>& ph, const PACfg& cfg, std::string* out) {
+  if (ph.empty()) return;
+  bool fa_ur = cfg.lang != 2;
+  // Persian/Urdu final he = vowel e (silent he): خانه → xɒːne
+  if (fa_ur && ph.size() >= 2 && ph.back().ipa == "h" && !ph[ph.size() - 2].vowel)
+    ph.back() = {"e", true};
+  // A long iː/uː read off ی/و that turns out to precede a vowel was really
+  // the glide (دنیا → donjɒː, not doniːɒː).
+  for (size_t i = 0; i + 1 < ph.size(); ++i) {
+    if (!ph[i + 1].vowel) continue;
+    if (ph[i].ipa == "iː") ph[i] = {"j", false};
+    else if (ph[i].ipa == "uː") ph[i] = {cfg.lang == 2 ? "w" : "v", false};
+  }
+  // Word-initial alef + ye before a consonant spells iː (ایران → iːrɒːn).
+  if (ph.size() >= 3 && ph[0].vowel && (ph[0].ipa == "æ" || ph[0].ipa == "a") &&
+      ph[1].ipa == "j" && !ph[2].vowel) {
+    ph.erase(ph.begin());
+    ph[0] = {"iː", true};
+  }
+  // Epenthesis: (C)V syllable repair. A word cannot begin with CC — insert
+  // the default short vowel after the first consonant; likewise break
+  // medial runs of 3+ consonants after their first member.
+  const char* epv = (cfg.lang == 0) ? "æ" : "a";
+  for (size_t i = 0; i + 1 < ph.size();) {
+    bool cc = !ph[i].vowel && !ph[i + 1].vowel;
+    bool initial_cc = cc && i == 0;
+    bool triple = cc && i + 2 < ph.size() && !ph[i + 2].vowel;
+    // aspiration-merged or geminate pairs don't need repair mid-cluster
+    if (initial_cc || triple) {
+      ph.insert(ph.begin() + i + 1, {epv, true});
+      i += 2;
+    } else {
+      ++i;
+    }
+  }
+  // Word-final CC after a long vowel is fine (dæst); but a fully vowel-less
+  // residue (rare: all-consonant loan) still gets one nucleus.
+  bool any_v = false;
+  for (const auto& p : ph) any_v |= p.vowel;
+  if (!any_v && ph.size() > 1) ph.insert(ph.begin() + 1, {epv, true});
+  for (const auto& p : ph) *out += p.ipa;
+}
+
+const char* phonemize_text_perso_arabic(const char* utf8_text, const PACfg& cfg) {
+  if (!utf8_text) return nullptr;
+  std::string text(utf8_text);
+  std::string result;
+  std::vector<PAPhone> word;
+  auto flush = [&]() {
+    if (!word.empty()) { pa_word(word, cfg, &result); word.clear(); }
+  };
+  size_t nbytes = text.size();
+  for (size_t i = 0; i < nbytes;) {
+    unsigned char c = text[i];
+    unsigned int cp = 0; size_t len = 1;
+    if (c < 0x80) { cp = c; }
+    else if ((c >> 5) == 0x6 && i + 1 < nbytes) {
+      cp = ((c & 0x1F) << 6) | (text[i+1] & 0x3F); len = 2;
+    } else if ((c >> 4) == 0xE && i + 2 < nbytes) {
+      cp = ((c & 0x0F) << 12) | ((text[i+1] & 0x3F) << 6) | (text[i+2] & 0x3F); len = 3;
+    } else if ((c >> 3) == 0x1E && i + 3 < nbytes) { len = 4; }
+    if (pa_letter(cp, cfg, &word, word.empty())) { i += len; continue; }
+    flush();
+    if (cp == 0x060C) result += ',';        // ،
+    else if (cp == 0x061F) result += '?';   // ؟
+    else if (cp == 0x061B) result += ';';   // ؛
+    else if (cp == 0x06D4) result += '.';   // ۔ (ur full stop)
+    else if (cp < 128 && cp && strchr(";:,.!?()\"- ", static_cast<int>(cp))) {
+      char pc = static_cast<char>(cp);
+      if (!(pc == ' ' && !result.empty() && result.back() == ' '))
+        result += pc;
+    }
+    i += len;
+  }
+  flush();
+  char* buf = static_cast<char*>(malloc(result.size() + 1));
+  memcpy(buf, result.c_str(), result.size() + 1);
+  return buf;
+}
+
+// --- Persian romanization ("fa-latn" / Fingilish) ----------------------------
+std::string phonemize_word_falatn(const std::string& raw) {
+  std::string w;
+  for (char c : raw) w += static_cast<char>(tolower(c));
+  struct FP { std::string ipa; bool vowel; };
+  std::vector<FP> ph;
+  size_t n = w.size();
+  for (size_t i = 0; i < n;) {
+    char c = w[i];
+    char c1 = (i + 1 < n) ? w[i + 1] : '\0';
+    if (c=='k' && c1=='h') { ph.push_back({"x", false}); i += 2; continue; }
+    if (c=='g' && c1=='h') { ph.push_back({"ɣ", false}); i += 2; continue; }
+    if (c=='s' && c1=='h') { ph.push_back({"ʃ", false}); i += 2; continue; }
+    if (c=='c' && c1=='h') { ph.push_back({"tʃ", false}); i += 2; continue; }
+    if (c=='z' && c1=='h') { ph.push_back({"ʒ", false}); i += 2; continue; }
+    if (c=='a' && c1=='a') { ph.push_back({"ɒː", true}); i += 2; continue; }
+    if (c=='e' && c1=='e') { ph.push_back({"iː", true}); i += 2; continue; }
+    if (c=='o' && c1=='o') { ph.push_back({"uː", true}); i += 2; continue; }
+    switch (c) {
+      case 'a': ph.push_back({"æ", true}); break;
+      case 'e': ph.push_back({"e", true}); break;
+      case 'i': ph.push_back({"i", true}); break;
+      case 'o': ph.push_back({"o", true}); break;
+      case 'u': ph.push_back({"u", true}); break;
+      case 'b': ph.push_back({"b", false}); break;
+      case 'c': ph.push_back({"s", false}); break;
+      case 'd': ph.push_back({"d", false}); break;
+      case 'f': ph.push_back({"f", false}); break;
+      case 'g': ph.push_back({"ɡ", false}); break;
+      case 'h': ph.push_back({"h", false}); break;
+      case 'j': ph.push_back({"dʒ", false}); break;
+      case 'k': ph.push_back({"k", false}); break;
+      case 'l': ph.push_back({"l", false}); break;
+      case 'm': ph.push_back({"m", false}); break;
+      case 'n': ph.push_back({"n", false}); break;
+      case 'p': ph.push_back({"p", false}); break;
+      case 'q': ph.push_back({"ɣ", false}); break;
+      case 'r': ph.push_back({"r", false}); break;
+      case 's': ph.push_back({"s", false}); break;
+      case 't': ph.push_back({"t", false}); break;
+      case 'v': case 'w': ph.push_back({"v", false}); break;
+      case 'x': ph.push_back({"x", false}); break;
+      case 'y': ph.push_back({"j", false}); break;
+      case 'z': ph.push_back({"z", false}); break;
+      case '\'': ph.push_back({"ʔ", false}); break;
+      default: break;
+    }
+    ++i;
+  }
+  std::string out;
+  for (const auto& p : ph) out += p.ipa;
+  return out;
+}
+
+const char* phonemize_text_falatn(const char* utf8_text) {
+  if (!utf8_text) return nullptr;
+  std::string text(utf8_text);
+  std::string result, word;
+  auto flush = [&]() {
+    if (!word.empty()) { result += phonemize_word_falatn(word); word.clear(); }
+  };
+  for (size_t i = 0; i < text.size(); ++i) {
+    unsigned char c = text[i];
+    if (c < 128 && (isalpha(c) || c == '\'')) { word += static_cast<char>(c); continue; }
+    flush();
+    if (c < 128 && strchr(";:,.!?()\"- ", c)) {
+      if (!(c == ' ' && !result.empty() && result.back() == ' '))
+        result += static_cast<char>(c);
+    }
+  }
+  flush();
+  char* buf = static_cast<char*>(malloc(result.size() + 1));
+  memcpy(buf, result.c_str(), result.size() + 1);
+  return buf;
+}
+
 // --- Vietnamese -------------------------------------------------------------
 // Quốc ngữ is a regular Latin orthography once the diacritics are decoded:
 // tone marks (sắc/huyền/hỏi/ngã/nặng) are DROPPED EXPLICITLY — the model's
@@ -4520,6 +4782,19 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
       strncmp(lang, "no", 2) == 0)
     return phonemize_text(utf8_text, Lang::NB);
   if (strncmp(lang, "da", 2) == 0) return phonemize_text(utf8_text, Lang::DA);
+  if (strncmp(lang, "fa-latn", 7) == 0) return phonemize_text_falatn(utf8_text);
+  if (strncmp(lang, "fa", 2) == 0) {
+    static const PACfg kFa = {0};
+    return phonemize_text_perso_arabic(utf8_text, kFa);
+  }
+  if (strncmp(lang, "ur", 2) == 0) {
+    static const PACfg kUr = {1};
+    return phonemize_text_perso_arabic(utf8_text, kUr);
+  }
+  if (strncmp(lang, "ar", 2) == 0) {
+    static const PACfg kAr = {2};
+    return phonemize_text_perso_arabic(utf8_text, kAr);
+  }
   {
     // Brahmic family: one ISCII-aligned decoder per Unicode block.
     static const struct { const char* code; BrahmicCfg cfg; } kBrahmic[] = {

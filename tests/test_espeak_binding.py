@@ -797,3 +797,40 @@ def test_brahmic_symbols_in_table():
         assert out and out.strip(), (lang, out)
         ids = get_symbol_ids(out)
         assert UNK_ID not in ids, (lang, out)
+
+
+def test_fa_perso_arabic_engine():
+    """Persian: consonant skeleton + long vowels exact; unwritten short
+    vowels repaired by (C)V(C)(C) syllable epenthesis."""
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "fa")
+    assert ph("سلام") == "sælɒːm"        # initial CC repaired: slɒːm → sælɒːm
+    assert ph("خانه") == "xɒːne"         # final silent he → e
+    assert ph("ایران") == "iːrɒːn"       # initial alef+ye = iː
+    assert ph("دنیا") == "dænjɒː"        # ye before vowel = glide j
+    assert ph("دست") == "dæst"           # legal final CC untouched
+    assert ph("ژاله").startswith("ʒ")    # Persian zhe
+    assert ph("قلم").startswith("ɣ")     # qaf → ɣ in Persian
+    # fa-latn romanization
+    assert native_g2p.phonemize("salaam", "fa-latn") == "sælɒːm"
+    assert native_g2p.phonemize("khoob", "fa-latn") == "xuːb"
+
+
+def test_ur_ar_perso_arabic_engines():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ur = lambda t: native_g2p.phonemize(t, "ur")
+    assert ur("ٹھیک") == "ʈʰiːk"         # retroflex + do-chashmi-he aspiration
+    assert ur("بڑا") == "baɽaː"          # retroflex flap
+    assert ur("پاکستان") == "paːkastaːn"
+
+    ar = lambda t: native_g2p.phonemize(t, "ar")
+    assert "ħ" in ar("صباح")             # pharyngeal ħ kept in Arabic
+    assert "sˤ" in ar("صباح")            # emphatic sad kept in Arabic
+    assert "ʕ" in ar("عليكم")            # ain
+    assert "θ" in ar("ثلاثة")            # interdental kept (Persian merges → s)

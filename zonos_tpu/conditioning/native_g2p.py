@@ -13,7 +13,8 @@ Latin Gajica, script-sniffed), Vietnamese (tones dropped — no tone letters
 in the model symbol table), Swedish/Norwegian/Danish, and the Brahmic
 family through one ISCII-aligned decoder — Hindi/Marathi/Nepali
 (Devanagari with schwa deletion), Bengali/Assamese, Punjabi, Gujarati,
-Odia, Tamil (positional voicing), Telugu, Kannada, Malayalam; other
+Odia, Tamil (positional voicing), Telugu, Kannada, Malayalam — plus the
+Perso-Arabic script for Persian (fa, fa-latn), Urdu and Arabic; other
 languages go through eSpeak when present, else grapheme passthrough
 (conditioning/espeak.py).
 """
@@ -95,7 +96,7 @@ def phonemize(text: str, language: str) -> str | None:
     pt*, ru*, tr*, pl*, nl*, cs*, ro*, fi*, hu*, el*, ko*, id*/ms*, sw*, uk*,
     bg*, hr*/bs*/sr*/sl* (sr in both scripts), sk*, et*, az*, eo*, eu*, mk*,
     ka*, hy*, lv*, cy*, vi*, sv*, nb*/nn*/no*, da*, hi*, mr*, ne*, bn*, as*,
-    pa*, gu*, or*, ta*, te*, kn*, ml*."""
+    pa*, gu*, or*, ta*, te*, kn*, ml*, fa*, fa-latn, ur*, ar*."""
     with _LOCK:
         lib = _load()
         if lib is None:
