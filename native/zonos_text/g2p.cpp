@@ -3682,6 +3682,285 @@ const char* phonemize_text_brahmic(const char* utf8_text, const BrahmicCfg& cfg)
   return buf;
 }
 
+// --- Generic table-driven Latin engine ---------------------------------------
+// The long tail of REGULAR Latin orthographies (Māori, Latin, Albanian,
+// Maltese, Afrikaans, Icelandic, Catalan, Haitian, Papiamento, Guarani,
+// Uzbek, Kurmanji, Setswana, Oromo, Interlingua, LFN, Lojban, Lithuanian,
+// Greenlandic, Aragonese) differs only in a digraph/letter → IPA table and a
+// stress default, not in algorithm. One longest-match engine + one table per
+// language replaces twenty bespoke engines. Rule syntax:
+//   seq starting with '^'  — only matches word-initially
+//   seq ending with '$'    — only matches word-finally
+//   seq ending with '+'    — only before a front vowel (e/i/y)
+//   ipa may carry an inline ˈ (orthographic stress, e.g. Catalan accents);
+//   the default stress pass is skipped when the word already has one.
+
+struct LatRule { const char* seq; const char* ipa; };
+
+enum class LatStress { NONE, FIRST, PENULT, FINAL };
+
+struct LatCfg {
+  const LatRule* rules;
+  int nrules;
+  LatStress stress;
+};
+
+// Lowercase-fold one UTF-8 string (ASCII + Latin-1 + Latin Extended-A).
+std::string latin_fold(const std::string& in) {
+  std::string out;
+  for (size_t i = 0; i < in.size();) {
+    unsigned char c = in[i];
+    if (c < 0x80) { out += static_cast<char>(tolower(c)); ++i; continue; }
+    if (c == 0xC3 && i + 1 < in.size()) {
+      unsigned char d = in[i + 1];
+      if (d >= 0x80 && d <= 0x9E && d != 0x97) d += 0x20;  // À-Þ → à-þ
+      out += static_cast<char>(0xC3); out += static_cast<char>(d);
+      i += 2; continue;
+    }
+    if ((c == 0xC4 || c == 0xC5) && i + 1 < in.size()) {
+      unsigned char d = in[i + 1];
+      // Latin Ext-A: uppercase is even, lowercase odd (with block quirks
+      // that don't matter for our tables).
+      unsigned int cp = ((c & 0x1F) << 6) | (d & 0x3F);
+      if (cp >= 0x100 && cp <= 0x177 && (cp & 1) == 0) cp += 1;
+      else if (cp >= 0x179 && cp <= 0x17E && (cp & 1) == 1) cp += 1;
+      out += static_cast<char>(0xC0 | (cp >> 6));
+      out += static_cast<char>(0x80 | (cp & 0x3F));
+      i += 2; continue;
+    }
+    out += static_cast<char>(c); ++i;
+  }
+  return out;
+}
+
+bool lat_is_front(const std::string& w, size_t i) {
+  if (i >= w.size()) return false;
+  char c = w[i];
+  if (c == 'e' || c == 'i' || c == 'y') return true;
+  if (static_cast<unsigned char>(c) == 0xC3 && i + 1 < w.size()) {
+    unsigned char d = w[i + 1];
+    // è é ê ë ì í î ï
+    return d >= 0xA8 && d <= 0xAF;
+  }
+  return false;
+}
+
+// Vowel test on an IPA chunk's first codepoint (for stress placement).
+bool ipa_is_vowel(const std::string& s) {
+  if (s.empty()) return false;
+  size_t i = (s.compare(0, 2, "ˈ") == 0) ? 2 : 0;
+  if (i >= s.size()) return false;
+  unsigned char c = s[i];
+  if (c < 0x80) return strchr("aeiouy", c) != nullptr;
+  static const char* kV[] = {
+    "æ","ɑ","ɒ","ɔ","ə","ɛ","ɜ","ɤ","ɨ","ɪ","ɯ","ʉ","ʊ","ʌ","ø","œ","ʏ","ɐ","ɚ",
+  };
+  for (const char* v : kV)
+    if (s.compare(i, strlen(v), v) == 0) return true;
+  return false;
+}
+
+std::string phonemize_word_latin(const std::string& raw, const LatCfg& cfg) {
+  std::string w = latin_fold(raw);
+  struct LP { std::string ipa; bool vowel; };
+  std::vector<LP> ph;
+  size_t n = w.size();
+  bool has_inline_stress = false;
+  for (size_t i = 0; i < n;) {
+    const LatRule* best = nullptr;
+    size_t best_len = 0;
+    for (int r = 0; r < cfg.nrules; ++r) {
+      const char* seq = cfg.rules[r].seq;
+      bool initial = seq[0] == '^';
+      if (initial) ++seq;
+      size_t sl = strlen(seq);
+      bool final_only = sl > 0 && seq[sl - 1] == '$';
+      bool front_only = sl > 0 && seq[sl - 1] == '+';
+      if (final_only || front_only) --sl;
+      if (sl == 0 || sl > n - i) continue;
+      if (initial && i != 0) continue;
+      if (w.compare(i, sl, seq, sl) != 0) continue;
+      if (final_only && i + sl != n) continue;
+      if (front_only && !lat_is_front(w, i + sl)) continue;
+      if (sl > best_len) { best = &cfg.rules[r]; best_len = sl; }
+    }
+    if (best != nullptr) {
+      std::string ipa = best->ipa;
+      if (!ipa.empty()) {
+        if (ipa.compare(0, 2, "ˈ") == 0) has_inline_stress = true;
+        ph.push_back({ipa, ipa_is_vowel(ipa)});
+      }
+      i += best_len;
+      continue;
+    }
+    unsigned char c = w[i];
+    if (c < 0x80 && isalpha(c)) {
+      // identity default: letter passes through (a e i o u as themselves);
+      // ASCII g is normalized to IPA ɡ so tables may omit it
+      std::string one = (c == 'g') ? "ɡ" : std::string(1, static_cast<char>(c));
+      ph.push_back({one, strchr("aeiou", c) != nullptr});
+      ++i;
+      continue;
+    }
+    // unknown non-ASCII byte: skip the whole UTF-8 char
+    i += (c >> 5) == 0x6 ? 2 : (c >> 4) == 0xE ? 3 : (c >> 3) == 0x1E ? 4 : 1;
+  }
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  int target = -1;  // 1-indexed vowel that takes ˈ
+  if (!has_inline_stress && total > 1) {
+    switch (cfg.stress) {
+      case LatStress::FIRST: target = 1; break;
+      case LatStress::PENULT: target = total - 1; break;
+      case LatStress::FINAL: target = total; break;
+      case LatStress::NONE: break;
+    }
+  }
+  int seen = 0;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel) { ++seen; if (seen == target) out += "ˈ"; }
+    out += p.ipa;
+  }
+  return out;
+}
+
+const char* phonemize_text_latin(const char* utf8_text, const LatCfg& cfg) {
+  if (!utf8_text) return nullptr;
+  std::string text(utf8_text);
+  std::string result, word;
+  auto flush = [&]() {
+    if (!word.empty()) { result += phonemize_word_latin(word, cfg); word.clear(); }
+  };
+  for (size_t i = 0; i < text.size();) {
+    unsigned char c = text[i];
+    if (c < 128) {
+      if (isalpha(c) || c == '\'') { word += static_cast<char>(c); ++i; continue; }
+      flush();
+      if (strchr(";:,.!?()\"- ", c)) {
+        if (!(c == ' ' && !result.empty() && result.back() == ' '))
+          result += static_cast<char>(c);
+      }
+      ++i;
+      continue;
+    }
+    // non-ASCII: letters (any Latin supplement/extended char) join the word
+    size_t len = (c >> 5) == 0x6 ? 2 : (c >> 4) == 0xE ? 3 : (c >> 3) == 0x1E ? 4 : 1;
+    if (c == 0xC2 || c == 0xE2) {  // punctuation planes (·, quotes, dashes)
+      flush();
+      i += len;
+      continue;
+    }
+    word.append(text, i, len);
+    i += len;
+  }
+  flush();
+  char* buf = static_cast<char*>(malloc(result.size() + 1));
+  memcpy(buf, result.c_str(), result.size() + 1);
+  return buf;
+}
+
+// Per-language tables. Order within a table is irrelevant (longest match
+// wins); identity letters may be omitted (ASCII letters default to
+// themselves, vowels aeiou marked as vowels).
+
+static const LatRule kMiRules[] = {   // Māori: fully regular, 10 consonants
+  {"wh", "f"}, {"ng", "ŋ"}, {"r", "ɾ"},
+  {"ā", "aː"}, {"ē", "eː"}, {"ī", "iː"}, {"ō", "oː"}, {"ū", "uː"},
+};
+static const LatRule kLaRules[] = {   // Latin (classical-lite values)
+  {"ae", "ai"}, {"oe", "oi"}, {"c", "k"}, {"v", "w"}, {"qu", "kw"},
+  {"ph", "f"}, {"th", "t"}, {"ch", "k"}, {"x", "ks"}, {"j", "j"},
+  {"ā", "aː"}, {"ē", "eː"}, {"ī", "iː"}, {"ō", "oː"}, {"ū", "uː"},
+};
+static const LatRule kSqRules[] = {   // Albanian: one letter/digraph = one sound
+  {"dh", "ð"}, {"gj", "ɟ"}, {"ll", "ɫ"}, {"nj", "ɲ"}, {"rr", "r"},
+  {"sh", "ʃ"}, {"th", "θ"}, {"xh", "dʒ"}, {"zh", "ʒ"},
+  {"ç", "tʃ"}, {"ë", "ə"}, {"c", "ts"}, {"q", "c"}, {"x", "dz"}, {"y", "y"},
+  {"e$", "ə"},
+};
+static const LatRule kMtRules[] = {   // Maltese
+  {"għ", ""}, {"ħ", "ħ"}, {"ie", "iː"}, {"ċ", "tʃ"}, {"ġ", "dʒ"},
+  {"ż", "z"}, {"z", "ts"}, {"x", "ʃ"}, {"q", "ʔ"}, {"j", "j"}, {"w", "w"},
+  {"h", ""}, {"c", "tʃ"},
+};
+static const LatRule kAfRules[] = {   // Afrikaans (Dutch-derived)
+  {"oe", "u"}, {"ee", "eː"}, {"aa", "ɑː"}, {"oo", "oː"}, {"uu", "yː"},
+  {"eu", "øː"}, {"ui", "œy"}, {"ou", "əu"}, {"ei", "əi"}, {"y", "əi"},
+  {"tjie$", "ki"}, {"tj", "tʃ"}, {"dj", "dʒ"},
+  {"g", "x"}, {"v", "f"}, {"w", "v"}, {"j", "j"}, {"sj", "ʃ"}, {"r", "r"},
+  {"ê", "ɛː"}, {"ô", "ɔː"}, {"é", "ˈe"}, {"è", "ˈɛ"},
+};
+static const LatRule kIsRules[] = {   // Icelandic
+  {"þ", "θ"}, {"ð", "ð"}, {"æ", "ai"}, {"au", "øy"}, {"ei", "ei"}, {"ey", "ei"},
+  {"á", "au"}, {"é", "jɛ"}, {"í", "i"}, {"ó", "ou"}, {"ú", "u"}, {"ý", "i"},
+  {"ö", "ø"}, {"ll", "tl"}, {"^hv", "kv"}, {"nn", "tn"}, {"x", "ks"},
+  {"u", "ʏ"}, {"y", "ɪ"}, {"i", "ɪ"}, {"e", "ɛ"}, {"o", "ɔ"},
+};
+static const LatRule kCaRules[] = {   // Catalan (central values)
+  {"ny", "ɲ"}, {"l·l", "l"}, {"ll", "ʎ"}, {"ss", "s"}, {"ix", "ʃ"},
+  {"ig$", "tʃ"}, {"tx", "tʃ"}, {"tg+", "dʒ"}, {"tj", "dʒ"},
+  {"qu+", "k"}, {"gu+", "ɡ"}, {"c+", "s"}, {"ç", "s"}, {"g+", "ʒ"},
+  {"j", "ʒ"}, {"x", "ʃ"}, {"v", "b"}, {"r$", ""},
+  {"à", "ˈa"}, {"é", "ˈe"}, {"è", "ˈɛ"}, {"í", "ˈi"}, {"ó", "ˈo"},
+  {"ò", "ˈɔ"}, {"ú", "ˈu"}, {"ï", "i"},
+};
+static const LatRule kHtRules[] = {   // Haitian Creole (regular French base)
+  {"ou", "u"}, {"è", "ɛ"}, {"é", "e"}, {"ch", "ʃ"}, {"j", "ʒ"},
+  {"y", "j"}, {"ui", "ɥi"}, {"ò", "ɔ"}, {"g+", "ɡ"}, {"an", "an"},
+  {"en", "en"}, {"on", "on"}, {"r", "ɣ"},
+};
+static const LatRule kPapRules[] = {  // Papiamento
+  {"dj", "dʒ"}, {"zj", "ʒ"}, {"ñ", "ɲ"}, {"c+", "s"}, {"c", "k"},
+  {"sh", "ʃ"}, {"y", "j"}, {"è", "ɛ"}, {"ò", "ɔ"}, {"ù", "u"},
+};
+static const LatRule kGnRules[] = {   // Guarani
+  {"ch", "ʃ"}, {"mb", "mb"}, {"nd", "nd"}, {"ng", "ŋ"}, {"nt", "nt"},
+  {"ñ", "ɲ"}, {"j", "dʒ"}, {"y", "ɨ"}, {"'", "ʔ"}, {"h", "h"},
+  {"ã", "a"}, {"ẽ", "e"}, {"ĩ", "i"}, {"õ", "o"}, {"ũ", "u"}, {"ỹ", "ɨ"},
+  {"á", "ˈa"}, {"é", "ˈe"}, {"í", "ˈi"}, {"ó", "ˈo"}, {"ú", "ˈu"},
+};
+static const LatRule kUzRules[] = {   // Uzbek (Latin 1995)
+  {"o'", "oː"}, {"g'", "ɣ"}, {"sh", "ʃ"}, {"ch", "tʃ"}, {"ng", "ŋ"},
+  {"x", "x"}, {"j", "dʒ"}, {"q", "q"}, {"o", "ɒ"}, {"u", "u"},
+};
+static const LatRule kKuRules[] = {   // Kurdish (Kurmanji Latin)
+  {"ç", "tʃ"}, {"ş", "ʃ"}, {"ê", "eː"}, {"î", "iː"}, {"û", "uː"},
+  {"c", "dʒ"}, {"j", "ʒ"}, {"x", "x"}, {"q", "q"}, {"e", "ɛ"}, {"i", "ɪ"},
+};
+static const LatRule kTnRules[] = {   // Setswana
+  {"tlh", "tɬʰ"}, {"tl", "tɬ"}, {"th", "tʰ"}, {"ph", "pʰ"}, {"kh", "kʰ"},
+  {"tsh", "tsʰ"}, {"ts", "ts"}, {"ng", "ŋ"}, {"ny", "ɲ"}, {"š", "ʃ"},
+  {"g", "x"}, {"j", "dʒ"}, {"ê", "ɛ"}, {"ô", "ɔ"},
+};
+static const LatRule kOmRules[] = {   // Oromo (qubee)
+  {"ch", "tʃ"}, {"dh", "ɗ"}, {"ny", "ɲ"}, {"ph", "pʼ"}, {"sh", "ʃ"},
+  {"c", "tʃʼ"}, {"q", "kʼ"}, {"x", "tʼ"}, {"j", "dʒ"}, {"'", "ʔ"},
+};
+static const LatRule kIaRules[] = {   // Interlingua
+  {"c+", "ts"}, {"ch", "k"}, {"g+", "ʒ"}, {"j", "ʒ"}, {"qu", "kw"},
+  {"ph", "f"}, {"th", "t"}, {"y", "i"}, {"x", "ks"},
+};
+static const LatRule kLfnRules[] = {  // Lingua Franca Nova
+  {"x", "ʃ"}, {"j", "ʒ"}, {"c", "k"}, {"y", "j"},
+};
+static const LatRule kJboRules[] = {  // Lojban: engineered 1:1
+  {"c", "ʃ"}, {"j", "ʒ"}, {"x", "x"}, {"y", "ə"}, {"'", "h"}, {"g", "ɡ"},
+};
+static const LatRule kLtRules[] = {   // Lithuanian
+  {"ch", "x"}, {"č", "tʃ"}, {"š", "ʃ"}, {"ž", "ʒ"}, {"ė", "eː"},
+  {"ą", "aː"}, {"ę", "ɛː"}, {"į", "iː"}, {"ų", "uː"}, {"ū", "uː"},
+  {"uo", "uə"}, {"ie", "iə"}, {"y", "iː"}, {"e", "ɛ"},
+};
+static const LatRule kKlRules[] = {   // Greenlandic
+  {"ll", "ɬ"}, {"rr", "χ"}, {"ng", "ŋ"}, {"q", "q"}, {"r", "ʁ"}, {"j", "j"},
+};
+static const LatRule kAnRules[] = {   // Aragonese (Spanish-adjacent)
+  {"ny", "ɲ"}, {"ñ", "ɲ"}, {"ch", "tʃ"}, {"qu+", "k"}, {"gu+", "ɡ"},
+  {"c+", "θ"}, {"z", "θ"}, {"j", "x"}, {"g+", "x"}, {"ll", "ʎ"}, {"v", "b"},
+  {"á", "ˈa"}, {"é", "ˈe"}, {"í", "ˈi"}, {"ó", "ˈo"}, {"ú", "ˈu"},
+};
+
 // --- Perso-Arabic scripts (Persian / Urdu / Arabic) --------------------------
 // Persian orthography is consonant-regular (each letter one sound, unlike
 // Arabic's emphatics it merges ث/س/ص → s etc.) but omits the short vowels.
@@ -4782,6 +5061,38 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
       strncmp(lang, "no", 2) == 0)
     return phonemize_text(utf8_text, Lang::NB);
   if (strncmp(lang, "da", 2) == 0) return phonemize_text(utf8_text, Lang::DA);
+  {
+    // Table-driven Latin engines (generic longest-match rule machine).
+    struct LatEntry { const char* code; LatCfg cfg; };
+    static const LatEntry kLatin[] = {
+      {"mi",  {kMiRules,  sizeof(kMiRules)/sizeof(LatRule),  LatStress::PENULT}},
+      {"la",  {kLaRules,  sizeof(kLaRules)/sizeof(LatRule),  LatStress::PENULT}},
+      {"sq",  {kSqRules,  sizeof(kSqRules)/sizeof(LatRule),  LatStress::PENULT}},
+      {"mt",  {kMtRules,  sizeof(kMtRules)/sizeof(LatRule),  LatStress::PENULT}},
+      {"af",  {kAfRules,  sizeof(kAfRules)/sizeof(LatRule),  LatStress::FIRST}},
+      {"is",  {kIsRules,  sizeof(kIsRules)/sizeof(LatRule),  LatStress::FIRST}},
+      {"ca",  {kCaRules,  sizeof(kCaRules)/sizeof(LatRule),  LatStress::PENULT}},
+      {"ht",  {kHtRules,  sizeof(kHtRules)/sizeof(LatRule),  LatStress::FINAL}},
+      {"pap", {kPapRules, sizeof(kPapRules)/sizeof(LatRule), LatStress::PENULT}},
+      {"gn",  {kGnRules,  sizeof(kGnRules)/sizeof(LatRule),  LatStress::FINAL}},
+      {"uz",  {kUzRules,  sizeof(kUzRules)/sizeof(LatRule),  LatStress::FINAL}},
+      {"ku",  {kKuRules,  sizeof(kKuRules)/sizeof(LatRule),  LatStress::FINAL}},
+      {"tn",  {kTnRules,  sizeof(kTnRules)/sizeof(LatRule),  LatStress::PENULT}},
+      {"om",  {kOmRules,  sizeof(kOmRules)/sizeof(LatRule),  LatStress::PENULT}},
+      {"ia",  {kIaRules,  sizeof(kIaRules)/sizeof(LatRule),  LatStress::PENULT}},
+      {"lfn", {kLfnRules, sizeof(kLfnRules)/sizeof(LatRule), LatStress::PENULT}},
+      {"jbo", {kJboRules, sizeof(kJboRules)/sizeof(LatRule), LatStress::PENULT}},
+      {"lt",  {kLtRules,  sizeof(kLtRules)/sizeof(LatRule),  LatStress::PENULT}},
+      {"kl",  {kKlRules,  sizeof(kKlRules)/sizeof(LatRule),  LatStress::FIRST}},
+      {"an",  {kAnRules,  sizeof(kAnRules)/sizeof(LatRule),  LatStress::PENULT}},
+    };
+    for (const auto& e : kLatin) {
+      size_t cl = strlen(e.code);
+      if (strncmp(lang, e.code, cl) == 0 &&
+          (lang[cl] == '\0' || lang[cl] == '-'))
+        return phonemize_text_latin(utf8_text, e.cfg);
+    }
+  }
   if (strncmp(lang, "fa-latn", 7) == 0) return phonemize_text_falatn(utf8_text);
   if (strncmp(lang, "fa", 2) == 0) {
     static const PACfg kFa = {0};

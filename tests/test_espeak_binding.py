@@ -134,8 +134,8 @@ def test_grapheme_fallback_warns_loudly(monkeypatch, caplog):
     monkeypatch.setattr(E, "_load", lambda: None)
     E._WARNED_LANGS.clear()
     with caplog.at_level(logging.WARNING, logger="zonos_tpu"):
-        out = E.phonemize(["góðan daginn", "gott kvöld"], ["is", "is"])
-    assert out == ["góðan daginn", "gott kvöld"]
+        out = E.phonemize(["dia dhuit anois", "slán agat"], ["ga", "ga"])
+    assert out == ["dia dhuit anois", "slán agat"]
     warnings = [r for r in caplog.records if "falling back" in r.message]
     assert len(warnings) == 1  # loud once, not per request
 
@@ -834,3 +834,55 @@ def test_ur_ar_perso_arabic_engines():
     assert "sˤ" in ar("صباح")            # emphatic sad kept in Arabic
     assert "ʕ" in ar("عليكم")            # ain
     assert "θ" in ar("ثلاثة")            # interdental kept (Persian merges → s)
+
+
+def test_generic_latin_tier():
+    """Table-driven Latin engines: one representative assertion per language
+    plus vocab-compatibility for all of them."""
+    from zonos_tpu.conditioning import native_g2p
+    from zonos_tpu.conditioning.text import UNK_ID, get_symbol_ids
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = native_g2p.phonemize
+    assert ph("whānau", "mi") == "faːnˈau"          # wh → f, macron length
+    assert ph("kia ora", "mi") == "kˈia ˈoɾa"
+    assert ph("divisa", "la") == "diwˈisa"          # classical v → w, penult
+    assert ph("Shqipëria", "sq") == "ʃcipərˈia"     # sh/q/ë
+    assert ph("jixgħel", "mt") == "jˈiʃel"          # x → ʃ, silent għ
+    assert ph("goeie", "af") == "xˈuie"             # g → x, oe → u
+    assert ph("Það", "is") == "θað"                 # þ/ð
+    assert ph("hvernig", "is").startswith("kv")     # hv → kv
+    assert ph("xarxa", "ca") == "ʃˈarʃa"            # x → ʃ
+    assert ph("què", "ca") == "kˈɛ"                 # accent carries stress
+    assert ph("mwen", "ht") == "mwen"
+    assert ph("ñande", "gn").startswith("ɲ")
+    assert ph("g'alaba", "uz").startswith("ɣ")      # Uzbek g' → ɣ
+    assert ph("çawa", "ku") == "tʃawˈa"
+    assert ph("tlhogo", "tn").startswith("tɬʰ")     # lateral affricate
+    assert ph("dhufte", "om").startswith("ɗ")       # implosive dh
+    assert ph("nyaata", "om").startswith("ɲ")
+    assert ph("pronuncia", "ia") == "pronuntsˈia"
+    assert ph("lojban", "jbo") == "lˈoʒban"         # j → ʒ
+    assert ph("šalis", "lt") == "ʃˈalis"
+    assert ph("yra", "lt") == "ˈiːra"               # y → iː
+    assert ph("Kalaallit", "kl") == "kˈalaaɬit"     # ll → ɬ
+    assert ph("qanoq", "kl") == "qˈanoq"            # uvular q
+    assert ph("Aragón", "an") == "araɡˈon"
+
+    samples = [
+        ("kia ora whānau", "mi"), ("senatus populusque", "la"),
+        ("përshëndetje", "sq"), ("il-ħobż tajjeb", "mt"),
+        ("ek het 'n huis", "af"), ("góðan daginn", "is"),
+        ("bon dia a tothom", "ca"), ("mwen renmen ou", "ht"),
+        ("bon bini", "pap"), ("mba'éichapa", "gn"), ("o'zbekiston", "uz"),
+        ("rojbaş heval", "ku"), ("dumela rra", "tn"), ("akkam jirta", "om"),
+        ("le mundo es belle", "ia"), ("me parla", "lfn"),
+        ("coi rodo", "jbo"), ("labas rytas", "lt"),
+        ("qujanaq", "kl"), ("buen diya", "an"),
+    ]
+    for text, lang in samples:
+        out = ph(text, lang)
+        assert out and out.strip(), (lang, out)
+        ids = get_symbol_ids(out)
+        assert UNK_ID not in ids, (lang, out)

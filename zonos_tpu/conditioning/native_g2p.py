@@ -14,7 +14,9 @@ in the model symbol table), Swedish/Norwegian/Danish, and the Brahmic
 family through one ISCII-aligned decoder — Hindi/Marathi/Nepali
 (Devanagari with schwa deletion), Bengali/Assamese, Punjabi, Gujarati,
 Odia, Tamil (positional voicing), Telugu, Kannada, Malayalam — plus the
-Perso-Arabic script for Persian (fa, fa-latn), Urdu and Arabic; other
+Perso-Arabic script for Persian (fa, fa-latn), Urdu and Arabic, and a
+table-driven generic Latin engine for twenty regular orthographies
+(mi la sq mt af is ca ht pap gn uz ku tn om ia lfn jbo lt kl an); other
 languages go through eSpeak when present, else grapheme passthrough
 (conditioning/espeak.py).
 """
@@ -96,7 +98,8 @@ def phonemize(text: str, language: str) -> str | None:
     pt*, ru*, tr*, pl*, nl*, cs*, ro*, fi*, hu*, el*, ko*, id*/ms*, sw*, uk*,
     bg*, hr*/bs*/sr*/sl* (sr in both scripts), sk*, et*, az*, eo*, eu*, mk*,
     ka*, hy*, lv*, cy*, vi*, sv*, nb*/nn*/no*, da*, hi*, mr*, ne*, bn*, as*,
-    pa*, gu*, or*, ta*, te*, kn*, ml*, fa*, fa-latn, ur*, ar*."""
+    pa*, gu*, or*, ta*, te*, kn*, ml*, fa*, fa-latn, ur*, ar*, mi, la, sq,
+    mt, af, is, ca, ht, pap, gn, uz, ku, tn, om, ia, lfn, jbo, lt, kl, an."""
     with _LOCK:
         lib = _load()
         if lib is None:
