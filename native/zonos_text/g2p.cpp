@@ -3682,6 +3682,194 @@ const char* phonemize_text_brahmic(const char* utf8_text, const BrahmicCfg& cfg)
   return buf;
 }
 
+// --- Turkic Cyrillic (Kazakh / Kyrgyz / Tatar / Bashkir) ---------------------
+// Unlike Russian, Turkic Cyrillic orthographies are essentially 1:1 — no
+// vowel reduction, palatalization marked by dedicated letters (ә ө ү і),
+// ы is the back unrounded ɯ. One shared base map + per-language extra
+// letters; fixed final stress (Turkic default).
+
+struct CyrT { unsigned int cp; const char* ipa; bool vowel; };
+
+static const CyrT kCyrTurkicBase[] = {
+  {0x0430, "a", true},  {0x0431, "b", false}, {0x0432, "v", false},
+  {0x0433, "ɡ", false}, {0x0434, "d", false}, {0x0435, "e", true},
+  {0x0451, "jo", true}, {0x0436, "ʒ", false}, {0x0437, "z", false},
+  {0x0438, "i", true},  {0x0439, "j", false}, {0x043A, "k", false},
+  {0x043B, "l", false}, {0x043C, "m", false}, {0x043D, "n", false},
+  {0x043E, "o", true},  {0x043F, "p", false}, {0x0440, "r", false},
+  {0x0441, "s", false}, {0x0442, "t", false}, {0x0443, "u", true},
+  {0x0444, "f", false}, {0x0445, "x", false}, {0x0446, "ts", false},
+  {0x0447, "tʃ", false},{0x0448, "ʃ", false}, {0x0449, "ʃtʃ", false},
+  {0x044B, "ɯ", true},  {0x044D, "e", true},  {0x044E, "ju", true},
+  {0x044F, "ja", true},
+  // ъ/ь carry no sound here
+  {0x044A, "", false},  {0x044C, "", false},
+};
+
+static const CyrT kKkExtra[] = {  // Kazakh
+  {0x04D9, "æ", true},  {0x0493, "ʁ", false}, {0x049B, "q", false},
+  {0x04A3, "ŋ", false}, {0x04E9, "ø", true},  {0x04B1, "ʊ", true},
+  {0x04AF, "y", true},  {0x04BB, "h", false}, {0x0456, "ɪ", true},
+};
+static const CyrT kKyExtra[] = {  // Kyrgyz
+  {0x04A3, "ŋ", false}, {0x04E9, "ø", true},  {0x04AF, "y", true},
+};
+static const CyrT kTtExtra[] = {  // Tatar
+  {0x04D9, "æ", true},  {0x04E9, "ø", true},  {0x04AF, "y", true},
+  {0x0497, "ʑ", false}, {0x04A3, "ŋ", false}, {0x04BB, "h", false},
+};
+static const CyrT kBaExtra[] = {  // Bashkir
+  {0x04D9, "æ", true},  {0x0493, "ʁ", false}, {0x04A1, "q", false},
+  {0x04A3, "ŋ", false}, {0x04E9, "ø", true},  {0x04AB, "θ", false},
+  {0x04AF, "y", true},  {0x04BB, "h", false}, {0x0499, "ð", false},
+};
+
+struct CyrTCfg { const CyrT* extra; int nextra; };
+
+const CyrT* cyrt_find(unsigned int cp, const CyrTCfg& cfg) {
+  // uppercase → lowercase folding for the ranges involved
+  if (cp >= 0x0410 && cp <= 0x042F) cp += 0x20;
+  else if (cp == 0x0401) cp = 0x0451;
+  else if (cp == 0x0406) cp = 0x0456;
+  else if (cp >= 0x0490 && cp <= 0x04FF && (cp & 1) == 0) cp += 1;
+  for (int i = 0; i < cfg.nextra; ++i)
+    if (cfg.extra[i].cp == cp) return &cfg.extra[i];
+  for (const auto& e : kCyrTurkicBase)
+    if (e.cp == cp) return &e;
+  return nullptr;
+}
+
+const char* phonemize_text_cyrillic_turkic(const char* utf8_text, const CyrTCfg& cfg) {
+  if (!utf8_text) return nullptr;
+  std::string text(utf8_text);
+  std::string result;
+  struct TP { std::string ipa; bool vowel; };
+  std::vector<TP> word;
+  auto flush = [&]() {
+    if (word.empty()) return;
+    int total = 0;
+    for (const auto& p : word) total += p.vowel ? 1 : 0;
+    int seen = 0;
+    for (const auto& p : word) {
+      if (p.vowel) { ++seen; if (seen == total && total > 1) result += "ˈ"; }
+      result += p.ipa;
+    }
+    word.clear();
+  };
+  size_t nbytes = text.size();
+  for (size_t i = 0; i < nbytes;) {
+    unsigned char c = text[i];
+    unsigned int cp = 0; size_t len = 1;
+    if (c < 0x80) { cp = c; }
+    else if ((c >> 5) == 0x6 && i + 1 < nbytes) {
+      cp = ((c & 0x1F) << 6) | (text[i+1] & 0x3F); len = 2;
+    } else if ((c >> 4) == 0xE && i + 2 < nbytes) {
+      cp = ((c & 0x0F) << 12) | ((text[i+1] & 0x3F) << 6) | (text[i+2] & 0x3F); len = 3;
+    } else if ((c >> 3) == 0x1E && i + 3 < nbytes) { len = 4; }
+    const CyrT* e = cyrt_find(cp, cfg);
+    if (e != nullptr) {
+      if (e->ipa[0] != '\0') word.push_back({e->ipa, e->vowel});
+      i += len;
+      continue;
+    }
+    flush();
+    if (cp < 128 && cp && strchr(";:,.!?()\"- ", static_cast<int>(cp))) {
+      char pc = static_cast<char>(cp);
+      if (!(pc == ' ' && !result.empty() && result.back() == ' '))
+        result += pc;
+    }
+    i += len;
+  }
+  flush();
+  char* buf = static_cast<char*>(malloc(result.size() + 1));
+  memcpy(buf, result.c_str(), result.size() + 1);
+  return buf;
+}
+
+// --- Amharic (Ethiopic syllabary) --------------------------------------------
+// Ge'ez script is an abugida with algorithmic structure like hangul: each
+// codepoint is consonant-row × vowel-order (base U+1200, 8 orders per row:
+// ə u i a e ɨ o wa). One 48-row consonant table decodes the whole block;
+// the 6th order (ɨ) doubles as the bare consonant and is dropped word-
+// finally. Ejectives map to the IPA ejective mark ʼ (in the symbol table).
+
+static const char* kEthiopicRows[] = {
+  /*0x1200 ሀ*/ "h",  /*1208 ለ*/ "l",  /*1210 ሐ*/ "h",  /*1218 መ*/ "m",
+  /*1220 ሠ*/ "s",  /*1228 ረ*/ "r",  /*1230 ሰ*/ "s",  /*1238 ሸ*/ "ʃ",
+  /*1240 ቀ*/ "kʼ", /*1248 ቈ*/ "kʼw",/*1250 ቐ*/ "q",  /*1258 ቘ*/ "qw",
+  /*1260 በ*/ "b",  /*1268 ቨ*/ "v",  /*1270 ተ*/ "t",  /*1278 ቸ*/ "tʃ",
+  /*1280 ኀ*/ "h",  /*1288 ዀ?*/ "hw", /*1290 ነ*/ "n",  /*1298 ኘ*/ "ɲ",
+  /*12A0 አ*/ "ʔ",  /*12A8 ከ*/ "k",  /*12B0 ኰ*/ "kw", /*12B8 ኸ*/ "x",
+  /*12C0 ዀ*/ "xw", /*12C8 ወ*/ "w",  /*12D0 ዐ*/ "ʔ",  /*12D8 ዘ*/ "z",
+  /*12E0 ዠ*/ "ʒ",  /*12E8 የ*/ "j",  /*12F0 ደ*/ "d",  /*12F8 ዸ*/ "d",
+  /*1300 ጀ*/ "dʒ", /*1308 ገ*/ "ɡ",  /*1310 ጐ*/ "ɡw", /*1318 ጘ*/ "ŋ",
+  /*1320 ጠ*/ "tʼ", /*1328 ጨ*/ "tʃʼ",/*1330 ጰ*/ "pʼ", /*1338 ጸ*/ "tsʼ",
+  /*1340 ፀ*/ "tsʼ",/*1348 ፈ*/ "f",  /*1350 ፐ*/ "p",  /*1358 ፘ*/ "r",
+};
+
+static const char* kEthiopicOrders[8] = {"ə", "u", "i", "a", "e", "ɨ", "o", "wa"};
+
+const char* phonemize_text_am(const char* utf8_text) {
+  if (!utf8_text) return nullptr;
+  std::string text(utf8_text);
+  std::string result;
+  struct AP { std::string ipa; bool optional; };  // optional = 6th-order ɨ
+  std::vector<AP> word;
+  auto flush = [&]() {
+    if (word.empty()) return;
+    // 6th-order ɨ is epenthetic: drop word-finally (bare consonant coda)
+    // and before sonorants/vowels where the cluster is pronounceable.
+    if (word.back().optional) word.pop_back();
+    for (size_t k = 0; k < word.size(); ++k) {
+      if (word[k].optional && k + 1 < word.size()) {
+        const std::string& nx = word[k + 1].ipa;
+        if (nx == "j" || nx == "w" || nx == "r" || nx == "l" ||
+            nx == "a" || nx == "e" || nx == "i" || nx == "o" || nx == "u" ||
+            nx == "ə")
+          continue;  // skip emission
+      }
+      result += word[k].ipa;
+    }
+    word.clear();
+  };
+  size_t nbytes = text.size();
+  for (size_t i = 0; i < nbytes;) {
+    unsigned char c = text[i];
+    unsigned int cp = 0; size_t len = 1;
+    if (c < 0x80) { cp = c; }
+    else if ((c >> 5) == 0x6 && i + 1 < nbytes) {
+      cp = ((c & 0x1F) << 6) | (text[i+1] & 0x3F); len = 2;
+    } else if ((c >> 4) == 0xE && i + 2 < nbytes) {
+      cp = ((c & 0x0F) << 12) | ((text[i+1] & 0x3F) << 6) | (text[i+2] & 0x3F); len = 3;
+    } else if ((c >> 3) == 0x1E && i + 3 < nbytes) { len = 4; }
+    if (cp >= 0x1200 && cp <= 0x135F) {
+      unsigned int row = (cp - 0x1200) / 8;
+      unsigned int order = (cp - 0x1200) % 8;
+      if (row < sizeof(kEthiopicRows)/sizeof(char*)) {
+        word.push_back({kEthiopicRows[row], false});
+        if (order != 5) word.push_back({kEthiopicOrders[order], false});
+        else word.push_back({"ɨ", true});  // bare-consonant order
+      }
+      i += len;
+      continue;
+    }
+    if (cp == 0x1361) { flush(); result += ' '; i += len; continue; }  // ፡ word sep
+    if (cp == 0x1362) { flush(); result += '.'; i += len; continue; }  // ።
+    if (cp == 0x1363) { flush(); result += ','; i += len; continue; }  // ፣
+    flush();
+    if (cp < 128 && cp && strchr(";:,.!?()\"- ", static_cast<int>(cp))) {
+      char pc = static_cast<char>(cp);
+      if (!(pc == ' ' && !result.empty() && result.back() == ' '))
+        result += pc;
+    }
+    i += len;
+  }
+  flush();
+  char* buf = static_cast<char*>(malloc(result.size() + 1));
+  memcpy(buf, result.c_str(), result.size() + 1);
+  return buf;
+}
+
 // --- Generic table-driven Latin engine ---------------------------------------
 // The long tail of REGULAR Latin orthographies (Māori, Latin, Albanian,
 // Maltese, Afrikaans, Icelandic, Catalan, Haitian, Papiamento, Guarani,
@@ -5093,6 +5281,19 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
         return phonemize_text_latin(utf8_text, e.cfg);
     }
   }
+  {
+    struct TE { const char* code; CyrTCfg cfg; };
+    static const TE kTurkic[] = {
+      {"kk", {kKkExtra, sizeof(kKkExtra)/sizeof(CyrT)}},
+      {"ky", {kKyExtra, sizeof(kKyExtra)/sizeof(CyrT)}},
+      {"tt", {kTtExtra, sizeof(kTtExtra)/sizeof(CyrT)}},
+      {"ba", {kBaExtra, sizeof(kBaExtra)/sizeof(CyrT)}},
+    };
+    for (const auto& e : kTurkic)
+      if (strncmp(lang, e.code, 2) == 0 && (lang[2] == '\0' || lang[2] == '-'))
+        return phonemize_text_cyrillic_turkic(utf8_text, e.cfg);
+  }
+  if (strncmp(lang, "am", 2) == 0) return phonemize_text_am(utf8_text);
   if (strncmp(lang, "fa-latn", 7) == 0) return phonemize_text_falatn(utf8_text);
   if (strncmp(lang, "fa", 2) == 0) {
     static const PACfg kFa = {0};

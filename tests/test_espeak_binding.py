@@ -886,3 +886,36 @@ def test_generic_latin_tier():
         assert out and out.strip(), (lang, out)
         ids = get_symbol_ids(out)
         assert UNK_ID not in ids, (lang, out)
+
+
+def test_turkic_cyrillic_engines():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = native_g2p.phonemize
+    assert ph("Қазақстан", "kk") == "qazaqstˈan"    # қ → q, final stress
+    assert ph("сәлем", "kk") == "sælˈem"            # ә → æ
+    assert ph("тәуелсіз", "kk") == "tæuelsˈɪz"      # і → ɪ
+    assert ph("өлкө", "ky") == "ølkˈø"              # ө → ø
+    assert ph("кыргыз", "ky") == "kɯrɡˈɯz"          # ы → ɯ (Turkic value)
+    assert ph("җөмһүрият", "tt").startswith("ʑømhy")  # җ/һ/ү
+    assert ph("ҙур", "ba") == "ður"                 # Bashkir ҙ → ð
+    assert "q" in ph("Башҡортостан", "ba")          # ҡ → q
+    assert "θ" in ph("ҫәскә", "ba")                 # ҫ → θ
+
+
+def test_am_ethiopic_engine():
+    """Ethiopic is decoded algorithmically: row = consonant, order = vowel."""
+    from zonos_tpu.conditioning import native_g2p
+    from zonos_tpu.conditioning.text import UNK_ID, get_symbol_ids
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "am")
+    assert ph("ሰላም") == "səlam"                     # 6th-order m final: bare C
+    assert ph("አማርኛ") == "ʔəmarɨɲa"                 # glottal onset, ɲ row
+    assert ph("ኢትዮጵያ") == "ʔitjopʼja"               # ejective pʼ
+    assert ph("ቡና") == "buna"                       # 2nd order u, 4th order a
+    out = ph("እናገራለሁ ጤና ይስጥልኝ")
+    assert UNK_ID not in get_symbol_ids(out), out

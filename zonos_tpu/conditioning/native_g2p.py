@@ -16,7 +16,8 @@ family through one ISCII-aligned decoder — Hindi/Marathi/Nepali
 Odia, Tamil (positional voicing), Telugu, Kannada, Malayalam — plus the
 Perso-Arabic script for Persian (fa, fa-latn), Urdu and Arabic, and a
 table-driven generic Latin engine for twenty regular orthographies
-(mi la sq mt af is ca ht pap gn uz ku tn om ia lfn jbo lt kl an); other
+(mi la sq mt af is ca ht pap gn uz ku tn om ia lfn jbo lt kl an), Turkic
+Cyrillic (kk ky tt ba) and the Ethiopic abugida for Amharic; other
 languages go through eSpeak when present, else grapheme passthrough
 (conditioning/espeak.py).
 """
@@ -99,7 +100,8 @@ def phonemize(text: str, language: str) -> str | None:
     bg*, hr*/bs*/sr*/sl* (sr in both scripts), sk*, et*, az*, eo*, eu*, mk*,
     ka*, hy*, lv*, cy*, vi*, sv*, nb*/nn*/no*, da*, hi*, mr*, ne*, bn*, as*,
     pa*, gu*, or*, ta*, te*, kn*, ml*, fa*, fa-latn, ur*, ar*, mi, la, sq,
-    mt, af, is, ca, ht, pap, gn, uz, ku, tn, om, ia, lfn, jbo, lt, kl, an."""
+    mt, af, is, ca, ht, pap, gn, uz, ku, tn, om, ia, lfn, jbo, lt, kl, an,
+    kk, ky, tt, ba, am."""
     with _LOCK:
         lib = _load()
         if lib is None:
