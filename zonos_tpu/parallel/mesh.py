@@ -62,14 +62,67 @@ def transformer_param_specs(cfg: BackboneConfig) -> dict:
     }
 
 
+def hybrid_param_specs(cfg: BackboneConfig) -> dict:
+    """PartitionSpec tree matching init_hybrid_params' layout.
+
+    Attention groups are single layers (no leading stack axis); Mamba groups
+    are layer-stacked runs with a leading R axis. Megatron-style tp:
+
+    * attn mixer / MLPs: column-parallel in, row-parallel out (as in the
+      transformer specs);
+    * Mamba2 ``in_proj`` [d, 2*d_inner + 2*g*N + H] column-parallel over its
+      packed output axis — each column is independent, and XLA's partitioner
+      inserts the (small) gathers where the z/x/B/C/dt slices cross shard
+      boundaries; ``out_proj`` [d_inner, d] row-parallel → one psum;
+    * conv taps, dt/A/D scalars and the gated norm replicate (tiny, and the
+      scan itself runs on gathered activations).
+    """
+    from zonos_tpu.models.hybrid import layer_groups
+
+    groups = []
+    for kind, _ in layer_groups(cfg):
+        if kind == "attn":
+            groups.append({
+                "norm": {"scale": P(), "bias": P()},
+                "mixer": {
+                    "in_proj": P(None, "tp"), "in_proj_b": P("tp"),
+                    "out_proj": P("tp", None), "out_proj_b": P(),
+                },
+                "norm2": {"scale": P(), "bias": P()},
+                "mlp": {"fc1": P(None, "tp"), "fc2": P("tp", None)},
+            })
+        else:
+            groups.append({
+                "norm": {"scale": P(), "bias": P()},
+                "mixer": {
+                    "in_proj": P(None, None, "tp"),
+                    "conv_w": P(), "conv_b": P(),
+                    "dt_bias": P(), "A_log": P(), "D": P(),
+                    "norm_w": P(),
+                    "out_proj": P(None, "tp", None),
+                },
+                "norm2": {"scale": P(), "bias": P()},
+                "mlp": {"fc1": P(None, None, "tp"), "fc2": P(None, "tp", None)},
+            })
+    return {
+        "groups": tuple(groups),
+        "norm_f": {"scale": P(), "bias": P()},
+    }
+
+
 def zonos_param_specs(cfg) -> dict:
-    """Specs for the full Zonos params pytree (transformer backbone)."""
+    """Specs for the full Zonos params pytree (either backbone kind)."""
+    backbone = (
+        hybrid_param_specs(cfg.backbone)
+        if cfg.backbone.is_hybrid
+        else transformer_param_specs(cfg.backbone)
+    )
     return {
         "embeddings": P(),  # [n_q, vocab, D] — small, replicate
         # heads output dim is 9*1025 (odd) — not tp-divisible; replicate
         # (37 MB bf16 at flagship scale).
         "heads": P(),
-        "backbone": transformer_param_specs(cfg.backbone),
+        "backbone": backbone,
         # conditioner params are tiny → replicate (match pytree by prefix-map)
         "prefix_conditioner": None,  # filled by shard_params via tree mapping
     }
@@ -92,7 +145,12 @@ def named(mesh: Mesh, spec_tree, param_tree):
                 for k, v in tree.items()
             }
         if isinstance(tree, (tuple, list)):
-            return type(tree)(walk(None, v) for v in tree)
+            specs = (
+                spec
+                if isinstance(spec, (tuple, list)) and len(spec) == len(tree)
+                else [None] * len(tree)
+            )
+            return type(tree)(walk(sp, v) for sp, v in zip(specs, tree))
         if tree is None:
             return None
         return build(spec, tree)
