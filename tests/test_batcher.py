@@ -78,3 +78,77 @@ def test_different_signatures_not_mixed(model):
         assert batcher.stats["batches"] == 2
     finally:
         batcher.close()
+
+
+def test_concurrent_streams_coalesce_mixed_lengths(model):
+    """N /stream requests coalesce into ONE batched chunked decode; each
+    stream closes at its own EOS boundary (mixed max_new_tokens ceilings are
+    bucketed into the same group; per-sample trim differs)."""
+    import time
+
+    batcher = DynamicBatcher(model, max_batch=4, window_ms=300)
+    try:
+        chunks = {}
+        first_chunk_t = {}
+        t0 = time.monotonic()
+
+        def consume(i, text, max_new):
+            req = TTSRequest(text=text, max_new_tokens=max_new, seed=1)
+            got = []
+            for wav, sr in batcher.submit_stream(req):
+                if i not in first_chunk_t:
+                    first_chunk_t[i] = time.monotonic() - t0
+                assert sr == 44100
+                assert wav.ndim == 1
+                got.append(wav)
+            chunks[i] = got
+
+        specs = [(0, "short one", 10), (1, "a rather longer request text", 40),
+                 (2, "medium text here", 24)]
+        threads = [threading.Thread(target=consume, args=s) for s in specs]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+
+        assert set(chunks) == {0, 1, 2}
+        for i, got in chunks.items():
+            total = np.concatenate(got) if got else np.zeros((0,), np.float32)
+            assert np.isfinite(total).all()
+            assert total.size > 0, f"stream {i} produced no audio"
+        # All three coalesced into one batched decode.
+        assert batcher.stats["requests"] == 3
+        assert batcher.stats["batches"] == 1
+        # Streaming delivered audio before the whole batch finished: every
+        # stream's first chunk arrived, and arrived together (same segment).
+        assert len(first_chunk_t) == 3
+    finally:
+        batcher.close()
+
+
+def test_stream_and_generate_requests_do_not_mix(model):
+    batcher = DynamicBatcher(model, max_batch=4, window_ms=250)
+    try:
+        results = {}
+
+        def gen():
+            results["gen"] = batcher.submit(
+                TTSRequest(text="plain generate", max_new_tokens=12, seed=1)
+            )
+
+        def stream():
+            req = TTSRequest(text="streamed words", max_new_tokens=12, seed=1)
+            results["stream"] = [w for w, _ in batcher.submit_stream(req)]
+
+        threads = [threading.Thread(target=gen), threading.Thread(target=stream)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+
+        assert results["gen"][0].size > 0
+        assert sum(w.size for w in results["stream"]) > 0
+        # Different group keys → two batches.
+        assert batcher.stats["batches"] == 2
+    finally:
+        batcher.close()

@@ -68,3 +68,52 @@ def test_stream_yields_incremental_audio(model, cond):
     # The delay pattern defers the first complete frame by n_q (9) steps, so
     # the first yield arrives within the first two segments and stays small.
     assert got[0].shape[0] <= (4 + 8) * hop
+
+
+def test_batched_pcm_streaming_matches_lengths():
+    """batch>1 PCM streaming: one batched DAC call per segment, final chunk
+    zeroed past each sample's own EOS, lengths reported."""
+    import numpy as np
+
+    from zonos_tpu.codec import dac as D
+    from zonos_tpu.conditioning.cond_dict import make_cond_dict
+    from zonos_tpu.config import tiny_transformer_config
+    from zonos_tpu.models.zonos import Zonos
+    from zonos_tpu.runtime.streaming import generate_stream
+
+    model = Zonos.from_config(tiny_transformer_config(), seed=0, dtype=jnp.float32)
+    cfg = D.DACConfig(
+        encoder_hidden_size=8, downsampling_ratios=(2, 4), decoder_hidden_size=32,
+        upsampling_ratios=(4, 2), n_codebooks=9, codebook_size=1024, codebook_dim=4,
+        hidden_size=24,
+    )
+    auto = D.DACAutoencoder(
+        params=D.init_dac_params(jax.random.key(0), cfg), cfg=cfg,
+        dtype=jnp.float32, frame_bucket=8,
+    )
+    hop = auto.config.hop_length
+
+    B = 3
+    cd = make_cond_dict(text="w", speaker=np.zeros((1, 1, 128), np.float32))
+    cd["espeak"] = ([f"stream sample {i}" for i in range(B)], ["en-us"] * B)
+    cond = np.asarray(model.prepare_conditioning(cd), np.float32)
+
+    chunks, final_lengths = [], None
+    for (pcm, lengths), sr in generate_stream(
+        model.params, model.config, cond, autoencoder=auto,
+        max_new_tokens=24, batch_size=B, seed=7, dtype=jnp.float32,
+        first_chunk_frames=6, chunk_frames=8,
+    ):
+        assert pcm.ndim == 2 and pcm.shape[0] == B
+        assert np.isfinite(pcm).all()
+        chunks.append(pcm)
+        if lengths is not None:
+            final_lengths = np.asarray(lengths)
+
+    assert len(chunks) >= 2, "streaming should yield multiple chunks"
+    assert final_lengths is not None and final_lengths.shape == (B,)
+    total = np.concatenate(chunks, axis=1)
+    for i in range(B):
+        valid = int(final_lengths[i]) * hop
+        # Tail past a sample's own EOS boundary is silence.
+        assert np.all(total[i, valid:] == 0.0)

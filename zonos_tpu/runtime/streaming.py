@@ -212,15 +212,18 @@ def generate_stream(
     minimize time-to-first-audio; later chunks are larger for efficiency.
     The final yield truncates at the EOS boundary exactly like the
     non-streaming path.
+
+    batch_size > 1 with an autoencoder enables BATCHED streaming: every
+    yield becomes ((pcm [B, T], lengths), sr) where all samples' chunks are
+    decoded in one codec call; ``lengths`` is None until the final chunk,
+    which zeroes each sample's tail past its own EOS boundary and reports
+    the per-sample total frame lengths (serving consumers trim each stream
+    to ``lengths[i] * hop_length`` samples overall).
     """
     if isinstance(sampling_params, dict):
         sampling_params = SamplingParams(**sampling_params)
     sampling_params = sampling_params or SamplingParams(min_p=0.1)
     assert cfg_scale != 1.0
-    if autoencoder is not None and batch_size != 1:
-        # The PCM path yields one mono stream; batched streaming consumers
-        # should take the codes path (autoencoder=None) and decode per sample.
-        raise NotImplementedError("streaming PCM decode supports batch_size=1")
 
     n_q = cfg.codebook_dimension
     lp = 0 if audio_prefix_codes is None else int(audio_prefix_codes.shape[2])
@@ -283,23 +286,40 @@ def generate_stream(
             # (see runtime/generate.generate for the offset conventions).
             stop_off = np.asarray(carry.stop_offset)
             offsets = np.where(stop_off >= 0, stop_off, offset)
-            out_codes, _lengths = postprocess_codes_batched(
+            out_codes, lengths_final = postprocess_codes_batched(
                 np.asarray(carry.delayed_codes), offsets, cfg
             )
             total = out_codes.shape[-1]
         else:
-            out_codes = None
+            out_codes, lengths_final = None, None
             total = max(offset - n_q, 0)  # complete de-delayed frames so far
 
         if autoencoder is not None and total > emitted_frames:
             ctx = min(dac_context_frames, emitted_frames)
+            take = min(total, int(device_codes.shape[2]))
             # Slice the chunk on device; DAC decode consumes it without a
-            # host round-trip (only the PCM comes back).
+            # host round-trip (only the PCM comes back). Batched streams
+            # decode all samples' chunks in ONE codec call.
             chunk_codes = jax.lax.dynamic_slice_in_dim(
-                device_codes, emitted_frames - ctx, total - (emitted_frames - ctx), axis=2
+                device_codes, emitted_frames - ctx, take - (emitted_frames - ctx), axis=2
             )
-            wav = autoencoder.decode(chunk_codes)[0, 0]
-            yield wav[ctx * hop :], sr
+            wav = autoencoder.decode(chunk_codes)  # [B, 1, T]
+            if batch_size == 1:
+                yield np.asarray(wav[0, 0, ctx * hop :]), sr
+            else:
+                # Batched PCM mode yields ((pcm [B, T], lengths), sr): the
+                # final chunk zeroes each sample's tail past its OWN EOS
+                # boundary and carries the per-sample total frame lengths
+                # (None until done) so consumers trim each stream exactly.
+                pcm = np.array(wav[:, 0, ctx * hop :])
+                if done:
+                    lengths = np.asarray(lengths_final)
+                    for i in range(batch_size):
+                        valid = max(int(lengths[i]) - emitted_frames, 0) * hop
+                        pcm[i, valid:] = 0.0
+                    yield (pcm, lengths), sr
+                else:
+                    yield (pcm, None), sr
             emitted_frames = total
         elif autoencoder is None and (done or total > emitted_frames):
             # Codes mode: always emit the final (EOS-trimmed) codes on done,

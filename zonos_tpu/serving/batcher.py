@@ -61,11 +61,16 @@ class TTSRequest:
     # fixed-seed reproducibility — a batch draws from one PRNG stream, so a
     # request's tokens depend on its co-requests (see module docstring).
     no_batch: bool = False
+    # Streaming request: the batcher runs the chunked decode and feeds this
+    # request's per-sample PCM chunks through ``chunks`` (None sentinel =
+    # stream complete). Stream and non-stream requests never coalesce.
+    stream: bool = False
 
     # filled by the batcher
     _event: threading.Event = dataclasses.field(default_factory=threading.Event)
     _result: Any = None
     _error: Exception | None = None
+    chunks: "queue.Queue[tuple | None]" = dataclasses.field(default_factory=queue.Queue)
 
     def group_key(self, bucket: int = 256) -> tuple:
         max_new_b = -(-self.max_new_tokens // bucket) * bucket
@@ -73,7 +78,7 @@ class TTSRequest:
         return (
             self.cfg_scale, self.sampling, max_new_b, self.unconditional_keys,
             self.language[:2], self.vqscore_8, self.ctc_loss, self.dnsmos_ovrl,
-            self.speaker_noised, solo,
+            self.speaker_noised, solo, self.stream,
         )
 
 
@@ -105,6 +110,25 @@ class DynamicBatcher:
         if request._error is not None:
             raise request._error
         return request._result
+
+    def submit_stream(self, request: TTSRequest, timeout: float = 600.0):
+        """Streaming submit: yields (pcm [T] float32, sample_rate) chunks.
+
+        Concurrent /stream requests coalesce into ONE batched chunked decode
+        (runtime/streaming.generate_stream batch mode); each request reads
+        its own sample's chunks from a queue as segments finish. A request's
+        stream ends when its own EOS boundary is reached, even if batchmates
+        are still talking.
+        """
+        request.stream = True
+        self._queue.put(request)
+        while True:
+            item = request.chunks.get(timeout=timeout)
+            if item is None:
+                if request._error is not None:
+                    raise request._error
+                return
+            yield item
 
     def close(self):
         self._stop.set()
@@ -157,6 +181,91 @@ class DynamicBatcher:
             self.stats["batched_requests"] += b
 
         first = batch[0]
+        if first.stream:
+            try:
+                self._run_stream_batch(batch)
+            except Exception as e:
+                for req in batch:
+                    req._error = e
+                    req.chunks.put(None)
+            return
+
+        cond_dict = self._batched_cond_dict(batch)
+        conditioning = self.model.prepare_conditioning(cond_dict, cfg_scale=first.cfg_scale)
+        max_new = max(r.max_new_tokens for r in batch)
+        # Adaptive KV dtype: int8 KV below the measured crossover, bf16 above
+        # (None = model default, which is int8 for quantized serving models).
+        kv_int8 = False if b > self.KV8_MAX_BATCH else None
+        codes, lengths = self.model.generate(
+            conditioning,
+            max_new_tokens=max_new,
+            cfg_scale=first.cfg_scale,
+            batch_size=b,
+            sampling_params=first.sampling,
+            seed=first.seed,
+            kv_int8=kv_int8,
+            return_lengths=True,
+        )
+        wavs = self.model.autoencoder.decode(codes)  # [B, 1, T]
+        sr = self.model.autoencoder.sampling_rate
+        hop = self.model.autoencoder.config.hop_length
+        for i, req in enumerate(batch):
+            # Each request gets only ITS OWN valid frames: a short utterance
+            # batched with a long one must not ship the long one's tail.
+            req._result = (np.asarray(wavs[i, 0])[: int(lengths[i]) * hop], sr)
+            req._event.set()
+
+    def _run_stream_batch(self, batch: list[TTSRequest]):
+        """Batched chunked decode feeding per-request chunk queues.
+
+        N coalesced /stream requests run ONE chunked decode loop
+        (runtime/streaming.generate_stream batch mode, one batched DAC call
+        per segment); each request's queue receives its own sample's PCM and
+        closes at its own EOS boundary even if batchmates keep talking.
+        """
+        from zonos_tpu.runtime.streaming import generate_stream
+
+        b = len(batch)
+        first = batch[0]
+        cond_dict = self._batched_cond_dict(batch)
+        conditioning = self.model.prepare_conditioning(cond_dict, cfg_scale=first.cfg_scale)
+        max_new = max(r.max_new_tokens for r in batch)
+        sr = self.model.autoencoder.sampling_rate
+        hop = self.model.autoencoder.config.hop_length
+        kv_int8 = self.model.default_kv_int8 if b <= self.KV8_MAX_BATCH else False
+        emitted = [0] * b   # PCM samples already shipped per request
+        closed = [False] * b
+        for item, _sr in generate_stream(
+            self.model.params, self.model.config, np.asarray(conditioning),
+            autoencoder=self.model.autoencoder,
+            max_new_tokens=max_new, cfg_scale=first.cfg_scale, batch_size=b,
+            sampling_params=first.sampling, seed=first.seed,
+            dtype=self.model.dtype, kv_int8=kv_int8,
+        ):
+            if b == 1:
+                pcm, lengths = np.asarray(item)[None, :], None
+            else:
+                pcm, lengths = item
+            for i, req in enumerate(batch):
+                if closed[i]:
+                    continue
+                if lengths is None:
+                    req.chunks.put((np.asarray(pcm[i]), sr))
+                    emitted[i] += int(pcm.shape[1])
+                else:
+                    # Final chunk: ship only this sample's remaining valid
+                    # audio and close its stream.
+                    valid = max(int(lengths[i]) * hop - emitted[i], 0)
+                    if valid:
+                        req.chunks.put((np.asarray(pcm[i])[:valid], sr))
+                    req.chunks.put(None)
+                    closed[i] = True
+        for i, req in enumerate(batch):
+            if not closed[i]:
+                req.chunks.put(None)
+
+    def _batched_cond_dict(self, batch: list[TTSRequest]) -> dict:
+        first = batch[0]
         cond_dict = make_cond_dict(
             text=first.text,
             language=first.language,
@@ -194,28 +303,4 @@ class DynamicBatcher:
                     [[ [getattr(r, attr)] ] for r in batch], np.float32
                 )
         known = set(self.model.conditioner_names)
-        cond_dict = {k: v for k, v in cond_dict.items() if k in known}
-
-        conditioning = self.model.prepare_conditioning(cond_dict, cfg_scale=first.cfg_scale)
-        max_new = max(r.max_new_tokens for r in batch)
-        # Adaptive KV dtype: int8 KV below the measured crossover, bf16 above
-        # (None = model default, which is int8 for quantized serving models).
-        kv_int8 = False if b > self.KV8_MAX_BATCH else None
-        codes, lengths = self.model.generate(
-            conditioning,
-            max_new_tokens=max_new,
-            cfg_scale=first.cfg_scale,
-            batch_size=b,
-            sampling_params=first.sampling,
-            seed=first.seed,
-            kv_int8=kv_int8,
-            return_lengths=True,
-        )
-        wavs = self.model.autoencoder.decode(codes)  # [B, 1, T]
-        sr = self.model.autoencoder.sampling_rate
-        hop = self.model.autoencoder.config.hop_length
-        for i, req in enumerate(batch):
-            # Each request gets only ITS OWN valid frames: a short utterance
-            # batched with a long one must not ship the long one's tail.
-            req._result = (np.asarray(wavs[i, 0])[: int(lengths[i]) * hop], sr)
-            req._event.set()
+        return {k: v for k, v in cond_dict.items() if k in known}

@@ -223,6 +223,40 @@ def handle_stream(body: dict):
         min_p=float(body.get("min_p", 0.1)),
     )
     speaker = setup_speaker_conditioning(model_name, body.get("speaker_audio"))
+
+    # Batched streaming: concurrent /stream requests coalesce into one
+    # chunked decode (serving/batcher._run_stream_batch) instead of
+    # serializing behind the semaphore at batch 1.
+    batcher = _get_batcher(model)
+    if batcher is not None and not body.get("prefix_audio"):
+        from zonos_tpu.ops.sampling import SamplingParams
+        from zonos_tpu.serving.batcher import TTSRequest
+
+        controls = _control_kwargs(body)
+        req = TTSRequest(
+            text=text,
+            language=controls["language"],
+            speaker=speaker,
+            emotion=controls["emotion"],
+            fmax=controls["fmax"],
+            pitch_std=controls["pitch_std"],
+            speaking_rate=controls["speaking_rate"],
+            vqscore_8=tuple(controls["vqscore_8"]) if controls["vqscore_8"] else None,
+            ctc_loss=controls["ctc_loss"],
+            dnsmos_ovrl=controls["dnsmos_ovrl"],
+            speaker_noised=controls["speaker_noised"],
+            seed=params.seed,
+            max_new_tokens=params.max_new_tokens,
+            cfg_scale=params.cfg_scale,
+            sampling=SamplingParams(**params.sampling),
+            unconditional_keys=controls["unconditional_keys"],
+            no_batch=bool(body.get("no_batch", False)),
+        )
+        for wav, sr in batcher.submit_stream(req):
+            pcm = np.clip(wav * 32767.0, -32767.0, 32767.0).astype("<i2")
+            yield pcm.tobytes(), sr
+        return
+
     prefix_codes = setup_prefix_audio(body.get("prefix_audio"), model.autoencoder)
     cond_dict = build_cond_dict(model, text=text, speaker=speaker, **_control_kwargs(body))
     # use_cache: repeated streaming requests with identical conditioning skip
