@@ -99,8 +99,12 @@ def test_torch_state_dict_conversion():
     assert np.isfinite(np.asarray(cond, np.float32)).all()
 
 
-def test_from_local_safetensors_roundtrip(tmp_path):
-    """Full reference-format checkpoint load: config.json + model.safetensors."""
+def make_fake_checkpoint(tmp_path):
+    """Write a tiny reference-format checkpoint (config.json + safetensors).
+
+    Shared by the from_local roundtrip test and tests/test_validate_checkpoint.
+    Returns (config_path, weights_path, cfg).
+    """
     torch = pytest.importorskip("torch")
     st = pytest.importorskip("safetensors.torch")
     import json
@@ -164,8 +168,13 @@ def test_from_local_safetensors_roundtrip(tmp_path):
         if c.get("cond_dim") is None:
             c.pop("cond_dim", None)
     json.dump(raw, open(tmp_path / "config.json", "w"))
+    return str(tmp_path / "config.json"), str(tmp_path / "model.safetensors"), cfg
 
-    model = Zonos.from_local(str(tmp_path / "config.json"), str(tmp_path / "model.safetensors"))
+
+def test_from_local_safetensors_roundtrip(tmp_path):
+    """Full reference-format checkpoint load: config.json + model.safetensors."""
+    config_path, weights_path, cfg = make_fake_checkpoint(tmp_path)
+    model = Zonos.from_local(config_path, weights_path)
     assert model.params["embeddings"].shape[1] == 1032
     from zonos_tpu.conditioning.cond_dict import make_cond_dict
 
