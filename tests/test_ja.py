@@ -114,3 +114,76 @@ def test_kana_to_ipa_roundtrip():
     ipa = kana_to_ipa(read_japanese("私は日本語を話します。"))
     assert "ɯ" in ipa and "ɕ" in ipa  # わたし…はなします
     assert len(ipa) > 10
+
+
+# ---------------------------------------------------------------------------
+# Round 3: Viterbi segmentation, on-yomi fallback, counters, coverage
+# ---------------------------------------------------------------------------
+
+
+def test_viterbi_beats_greedy_segmentation():
+    """今日本では must segment 今+日本 (Viterbi), not 今日+本 (greedy)."""
+    from zonos_tpu.conditioning.ja import read_japanese
+
+    assert read_japanese("今日本では") == "いまにほんでは"
+
+
+def test_multi_reading_kanji_context():
+    """来る/くる vs 来週/らいしゅう class: context picks the reading."""
+    from zonos_tpu.conditioning.ja import read_japanese
+
+    assert read_japanese("彼は来る。") == "かれわくる。"
+    assert read_japanese("来週も来ます。") == "らいしゅうもきます。"
+    assert read_japanese("来年来て。") == "らいねんきて。"
+    # 行: こう in compounds (on-yomi), いく as the verb
+    assert read_japanese("銀行へ行く") == "ぎんこうえいく"
+
+
+def test_onyomi_compound_fallback():
+    """Sino-compounds outside the lexicon read char-by-char in on-yomi
+    (previously: every character was silently dropped)."""
+    from zonos_tpu.conditioning.ja import read_japanese
+
+    assert read_japanese("電力") == "でんりょく"
+    assert read_japanese("経営") == "けいえい"
+    assert read_japanese("研究開発") == "けんきゅうかいはつ"
+
+
+def test_onyomi_sandhi():
+    """On-yomi compound sandhi: つ/ち/く gemination, h → p."""
+    from zonos_tpu.conditioning.ja import read_japanese
+
+    assert read_japanese("発表") == "はっぴょう"
+    assert read_japanese("結果") == "けっか"
+    assert read_japanese("実験") == "じっけん"
+    assert read_japanese("学会") == "がっかい"
+
+
+def test_counter_euphonics_extended():
+    from zonos_tpu.conditioning.ja import _read_number_at
+
+    assert _read_number_at("1本", 0)[0] == "いっぽん"
+    assert _read_number_at("3本", 0)[0] == "さんぼん"
+    assert _read_number_at("6匹", 0)[0] == "ろっぴき"
+    assert _read_number_at("10分", 0)[0] == "じゅっぷん"
+    assert _read_number_at("8杯", 0)[0] == "はっぱい"
+    assert _read_number_at("2時間", 0)[0] == "にじかん"
+    assert _read_number_at("3ヶ月", 0)[0] == "さんかげつ"
+    assert _read_number_at("5冊", 0)[0] == "ごさつ"
+
+
+def test_corpus_coverage_floor():
+    """≥ 95% of kanji in a mixed news/conversation sample receive readings
+    (lexicon or on-yomi) — the old longest-match dropped every kanji outside
+    the ~500-entry lexicon."""
+    from zonos_tpu.conditioning.ja import coverage
+
+    corpus = (
+        "日本の経済は世界第三位である。政府は新しい政策を発表した。"
+        "学生たちは毎日学校で勉強している。科学技術の進歩は社会を変えた。"
+        "電車で東京駅へ行き、友達と映画を見ました。"
+        "来週の会議で研究結果を報告する予定です。"
+        "天気予報によると明日は雨が降るそうです。"
+        "この問題の解決には時間が必要だと考えられる。"
+    )
+    assert coverage(corpus) >= 0.95
