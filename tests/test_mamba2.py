@@ -241,3 +241,48 @@ def test_mamba2_left_pad_mask(rng):
     np.testing.assert_allclose(np.asarray(y_pad)[:, pad:], np.asarray(y_ref), atol=2e-4, rtol=2e-3)
     np.testing.assert_allclose(np.asarray(ssm_pad), np.asarray(ssm_ref), atol=2e-4, rtol=2e-3)
     np.testing.assert_allclose(np.asarray(conv_pad), np.asarray(conv_ref), atol=1e-5)
+
+
+def test_bf16_state_drift():
+    """Quantify the recurrence drift of carrying the SSD state in bf16
+    (ZONOS_SSD_STATE_DTYPE=bf16 halves the dominant decode state traffic —
+    NOTES.md "Refuted" #4's untested lever).
+
+    Over a 900-step decode (≈10 s of audio) with realistic dt magnitudes,
+    the bf16-carried recurrence must stay within ~1% relative error of the
+    f64 reference in OUTPUT space (y), not just state space — bf16's ~3
+    decimal digits round the state every step, but the decay geometry keeps
+    the error from compounding unboundedly."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        rng = np.random.default_rng(11)
+        b, steps, h, p, g, n = 1, 900, 4, 8, 2, 16
+        A = jnp.asarray(-rng.uniform(0.5, 4.0, size=(h,)))
+
+        state64 = jnp.zeros((b, h, n, p), jnp.float64)
+        state16 = jnp.zeros((b, h, n, p), jnp.bfloat16)
+        errs = []
+        for t in range(steps):
+            x = jnp.asarray(rng.normal(size=(b, h, p)))
+            dt = jnp.asarray(rng.uniform(0.01, 0.5, size=(b, h)))
+            B_ = jnp.asarray(rng.normal(size=(b, g, n)))
+            C_ = jnp.asarray(rng.normal(size=(b, g, n)))
+            y64, state64 = M.ssd_step(
+                x, dt, A, B_, C_, state64
+            )
+            y16, s16 = M.ssd_step(
+                x.astype(jnp.float32), dt.astype(jnp.float32), A.astype(jnp.float32),
+                B_.astype(jnp.float32), C_.astype(jnp.float32), state16,
+            )
+            state16 = s16.astype(jnp.bfloat16)  # the per-step requantization
+            if t % 50 == 0 or t == steps - 1:
+                denom = float(jnp.abs(jnp.asarray(y64)).mean()) + 1e-9
+                errs.append(float(jnp.abs(y16.astype(jnp.float64) - y64).mean()) / denom)
+        # Error must neither blow up over time nor exceed ~1.5% on average.
+        assert max(errs) < 0.05, errs
+        assert sum(errs) / len(errs) < 0.015, errs
+        # No monotone growth: the last probe isn't categorically worse than
+        # the early ones (drift is bounded by the decay, not accumulating).
+        assert errs[-1] < 3 * (errs[1] + 1e-9), errs
+    finally:
+        jax.config.update("jax_enable_x64", False)

@@ -102,13 +102,26 @@ class HybridCache:
                 ssm.append(
                     jnp.zeros(
                         (r, batch_size, dims["nheads"], cfg.ssm_cfg.d_state, cfg.ssm_cfg.headdim),
-                        jnp.float32,
+                        _ssd_state_dtype(),
                     )
                 )
         return cls(
             kv_k=tuple(kv_k), kv_v=tuple(kv_v), conv=tuple(conv), ssm=tuple(ssm),
             kv_ks=tuple(kv_ks), kv_vs=tuple(kv_vs),
         )
+
+
+def _ssd_state_dtype():
+    """Carried SSD-state dtype: f32 by default; ZONOS_SSD_STATE_DTYPE=bf16
+    halves the dominant state traffic (~4.2 MB × 2 × 20 layers/step at
+    flagship scale — NOTES.md "Refuted" #4) at the cost of requantizing the
+    recurrence state every step. Compute stays f32 either way (ssd_step
+    promotes); drift is bounded by the recurrence's exponential decay and
+    measured in tests/test_mamba2.py::test_bf16_state_drift.
+    """
+    import os
+
+    return jnp.bfloat16 if os.environ.get("ZONOS_SSD_STATE_DTYPE") == "bf16" else jnp.float32
 
 
 def _norm(x, p, cfg: BackboneConfig):
@@ -261,6 +274,7 @@ def hybrid_forward(
                 x = x + _mlp(group_p["mlp"], _norm(x, group_p["norm2"], cfg))
         else:
             conv_dtype = conv[gi].dtype
+            ssm_dtype = ssm[gi].dtype
 
             # The group's conv/ssm states ride the scan CARRY and are updated
             # in place at index i (XLA folds the dynamic-update-slices into
@@ -274,7 +288,7 @@ def hybrid_forward(
                 ss = jax.lax.dynamic_index_in_dim(ssm_g, i, 0, keepdims=False)
                 xc, cs, ss = _mamba_layer(layer_p, cfg, xc, cs, ss, seq_mask, prefill)
                 conv_g = jax.lax.dynamic_update_index_in_dim(conv_g, cs.astype(conv_dtype), i, 0)
-                ssm_g = jax.lax.dynamic_update_index_in_dim(ssm_g, ss, i, 0)
+                ssm_g = jax.lax.dynamic_update_index_in_dim(ssm_g, ss.astype(ssm_dtype), i, 0)
                 return (xc, conv_g, ssm_g, i + 1), None
 
             (x, conv[gi], ssm[gi], _), _ = jax.lax.scan(
