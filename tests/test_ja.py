@@ -187,3 +187,87 @@ def test_corpus_coverage_floor():
         "この問題の解決には時間が必要だと考えられる。"
     )
     assert coverage(corpus) >= 0.95
+
+
+# ---------------------------------------------------------------------------
+# Chinese reader (conditioning/zh.py) — same fallback tier as ja
+# ---------------------------------------------------------------------------
+
+
+def test_zh_basic_reading():
+    from zonos_tpu.conditioning.zh import read_chinese
+
+    assert read_chinese("我们在北京学习中文。") == "wo men zai bei jing xue xi zhong wen."
+    assert read_chinese("你好") == "ni hao"
+
+
+def test_zh_polyphonic_disambiguation():
+    """行/乐/长/都-class polyphones resolved by word context (Viterbi)."""
+    from zonos_tpu.conditioning.zh import read_chinese
+
+    assert "yin hang" in read_chinese("银行")       # 行 háng in bank
+    assert "zi xing che" in read_chinese("自行车")  # 行 xíng in bicycle
+    assert "yin yue" in read_chinese("音乐")        # 乐 yuè in music
+    assert "kuai le" in read_chinese("快乐")        # 乐 lè in happy
+    assert "zhang da" in read_chinese("长大")       # 长 zhǎng grow up
+    assert "chang cheng" in read_chinese("长城")    # 长 cháng Great Wall
+    assert "shou du" in read_chinese("首都")        # 都 dū capital
+    assert read_chinese("我们都去") == "wo men dou qu"  # 都 dōu all
+
+
+def test_zh_numbers_and_measures():
+    from zonos_tpu.conditioning.zh import number_to_pinyin, read_chinese
+
+    assert number_to_pinyin(0) == "ling"
+    assert number_to_pinyin(25) == "er shi wu"
+    assert number_to_pinyin(13) == "shi san"          # 13 = shi san, not yi shi san
+    assert number_to_pinyin(105) == "yi bai ling wu"  # interior zero
+    assert number_to_pinyin(12345) == "yi wan er qian san bai si shi wu"
+    assert "liang ge" in read_chinese("2个苹果")      # 两 before measure word
+    assert "er shi wu ben" in read_chinese("25本书")  # but 25 stays er-based
+    assert "nian" in read_chinese("2024年")
+
+
+def test_zh_pinyin_to_ipa():
+    from zonos_tpu.conditioning.zh import pinyin_to_ipa
+
+    assert pinyin_to_ipa("zhong") == "ʈʂʊŋ"
+    assert pinyin_to_ipa("xue") == "ɕɥɛ"
+    assert pinyin_to_ipa("shi") == "ʂɨ"      # apical vowel after retroflex
+    assert pinyin_to_ipa("si") == "sɨ"
+    assert pinyin_to_ipa("lv") == "ly"       # ü
+    assert pinyin_to_ipa("er") == "ɚ"
+    assert pinyin_to_ipa("wen") == "wən"
+    assert pinyin_to_ipa("you") == "jow"
+    assert pinyin_to_ipa("yuan") == "ɥɛn"
+    assert pinyin_to_ipa("wo") == "wo"
+
+
+def test_zh_ipa_in_symbol_table():
+    from zonos_tpu.conditioning.text import UNK_ID, get_symbol_ids
+    from zonos_tpu.conditioning.zh import chinese_to_ipa
+
+    out = chinese_to_ipa("今天天气很好，我们一起去公园散步。")
+    assert out and UNK_ID not in get_symbol_ids(out), out
+
+
+def test_zh_routed_through_phonemize(monkeypatch):
+    import zonos_tpu.conditioning.espeak as E
+
+    monkeypatch.setattr(E, "_load", lambda: None)
+    out = E.phonemize(["我们学习中文，有25本书。"], ["cmn"])[0]
+    assert "ʈʂʊŋ" in out        # 中 zhong
+    assert "ʂɨ" in out          # shi
+    # digits read natively in Mandarin, not anglicized
+    assert "twenty" not in out
+
+
+def test_zh_coverage_floor():
+    from zonos_tpu.conditioning.zh import coverage
+
+    corpus = (
+        "今天天气很好，我们一起去公园散步。他在大学学习中文和历史。"
+        "这个问题很难，但是我们可以解决。政府宣布了新的经济政策。"
+        "我喜欢听音乐和看电影。明天早上八点开会。"
+    )
+    assert coverage(corpus) >= 0.92

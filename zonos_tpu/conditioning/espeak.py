@@ -126,6 +126,10 @@ def phonemize(texts: list[str], languages: list[str]) -> list[str]:
         ipa = native_g2p.phonemize(t, lang)
         if ipa is None and lang.startswith("ja") and has_kana(t):
             ipa = kana_to_ipa(t)
+        if ipa is None and lang[:3] in ("cmn", "yue", "hak") or ipa is None and lang[:2] == "zh":
+            from zonos_tpu.conditioning.zh import chinese_to_ipa
+
+            ipa = chinese_to_ipa(t, lang)
         if (ipa is None or not ipa.strip()) and t.strip():
             # None = no engine for the language; empty = the engine dropped
             # every byte (e.g. script mismatch). Both degrade to graphemes

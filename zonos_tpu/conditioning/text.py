@@ -209,10 +209,21 @@ except Exception:
 
 
 def clean(texts: list[str], languages: list[str]) -> list[str]:
-    """Language-aware cleanup before phonemization (conditioning.py:263-288)."""
+    """Language-aware cleanup before phonemization (conditioning.py:263-288).
+
+    Deviation from the reference: digits in Chinese-family requests
+    (cmn/yue/hak/zh) are NOT rewritten to English number-words — both
+    eSpeak's zh voices and the native reader (conditioning/zh.py) read
+    digits natively in Mandarin, which the reference's English
+    normalization would have destroyed."""
     out = []
     for text, language in zip(texts, languages):
-        out.append(normalize_jp_text(text) if "ja" in language else normalize_numbers(text))
+        if "ja" in language:
+            out.append(normalize_jp_text(text))
+        elif language[:3] in ("cmn", "yue", "hak") or language[:2] == "zh":
+            out.append(text)
+        else:
+            out.append(normalize_numbers(text))
     return out
 
 
