@@ -102,7 +102,7 @@ class HybridCache:
                 ssm.append(
                     jnp.zeros(
                         (r, batch_size, dims["nheads"], cfg.ssm_cfg.d_state, cfg.ssm_cfg.headdim),
-                        _ssd_state_dtype(),
+                        _ssd_state_dtype(dtype),
                     )
                 )
         return cls(
@@ -111,17 +111,28 @@ class HybridCache:
         )
 
 
-def _ssd_state_dtype():
-    """Carried SSD-state dtype: f32 by default; ZONOS_SSD_STATE_DTYPE=bf16
-    halves the dominant state traffic (~4.2 MB × 2 × 20 layers/step at
-    flagship scale — NOTES.md "Refuted" #4) at the cost of requantizing the
-    recurrence state every step. Compute stays f32 either way (ssd_step
-    promotes); drift is bounded by the recurrence's exponential decay and
-    measured in tests/test_mamba2.py::test_bf16_state_drift.
+def _ssd_state_dtype(compute_dtype):
+    """Carried SSD-state dtype.
+
+    bf16 states halve the dominant decode state traffic (~4.2 MB × 2 × 20
+    layers/step at flagship scale) — measured 3.38 → 2.87 ms/frame (−15%)
+    on v5e (tools/bench_hybrid_int8.py, round 3). Compute stays f32 either
+    way (ssd_step promotes); requantization drift vs an f64 reference is
+    <1.5% mean output error and bounded
+    (tests/test_mamba2.py::test_bf16_state_drift).
+
+    Default: follow the COMPUTE dtype — bf16 models (production) carry bf16
+    states, f32 models (parity tests) keep exact f32 states. Override with
+    ZONOS_SSD_STATE_DTYPE=bf16|f32.
     """
     import os
 
-    return jnp.bfloat16 if os.environ.get("ZONOS_SSD_STATE_DTYPE") == "bf16" else jnp.float32
+    env = os.environ.get("ZONOS_SSD_STATE_DTYPE")
+    if env == "bf16":
+        return jnp.bfloat16
+    if env in ("f32", "float32"):
+        return jnp.float32
+    return jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
 
 
 def _norm(x, p, cfg: BackboneConfig):
