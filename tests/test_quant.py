@@ -196,9 +196,11 @@ def test_gqa_attention_quantized_matches_dequantized(rng):
 
     kq, ks = _kv_quantize(k)
     vq, vs = _kv_quantize(v)
-    # gqa_attention_quantized takes HEAD-MAJOR scales ([B, Hkv, Sk]).
+    # gqa_attention_quantized takes HEAD-MAJOR K/V ([B, Hkv, Sk, Dh]) and
+    # scales ([B, Hkv, Sk]) — the contiguous-slab read layout (round 3).
     got = gqa_attention_quantized(
-        q, kq, jnp.swapaxes(ks, 1, 2), vq, jnp.swapaxes(vs, 1, 2), mask
+        q, jnp.swapaxes(kq, 1, 2), jnp.swapaxes(ks, 1, 2),
+        jnp.swapaxes(vq, 1, 2), jnp.swapaxes(vs, 1, 2), mask
     )
     ref = gqa_attention(
         q, _kv_dequantize(kq, ks, jnp.float32), _kv_dequantize(vq, vs, jnp.float32), mask

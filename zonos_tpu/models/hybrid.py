@@ -62,7 +62,8 @@ def layer_groups(cfg: BackboneConfig) -> tuple[tuple[str, int], ...]:
 class HybridCache:
     """Per-group sequence state. Entries are None for the other group kind.
 
-    kv_k/kv_v: per attn group [B, Smax, Hkv, Dh] (bf16, or int8 with
+    kv_k/kv_v: per attn group [B, Smax, Hkv, Dh] bf16 (head-major
+    [B, Hkv, Smax, Dh] when int8, with
     kv_ks/kv_vs per-(head, position) scales (head-major) — same scheme as the
     transformer's quantized KVCache);
     conv/ssm: per mamba group [R, B, K-1, conv_dim] / [R, B, H, N, P].
@@ -84,7 +85,11 @@ class HybridCache:
         dims = mamba2_dims(cfg.d_model, cfg.ssm_cfg) if cfg.ssm_cfg else None
         for kind, v in layer_groups(cfg):
             if kind == "attn":
-                shape = (batch_size, max_seqlen, cfg.attn_cfg.num_heads_kv, cfg.head_dim)
+                if kv_int8:
+                    # head-major int8 layout (see transformer.KVCache)
+                    shape = (batch_size, cfg.attn_cfg.num_heads_kv, max_seqlen, cfg.head_dim)
+                else:
+                    shape = (batch_size, max_seqlen, cfg.attn_cfg.num_heads_kv, cfg.head_dim)
                 kv_k.append(jnp.zeros(shape, jnp.int8 if kv_int8 else dtype))
                 kv_v.append(jnp.zeros(shape, jnp.int8 if kv_int8 else dtype))
                 sshape = (batch_size, cfg.attn_cfg.num_heads_kv, max_seqlen)
@@ -191,17 +196,22 @@ def _attn_mixer(
         # as the transformer path — ops/attention.gqa_attention_quantized).
         kq, knew = _kv_quantize(k)
         vq, vnew = _kv_quantize(v)
-        k_cache = jax.lax.dynamic_update_slice(k_cache, kq, (0, write_start, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, vq, (0, write_start, 0, 0))
+        # int8 cache is head-major [B, Hkv, Smax, Dh] (see transformer.KVCache)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, jnp.swapaxes(kq, 1, 2), (0, 0, write_start, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, jnp.swapaxes(vq, 1, 2), (0, 0, write_start, 0)
+        )
         # Head-major scales: transpose the tiny new entries at write so the
         # hot read side never transposes (see transformer.py / NOTES.md).
         ks = jax.lax.dynamic_update_slice(ks, jnp.swapaxes(knew, 1, 2), (0, 0, write_start))
         vs = jax.lax.dynamic_update_slice(vs, jnp.swapaxes(vnew, 1, 2), (0, 0, write_start))
         att = gqa_attention_quantized(
             q,
-            jax.lax.dynamic_slice_in_dim(k_cache, 0, attend_len, axis=1),
+            jax.lax.dynamic_slice_in_dim(k_cache, 0, attend_len, axis=2),
             jax.lax.dynamic_slice_in_dim(ks, 0, attend_len, axis=2),
-            jax.lax.dynamic_slice_in_dim(v_cache, 0, attend_len, axis=1),
+            jax.lax.dynamic_slice_in_dim(v_cache, 0, attend_len, axis=2),
             jax.lax.dynamic_slice_in_dim(vs, 0, attend_len, axis=2),
             mask,
         ).reshape(b, s, hq * dh)

@@ -47,7 +47,12 @@ PALLAS_ATTN = os.environ.get("ZONOS_PALLAS_ATTN", "0") == "1"
 
 
 def _pallas_attn_ok(s, pad_amount, b, attend_len, hkv, dh, hq) -> bool:
-    if not PALLAS_ATTN or s != 1 or pad_amount is None:
+    # DISABLED since the head-major int8 KV layout change (round 3): the
+    # kernel in ops/pallas_attention.py still expects time-major [B, S, H, Dh]
+    # buffers, and it measured as a LOSS on this stack anyway (~25 µs fixed
+    # per-call cost, NOTES.md "Refuted" #1-2). Re-port the kernel to the
+    # head-major layout before re-enabling ZONOS_PALLAS_ATTN.
+    if True or not PALLAS_ATTN or s != 1 or pad_amount is None:
         return False
     from zonos_tpu.ops.pallas_attention import vmem_ok
 
@@ -79,17 +84,19 @@ def _fused_mlp_maybe(h2: jnp.ndarray, mlp_p: dict) -> jnp.ndarray | None:
 class KVCache:
     """Static-shape KV cache for all attention layers.
 
-    k, v: [n_layer, batch, max_seqlen, n_heads_kv, head_dim].
+    k, v (bf16): [n_layer, batch, max_seqlen, n_heads_kv, head_dim].
     For hybrid backbones only attention layers use their slice; SSM layers
     carry their own state (see models/hybrid.py).
 
     Optional int8 storage (k_scale/v_scale non-None): K/V quantize per
     (position, head) on write and the attention reads the int8 values
     directly (ops/attention.gqa_attention_quantized) — halves the per-step
-    KV bytes, the second-largest HBM stream after weights. Scales are stored
-    HEAD-MAJOR ([L, B, Hkv, S]) so the attention read broadcasts them over
-    scores without a [B, S, H]→[B, H, S] transpose (that transpose fell off
-    XLA's fast path above 2×8 CFG rows — the batch-16 cliff, NOTES.md).
+    KV bytes, the second-largest HBM stream after weights. The int8 buffers
+    are stored HEAD-MAJOR ([L, B, Hkv, S, Dh], matching the scales at
+    [L, B, Hkv, S]): the attention dot then streams each head's [S, Dh]
+    slab contiguously instead of striding over the head axis per row —
+    the same lesson as the round-2 scale-transpose fix (batch-16 cliff,
+    NOTES.md). Writes transpose the (tiny) incoming chunk instead.
     """
 
     k: jnp.ndarray
@@ -104,9 +111,10 @@ class KVCache:
     ) -> "KVCache":
         shape = (cfg.n_layer, batch_size, max_seqlen, cfg.attn_cfg.num_heads_kv, cfg.head_dim)
         if quantized:
+            qshape = (cfg.n_layer, batch_size, cfg.attn_cfg.num_heads_kv, max_seqlen, cfg.head_dim)
             sshape = (cfg.n_layer, batch_size, cfg.attn_cfg.num_heads_kv, max_seqlen)
             return cls(
-                k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+                k=jnp.zeros(qshape, jnp.int8), v=jnp.zeros(qshape, jnp.int8),
                 k_scale=jnp.ones(sshape, jnp.float32), v_scale=jnp.ones(sshape, jnp.float32),
             )
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
@@ -194,16 +202,20 @@ def _attn_block(
         # ops/attention.gqa_attention_quantized). No bf16 K/V materializes.
         kq, ks = _kv_quantize(k)
         vq, vs = _kv_quantize(v)
-        k_cache_l = jax.lax.dynamic_update_slice(k_cache_l, kq, (0, write_start, 0, 0))
-        v_cache_l = jax.lax.dynamic_update_slice(v_cache_l, vq, (0, write_start, 0, 0))
-        # Scales are head-major [B, Hkv, S]; the new [B, S, Hkv] entries
-        # transpose at write (tiny: S = current chunk) so the hot read side
-        # never transposes.
+        # int8 cache is HEAD-MAJOR [B, Hkv, Smax, Dh] (see KVCache): the new
+        # entries transpose at write (tiny: S = current chunk) so the hot
+        # read side streams contiguous per-head slabs.
+        k_cache_l = jax.lax.dynamic_update_slice(
+            k_cache_l, jnp.swapaxes(kq, 1, 2), (0, 0, write_start, 0)
+        )
+        v_cache_l = jax.lax.dynamic_update_slice(
+            v_cache_l, jnp.swapaxes(vq, 1, 2), (0, 0, write_start, 0)
+        )
         ks_l = jax.lax.dynamic_update_slice(ks_l, jnp.swapaxes(ks, 1, 2), (0, 0, write_start))
         vs_l = jax.lax.dynamic_update_slice(vs_l, jnp.swapaxes(vs, 1, 2), (0, 0, write_start))
-        k_att = jax.lax.dynamic_slice_in_dim(k_cache_l, 0, attend_len, axis=1)
+        k_att = jax.lax.dynamic_slice_in_dim(k_cache_l, 0, attend_len, axis=2)
         ks_att = jax.lax.dynamic_slice_in_dim(ks_l, 0, attend_len, axis=2)
-        v_att = jax.lax.dynamic_slice_in_dim(v_cache_l, 0, attend_len, axis=1)
+        v_att = jax.lax.dynamic_slice_in_dim(v_cache_l, 0, attend_len, axis=2)
         vs_att = jax.lax.dynamic_slice_in_dim(vs_l, 0, attend_len, axis=2)
         if _pallas_attn_ok(s, pad_amount, b, attend_len, hkv, dh, q.shape[2]):
             from zonos_tpu.ops.pallas_attention import attn_core_int8

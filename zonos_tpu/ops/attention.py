@@ -17,6 +17,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import nn as jnn
 
+import os
+
+_QQ_INT8 = os.environ.get("ZONOS_ATTN_QQ", "0") == "1"
+
 NEG_INF = -1e30  # python float: no device allocation at import time
 
 
@@ -46,9 +50,9 @@ def gqa_attention(
 
 def gqa_attention_quantized(
     q: jnp.ndarray,  # [B, Sq, Hq, Dh]
-    kq: jnp.ndarray,  # [B, Sk, Hkv, Dh] int8
+    kq: jnp.ndarray,  # [B, Hkv, Sk, Dh] int8 (HEAD-MAJOR)
     ks: jnp.ndarray,  # [B, Hkv, Sk] f32 per-(head, position) scales (head-major)
-    vq: jnp.ndarray,  # [B, Sk, Hkv, Dh] int8
+    vq: jnp.ndarray,  # [B, Hkv, Sk, Dh] int8
     vs: jnp.ndarray,  # [B, Hkv, Sk] f32
     mask: jnp.ndarray | None,
 ) -> jnp.ndarray:
@@ -66,20 +70,32 @@ def gqa_attention_quantized(
     (the batch-16 serving cliff, NOTES.md).
     """
     b, sq, hq, dh = q.shape
-    hkv = kq.shape[2]
+    hkv = kq.shape[1]
     g = hq // hkv
     scale = 1.0 / jnp.sqrt(jnp.float32(dh))
 
     qg = q.reshape(b, sq, hkv, g, dh)
-    scores = jnp.einsum(
-        "bqhgd,bkhd->bhgqk", qg, kq.astype(q.dtype), preferred_element_type=jnp.float32
-    )
-    scores = scores * ks[:, :, None, None, :] * scale
+    if _QQ_INT8:
+        # Quantize q per (batch, kv-head) so the q·k dot runs NATIVELY in the
+        # MXU's int8 mode (s8×s8→s32) instead of converting the whole int8 K
+        # read to bf16 (ZONOS_ATTN_QQ=1 experiment; see NOTES.md round 3).
+        qf = qg.astype(jnp.float32)
+        qs = jnp.max(jnp.abs(qf), axis=(1, 3, 4), keepdims=True) / 127.0 + 1e-12
+        qq = jnp.round(qf / qs).astype(jnp.int8)
+        scores = jnp.einsum(
+            "bqhgd,bhkd->bhgqk", qq, kq, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        scores = scores * qs.reshape(b, 1, hkv, 1, 1).swapaxes(1, 2) * ks[:, :, None, None, :] * scale
+    else:
+        scores = jnp.einsum(
+            "bqhgd,bhkd->bhgqk", qg, kq.astype(q.dtype), preferred_element_type=jnp.float32
+        )
+        scores = scores * ks[:, :, None, None, :] * scale
     if mask is not None:
         scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
     probs = jnn.softmax(scores, axis=-1)
     pw = probs * vs[:, :, None, None, :]
-    out = jnp.einsum("bhgqk,bkhd->bqhgd", pw.astype(q.dtype), vq.astype(q.dtype))
+    out = jnp.einsum("bhgqk,bhkd->bqhgd", pw.astype(q.dtype), vq.astype(q.dtype))
     return out.reshape(b, sq, hq, dh)
 
 
