@@ -24,7 +24,8 @@ model = Zonos.from_config(cfg, seed=0, dtype=jnp.bfloat16).quantize()
 rng = np.random.default_rng(0)
 FRAMES = 430
 
-for batch in (1, 2, 4, 8):
+import os
+for batch in tuple(int(x) for x in os.environ.get("ZONOS_BENCH_BATCHES", "1,2,4,8").split(",")):
     cond = rng.normal(size=(2 * batch, 80, cfg.backbone.d_model)).astype(np.float32) * 0.05
 
     def run(seed):
