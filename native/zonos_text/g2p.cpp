@@ -4143,6 +4143,16 @@ static const LatRule kLtRules[] = {   // Lithuanian
 static const LatRule kKlRules[] = {   // Greenlandic
   {"ll", "ɬ"}, {"rr", "χ"}, {"ng", "ŋ"}, {"q", "q"}, {"r", "ʁ"}, {"j", "j"},
 };
+static const LatRule kQucRules[] = {  // K'iche' (Mayan; ejectives via ')
+  {"b'", "ɓ"}, {"ch'", "tʃʼ"}, {"ch", "tʃ"}, {"k'", "kʼ"}, {"q'", "qʼ"},
+  {"t'", "tʼ"}, {"tz'", "tsʼ"}, {"tz", "ts"}, {"j", "x"}, {"q", "q"},
+  {"x", "ʃ"}, {"w", "w"}, {"y", "j"}, {"'", "ʔ"}, {"ä", "ə"},
+};
+static const LatRule kNciRules[] = {  // Classical Nahuatl
+  {"hu", "w"}, {"uh", "w"}, {"qu+", "k"}, {"cu", "kw"}, {"uc", "kw"},
+  {"c+", "s"}, {"ch", "tʃ"}, {"tl", "tɬ"}, {"tz", "ts"}, {"x", "ʃ"},
+  {"z", "s"}, {"ll", "l"}, {"c", "k"}, {"h", "ʔ"}, {"y", "j"},
+};
 static const LatRule kAnRules[] = {   // Aragonese (Spanish-adjacent)
   {"ny", "ɲ"}, {"ñ", "ɲ"}, {"ch", "tʃ"}, {"qu+", "k"}, {"gu+", "ɡ"},
   {"c+", "θ"}, {"z", "θ"}, {"j", "x"}, {"g+", "x"}, {"ll", "ʎ"}, {"v", "b"},
@@ -4237,6 +4247,23 @@ bool pa_letter(unsigned int cp, const PACfg& cfg, std::vector<PAPhone>* word,
     case 0x06D2:  // ے (ur: bari ye, final eː)
       word->push_back({"eː", true}); return true;
     case 0x0679: word->push_back({"ʈ", false}); return true;   // ٹ (ur)
+    // Sindhi letters (implosives + aspirated/retroflex series)
+    case 0x067B: word->push_back({"ɓ", false}); return true;   // ٻ
+    case 0x0684: word->push_back({"ʄ", false}); return true;   // ڄ
+    case 0x06B3: word->push_back({"ɠ", false}); return true;   // ڳ
+    case 0x06B1: word->push_back({"ŋ", false}); return true;   // ڱ
+    case 0x06BB: word->push_back({"ɳ", false}); return true;   // ڻ
+    case 0x068C: word->push_back({"dʱ", false}); return true;  // ڌ
+    case 0x068F: word->push_back({"ɗ", false}); return true;   // ڏ
+    case 0x068A: word->push_back({"ɖ", false}); return true;   // ڊ
+    case 0x068D: word->push_back({"ɖʱ", false}); return true;  // ڍ
+    case 0x067A: word->push_back({"ʈʰ", false}); return true;  // ٺ
+    case 0x067D: word->push_back({"ʈ", false}); return true;   // ٽ
+    case 0x067F: word->push_back({"tʰ", false}); return true;  // ٿ
+    case 0x0680: word->push_back({"bʱ", false}); return true;  // ڀ
+    case 0x06A6: word->push_back({"pʰ", false}); return true;  // ڦ
+    case 0x0687: word->push_back({"tʃʰ", false}); return true; // ڇ
+    case 0x0683: word->push_back({"ɲ", false}); return true;   // ڃ
     case 0x0688: word->push_back({"ɖ", false}); return true;   // ڈ (ur)
     case 0x0691: word->push_back({"ɽ", false}); return true;   // ڑ (ur)
     // harakat (written diacritics — honored exactly when present)
@@ -5201,6 +5228,93 @@ int ztx_version() { return 18; }
 // Phonemize UTF-8 text in the given language ("en", "en-us", "es", ...).
 // Returns nullptr for unsupported languages (caller falls back). Returned
 // buffer is malloc'd; free with ztx_free.
+
+// Polytonic Greek (U+1F00-1FFF) → monotonic with tonos. Each Greek-Extended
+// block is one base vowel; breathings/iota-subscript drop, any of
+// oxia/varia/perispomeni marks the accented syllable (tonos form).
+std::string fold_polytonic(const char* utf8_text) {
+  std::string in(utf8_text), out;
+  auto put_cp = [&](unsigned int cp) {
+    if (cp < 0x80) { out += static_cast<char>(cp); return; }
+    if (cp < 0x800) {
+      out += static_cast<char>(0xC0 | (cp >> 6));
+      out += static_cast<char>(0x80 | (cp & 0x3F));
+      return;
+    }
+    out += static_cast<char>(0xE0 | (cp >> 12));
+    out += static_cast<char>(0x80 | ((cp >> 6) & 0x3F));
+    out += static_cast<char>(0x80 | (cp & 0x3F));
+  };
+  // (plain lowercase, tonos lowercase) per vowel.
+  static const unsigned int kVow[7][2] = {
+    {0x03B1, 0x03AC},  // α ά
+    {0x03B5, 0x03AD},  // ε έ
+    {0x03B7, 0x03AE},  // η ή
+    {0x03B9, 0x03AF},  // ι ί
+    {0x03BF, 0x03CC},  // ο ό
+    {0x03C5, 0x03CD},  // υ ύ
+    {0x03C9, 0x03CE},  // ω ώ
+  };
+  for (size_t i = 0; i < in.size();) {
+    unsigned char c = in[i];
+    unsigned int cp = 0; size_t len = 1;
+    if (c < 0x80) { cp = c; }
+    else if ((c >> 5) == 0x6 && i + 1 < in.size()) {
+      cp = ((c & 0x1F) << 6) | (in[i+1] & 0x3F); len = 2;
+    } else if ((c >> 4) == 0xE && i + 2 < in.size()) {
+      cp = ((c & 0x0F) << 12) | ((in[i+1] & 0x3F) << 6) | (in[i+2] & 0x3F); len = 3;
+    } else if ((c >> 3) == 0x1E && i + 3 < in.size()) { len = 4; }
+    if (cp >= 0x1F00 && cp <= 0x1FFF) {
+      unsigned int off = cp - 0x1F00;
+      int vowel = -1; bool accented = false;
+      if (off < 0x70) {
+        // blocks of 16 (lower 8 + capital 8): α ε η ι ο υ ω
+        vowel = off / 16;
+        accented = (off & 7) >= 4;  // oxia or perispomeni forms
+      } else if (off < 0x80) {
+        // bare accent pairs ὰά ὲέ ὴή ὶί ὸό ὺύ ὼώ
+        static const int order[7] = {0, 1, 2, 3, 4, 5, 6};
+        vowel = order[(off - 0x70) / 2];
+        accented = true;
+      } else if (off < 0xB0) {
+        // iota-subscript series: α(80-8F) η(90-9F) ω(A0-AF)
+        vowel = (off < 0x90) ? 0 : (off < 0xA0) ? 2 : 6;
+        accented = (off & 7) >= 4;
+      } else {
+        switch (cp) {
+          case 0x1FB0: case 0x1FB1: case 0x1FB3: vowel = 0; break;
+          case 0x1FB2: case 0x1FB4: case 0x1FB6: case 0x1FB7: vowel = 0; accented = true; break;
+          case 0x1FC3: vowel = 2; break;
+          case 0x1FC2: case 0x1FC4: case 0x1FC6: case 0x1FC7: vowel = 2; accented = true; break;
+          case 0x1FD0: case 0x1FD1: vowel = 3; break;
+          case 0x1FD2: case 0x1FD3: case 0x1FD6: case 0x1FD7: vowel = 3; accented = true; break;
+          case 0x1FE0: case 0x1FE1: vowel = 5; break;
+          case 0x1FE2: case 0x1FE3: case 0x1FE6: case 0x1FE7: vowel = 5; accented = true; break;
+          case 0x1FE4: case 0x1FE5: put_cp(0x03C1); i += len; continue;  // ῤ ῥ → ρ
+          case 0x1FEC: put_cp(0x03C1); i += len; continue;               // Ῥ
+          case 0x1FF3: vowel = 6; break;
+          case 0x1FF2: case 0x1FF4: case 0x1FF6: case 0x1FF7: vowel = 6; accented = true; break;
+          // capital bare-accent forms and stray marks: best-effort bases
+          case 0x1FBA: case 0x1FBB: vowel = 0; accented = true; break;
+          case 0x1FC8: case 0x1FC9: vowel = 1; accented = true; break;
+          case 0x1FCA: case 0x1FCB: vowel = 2; accented = true; break;
+          case 0x1FDA: case 0x1FDB: vowel = 3; accented = true; break;
+          case 0x1FF8: case 0x1FF9: vowel = 4; accented = true; break;
+          case 0x1FEA: case 0x1FEB: vowel = 5; accented = true; break;
+          case 0x1FFA: case 0x1FFB: vowel = 6; accented = true; break;
+          default: break;  // breathing/accent spacing marks: dropped
+        }
+      }
+      if (vowel >= 0) put_cp(kVow[vowel][accented ? 1 : 0]);
+      i += len;
+      continue;
+    }
+    out.append(in, i, len);
+    i += len;
+  }
+  return out;
+}
+
 const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (!lang) return nullptr;
   if (strncmp(lang, "en", 2) == 0) return phonemize_text(utf8_text, Lang::EN);
@@ -5217,7 +5331,19 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (strncmp(lang, "ro", 2) == 0) return phonemize_text(utf8_text, Lang::RO);
   if (strncmp(lang, "fi", 2) == 0) return phonemize_text(utf8_text, Lang::FI);
   if (strncmp(lang, "hu", 2) == 0) return phonemize_text(utf8_text, Lang::HU);
+  if (strncmp(lang, "grc", 3) == 0) {
+    // Ancient Greek: fold polytonic accents to monotonic (oxia/perispomeni
+    // → tonos, so the el engine still gets EXACT stress), then read with
+    // the standard modern-Greek values.
+    std::string folded = fold_polytonic(utf8_text);
+    return phonemize_text_el(folded.c_str());
+  }
   if (strncmp(lang, "el", 2) == 0) return phonemize_text_el(utf8_text);
+  if (strncmp(lang, "kok", 3) == 0) {
+    // Konkani (Devanagari) — must match BEFORE the bare "ko" Korean check.
+    static const BrahmicCfg kKok = {0x0900, "ə", true, false};
+    return phonemize_text_brahmic(utf8_text, kKok);
+  }
   if (strncmp(lang, "ko", 2) == 0) return phonemize_text_ko(utf8_text);
   if (strncmp(lang, "id", 2) == 0 || strncmp(lang, "ms", 2) == 0)
     return phonemize_text(utf8_text, Lang::ID);
@@ -5273,6 +5399,8 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
       {"lt",  {kLtRules,  sizeof(kLtRules)/sizeof(LatRule),  LatStress::PENULT}},
       {"kl",  {kKlRules,  sizeof(kKlRules)/sizeof(LatRule),  LatStress::FIRST}},
       {"an",  {kAnRules,  sizeof(kAnRules)/sizeof(LatRule),  LatStress::PENULT}},
+      {"quc", {kQucRules, sizeof(kQucRules)/sizeof(LatRule), LatStress::FINAL}},
+      {"nci", {kNciRules, sizeof(kNciRules)/sizeof(LatRule), LatStress::PENULT}},
     };
     for (const auto& e : kLatin) {
       size_t cl = strlen(e.code);
@@ -5299,7 +5427,9 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
     static const PACfg kFa = {0};
     return phonemize_text_perso_arabic(utf8_text, kFa);
   }
-  if (strncmp(lang, "ur", 2) == 0) {
+  if (strncmp(lang, "ur", 2) == 0 || strncmp(lang, "sd", 2) == 0) {
+    // Sindhi shares the Urdu letter values (its implosive-specific letters
+    // decode through the shared consonant skeleton).
     static const PACfg kUr = {1};
     return phonemize_text_perso_arabic(utf8_text, kUr);
   }
@@ -5314,6 +5444,7 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
       {"mr", {0x0900, "\u0259", true,  false}},  // Marathi
       {"ne", {0x0900, "\u0259", true,  false}},  // Nepali
       {"bn", {0x0980, "\u0254", true,  false}},  // Bengali (inherent \u0254)
+      {"bpy", {0x0980, "\u0254", true, false}},  // Bishnupriya (Bengali script)
       {"as", {0x0980, "\u0254", true,  false}},  // Assamese (Bengali script)
       {"pa", {0x0A00, "\u0259", true,  false}},  // Punjabi (Gurmukhi)
       {"gu", {0x0A80, "\u0259", true,  false}},  // Gujarati

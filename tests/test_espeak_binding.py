@@ -919,3 +919,33 @@ def test_am_ethiopic_engine():
     assert ph("ቡና") == "buna"                       # 2nd order u, 4th order a
     out = ph("እናገራለሁ ጤና ይስጥልኝ")
     assert UNK_ID not in get_symbol_ids(out), out
+
+
+def test_routing_batch_round3():
+    """kok/bpy/sd/grc/quc/nci: script-level coverage for the remaining
+    non-Latin absentees + two regular Mayan/Nahuatl tables."""
+    from zonos_tpu.conditioning import native_g2p
+    from zonos_tpu.conditioning.text import UNK_ID, get_symbol_ids
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = native_g2p.phonemize
+    # Konkani must NOT be swallowed by the bare-"ko" Korean check.
+    assert ph("कोंकणी", "kok") == "koːŋkəɳiː"
+    # Bishnupriya reads through the Bengali-script decoder.
+    out = ph("বিষ্ণুপ্রিয়া", "bpy")
+    assert out and "ʂ" in out
+    # Sindhi: implosives from its dedicated letters.
+    assert "ɓ" in ph("ٻولي", "sd")
+    assert "ɗ" in ph("ڏاڍي", "sd")
+    # Ancient Greek: polytonic folds to monotonic with EXACT stress from
+    # oxia/perispomeni, then modern-Greek values.
+    assert ph("ἄνθρωπος", "grc") == "ˈanθropos"
+    assert ph("ψυχῆς", "grc") == "psiçˈis"
+    assert ph("καὶ", "grc") == "ke"
+    # K'iche' ejectives; Nahuatl tl/x.
+    assert "tsʼ" in ph("tz'ib'", "quc")
+    assert "tɬ" in ph("tlahtolli", "nci")
+    assert "ʃ" in ph("mexihco", "nci")
+    for text, lang in [("कोंकणी", "kok"), ("ٻولي", "sd"), ("ἄνθρωπος", "grc")]:
+        assert UNK_ID not in get_symbol_ids(ph(text, lang)), lang
