@@ -3870,6 +3870,217 @@ const char* phonemize_text_am(const char* utf8_text) {
   return buf;
 }
 
+// --- Goidelic (Irish / Scottish Gaelic) --------------------------------------
+// Irish orthography is rule-governed once two systems are understood:
+// (1) every consonant is BROAD (plain/velarized) or SLENDER (palatalized),
+// shown by the flanking vowel letters ("caol le caol agus leathan le
+// leathan"); (2) the lenition digraphs (bh mh ch dh gh fh ph sh th) and
+// word-initial eclipsis clusters (mb gc nd bhf dt bp ng) replace their
+// base letters entirely. Short-vowel clusters mostly carry ONE spoken
+// vowel — the rest are quality markers. Initial stress (Connacht/Ulster
+// convention). Scottish Gaelic shares the machinery with different values
+// for ao and broad bh/mh.
+
+bool gd_slender_v(char c) { return c=='e' || c=='i' || c=='E' || c=='I'; }
+bool gd_any_v(char c) {
+  return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'||c=='A'||c=='E'||c=='I'||c=='O'||c=='U';
+}
+
+std::string phonemize_word_goidelic(const std::string& raw, bool scottish) {
+  // Fold: á→A é→E í→I ó→O ú→U (fada marks length).
+  std::string w;
+  for (size_t i = 0; i < raw.size();) {
+    unsigned char c = raw[i];
+    if (c < 128) { w += static_cast<char>(tolower(c)); ++i; continue; }
+    if (c == 0xC3 && i + 1 < raw.size()) {
+      unsigned char d = raw[i + 1];
+      switch (d) {
+        case 0xA1: case 0x81: w += 'A'; break;  // á
+        case 0xA9: case 0x89: w += 'E'; break;  // é
+        case 0xAD: case 0x8D: w += 'I'; break;  // í
+        case 0xB3: case 0x93: w += 'O'; break;  // ó
+        case 0xBA: case 0x9A: w += 'U'; break;  // ú
+        case 0xA0: case 0x80: w += 'A'; break;  // à (gd)
+        case 0xA8: case 0x88: w += 'E'; break;  // è (gd)
+        case 0xAC: case 0x8C: w += 'I'; break;  // ì (gd)
+        case 0xB2: case 0x92: w += 'O'; break;  // ò (gd)
+        case 0xB9: case 0x99: w += 'U'; break;  // ù (gd)
+      }
+      i += 2; continue;
+    }
+    ++i;
+  }
+  size_t n = w.size();
+
+  // Is the consonant at [i..j) slender? The FOLLOWING vowel decides; at
+  // word end the PRECEDING one does (caol le caol symmetry).
+  auto slender_at = [&](size_t i, size_t j) {
+    if (j < n && gd_any_v(w[j])) return gd_slender_v(w[j]);
+    if (i > 0 && gd_any_v(w[i - 1])) return gd_slender_v(w[i - 1]);
+    return false;
+  };
+
+  struct GP { std::string ipa; bool vowel; };
+  std::vector<GP> ph;
+
+  size_t i = 0;
+  // Word-initial eclipsis: the written base letter is silent.
+  if (!scottish) {
+    if (n >= 3 && w.compare(0, 3, "bhf") == 0) {
+      ph.push_back({slender_at(0, 3) ? "vʲ" : "w", false}); i = 3;
+    } else if (n >= 2 && w[1] != '\0') {
+      static const struct { const char* cl; const char* ipa; } kEcl[] = {
+        {"mb", "m"}, {"gc", "ɡ"}, {"nd", "n"}, {"ng", "ŋ"}, {"dt", "d"},
+        {"bp", "b"}, {"ts", "t"},
+      };
+      for (const auto& e : kEcl) {
+        if (w.compare(0, 2, e.cl) == 0 && n > 2 && !gd_any_v(w[1])) {
+          ph.push_back({e.ipa, false}); i = 2; break;
+        }
+      }
+    }
+  }
+
+  while (i < n) {
+    char c = w[i];
+    char c1 = (i + 1 < n) ? w[i + 1] : '\0';
+    // --- lenition digraphs ---
+    if (c1 == 'h') {
+      bool sl = slender_at(i, i + 2);
+      bool final_pos = i + 2 >= n;
+      switch (c) {
+        case 'b': case 'm':
+          ph.push_back({sl ? "vʲ" : (scottish ? "v" : "w"), false}); i += 2; continue;
+        case 'c': ph.push_back({sl ? "ç" : "x", false}); i += 2; continue;
+        case 'd': case 'g':
+          if (final_pos && i > 0 && gd_any_v(w[i - 1])) { i += 2; continue; }  // -adh/-igh: silent
+          ph.push_back({sl ? "j" : "ɣ", false}); i += 2; continue;
+        case 'f': i += 2; continue;  // fh silent
+        case 'p': ph.push_back({"f", false}); i += 2; continue;
+        case 's': case 't': ph.push_back({"h", false}); i += 2; continue;
+      }
+    }
+    // --- vowel clusters (longest match; fada vowels dominate) ---
+    if (gd_any_v(c)) {
+      size_t j = i;
+      std::string cluster;
+      while (j < n && gd_any_v(w[j])) { cluster += w[j]; ++j; }
+      std::string ipa;
+      // Any fada vowel in the cluster wins.
+      if (cluster.find('A') != std::string::npos) ipa = "ɑː";
+      else if (cluster.find('E') != std::string::npos) ipa = "eː";
+      else if (cluster.find('I') != std::string::npos) ipa = "iː";
+      else if (cluster.find('O') != std::string::npos) ipa = "oː";
+      else if (cluster.find('U') != std::string::npos) ipa = "uː";
+      else if (cluster == "aoi") ipa = scottish ? "ɯː" : "iː";
+      else if (cluster == "ao") ipa = scottish ? "ɯː" : "iː";
+      else if (cluster == "eo") ipa = "oː";
+      else if (cluster == "ea") ipa = "a";
+      else if (cluster == "ai") ipa = "a";
+      else if (cluster == "ei") ipa = "ɛ";
+      else if (cluster == "io") ipa = "ɪ";
+      else if (cluster == "iu") ipa = "ʊ";
+      else if (cluster == "ui") ipa = "ɪ";
+      else if (cluster == "ua") ipa = "uə";
+      else if (cluster == "uai") ipa = "uə";
+      else if (cluster == "ia") ipa = "iə";
+      else if (cluster == "iai") ipa = "iə";
+      else if (cluster == "eai") ipa = "a";
+      else if (cluster == "aei") ipa = "eː";
+      else if (cluster == "ae") ipa = "eː";
+      else if (cluster == "oi") ipa = "ɔ";
+      else if (cluster == "eoi") ipa = "oː";
+      else if (cluster == "iui") ipa = "ʊ";
+      else if (cluster == "ai" ) ipa = "a";
+      else if (cluster.size() == 1) {
+        switch (cluster[0]) {
+          case 'a': ipa = "a"; break;
+          case 'e': ipa = "ɛ"; break;
+          case 'i': ipa = "ɪ"; break;
+          case 'o': ipa = "ɔ"; break;
+          case 'u': ipa = "ʊ"; break;
+        }
+      } else {
+        // Unlisted cluster: first non-marker vowel.
+        switch (cluster[0]) {
+          case 'a': ipa = "a"; break;
+          case 'e': ipa = "ɛ"; break;
+          case 'i': ipa = "ɪ"; break;
+          case 'o': ipa = "ɔ"; break;
+          case 'u': ipa = "ʊ"; break;
+          default: ipa = "ə"; break;
+        }
+      }
+      ph.push_back({ipa, true});
+      i = j;
+      continue;
+    }
+    // --- consonants with broad/slender quality ---
+    bool sl = slender_at(i, i + 1);
+    switch (c) {
+      case 'b': ph.push_back({sl ? "bʲ" : "b", false}); break;
+      case 'c': ph.push_back({sl ? "c" : "k", false}); break;
+      case 'd': ph.push_back({sl ? "dʲ" : "d", false}); break;
+      case 'f': ph.push_back({sl ? "fʲ" : "f", false}); break;
+      case 'g': ph.push_back({sl ? "ɟ" : "ɡ", false}); break;
+      case 'h': ph.push_back({"h", false}); break;
+      case 'l': ph.push_back({sl ? "ʎ" : "l", false}); break;
+      case 'm': ph.push_back({sl ? "mʲ" : "m", false}); break;
+      case 'n': ph.push_back({sl ? "ɲ" : "n", false}); break;
+      case 'p': ph.push_back({sl ? "pʲ" : "p", false}); break;
+      case 'r': ph.push_back({"ɾ", false}); break;
+      case 's': ph.push_back({sl ? "ʃ" : "s", false}); break;
+      case 't': ph.push_back({sl ? "tʲ" : "t", false}); break;
+      case 'v': ph.push_back({"v", false}); break;
+      default: break;
+    }
+    ++i;
+  }
+
+  int total = 0;
+  for (const auto& p : ph) total += p.vowel ? 1 : 0;
+  bool placed = false;
+  std::string out;
+  for (const auto& p : ph) {
+    if (p.vowel && !placed) { if (total > 1) out += "ˈ"; placed = true; }
+    out += p.ipa;
+  }
+  return out;
+}
+
+const char* phonemize_text_goidelic(const char* utf8_text, bool scottish) {
+  if (!utf8_text) return nullptr;
+  std::string text(utf8_text);
+  std::string result, word;
+  auto flush = [&]() {
+    if (!word.empty()) {
+      result += phonemize_word_goidelic(word, scottish);
+      word.clear();
+    }
+  };
+  for (size_t i = 0; i < text.size();) {
+    unsigned char c = text[i];
+    if (c < 128) {
+      if (isalpha(c) || c == '\'') { word += static_cast<char>(c); ++i; continue; }
+      flush();
+      if (strchr(";:,.!?()\"- ", c)) {
+        if (!(c == ' ' && !result.empty() && result.back() == ' '))
+          result += static_cast<char>(c);
+      }
+      ++i;
+      continue;
+    }
+    size_t len = (c >> 5) == 0x6 ? 2 : (c >> 4) == 0xE ? 3 : 4;
+    if (c == 0xC3) { word.append(text, i, len); i += len; continue; }
+    flush();
+    i += len;
+  }
+  flush();
+  char* buf = static_cast<char*>(malloc(result.size() + 1));
+  memcpy(buf, result.c_str(), result.size() + 1);
+  return buf;
+}
+
 // --- Generic table-driven Latin engine ---------------------------------------
 // The long tail of REGULAR Latin orthographies (Māori, Latin, Albanian,
 // Maltese, Afrikaans, Icelandic, Catalan, Haitian, Papiamento, Guarani,
@@ -5422,6 +5633,8 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
         return phonemize_text_cyrillic_turkic(utf8_text, e.cfg);
   }
   if (strncmp(lang, "am", 2) == 0) return phonemize_text_am(utf8_text);
+  if (strncmp(lang, "ga", 2) == 0) return phonemize_text_goidelic(utf8_text, false);
+  if (strncmp(lang, "gd", 2) == 0) return phonemize_text_goidelic(utf8_text, true);
   if (strncmp(lang, "fa-latn", 7) == 0) return phonemize_text_falatn(utf8_text);
   if (strncmp(lang, "fa", 2) == 0) {
     static const PACfg kFa = {0};

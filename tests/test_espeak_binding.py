@@ -949,3 +949,28 @@ def test_routing_batch_round3():
     assert "ʃ" in ph("mexihco", "nci")
     for text, lang in [("कोंकणी", "kok"), ("ٻولي", "sd"), ("ἄνθρωπος", "grc")]:
         assert UNK_ID not in get_symbol_ids(ph(text, lang)), lang
+
+
+def test_ga_gd_goidelic_engines():
+    """Irish/Scottish Gaelic: broad/slender consonant quality from flanking
+    vowels, lenition digraphs, eclipsis clusters, fada vowels."""
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ga = lambda t: native_g2p.phonemize(t, "ga")
+    assert ga("Dia dhuit") == "dʲiə ɣɪtʲ"     # slender d, broad dh → ɣ
+    assert ga("slán") == "slɑːn"              # fada á
+    assert ga("Seán") == "ʃɑːn"               # slender s → ʃ
+    assert ga("teach") == "tʲax"              # slender t, broad ch → x
+    assert ga("oíche") == "ˈiːçɛ"             # slender ch → ç
+    assert ga("saol") == "siːl"               # ao → iː (Irish)
+    assert ga("bhfuil") == "wɪʎ"              # eclipsis bhf → w
+    assert ga("mhaith") == "wah"              # lenited m → w, th → h
+    assert ga("fear") == "fʲaɾ"               # slender f, ea → a
+    assert ga("fhear") == "aɾ"                # fh silent
+    assert ga("uisce") == "ˈɪʃcɛ"             # slender s + slender c
+    gd = lambda t: native_g2p.phonemize(t, "gd")
+    assert gd("saoghal") == "sˈɯːɣal"         # gd ao → ɯː
+    assert gd("tha") == "ha"                  # th → h
+    assert gd("mhath") == "vah"               # gd broad mh → v (not w)
