@@ -134,8 +134,8 @@ def test_grapheme_fallback_warns_loudly(monkeypatch, caplog):
     monkeypatch.setattr(E, "_load", lambda: None)
     E._WARNED_LANGS.clear()
     with caplog.at_level(logging.WARNING, logger="zonos_tpu"):
-        out = E.phonemize(["dia dhuit anois", "slán agat"], ["ga", "ga"])
-    assert out == ["dia dhuit anois", "slán agat"]
+        out = E.phonemize(["zawo penata lirek", "moro zeli"], ["py", "py"])
+    assert out == ["zawo penata lirek", "moro zeli"]
     warnings = [r for r in caplog.records if "falling back" in r.message]
     assert len(warnings) == 1  # loud once, not per request
 

@@ -68,8 +68,8 @@ def test_japanese_tier(no_espeak):
 
 def test_grapheme_tier_latin(no_espeak, monkeypatch):
     # Unsupported Latin-script language: lowercase graphemes, usable tokens.
-    out = E.phonemize(["Dia dhuit"], ["ga"])[0]
-    assert out == "dia dhuit"
+    out = E.phonemize(["Zawo penata"], ["py"])[0]
+    assert out == "zawo penata"
 
 
 def test_phoneme_conditioner_end_to_end(no_espeak):
