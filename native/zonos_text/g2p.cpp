@@ -3870,6 +3870,250 @@ const char* phonemize_text_am(const char* utf8_text) {
   return buf;
 }
 
+// --- Sinhala -----------------------------------------------------------------
+// Sinhala is an abugida like the ISCII family but with its own block layout
+// (U+0D80-0DFF: more vowels incl. æ, prenasalized stop letters, al-lakuna
+// virama at 0DCA). Near-phonemic; aspirates merge with plain stops in
+// speech (mahaprana letters read as their suddha counterparts). Inherent
+// vowel ə (no deletion).
+
+std::string si_cons(unsigned int cp) {
+  switch (cp) {
+    case 0x0D9A: case 0x0D9B: return "k";
+    case 0x0D9C: case 0x0D9D: return "ɡ";
+    case 0x0D9E: return "ŋ";
+    case 0x0D9F: return "ŋɡ";   // prenasalized
+    case 0x0DA0: case 0x0DA1: return "tʃ";
+    case 0x0DA2: case 0x0DA3: return "dʒ";
+    case 0x0DA4: return "ɲ";
+    case 0x0DA5: return "ɡn";
+    case 0x0DA6: return "ndʒ";
+    case 0x0DA7: case 0x0DA8: return "ʈ";
+    case 0x0DA9: case 0x0DAA: return "ɖ";
+    case 0x0DAB: return "ɳ";
+    case 0x0DAC: return "ɳɖ";   // prenasalized
+    case 0x0DAD: case 0x0DAE: return "t";
+    case 0x0DAF: case 0x0DB0: return "d";
+    case 0x0DB1: return "n";
+    case 0x0DB3: return "nd";   // prenasalized
+    case 0x0DB4: case 0x0DB5: return "p";
+    case 0x0DB6: case 0x0DB7: return "b";
+    case 0x0DB8: return "m";
+    case 0x0DB9: return "mb";   // prenasalized
+    case 0x0DBA: return "j";
+    case 0x0DBB: return "r";
+    case 0x0DBD: return "l";
+    case 0x0DC0: return "ʋ";
+    case 0x0DC1: case 0x0DC2: return "ʃ";
+    case 0x0DC3: return "s";
+    case 0x0DC4: return "h";
+    case 0x0DC5: return "ɭ";
+    case 0x0DC6: return "f";
+  }
+  return "";
+}
+
+const char* si_vowel(unsigned int cp, bool independent) {
+  if (independent) {
+    switch (cp) {
+      case 0x0D85: return "a";  case 0x0D86: return "aː";
+      case 0x0D87: return "æ";  case 0x0D88: return "æː";
+      case 0x0D89: return "i";  case 0x0D8A: return "iː";
+      case 0x0D8B: return "u";  case 0x0D8C: return "uː";
+      case 0x0D8D: return "ri";
+      case 0x0D91: return "e";  case 0x0D92: return "eː";
+      case 0x0D93: return "ai"; case 0x0D94: return "o";
+      case 0x0D95: return "oː"; case 0x0D96: return "au";
+    }
+    return nullptr;
+  }
+  switch (cp) {
+    case 0x0DCF: return "aː"; case 0x0DD0: return "æ"; case 0x0DD1: return "æː";
+    case 0x0DD2: return "i";  case 0x0DD3: return "iː";
+    case 0x0DD4: return "u";  case 0x0DD6: return "uː";
+    case 0x0DD8: return "ru";
+    case 0x0DD9: return "e";  case 0x0DDA: return "eː"; case 0x0DDB: return "ai";
+    case 0x0DDC: return "o";  case 0x0DDD: return "oː"; case 0x0DDE: return "au";
+    case 0x0DDF: return "u";
+  }
+  return nullptr;
+}
+
+const char* phonemize_text_si(const char* utf8_text) {
+  if (!utf8_text) return nullptr;
+  std::string text(utf8_text);
+  std::string result;
+  bool pending = false;  // consonant emitted, inherent vowel undecided
+  auto settle = [&]() { if (pending) { result += "ə"; pending = false; } };
+  size_t nbytes = text.size();
+  for (size_t i = 0; i < nbytes;) {
+    unsigned char c = text[i];
+    unsigned int cp = 0; size_t len = 1;
+    if (c < 0x80) { cp = c; }
+    else if ((c >> 5) == 0x6 && i + 1 < nbytes) {
+      cp = ((c & 0x1F) << 6) | (text[i+1] & 0x3F); len = 2;
+    } else if ((c >> 4) == 0xE && i + 2 < nbytes) {
+      cp = ((c & 0x0F) << 12) | ((text[i+1] & 0x3F) << 6) | (text[i+2] & 0x3F); len = 3;
+    } else if ((c >> 3) == 0x1E && i + 3 < nbytes) { len = 4; }
+    std::string cons = si_cons(cp);
+    if (!cons.empty()) {
+      settle();
+      result += cons;
+      pending = true;
+      i += len;
+      continue;
+    }
+    const char* iv = si_vowel(cp, true);
+    if (iv != nullptr) { settle(); result += iv; i += len; continue; }
+    const char* mv = si_vowel(cp, false);
+    if (mv != nullptr) { pending = false; result += mv; i += len; continue; }
+    if (cp == 0x0DCA) { pending = false; i += len; continue; }  // al-lakuna
+    if (cp == 0x0D82) { settle(); result += "ŋ"; i += len; continue; }  // ං
+    if (cp == 0x0D83) { settle(); result += "h"; i += len; continue; }  // ඃ
+    settle();
+    if (cp < 128 && cp && strchr(";:,.!?()\"- ", static_cast<int>(cp))) {
+      char pc = static_cast<char>(cp);
+      if (!(pc == ' ' && !result.empty() && result.back() == ' '))
+        result += pc;
+    }
+    i += len;
+  }
+  settle();
+  char* buf = static_cast<char*>(malloc(result.size() + 1));
+  memcpy(buf, result.c_str(), result.size() + 1);
+  return buf;
+}
+
+// --- Burmese / Shan (Myanmar script) -----------------------------------------
+// Abugida with inherent a, medial signs (ja/ra/wa/ha), and the asat (်)
+// that turns a consonant into a coda: final stops all reduce to the glottal
+// stop in Burmese and final nasals nasalize (emitted as n). Tone marks are
+// dropped (no tone letters in the model symbol table, as for Vietnamese).
+// Shan shares the block (plus letters U+1075+ folded to close values).
+
+std::string my_cons(unsigned int cp) {
+  switch (cp) {
+    case 0x1000: return "k";  case 0x1001: return "kʰ";
+    case 0x1002: case 0x1003: return "ɡ";
+    case 0x1004: return "ŋ";
+    case 0x1005: return "s";  case 0x1006: return "sʰ";
+    case 0x1007: case 0x1008: return "z";
+    case 0x1009: case 0x100A: return "ɲ";
+    case 0x100B: return "t";  case 0x100C: return "tʰ";
+    case 0x100D: case 0x100E: return "d";
+    case 0x100F: return "n";
+    case 0x1010: return "t";  case 0x1011: return "tʰ";
+    case 0x1012: case 0x1013: return "d";
+    case 0x1014: return "n";
+    case 0x1015: return "p";  case 0x1016: return "pʰ";
+    case 0x1017: case 0x1018: return "b";
+    case 0x1019: return "m";
+    case 0x101A: return "j";
+    case 0x101B: return "j";   // ရ reads j in Burmese
+    case 0x101C: return "l";
+    case 0x101D: return "w";
+    case 0x101E: return "θ";
+    case 0x101F: return "h";
+    case 0x1020: return "l";
+    case 0x1021: return "ʔ";
+    // Shan letters (approximate to the nearest Burmese values)
+    case 0x1075: return "k";  case 0x1076: return "kʰ"; case 0x1078: return "tʃ";
+    case 0x107A: return "ɲ";  case 0x107C: return "tʰ"; case 0x107D: return "pʰ";
+    case 0x107E: return "f";  case 0x1080: return "θ";  case 0x1081: return "h";
+  }
+  return "";
+}
+
+const char* phonemize_text_my(const char* utf8_text) {
+  if (!utf8_text) return nullptr;
+  std::string text(utf8_text);
+  std::string result;
+  std::string cur;        // current consonant (+medials), vowel undecided
+  std::string vow;        // explicit vowel signs collected for this syllable
+  bool have_cons = false;
+  auto flush_syllable = [&](bool killed, bool nasal_coda) {
+    if (!have_cons && vow.empty()) return;
+    result += cur;
+    if (killed) {
+      // asat: this consonant is a coda — nasals → n, stops → ʔ
+      // (cur already appended; replace its sound instead)
+      result.resize(result.size() - cur.size());
+      if (nasal_coda) result += "n";
+      else result += "ʔ";
+    } else {
+      result += vow.empty() ? "a" : vow;
+    }
+    cur.clear(); vow.clear(); have_cons = false;
+  };
+  size_t nbytes = text.size();
+  for (size_t i = 0; i < nbytes;) {
+    unsigned char c = text[i];
+    unsigned int cp = 0; size_t len = 1;
+    if (c < 0x80) { cp = c; }
+    else if ((c >> 5) == 0x6 && i + 1 < nbytes) {
+      cp = ((c & 0x1F) << 6) | (text[i+1] & 0x3F); len = 2;
+    } else if ((c >> 4) == 0xE && i + 2 < nbytes) {
+      cp = ((c & 0x0F) << 12) | ((text[i+1] & 0x3F) << 6) | (text[i+2] & 0x3F); len = 3;
+    } else if ((c >> 3) == 0x1E && i + 3 < nbytes) { len = 4; }
+    std::string cons = my_cons(cp);
+    if (!cons.empty()) {
+      // Peek: is this consonant followed by asat (coda)?
+      unsigned int nxt = 0;
+      if (i + len + 2 < nbytes) {
+        unsigned char d = text[i + len];
+        if ((d >> 4) == 0xE)
+          nxt = ((d & 0x0F) << 12) | ((text[i+len+1] & 0x3F) << 6) | (text[i+len+2] & 0x3F);
+      }
+      if (nxt == 0x103A) {
+        // coda: close the open syllable with this consonant as final
+        bool nasal = (cons == "ŋ" || cons == "n" || cons == "m" || cons == "ɲ");
+        if (have_cons || !vow.empty()) {
+          // attach coda to the pending syllable
+          result += cur;
+          result += vow.empty() ? "a" : vow;
+          cur.clear(); vow.clear(); have_cons = false;
+          result += nasal ? "n" : "ʔ";
+        }
+        i += len + 3;  // consonant + asat
+        continue;
+      }
+      flush_syllable(false, false);
+      cur = cons;
+      have_cons = true;
+      i += len;
+      continue;
+    }
+    switch (cp) {
+      case 0x103B: case 0x103C: cur += "j"; i += len; continue;  // medial ja/ra
+      case 0x103D: cur += "w"; i += len; continue;               // medial wa
+      case 0x103E: cur += "h"; i += len; continue;               // medial ha
+      case 0x102B: case 0x102C: vow += "aː"; i += len; continue;
+      case 0x102D: vow += "i"; i += len; continue;
+      case 0x102E: vow += "iː"; i += len; continue;
+      case 0x102F: vow += "u"; i += len; continue;
+      case 0x1030: vow += "uː"; i += len; continue;
+      case 0x1031: vow += "eː"; i += len; continue;
+      case 0x1032: vow += "ɛː"; i += len; continue;
+      case 0x1036: vow += "an"; i += len; continue;  // anusvara: nasal
+      case 0x1037: case 0x1038: i += len; continue;  // tone marks: dropped
+      case 0x1039: i += len; continue;               // stacker (kill, rare)
+      case 0x104A: flush_syllable(false, false); result += ','; i += len; continue;
+      case 0x104B: flush_syllable(false, false); result += '.'; i += len; continue;
+    }
+    flush_syllable(false, false);
+    if (cp < 128 && cp && strchr(";:,.!?()\"- ", static_cast<int>(cp))) {
+      char pc = static_cast<char>(cp);
+      if (!(pc == ' ' && !result.empty() && result.back() == ' '))
+        result += pc;
+    }
+    i += len;
+  }
+  flush_syllable(false, false);
+  char* buf = static_cast<char*>(malloc(result.size() + 1));
+  memcpy(buf, result.c_str(), result.size() + 1);
+  return buf;
+}
+
 // --- Goidelic (Irish / Scottish Gaelic) --------------------------------------
 // Irish orthography is rule-governed once two systems are understood:
 // (1) every consonant is BROAD (plain/velarized) or SLENDER (palatalized),
@@ -5635,6 +5879,9 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (strncmp(lang, "am", 2) == 0) return phonemize_text_am(utf8_text);
   if (strncmp(lang, "ga", 2) == 0) return phonemize_text_goidelic(utf8_text, false);
   if (strncmp(lang, "gd", 2) == 0) return phonemize_text_goidelic(utf8_text, true);
+  if (strncmp(lang, "si", 2) == 0) return phonemize_text_si(utf8_text);
+  if (strncmp(lang, "my", 2) == 0 || strncmp(lang, "shn", 3) == 0)
+    return phonemize_text_my(utf8_text);
   if (strncmp(lang, "fa-latn", 7) == 0) return phonemize_text_falatn(utf8_text);
   if (strncmp(lang, "fa", 2) == 0) {
     static const PACfg kFa = {0};

