@@ -84,6 +84,8 @@ def main() -> None:
     t_dac = (time.perf_counter() - t0) / n_runs
 
     audio_sec = codes.shape[-1] / FRAMES_PER_SEC
+    if os.environ.get("ZONOS_BENCH_COMPONENTS") == "1":
+        print(f"# t_gen={t_gen:.3f}s t_dac={t_dac:.3f}s audio={audio_sec:.2f}s")
     rtf = audio_sec / (t_gen + t_dac)
     result = {
         "metric": "rtf_e2e_transformer_10s_1chip",

@@ -99,3 +99,29 @@ def test_autoencoder_roundtrip_api(models):
     assert out.shape == (1, 1, codes.shape[-1] * cfg.hop_length)
     pcm = ae.decode_to_int16(codes)
     assert pcm.dtype == np.int16 and pcm.shape[1] == 1
+
+
+def test_conv_transpose_phased_matches_general(rng):
+    """Phase-decomposed transposed conv ≡ the input-dilated lowering for the
+    DAC geometries (K = 2·stride, padding = stride/2)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from zonos_tpu.codec.dac import conv_transpose1d, conv_transpose1d_phased
+
+    for stride in (8, 4, 2):
+        k, pad = 2 * stride, math.ceil(stride / 2)
+        x = jnp.asarray(rng.normal(size=(2, 13, 32)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(k, 32, 16)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+        ref = conv_transpose1d(x, w, b, stride, pad)
+        got = conv_transpose1d_phased(x, w, b, stride, pad)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+    # odd-stride geometry falls back to the general lowering
+    x = jnp.asarray(rng.normal(size=(1, 5, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(6, 8, 4)).astype(np.float32))
+    got = conv_transpose1d_phased(x, w, None, 3, 2)
+    ref = conv_transpose1d(x, w, None, 3, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)

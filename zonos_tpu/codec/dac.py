@@ -105,6 +105,57 @@ def conv_transpose1d(
     return out.astype(x.dtype)
 
 
+def conv_transpose1d_phased(
+    x: jnp.ndarray,  # [B, T, Cin]
+    w: jnp.ndarray,  # [K, Cin, Cout] (same layout as conv_transpose1d)
+    b: jnp.ndarray | None,
+    stride: int,
+    padding: int,
+) -> jnp.ndarray:
+    """conv_transpose1d via PHASE DECOMPOSITION — identical output, ~K/2
+    fewer FLOPs.
+
+    The input-dilated lowering multiplies K taps per output sample although
+    only ceil(K/stride) of them hit non-stuffed (nonzero) input positions.
+    For the K = 2·stride, padding = stride/2 geometry every DAC upsampling
+    block uses, each output phase r = n mod stride touches exactly TWO taps,
+    so the whole op becomes 2·stride batched [T, Cin]@[Cin, Cout] matmuls
+    (MXU native) instead of a 2·stride-tap conv over a stride× longer
+    zero-stuffed sequence. Falls back to the general lowering for other
+    geometries.
+
+    Measured NEUTRAL on v5e (0.146 → 0.153 s for 10 s of audio incl. host
+    I/O; device-only ≈ 0.088 s either way) — XLA's conv lowering already
+    skips the stuffed zeros on TPU. Kept for the explicit FLOP count and
+    because the matmul form is the natural target for future fusion work;
+    exactness vs the general lowering is tested (tests/test_dac_parity.py).
+    """
+    k = w.shape[0]
+    if k != 2 * stride or padding != (stride + 1) // 2 or stride % 2 != 0:
+        return conv_transpose1d(x, w, b, stride, padding)
+    bsz, t, _cin = x.shape
+    a = k - 1 - padding
+    xp = jnp.pad(x, ((0, 0), (2, 2), (0, 0)))
+    phases = []
+    for r in range(stride):
+        j0 = (a - r) % stride
+        delta = (r - a + j0) // stride
+        x0 = jax.lax.dynamic_slice_in_dim(xp, 2 + delta, t, axis=1)
+        x1 = jax.lax.dynamic_slice_in_dim(xp, 2 + delta + 1, t, axis=1)
+        y = jnp.einsum(
+            "btc,cd->btd", x0, w[j0].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ) + jnp.einsum(
+            "btc,cd->btd", x1, w[j0 + stride].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        phases.append(y)
+    out = jnp.stack(phases, axis=2).reshape(bsz, t * stride, -1)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def _res_unit(p: dict, x: jnp.ndarray, dilation: int) -> jnp.ndarray:
     """Snake→dilated conv k7→Snake→conv k1 with center-trimmed residual."""
     y = snake(x, p["snake1"])
@@ -126,7 +177,7 @@ def decoder_forward(params: dict, z: jnp.ndarray, ratios: tuple[int, ...]) -> jn
     h = conv1d(z, params["conv1"]["w"], params["conv1"]["b"], padding=3)
     for blk, stride in zip(params["blocks"], ratios):
         h = snake(h, blk["snake1"])
-        h = conv_transpose1d(
+        h = conv_transpose1d_phased(
             h, blk["conv_t"]["w"], blk["conv_t"]["b"], stride=stride,
             padding=math.ceil(stride / 2),
         )
