@@ -87,3 +87,50 @@ def test_phoneme_conditioner_end_to_end(no_espeak):
         cond = np.asarray(model.prepare_conditioning(cd))
         assert cond.ndim == 3 and cond.shape[0] == 2
         assert np.isfinite(cond).all()
+
+
+def test_round3_language_tiers_end_to_end(no_espeak):
+    """Every round-3 language tier drives the REAL conditioning stack:
+    text → native G2P → phoneme ids → prefix conditioner, no UNK, finite
+    embeddings — one representative per engine family."""
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    import jax.numpy as jnp
+
+    from zonos_tpu.conditioning.cond_dict import make_cond_dict
+    from zonos_tpu.config import tiny_transformer_config
+    from zonos_tpu.models.zonos import Zonos
+
+    model = Zonos.from_config(tiny_transformer_config(), seed=0, dtype=jnp.float32)
+    cases = [
+        ("sr", "Добро јутро"),            # Serbian Cyrillic (script-sniffed)
+        ("vi", "Xin chào Việt Nam"),       # Vietnamese
+        ("sv", "God morgon"),              # Swedish
+        ("da", "God morgen"),              # Danish
+        ("nb", "God kveld"),               # Norwegian
+        ("hi", "नमस्ते दुनिया"),            # Hindi (Devanagari)
+        ("bn", "আমি বাংলায়"),              # Bengali
+        ("ta", "வணக்கம்"),                 # Tamil
+        ("te", "నమస్కారం"),               # Telugu
+        ("fa", "سلام دنیا"),               # Persian
+        ("ur", "پاکستان"),                 # Urdu
+        ("ar", "صباح الخير"),              # Arabic
+        ("mi", "Kia ora"),                 # Māori (generic Latin)
+        ("is", "Góðan daginn"),            # Icelandic
+        ("ca", "Bon dia"),                 # Catalan
+        ("kk", "Сәлем әлем"),              # Kazakh (Turkic Cyrillic)
+        ("am", "ሰላም ለዓለም"),              # Amharic (Ethiopic)
+        ("cmn", "你好世界"),               # Mandarin (hanzi→pinyin→IPA)
+        ("ga", "Dia dhuit"),               # Irish
+        ("si", "ආයුබෝවන්"),               # Sinhala
+        ("my", "မင်္ဂလာပါ"),               # Burmese
+        ("grc", "λόγος ἄνθρωπος"),         # Ancient Greek (polytonic fold)
+        ("uk", "Добрий день"),             # Ukrainian (language-id alias)
+    ]
+    for lang, text in cases:
+        cd = make_cond_dict(text=text, language=lang, speaker=np.zeros((1, 1, 128), np.float32))
+        known = set(model.conditioner_names)
+        cd = {k: v for k, v in cd.items() if k in known}
+        cond = np.asarray(model.prepare_conditioning(cd))
+        assert cond.ndim == 3 and cond.shape[0] == 2, (lang, cond.shape)
+        assert np.isfinite(cond).all(), lang

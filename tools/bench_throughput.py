@@ -32,7 +32,8 @@ for batch in tuple(int(x) for x in os.environ.get("ZONOS_BENCH_BATCHES", "1,2,4,
         return G.generate(
             model.params, cfg, cond, max_new_tokens=FRAMES, cfg_scale=2.0,
             batch_size=batch, sampling_params=SamplingParams(min_p=0.1),
-            seed=seed, dtype=jnp.bfloat16, forbid_eos=True, kv_int8=True,
+            seed=seed, dtype=jnp.bfloat16, forbid_eos=True,
+            kv_int8=os.environ.get("ZONOS_BENCH_KV", "int8") == "int8",
         )
 
     run(1)  # compile
