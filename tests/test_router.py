@@ -1,0 +1,150 @@
+"""Multi-host serving router: balancing, quarantine, streaming passthrough.
+
+Backends are stdlib stub HTTP servers — no model load; this tests the DCN
+fan-out layer itself (SURVEY §5.8 stance: cross-host scaling is request
+routing, not collectives).
+"""
+
+import json
+import threading
+import time
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from zonos_tpu.serving.router import BackendPool, make_handler
+
+
+def _stub_backend(name: str, fail: bool = False, slow: float = 0.0):
+    class Stub(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def do_GET(self):
+            if fail:
+                self.send_error(500)
+                return
+            payload = json.dumps({"backend": name, "path": self.path}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            if slow:
+                time.sleep(slow)
+            if self.path == "/stream":
+                # chunked PCM-style response
+                self.send_response(200)
+                self.send_header("Transfer-Encoding", "chunked")
+                self.send_header("X-Sample-Rate", "44100")
+                self.end_headers()
+                for chunk in (b"AAAA", b"BBBBBB", b"CC"):
+                    self.wfile.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
+                    self.wfile.flush()
+                self.wfile.write(b"0\r\n\r\n")
+                return
+            payload = json.dumps({"backend": name, "echo": body.decode()}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+@pytest.fixture
+def router_with_two_backends():
+    b1, u1 = _stub_backend("one")
+    b2, u2 = _stub_backend("two")
+    pool = BackendPool([u1, u2], cooldown_s=2.0)
+    rsrv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(pool, timeout_s=10))
+    threading.Thread(target=rsrv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{rsrv.server_address[1]}"
+    yield url, pool, (b1, b2), (u1, u2)
+    for s in (rsrv, b1, b2):
+        s.shutdown()
+
+
+def test_round_robin_and_stats(router_with_two_backends):
+    url, pool, _, _ = router_with_two_backends
+    seen = set()
+    for _ in range(6):
+        with urllib.request.urlopen(url + "/health") as r:
+            seen.add(json.loads(r.read())["backend"])
+    assert seen == {"one", "two"}  # both backends serve traffic
+    with urllib.request.urlopen(url + "/router_stats") as r:
+        stats = json.loads(r.read())
+    assert all(b["healthy"] for b in stats["backends"])
+
+
+def test_post_proxies_body(router_with_two_backends):
+    url, *_ = router_with_two_backends
+    req = urllib.request.Request(
+        url + "/generate", data=b'{"text":"hello"}', method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        out = json.loads(r.read())
+    assert out["echo"] == '{"text":"hello"}'
+
+
+def test_stream_chunks_pass_through(router_with_two_backends):
+    url, *_ = router_with_two_backends
+    req = urllib.request.Request(url + "/stream", data=b"{}", method="POST")
+    with urllib.request.urlopen(req) as r:
+        assert r.headers.get("X-Sample-Rate") == "44100"
+        data = r.read()
+    assert data == b"AAAABBBBBBCC"
+
+
+def test_dead_backend_quarantined():
+    bdead, udead = _stub_backend("dead")
+    bdead.shutdown()  # refuse connections
+    bok, uok = _stub_backend("ok")
+    pool = BackendPool([udead, uok], cooldown_s=30.0)
+    rsrv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(pool, timeout_s=3))
+    threading.Thread(target=rsrv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{rsrv.server_address[1]}"
+    try:
+        ok_count = 0
+        for _ in range(6):
+            try:
+                with urllib.request.urlopen(url + "/health") as r:
+                    if json.loads(r.read()).get("backend") == "ok":
+                        ok_count += 1
+            except urllib.error.HTTPError:
+                pass  # first hit may 502 while the dead backend gets flagged
+        # After quarantine, traffic flows exclusively to the live backend.
+        assert ok_count >= 4
+        with urllib.request.urlopen(url + "/router_stats") as r:
+            stats = json.loads(r.read())
+        health = {b["url"]: b["healthy"] for b in stats["backends"]}
+        assert health[uok] is True
+        assert health[udead] is False
+    finally:
+        rsrv.shutdown()
+        bok.shutdown()
+
+
+def test_all_dead_returns_503():
+    b, u = _stub_backend("x")
+    b.shutdown()
+    pool = BackendPool([u], cooldown_s=30.0)
+    pool.release(pool.acquire(), ok=False)  # mark it down
+    rsrv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(pool, timeout_s=2))
+    threading.Thread(target=rsrv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{rsrv.server_address[1]}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(url + "/health")
+        assert exc.value.code == 503
+    finally:
+        rsrv.shutdown()

@@ -1,0 +1,180 @@
+"""Multi-host serving fan-out: one front door over N single-host servers.
+
+SURVEY §5.8's scale-out stance: within a host, requests coalesce onto the
+chip batch axis (serving/batcher.py over the ICI-sharded mesh); ACROSS
+hosts, scaling is plain request routing over DCN — no collective traffic,
+because inference needs none. This router is that front door: a stdlib
+reverse proxy that load-balances /generate and /stream across backend
+zonos servers with passive health checking.
+
+    python -m zonos_tpu.serving.router --port 7900 \
+        --backend http://host-a:7911 --backend http://host-b:7911
+
+Design notes (TPU-first):
+* least-outstanding-requests balancing — decode latency is dominated by
+  each host's batch occupancy, so the least-busy host is the one whose
+  batcher will coalesce the request soonest;
+* /stream proxies chunk-by-chunk (chunked transfer in, chunked out) so
+  TTFA through the router adds only one hop;
+* a backend that errors or refuses connections is quarantined for
+  ``cooldown_s`` and retried passively (failure detection per SURVEY §5.3);
+* GET endpoints (/health /models /conditioners /ui_spec /) proxy to any
+  healthy backend.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class BackendPool:
+    """Least-outstanding-requests pool with passive quarantine."""
+
+    def __init__(self, urls: list[str], cooldown_s: float = 10.0):
+        assert urls, "need at least one --backend"
+        self.urls = list(urls)
+        self.cooldown_s = cooldown_s
+        self._lock = threading.Lock()
+        self._outstanding = {u: 0 for u in urls}
+        self._down_until = {u: 0.0 for u in urls}
+        self._rr = 0  # tie-breaker: rotate among equally-loaded backends
+
+    def acquire(self) -> str | None:
+        """Pick the healthy backend with the fewest outstanding requests."""
+        now = time.monotonic()
+        with self._lock:
+            healthy = [u for u in self.urls if self._down_until[u] <= now]
+            if not healthy:
+                return None
+            lo = min(self._outstanding[u] for u in healthy)
+            candidates = [u for u in healthy if self._outstanding[u] == lo]
+            url = candidates[self._rr % len(candidates)]
+            self._rr += 1
+            self._outstanding[url] += 1
+            return url
+
+    def release(self, url: str, ok: bool) -> None:
+        with self._lock:
+            self._outstanding[url] = max(0, self._outstanding[url] - 1)
+            if not ok:
+                self._down_until[url] = time.monotonic() + self.cooldown_s
+
+    def stats(self) -> dict:
+        now = time.monotonic()
+        with self._lock:
+            return {
+                "backends": [
+                    {
+                        "url": u,
+                        "outstanding": self._outstanding[u],
+                        "healthy": self._down_until[u] <= now,
+                    }
+                    for u in self.urls
+                ]
+            }
+
+
+def make_handler(pool: BackendPool, timeout_s: float = 600.0):
+    class RouterHandler(BaseHTTPRequestHandler):
+        server_version = "ZonosTPURouter/0.1"
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _proxy(self, method: str):
+            body = None
+            if method == "POST":
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n) if n else b""
+            url = pool.acquire()
+            if url is None:
+                payload = json.dumps({"error": "no healthy backends"}).encode()
+                self.send_response(503)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+                return
+            ok = False
+            try:
+                req = urllib.request.Request(url + self.path, data=body, method=method)
+                for h in ("Content-Type",):
+                    if self.headers.get(h):
+                        req.add_header(h, self.headers[h])
+                with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                    self.send_response(resp.status)
+                    chunked = resp.headers.get("Transfer-Encoding") == "chunked"
+                    for h, v in resp.headers.items():
+                        if h.lower() in ("date", "server", "transfer-encoding", "content-length"):
+                            continue
+                        self.send_header(h, v)
+                    if chunked:
+                        # Stream through chunk-by-chunk: TTFA adds one hop.
+                        self.send_header("Transfer-Encoding", "chunked")
+                        self.end_headers()
+                        while True:
+                            chunk = resp.read(32768)
+                            if not chunk:
+                                break
+                            self.wfile.write(f"{len(chunk):x}\r\n".encode())
+                            self.wfile.write(chunk)
+                            self.wfile.write(b"\r\n")
+                            self.wfile.flush()
+                        self.wfile.write(b"0\r\n\r\n")
+                    else:
+                        data = resp.read()
+                        self.send_header("Content-Length", str(len(data)))
+                        self.end_headers()
+                        self.wfile.write(data)
+                    ok = True
+            except (urllib.error.URLError, ConnectionError, TimeoutError, OSError) as e:
+                payload = json.dumps({"error": f"backend {url} failed: {e}"}).encode()
+                try:
+                    self.send_response(502)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(payload)))
+                    self.end_headers()
+                    self.wfile.write(payload)
+                except OSError:
+                    pass
+            finally:
+                pool.release(url, ok)
+
+        def do_GET(self):
+            if self.path == "/router_stats":
+                payload = json.dumps(pool.stats()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+                return
+            self._proxy("GET")
+
+        def do_POST(self):
+            self._proxy("POST")
+
+    return RouterHandler
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Multi-host zonos serving router")
+    ap.add_argument("--port", type=int, default=7900)
+    ap.add_argument("--backend", action="append", required=True,
+                    help="backend base URL (repeatable)")
+    ap.add_argument("--cooldown", type=float, default=10.0)
+    args = ap.parse_args()
+    pool = BackendPool(args.backend, cooldown_s=args.cooldown)
+    srv = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(pool))
+    print(f"router on :{args.port} → {args.backend}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
