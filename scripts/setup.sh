@@ -8,7 +8,7 @@ echo "== zonos_tpu setup =="
 python3 -c "import jax, flax, optax" || { echo "jax/flax/optax required"; exit 1; }
 
 # Optional host packages (best-effort; the framework degrades gracefully):
-#   espeak-ng  — high-quality multilingual G2P (else: native C++ engine for en)
+#   espeak-ng  — maximal-quality multilingual G2P (else: the native 92-code C++ engine, docs/LANGUAGES.md)
 #   ffmpeg     — mp3/ogg decode (else: wav only)
 if command -v apt-get >/dev/null && [ "${ZONOS_SETUP_APT:-0}" = "1" ]; then
   sudo apt-get install -y espeak-ng ffmpeg || true
