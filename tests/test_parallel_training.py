@@ -89,3 +89,43 @@ def test_graft_entry_dryrun():
 
     n = min(8, len(jax.devices()))
     ge.dryrun_multichip(n)
+
+
+def test_remat_training_matches_baseline(monkeypatch):
+    """ZONOS_REMAT=1 (gradient checkpointing over the layer scan) must give
+    the same loss/grads as the stored-activation path — it only changes the
+    memory/FLOPs trade, never the math."""
+    import importlib
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    import zonos_tpu.models.transformer as T
+    from zonos_tpu.config import tiny_transformer_config
+    from zonos_tpu.models.zonos import Zonos
+    from zonos_tpu.training.train import build_train_step, init_train_state, make_optimizer
+
+    cfg = tiny_transformer_config()
+    model = Zonos.from_config(cfg, seed=0, dtype=jnp.float32)
+    params = {k: model.params[k] for k in ("embeddings", "heads", "backbone")}
+    opt = make_optimizer()
+    rng = np.random.default_rng(0)
+    b, lc, st = 2, 4, 16
+    cond = jnp.asarray(rng.normal(size=(b, lc, cfg.backbone.d_model)).astype(np.float32))
+    codes = jnp.asarray(rng.integers(0, 1024, size=(b, 9, st)).astype(np.int32))
+    mask = jnp.ones((b, st - 1), bool)
+
+    def one_step(remat):
+        monkeypatch.setattr(T, "REMAT_LAYERS", remat)
+        state = init_train_state(jax.tree.map(jnp.copy, params), opt)
+        step = jax.jit(build_train_step(cfg, opt))
+        state, loss = step(state, cond, codes, mask)
+        return float(loss), state.params
+
+    loss_ref, p_ref = one_step(False)
+    loss_remat, p_remat = one_step(True)
+    assert np.isclose(loss_ref, loss_remat, rtol=1e-6), (loss_ref, loss_remat)
+    for a, b_ in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-6)

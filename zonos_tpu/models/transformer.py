@@ -45,6 +45,10 @@ FUSED_MLP = os.environ.get("ZONOS_FUSED_MLP", "0") == "1"
 # collapses the ~8 small attention-glue fusions per layer into one kernel.
 PALLAS_ATTN = os.environ.get("ZONOS_PALLAS_ATTN", "0") == "1"
 
+# Rematerialize per-layer activations in the training (cache-free) path:
+# jax.checkpoint around the layer-scan body (ZONOS_REMAT=1).
+REMAT_LAYERS = os.environ.get("ZONOS_REMAT", "0") == "1"
+
 
 def _pallas_attn_ok(s, pad_amount, b, attend_len, hkv, dh, hq) -> bool:
     # DISABLED since the head-major int8 KV layout change (round 3): the
@@ -276,6 +280,12 @@ def transformer_forward(
             xc, *_ = _attn_block(layer_p, cfg, xc, freqs, None, None, None, None, write_start, mask, s)
             return xc, None
 
+        if REMAT_LAYERS:
+            # Gradient checkpointing: recompute each layer's activations in
+            # the backward pass instead of storing them — activation memory
+            # drops from O(L·S·D) to O(S·D) for ~1/3 more FLOPs (the standard
+            # TPU remat trade; training-path only, decode never needs it).
+            body_nc = jax.checkpoint(body_nc, prevent_cse=False)
         xo, _ = jax.lax.scan(body_nc, x, params["layers"], unroll=UNROLL_LAYERS)
         xo = layer_norm(xo, params["norm_f"]["scale"], params["norm_f"]["bias"], cfg.norm_epsilon)
         return xo, None
