@@ -129,3 +129,36 @@ def test_remat_training_matches_baseline(monkeypatch):
     assert np.isclose(loss_ref, loss_remat, rtol=1e-6), (loss_ref, loss_remat)
     for a, b_ in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_remat)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_hybrid_train_step():
+    """Training also covers the Mamba2 hybrid backbone on the mesh — the
+    hybrid tp specs (parallel/mesh.hybrid_param_specs) shard in_proj/out_proj,
+    XLA inserts the gradient psums."""
+    import numpy as np
+
+    from zonos_tpu.config import tiny_hybrid_config
+    from zonos_tpu.models.zonos import Zonos
+    from zonos_tpu.parallel.mesh import make_mesh
+    from zonos_tpu.training.train import make_optimizer, make_sharded_train_step, shard_batch
+
+    cfg = tiny_hybrid_config()
+    model = Zonos.from_config(cfg, seed=0, dtype=jnp.float32)
+    params = {k: model.params[k] for k in ("embeddings", "heads", "backbone")}
+    mesh = make_mesh(jax.devices()[:4], dp=2, tp=2)
+    opt = make_optimizer(lr=1e-3, warmup=1)  # no flat warmup: visible learning
+    state, step = make_sharded_train_step(mesh, cfg, opt, params)
+
+    rng = np.random.default_rng(0)
+    b, lc, s = 4, 4, 16
+    cond = shard_batch(mesh, jnp.asarray(rng.normal(size=(b, lc, cfg.backbone.d_model)).astype(np.float32)))
+    codes = shard_batch(mesh, jnp.asarray(rng.integers(0, 1024, size=(b, 9, s)).astype(np.int32)))
+    mask = shard_batch(mesh, jnp.ones((b, s - 1), bool))
+
+    losses = []
+    for _ in range(3):
+        state, loss = step(state, cond, codes, mask)
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]  # learning on a fixed batch
