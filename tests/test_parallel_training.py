@@ -162,3 +162,35 @@ def test_sharded_hybrid_train_step():
         losses.append(float(loss))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]  # learning on a fixed batch
+
+
+def test_gradient_accumulation_matches_full_batch():
+    """accum_steps=2 over a uniformly-masked batch must produce the same
+    update as the full-batch step (mean of equal-count microbatch means)."""
+    import numpy as np
+
+    from zonos_tpu.config import tiny_transformer_config
+    from zonos_tpu.models.zonos import Zonos
+    from zonos_tpu.training.train import build_train_step, init_train_state, make_optimizer
+
+    cfg = tiny_transformer_config()
+    model = Zonos.from_config(cfg, seed=0, dtype=jnp.float32)
+    params = {k: model.params[k] for k in ("embeddings", "heads", "backbone")}
+    opt = make_optimizer()
+    rng = np.random.default_rng(1)
+    b, lc, s = 4, 4, 12
+    cond = jnp.asarray(rng.normal(size=(b, lc, cfg.backbone.d_model)).astype(np.float32))
+    codes = jnp.asarray(rng.integers(0, 1024, size=(b, 9, s)).astype(np.int32))
+    mask = jnp.ones((b, s - 1), bool)
+
+    def run(accum):
+        state = init_train_state(jax.tree.map(jnp.copy, params), opt)
+        step = jax.jit(build_train_step(cfg, opt, accum_steps=accum))
+        state, loss = step(state, cond, codes, mask)
+        return float(loss), state.params
+
+    l1, p1 = run(1)
+    l2, p2 = run(2)
+    assert np.isclose(l1, l2, rtol=1e-6)
+    for a, b_ in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-6)

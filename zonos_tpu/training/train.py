@@ -77,13 +77,38 @@ def loss_fn(
     return jnp.sum(nll * w) / jnp.clip(jnp.sum(w) * 1.0, min=1.0)
 
 
-def build_train_step(cfg: ZonosConfig, optimizer: optax.GradientTransformation):
-    """Returns train_step(state, cond_emb, delayed_codes, loss_mask) → (state, loss)."""
+def build_train_step(cfg: ZonosConfig, optimizer: optax.GradientTransformation,
+                     accum_steps: int = 1):
+    """Returns train_step(state, cond_emb, delayed_codes, loss_mask) → (state, loss).
+
+    ``accum_steps > 1`` enables gradient accumulation: the leading batch axis
+    is split into that many microbatches scanned sequentially (lax.scan, so
+    one compiled body), gradients averaged before the single optimizer
+    update. Combined with ZONOS_REMAT=1 this is the standard TPU recipe for
+    training at batch sizes whose activations exceed HBM.
+    """
 
     def train_step(state: TrainState, cond_emb, delayed_codes, loss_mask):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, cfg, cond_emb, delayed_codes, loss_mask
-        )
+        if accum_steps == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, cfg, cond_emb, delayed_codes, loss_mask
+            )
+        else:
+            def split(a):
+                return a.reshape(accum_steps, a.shape[0] // accum_steps, *a.shape[1:])
+
+            micro = (split(cond_emb), split(delayed_codes), split(loss_mask))
+
+            def body(carry, mb):
+                acc_loss, acc_grads = carry
+                l, g = jax.value_and_grad(loss_fn)(state.params, cfg, *mb)
+                return (acc_loss + l, jax.tree.map(jnp.add, acc_grads, g)), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (loss, grads), _ = jax.lax.scan(body, (jnp.float32(0.0), zero_grads), micro)
+            inv = 1.0 / accum_steps
+            loss = loss * inv
+            grads = jax.tree.map(lambda g: g * inv, grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
