@@ -996,3 +996,51 @@ def test_si_my_engines():
     assert out_shn and out_shn.strip()             # Shan routes through my
     for text, lang in [("ආයුබෝවන්", "si"), ("မြန်မာ", "my")]:
         assert UNK_ID not in get_symbol_ids(ph(text, lang)), lang
+
+
+def test_native_g2p_fuzz_no_crash():
+    """Adversarial inputs against EVERY native engine: random bytes,
+    truncated UTF-8 sequences, mixed scripts, long words, lone combining
+    marks. The C++ library must never crash and always return either None
+    or a decodable string (memory-safety net for the rule engines)."""
+    import random
+
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    codes = [
+        "en", "es", "de", "it", "fr", "pt", "ru", "tr", "pl", "nl", "cs",
+        "ro", "fi", "hu", "el", "ko", "id", "sw", "uk", "bg", "hr", "sr",
+        "sk", "et", "az", "eo", "eu", "mk", "ka", "hy", "lv", "cy", "vi",
+        "sv", "nb", "da", "hi", "mr", "ne", "bn", "as", "pa", "gu", "or",
+        "ta", "te", "kn", "ml", "fa", "fa-latn", "ur", "ar", "mi", "la",
+        "sq", "mt", "af", "is", "ca", "ht", "pap", "gn", "uz", "ku", "tn",
+        "om", "ia", "lfn", "jbo", "lt", "kl", "an", "kk", "ky", "tt", "ba",
+        "am", "kok", "bpy", "sd", "grc", "quc", "nci", "ga", "gd", "si",
+        "my", "shn",
+    ]
+    rng = random.Random(0)
+    nasty = [
+        "",                              # empty
+        " \t\n",                         # whitespace
+        "a" * 5000,                      # long ASCII run
+        "ß" * 1000,                      # long multibyte run
+        "\xc3",                          # truncated UTF-8 lead byte
+        "\xe0\xa4",                      # truncated 3-byte sequence
+        "\xed\xa0\x80",                  # UTF-16 surrogate encoded as UTF-8
+        "क़़़़",                          # stacked nukta marks
+        "́́́",                            # lone combining accents
+        "𝔘𝔫𝔦𝔠𝔬𝔡𝔢",                    # astral-plane letters
+        "Добро xin chào नमस्ते ሰላም 你好",  # script soup
+        "'''''",                         # apostrophes
+        "1234567890" * 30,               # digit run
+        "\x00ab",                        # embedded NUL (truncates at C level)
+    ]
+    # plus random byte soup
+    for _ in range(5):
+        nasty.append(bytes(rng.randrange(1, 256) for _ in range(64)).decode("latin-1"))
+    for lang in codes:
+        for text in nasty:
+            out = native_g2p.phonemize(text, lang)
+            assert out is None or isinstance(out, str)
