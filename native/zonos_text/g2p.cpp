@@ -1351,6 +1351,30 @@ std::string phonemize_word_ru(const std::vector<int>& w0) {
     int next = (i + 1 < n) ? w[i + 1] : R_NONE;
     int prev = (i > 0) ? w[i - 1] : R_NONE;
 
+    if (c > RYO) {
+      // Non-Russian Cyrillic letters (Ukrainian і/ї/є/ґ, Macedonian/Serbian
+      // ј љ њ џ ѓ ќ ѕ ђ ћ) appearing in ru-tagged text: read them with
+      // their native values instead of indexing past kCons (found by the
+      // ASan fuzz harness — global-buffer-overflow at kCons[37]).
+      switch (c) {
+        case RUKI: out += "i"; break;
+        case RUKJI: out += "ji"; break;
+        case RUKJE: out += "je"; break;
+        case RUKG: out += "ɡ"; break;
+        case RMKJ: out += "j"; break;
+        case RMKLJ: out += "ʎ"; break;
+        case RMKNJ: out += "ɲ"; break;
+        case RMKDZH: out += "dʒ"; break;
+        case RMKGJ: out += "ɟ"; break;
+        case RMKKJ: out += "c"; break;
+        case RMKDZ: out += "dz"; break;
+        case RSRDJ: out += "dʑ"; break;
+        case RSRTJ: out += "tɕ"; break;
+        default: break;
+      }
+      ++i;
+      continue;
+    }
     if (ru_is_cons(c)) {
       // Final devoicing of б в г д ж з.
       const char* base = kCons[c];
@@ -5726,11 +5750,12 @@ std::string fold_polytonic(const char* utf8_text) {
         // blocks of 16 (lower 8 + capital 8): α ε η ι ο υ ω
         vowel = off / 16;
         accented = (off & 7) >= 4;  // oxia or perispomeni forms
-      } else if (off < 0x80) {
-        // bare accent pairs ὰά ὲέ ὴή ὶί ὸό ὺύ ὼώ
-        static const int order[7] = {0, 1, 2, 3, 4, 5, 6};
-        vowel = order[(off - 0x70) / 2];
+      } else if (off < 0x7E) {
+        // bare accent pairs ὰά ὲέ ὴή ὶί ὸό ὺύ ὼώ (1F7E/1F7F unassigned)
+        vowel = (off - 0x70) / 2;
         accented = true;
+      } else if (off < 0x80) {
+        // unassigned codepoints: drop
       } else if (off < 0xB0) {
         // iota-subscript series: α(80-8F) η(90-9F) ω(A0-AF)
         vowel = (off < 0x90) ? 0 : (off < 0xA0) ? 2 : 6;
@@ -5930,3 +5955,50 @@ const char* ztx_phonemize(const char* utf8_text) {
 void ztx_free(const char* p) { free(const_cast<char*>(p)); }
 
 }  // extern "C"
+
+#ifdef ZTX_FUZZ_MAIN
+// Sanitizer fuzz driver (not part of the library build):
+//   g++ -O1 -g -fsanitize=address,undefined -DZTX_FUZZ_MAIN g2p.cpp -o fuzz
+//   ./fuzz < corpus.txt    (one input per line, run against every language)
+#include <cstdio>
+#include <ctime>
+
+int main() {
+  static const char* kCodes[] = {
+    "en", "es", "de", "it", "fr", "pt", "ru", "tr", "pl", "nl", "cs", "ro",
+    "fi", "hu", "el", "ko", "id", "sw", "uk", "bg", "hr", "sr", "sk", "et",
+    "az", "eo", "eu", "mk", "ka", "hy", "lv", "cy", "vi", "sv", "nb", "da",
+    "hi", "mr", "ne", "bn", "as", "pa", "gu", "or", "ta", "te", "kn", "ml",
+    "fa", "fa-latn", "ur", "ar", "mi", "la", "sq", "mt", "af", "is", "ca",
+    "ht", "pap", "gn", "uz", "ku", "tn", "om", "ia", "lfn", "jbo", "lt",
+    "kl", "an", "kk", "ky", "tt", "ba", "am", "kok", "bpy", "sd", "grc",
+    "quc", "nci", "ga", "gd", "si", "my", "shn",
+  };
+  char line[1 << 16];
+  unsigned long n = 0;
+  while (fgets(line, sizeof(line), stdin)) {
+    for (const char* code : kCodes) {
+      const char* out = ztx_phonemize_lang(line, code);
+      if (out) ztx_free(out);
+      ++n;
+    }
+  }
+  // Random byte soup rounds (deterministic LCG).
+  unsigned long seed = 12345;
+  for (int round = 0; round < 200; ++round) {
+    char buf[257];
+    for (int i = 0; i < 256; ++i) {
+      seed = seed * 6364136223846793005ULL + 1442695040888963407ULL;
+      buf[i] = static_cast<char>((seed >> 33) | 1);  // avoid NUL
+    }
+    buf[256] = 0;
+    for (const char* code : kCodes) {
+      const char* out = ztx_phonemize_lang(buf, code);
+      if (out) ztx_free(out);
+      ++n;
+    }
+  }
+  printf("fuzz ok: %lu invocations\n", n);
+  return 0;
+}
+#endif  // ZTX_FUZZ_MAIN
