@@ -271,3 +271,21 @@ def test_zh_coverage_floor():
         "我喜欢听音乐和看电影。明天早上八点开会。"
     )
     assert coverage(corpus) >= 0.92
+
+
+def test_readers_fuzz_no_exceptions():
+    """ja/zh readers must never raise on adversarial input."""
+    import random
+
+    from zonos_tpu.conditioning.ja import read_japanese
+    from zonos_tpu.conditioning.zh import chinese_to_ipa, read_chinese
+
+    rng = random.Random(0)
+    nasty = ["", " ", "\x00", "𝔘𝔫𝔦", "は" * 500, "来" * 200, "9" * 40,
+             "１２３", "a漢b字c", "ー", "っっっ", "。。。"]
+    for _ in range(30):
+        nasty.append("".join(chr(rng.randrange(0x20, 0x30000)) for _ in range(rng.randrange(1, 60))))
+    for t in nasty:
+        assert isinstance(read_japanese(t), str)
+        assert isinstance(read_chinese(t), str)
+        assert isinstance(chinese_to_ipa(t), str)
