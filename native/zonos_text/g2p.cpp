@@ -4764,6 +4764,20 @@ bool pa_letter(unsigned int cp, const PACfg& cfg, std::vector<PAPhone>* word,
 void pa_word(std::vector<PAPhone>& ph, const PACfg& cfg, std::string* out) {
   if (ph.empty()) return;
   bool fa_ur = cfg.lang != 2;
+  // Arabic definite article: ال + sun letter assimilates (الشمس → aʃ-ʃams):
+  // the lam geminates into the following coronal consonant.
+  if (cfg.lang == 2 && ph.size() >= 3 && ph[0].vowel &&
+      (ph[0].ipa == "a" || ph[0].ipa == "ʔa") && ph[1].ipa == "l" &&
+      !ph[2].vowel) {
+    static const char* kSun[] = {"t", "θ", "d", "ð", "r", "z", "s", "ʃ",
+                                 "sˤ", "dˤ", "tˤ", "zˤ", "l", "n"};
+    for (const char* sl : kSun) {
+      if (ph[2].ipa == sl) {
+        ph[1].ipa = ph[2].ipa;  // l → geminate copy of the sun letter
+        break;
+      }
+    }
+  }
   // Persian/Urdu final he = vowel e (silent he): خانه → xɒːne
   if (fa_ur && ph.size() >= 2 && ph.back().ipa == "h" && !ph[ph.size() - 2].vowel)
     ph.back() = {"e", true};
@@ -4788,10 +4802,15 @@ void pa_word(std::vector<PAPhone>& ph, const PACfg& cfg, std::string* out) {
     bool cc = !ph[i].vowel && !ph[i + 1].vowel;
     bool initial_cc = cc && i == 0;
     bool triple = cc && i + 2 < ph.size() && !ph[i + 2].vowel;
-    // aspiration-merged or geminate pairs don't need repair mid-cluster
-    if (initial_cc || triple) {
+    // A geminate (article assimilation, shadda) is one long consonant:
+    // break AFTER it, never inside it.
+    bool geminate = cc && ph[i].ipa == ph[i + 1].ipa;
+    if ((initial_cc || triple) && !geminate) {
       ph.insert(ph.begin() + i + 1, {epv, true});
       i += 2;
+    } else if (triple && geminate) {
+      ph.insert(ph.begin() + i + 2, {epv, true});
+      i += 3;
     } else {
       ++i;
     }

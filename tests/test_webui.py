@@ -100,3 +100,12 @@ def test_build_ui_with_stub_gradio(monkeypatch):
     assert sr == 44100
     wav = np.asarray(wav)
     assert wav.ndim == 1 and wav.shape[0] > 0 and np.isfinite(wav).all()
+
+
+def test_languages_endpoint(live_server):
+    with urllib.request.urlopen(live_server + "/languages") as r:
+        data = json.loads(r.read())
+    assert len(data["languages"]) == 109
+    assert "en-us" in data["languages"] and "cmn" in data["languages"]
+    assert isinstance(data["espeak"], bool)
+    assert isinstance(data["native_g2p"], bool)

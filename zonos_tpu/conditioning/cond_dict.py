@@ -24,7 +24,8 @@ supported_language_codes = [
     'pl', 'pt', 'pt-br', 'py', 'quc', 'ro', 'ru', 'ru-lv', 'sd', 'shn', 'si', 'sk',
     'sl', 'sq', 'sr', 'sv', 'sw', 'ta', 'te', 'tn', 'tr', 'tt', 'ur', 'uz', 'vi',
     'vi-vn-x-central', 'vi-vn-x-south', 'yue',
-]  # 127 languages, matching reference conditioning.py:525-536
+]  # 109 language codes, byte-identical to reference conditioning.py:525-536
+#    (the table is checkpoint-bound: ids are row indices)
 
 
 # Codes the G2P frontend can phonemize but the checkpoint's language-id table

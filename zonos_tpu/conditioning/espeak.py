@@ -105,7 +105,7 @@ def _phonemize_one(lib, text: str, language: str) -> str:
 def phonemize(texts: list[str], languages: list[str]) -> list[str]:
     """Clean + phonemize a batch (reference conditioning.py:307-335).
 
-    Backend order: libespeak-ng (all 127 languages) → native C++ rule engines
+    Backend order: libespeak-ng (all 109 languages) → native C++ rule engines
     (native/zonos_text — dozens of language codes across six scripts, with
     lexicon + stress marks; see docs/LANGUAGES.md) → kana mapper (ja) →
     lowercase graphemes (representable in the model symbol table, degraded

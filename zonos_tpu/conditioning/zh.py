@@ -1,7 +1,7 @@
 """Dictionary-free Mandarin reading fallback: hanzi → pinyin → IPA.
 
 The reference resolves Chinese ("cmn"/"yue") through eSpeak NG
-(/root/reference/zonos/conditioning.py:291-335, language list :525-536),
+(/root/reference/zonos/conditioning.py:291-335, language list :525-536, 109 codes),
 which ships a full hanzi dictionary. Without espeak, hanzi would previously
 degrade to the grapheme tier — and the model's symbol table has no CJK
 characters, so every one became UNK (total loss). This module raises

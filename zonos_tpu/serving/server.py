@@ -305,6 +305,16 @@ class Handler(BaseHTTPRequestHandler):
             self._json(200, {"status": "ok"})
         elif self.path == "/models":
             self._json(200, {"models": get_supported_models()})
+        elif self.path == "/languages":
+            from zonos_tpu.conditioning import native_g2p
+            from zonos_tpu.conditioning.cond_dict import supported_language_codes
+            from zonos_tpu.conditioning.espeak import espeak_available
+
+            self._json(200, {
+                "languages": list(supported_language_codes),
+                "espeak": espeak_available(),
+                "native_g2p": native_g2p.available(),
+            })
         elif self.path == "/conditioners":
             model = load_model_if_needed(config=_APP_CONFIG)
             self._json(200, {"conditioners": model.conditioner_names})
