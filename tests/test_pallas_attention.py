@@ -29,12 +29,9 @@ def test_attn_core_parity(b, s, hq, hkv, dh):
     pad = jnp.asarray(rng.integers(0, 3, size=(b,)), jnp.int32)
     mask = decode_mask(s, pad, write_index)
 
-    # gqa_attention_quantized reads head-major K/V since round 3; the Pallas
-    # kernel still consumes the old time-major buffers (disabled in prod
-    # pending a re-port — models/transformer._pallas_attn_ok).
-    ref = gqa_attention_quantized(
-        q, jnp.swapaxes(kq, 1, 2), ks, jnp.swapaxes(vq, 1, 2), vs, mask
-    )
+    # Both paths read HEAD-MAJOR K/V ([B, Hkv, S, Dh]) since round 3.
+    kq, vq = jnp.swapaxes(kq, 1, 2), jnp.swapaxes(vq, 1, 2)
+    ref = gqa_attention_quantized(q, kq, ks, vq, vs, mask)
     got = attn_core_int8(q, kq, ks, vq, vs, write_index, pad, interpret=True)
     # Kernel computes q in bf16 (ref path uses q's f32 dtype) — loose-ish tol.
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)

@@ -51,12 +51,11 @@ REMAT_LAYERS = os.environ.get("ZONOS_REMAT", "0") == "1"
 
 
 def _pallas_attn_ok(s, pad_amount, b, attend_len, hkv, dh, hq) -> bool:
-    # DISABLED since the head-major int8 KV layout change (round 3): the
-    # kernel in ops/pallas_attention.py still expects time-major [B, S, H, Dh]
-    # buffers, and it measured as a LOSS on this stack anyway (~25 µs fixed
-    # per-call cost, NOTES.md "Refuted" #1-2). Re-port the kernel to the
-    # head-major layout before re-enabling ZONOS_PALLAS_ATTN.
-    if True or not PALLAS_ATTN or s != 1 or pad_amount is None:
+    # Opt-in experiment (a measured LOSS on this stack — ~25 µs fixed
+    # per-call cost, NOTES.md "Refuted" #1-2); ported to the head-major int8
+    # KV layout in round 3 so the retry path stays runnable per new
+    # jax/libtpu versions.
+    if not PALLAS_ATTN or s != 1 or pad_amount is None:
         return False
     from zonos_tpu.ops.pallas_attention import vmem_ok
 

@@ -4,7 +4,9 @@ One decode step's attention middle — scores over the int8 K cache, K-scale
 and 1/sqrt(d) applied post-contraction, validity mask, f32 softmax, V-scale
 folded into the weights, weighted sum over the int8 V cache — as a single
 grid-less pallas_call with the whole per-layer working set (≈2.4 MB at
-flagship: [B, S, Hkv, Dh] int8 K+V + scales) resident in VMEM.
+flagship: HEAD-MAJOR [B, Hkv, S, Dh] int8 K+V + scales) resident in VMEM —
+the same layout the XLA path reads since round 3, so each head's [S, Dh]
+slab is one contiguous DMA.
 
 Motivation (measured, see NOTES.md round 2): the XLA decode step spends
 ~0.6 ms/frame in attention-side glue — ~8-10 small fusions per layer × 24
@@ -42,15 +44,15 @@ def _attn_core_kernel(
     wi_ref,  # [1] int32 in SMEM: write_index (last valid cache slot)
     pad_ref,  # [B] int32 in SMEM: per-sample invalid leading slots
     q_ref,  # [B, Hq, Dh] bf16 (post-RoPE query for the current token)
-    kq_ref,  # [B, S, Hkv, Dh] int8
-    ks_ref,  # [B, Hkv, S] f32 (head-major)
-    vq_ref,  # [B, S, Hkv, Dh] int8
+    kq_ref,  # [B, Hkv, S, Dh] int8 (head-major)
+    ks_ref,  # [B, Hkv, S] f32
+    vq_ref,  # [B, Hkv, S, Dh] int8
     vs_ref,  # [B, Hkv, S] f32
     o_ref,  # [B, Hq, Dh] f32
 ):
     b_sz, hq, dh = q_ref.shape
-    s = kq_ref.shape[1]
-    hkv = kq_ref.shape[2]
+    hkv = kq_ref.shape[1]
+    s = kq_ref.shape[2]
     g = hq // hkv
     scale = 1.0 / math.sqrt(dh)
     wi = wi_ref[0]
@@ -60,7 +62,7 @@ def _attn_core_kernel(
         valid = (cols >= pad_ref[b]) & (cols <= wi)  # [1, S]
         for h in range(hkv):
             q_bh = q_ref[b, h * g:(h + 1) * g, :].astype(jnp.bfloat16)  # [G, Dh]
-            k_bh = kq_ref[b, :, h, :].astype(jnp.bfloat16)  # [S, Dh]
+            k_bh = kq_ref[b, h, :, :].astype(jnp.bfloat16)  # [S, Dh] contiguous
             scores = jax.lax.dot_general(
                 q_bh, k_bh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -70,7 +72,7 @@ def _attn_core_kernel(
             probs = jax.nn.softmax(scores, axis=-1)  # f32 [G, S]
             pw = (probs * vs_ref[b, h, :][None, :]).astype(jnp.bfloat16)
             out = jax.lax.dot_general(
-                pw, vq_ref[b, :, h, :].astype(jnp.bfloat16),
+                pw, vq_ref[b, h, :, :].astype(jnp.bfloat16),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [G, Dh]
@@ -80,9 +82,9 @@ def _attn_core_kernel(
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def attn_core_int8(
     q: jnp.ndarray,  # [B, 1, Hq, Dh] (post-RoPE)
-    kq: jnp.ndarray,  # [B, S, Hkv, Dh] int8
-    ks: jnp.ndarray,  # [B, Hkv, S] f32 (head-major)
-    vq: jnp.ndarray,  # [B, S, Hkv, Dh] int8
+    kq: jnp.ndarray,  # [B, Hkv, S, Dh] int8 (head-major)
+    ks: jnp.ndarray,  # [B, Hkv, S] f32
+    vq: jnp.ndarray,  # [B, Hkv, S, Dh] int8
     vs: jnp.ndarray,  # [B, Hkv, S] f32
     write_index: jnp.ndarray,  # scalar int32
     pad_amount: jnp.ndarray,  # [B] int32
@@ -91,7 +93,7 @@ def attn_core_int8(
     """Decode attention vs the int8 cache → [B, 1, Hq, Dh] in q.dtype."""
     b, sq, hq, dh = q.shape
     assert sq == 1, "decode kernel: single query token"
-    s = kq.shape[1]
+    s = kq.shape[2]
     out = pl.pallas_call(
         _attn_core_kernel,
         grid=(),
@@ -108,7 +110,7 @@ def attn_core_int8(
         out_shape=jax.ShapeDtypeStruct((b, hq, dh), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * hq * dh * s,
-            bytes_accessed=2 * b * s * kq.shape[2] * dh + b * hq * dh * 6,
+            bytes_accessed=2 * b * s * kq.shape[1] * dh + b * hq * dh * 6,
             transcendentals=b * hq * s,
         ),
         interpret=interpret,
