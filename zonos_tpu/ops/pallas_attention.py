@@ -15,12 +15,13 @@ streams near HBM roofline. This kernel collapses those fusions into one op
 per layer. It is numerically identical to ops/attention.gqa_attention_quantized
 (same post-contraction scale placement).
 
-Status (measured, v5e via axon): a LOSS — 3.34 ms/frame vs 2.69 XLA in the
-real decode loop (+27 µs/layer). Third independent Pallas experiment to
-lose to XLA on this stack (with fused-MLP and int8-matmul); the fixed
-per-pallas_call cost here (~25 µs) exceeds the fusion-count savings. Kept
-behind ZONOS_PALLAS_ATTN=1 with interpret-mode parity tests; revisit only
-on a stack where a trivial pallas_call round-trips faster.
+Status (measured, v5e via axon): PARITY after the round-3 head-major
+re-port — 2.72 ms/frame vs 2.69 XLA in the real decode loop (was a 0.65
+ms/frame LOSS at the old time-major layout, whose per-head VMEM copies
+were strided). The parity result is diagnostic: collapsing ~8 fusions per
+layer into one kernel changes nothing, so the attention core's cost is
+intrinsic (KV DMA + small-dot latency), not launch overhead — NOTES.md
+"Refuted" #0. Stays behind ZONOS_PALLAS_ATTN=1 (3× compile time for ±0).
 
 The K/V cache writes (quantize + dynamic_update_slice of the current token)
 stay in XLA — they are tiny and fuse fine; the kernel only READS the cache,
