@@ -153,3 +153,17 @@ def test_generate_with_dynamic_batching(monkeypatch):
     assert srv._BATCHER.stats["requests"] == 2
     srv._BATCHER.close()
     srv._BATCHER = None
+
+
+def test_generate_handler_non_latin_language():
+    """A Mandarin request flows through the full serving path: hanzi →
+    pinyin → IPA → conditioning → decode → WAV (round-3 zh reader)."""
+    from zonos_tpu.serving.server import handle_generate
+
+    wav_bytes, meta = handle_generate(
+        {"text": "你好世界", "language": "cmn", "randomize_seed": False, "seed": 9}
+    )
+    assert wav_bytes[:4] == b"RIFF"
+    with wave.open(io.BytesIO(wav_bytes)) as w:
+        assert w.getnframes() > 0
+    assert meta["rtf"] > 0
