@@ -26,6 +26,7 @@
 #include <cctype>
 #include <cstdlib>
 #include <cstring>
+#include <map>
 #include <string>
 #include <vector>
 
@@ -1327,7 +1328,162 @@ bool ru_is_cons(int id) {
   return !ru_is_vowel(id) && id != RHARD && id != RSOFT && id != R_NONE;
 }
 
-std::string phonemize_word_ru(const std::vector<int>& w0) {
+// --- Russian stress lexicon + vowel reduction --------------------------------
+// Russian stress is free/lexical, so the base engine emits full (unreduced)
+// vowels — intelligible but stilted. This embedded lexicon records the
+// stressed-vowel index (1-based) for high-frequency words and their common
+// inflected forms; for words it covers the engine then renders REAL Russian
+// phonetics: ˈ on the stressed syllable, аканье (unstressed о → ɐ
+// immediately pretonic / ə elsewhere, а → ɐ/ə) and иканье (unstressed е/я
+// → ɪ). Out-of-lexicon words keep the safe unreduced reading — a wrong
+// stress guess would be worse than none.
+
+// Key = the word's letter-id sequence encoded one byte per id (+1).
+std::string ru_key(const std::vector<int>& w) {
+  std::string k;
+  for (int id : w) k += static_cast<char>(id + 1);
+  return k;
+}
+
+int ru_stress_lookup(const std::vector<int>& w) {
+  struct E { const char* word; int v; };  // UTF-8 word, stressed vowel (1-based)
+  static const E kLex[] = {
+    // pronouns / function words
+    {"меня", 2}, {"тебя", 2}, {"себя", 2}, {"него", 2}, {"неё", 2},
+    {"мне", 1}, {"тебе", 2}, {"себе", 2}, {"ему", 2}, {"нему", 2},
+    {"они", 2}, {"оно", 2}, {"она", 2}, {"вами", 1}, {"нами", 1},
+    {"этот", 1}, {"это", 1}, {"эта", 1}, {"эти", 1}, {"того", 2},
+    {"тогда", 2}, {"когда", 2}, {"всегда", 2}, {"иногда", 3},
+    {"здесь", 1}, {"теперь", 2}, {"потом", 2}, {"почему", 3},
+    {"потому", 3}, {"сегодня", 2}, {"завтра", 1}, {"вчера", 2},
+    {"очень", 1}, {"ещё", 2}, {"уже", 2}, {"тоже", 1}, {"также", 1},
+    {"только", 1}, {"просто", 1}, {"сейчас", 2}, {"вообще", 3},
+    {"конечно", 2}, {"например", 3}, {"между", 1}, {"перед", 1},
+    {"через", 1}, {"около", 1}, {"против", 1},
+    // common nouns
+    {"человек", 3}, {"человека", 3}, {"люди", 1}, {"людей", 2},
+    {"время", 1}, {"времени", 1}, {"год", 1}, {"года", 1}, {"году", 2},
+    {"годы", 1}, {"день", 1}, {"дня", 1}, {"дни", 1}, {"ночь", 1},
+    {"утро", 1}, {"вечер", 1}, {"неделя", 2}, {"месяц", 1},
+    {"работа", 2}, {"работу", 2}, {"работы", 2}, {"дело", 1}, {"дела", 2},
+    {"слово", 1}, {"слова", 2}, {"место", 1}, {"места", 2},
+    {"город", 1}, {"города", 3}, {"страна", 2}, {"страны", 2},
+    {"мир", 1}, {"мира", 1}, {"земля", 2}, {"вода", 2}, {"воду", 1},
+    {"воды", 1}, {"дом", 1}, {"дома", 1}, {"домой", 2},
+    {"рука", 2}, {"руки", 1}, {"руку", 1}, {"нога", 2}, {"ноги", 1},
+    {"голова", 3}, {"голову", 1}, {"глаза", 2}, {"глаз", 1},
+    {"лицо", 2}, {"сердце", 1}, {"душа", 2}, {"жизнь", 1}, {"жизни", 1},
+    {"смерть", 1}, {"друг", 1}, {"друга", 1}, {"друзья", 2},
+    {"отец", 2}, {"мать", 1}, {"мама", 1}, {"папа", 1}, {"сын", 1},
+    {"дочь", 1}, {"брат", 1}, {"сестра", 2}, {"семья", 2},
+    {"ребёнок", 2}, {"дети", 1}, {"женщина", 1}, {"мужчина", 2},
+    {"девушка", 1}, {"мальчик", 1}, {"девочка", 1},
+    {"вопрос", 2}, {"ответ", 2}, {"книга", 1}, {"книги", 1},
+    {"язык", 2}, {"языка", 3}, {"голос", 1}, {"музыка", 1},
+    {"песня", 1}, {"история", 2}, {"деньги", 1}, {"денег", 1},
+    {"машина", 2}, {"дорога", 2}, {"дверь", 1}, {"окно", 2},
+    {"стол", 1}, {"стул", 1}, {"комната", 1}, {"школа", 1},
+    {"учитель", 2}, {"студент", 2}, {"письмо", 2}, {"бумага", 2},
+    {"телефон", 3}, {"компьютер", 2}, {"интернет", 3},
+    {"правда", 1}, {"счастье", 1}, {"любовь", 2}, {"любви", 2},
+    {"война", 2}, {"войны", 2}, {"народ", 2}, {"государство", 3},
+    {"россия", 2}, {"москва", 2}, {"москве", 2},
+    {"солнце", 1}, {"небо", 1}, {"звезда", 2}, {"луна", 2},
+    {"лес", 1}, {"море", 1}, {"река", 2}, {"гора", 2}, {"горы", 1},
+    {"ветер", 1}, {"дождь", 1}, {"снег", 1}, {"зима", 2}, {"зимой", 2},
+    {"лето", 1}, {"летом", 1}, {"весна", 2}, {"осень", 1},
+    {"утром", 1}, {"вечером", 1}, {"ночью", 1}, {"днём", 1},
+    {"хлеб", 1}, {"молоко", 3}, {"мясо", 1}, {"чай", 1}, {"кофе", 1},
+    // verbs (common forms)
+    {"быть", 1}, {"был", 1}, {"была", 2}, {"было", 1}, {"были", 1},
+    {"будет", 1}, {"будем", 1}, {"будут", 1}, {"буду", 1},
+    {"есть", 1}, {"иметь", 2}, {"имеет", 2},
+    {"говорить", 3}, {"говорит", 3}, {"говорил", 3}, {"говорила", 3},
+    {"говорю", 3}, {"сказать", 2}, {"сказал", 2}, {"сказала", 3},
+    {"скажи", 2}, {"скажите", 2},
+    {"знать", 1}, {"знаю", 1}, {"знает", 1}, {"знал", 1}, {"знаешь", 1},
+    {"думать", 1}, {"думаю", 1}, {"думает", 1}, {"думал", 1},
+    {"хотеть", 2}, {"хочу", 2}, {"хочет", 1}, {"хотел", 2}, {"хотела", 3},
+    {"мочь", 1}, {"могу", 2}, {"может", 1}, {"можно", 1}, {"мог", 1},
+    {"нужно", 1}, {"надо", 1}, {"нельзя", 2},
+    {"делать", 1}, {"делаю", 1}, {"делает", 1}, {"сделать", 2},
+    {"видеть", 1}, {"вижу", 1}, {"видит", 1}, {"видел", 1}, {"видела", 1},
+    {"смотреть", 2}, {"смотрит", 2}, {"смотрю", 2},
+    {"слышать", 1}, {"слышу", 1}, {"слушать", 1}, {"слушаю", 1},
+    {"идти", 2}, {"иду", 2}, {"идёт", 2}, {"шёл", 1}, {"шла", 1},
+    {"пойти", 2}, {"пошёл", 2}, {"пошла", 2}, {"прийти", 2},
+    {"пришёл", 2}, {"пришла", 2}, {"ходить", 2}, {"ходит", 1},
+    {"ехать", 1}, {"еду", 1}, {"едет", 1}, {"приехать", 3},
+    {"жить", 1}, {"живу", 2}, {"живёт", 2}, {"жил", 1}, {"жила", 2},
+    {"работать", 2}, {"работаю", 2}, {"работает", 2},
+    {"любить", 2}, {"люблю", 2}, {"любит", 1}, {"любил", 2},
+    {"стоять", 2}, {"стоит", 2}, {"стоял", 2},
+    {"сидеть", 2}, {"сидит", 2}, {"сидел", 2},
+    {"лежать", 2}, {"лежит", 2}, {"лежал", 2},
+    {"спать", 1}, {"сплю", 1}, {"спит", 1}, {"спал", 1},
+    {"писать", 2}, {"пишу", 2}, {"пишет", 1}, {"написал", 3},
+    {"читать", 2}, {"читаю", 2}, {"читает", 2}, {"прочитал", 3},
+    {"давать", 2}, {"даю", 2}, {"дать", 1}, {"дал", 1}, {"дай", 1},
+    {"взять", 1}, {"взял", 1}, {"взяла", 3}, {"брать", 1}, {"беру", 2},
+    {"найти", 2}, {"нашёл", 2}, {"нашла", 2}, {"искать", 2}, {"ищу", 2},
+    {"понять", 2}, {"понял", 1}, {"поняла", 3}, {"понимать", 3},
+    {"понимаю", 3}, {"понимает", 3},
+    {"помнить", 1}, {"помню", 1}, {"забыть", 2}, {"забыл", 2},
+    {"начать", 2}, {"начал", 1}, {"начала", 3}, {"кончить", 1},
+    {"открыть", 2}, {"открыл", 2}, {"закрыть", 2}, {"закрыл", 2},
+    {"купить", 2}, {"купил", 2}, {"продать", 2},
+    {"играть", 2}, {"играет", 2}, {"играл", 2},
+    {"стать", 1}, {"стал", 1}, {"стала", 1}, {"становится", 2},
+    {"казаться", 2}, {"кажется", 1},
+    {"спросить", 2}, {"спросил", 2}, {"ответить", 2}, {"ответил", 2},
+    {"помочь", 2}, {"помогите", 3}, {"помогать", 3},
+    {"ждать", 1}, {"жду", 1}, {"ждёт", 1}, {"подождите", 3},
+    {"показать", 3}, {"показал", 3},
+    // adjectives / adverbs
+    {"хорошо", 3}, {"хороший", 2}, {"хорошая", 2}, {"хорошее", 2},
+    {"плохо", 1}, {"плохой", 2}, {"большой", 2}, {"большая", 2},
+    {"маленький", 1}, {"новый", 1}, {"новая", 1}, {"новое", 1},
+    {"старый", 1}, {"старая", 1}, {"молодой", 3}, {"молодая", 3},
+    {"красивый", 2}, {"красивая", 2}, {"белый", 1}, {"чёрный", 1},
+    {"красный", 1}, {"синий", 1}, {"зелёный", 2}, {"жёлтый", 1},
+    {"длинный", 1}, {"короткий", 2}, {"высокий", 2}, {"низкий", 1},
+    {"быстро", 1}, {"медленно", 1}, {"легко", 2}, {"трудно", 1},
+    {"важно", 1}, {"важный", 1}, {"главный", 1}, {"последний", 2},
+    {"первый", 1}, {"второй", 2}, {"третий", 1}, {"другой", 2},
+    {"другая", 2}, {"каждый", 1}, {"каждая", 1}, {"самый", 1},
+    {"русский", 1}, {"русская", 1}, {"добрый", 1}, {"дорогой", 3},
+    {"счастливый", 2}, {"свободный", 2}, {"далеко", 3}, {"близко", 1},
+    {"долго", 1}, {"давно", 2}, {"рано", 1}, {"поздно", 1},
+    {"много", 1}, {"мало", 1}, {"больше", 1}, {"меньше", 1},
+    {"лучше", 1}, {"хуже", 1}, {"снова", 1}, {"опять", 2},
+    {"вместе", 1}, {"вокруг", 2}, {"вперёд", 2}, {"назад", 2},
+    {"направо", 2}, {"налево", 2}, {"прямо", 1},
+    {"спасибо", 2}, {"пожалуйста", 2}, {"здравствуйте", 1},
+    {"привет", 2}, {"извините", 3}, {"простите", 2},
+    {"свидания", 2}, {"удачи", 2},
+  };
+  static std::map<std::string, int>* lex = nullptr;
+  if (lex == nullptr) {
+    lex = new std::map<std::string, int>();
+    for (const auto& e : kLex) {
+      // Convert the UTF-8 entry to the id-sequence key once at first use.
+      std::string t(e.word), key;
+      bool ok = true;
+      for (size_t i = 0; i < t.size();) {
+        int id;
+        size_t n = ru_letter(t, i, &id);
+        if (!n || id == R_NONE) { ok = false; break; }
+        key += static_cast<char>(id + 1);
+        i += n;
+      }
+      if (ok) (*lex)[key] = e.v;
+    }
+  }
+  auto it = lex->find(ru_key(w));
+  return it == lex->end() ? 0 : it->second;
+}
+
+std::string phonemize_word_ru(const std::vector<int>& w0, int stress = 0) {
   std::vector<int> w = w0;
   size_t n = w.size();
   // --- exceptions / morphology ---
@@ -1344,6 +1500,18 @@ std::string phonemize_word_ru(const std::vector<int>& w0) {
     /*RSOFT*/ "", /*REH*/ "", /*RYU*/ "", /*RYA*/ "", /*RYO*/ "",
   };
   static const char* kDevoiced[] = {"p", "f", "k", "t", "ʂ", "s"};  // б в г д ж з
+
+  // Vowel ordinals for stress placement / reduction (count vowel LETTERS).
+  int v_ord = 0;
+  auto vowel_prefix = [&](std::string* out_) {
+    ++v_ord;
+    if (stress > 0 && v_ord == stress) *out_ += "ˈ";
+  };
+  // Reduction applies only when the stressed syllable is KNOWN (lexicon hit).
+  auto reduced_ao = [&]() -> const char* {
+    // аканье: immediately pretonic (or word-initial ordinal 1) → ɐ, else ə.
+    return (v_ord == stress - 1 || v_ord == 1) ? "ɐ" : "ə";
+  };
 
   std::string out;
   for (size_t i = 0; i < n;) {
@@ -1400,19 +1568,29 @@ std::string phonemize_word_ru(const std::vector<int>& w0) {
       continue;
     }
     switch (c) {
-      case RA: out += "a"; ++i; break;
-      case RO: out += "o"; ++i; break;
-      case RU: out += "u"; ++i; break;
-      case RY: out += "ɨ"; ++i; break;
-      case REH: out += "ɛ"; ++i; break;
+      case RA:
+        vowel_prefix(&out);
+        out += (stress > 0 && v_ord != stress) ? reduced_ao() : "a";
+        ++i; break;
+      case RO:
+        vowel_prefix(&out);
+        out += (stress > 0 && v_ord != stress) ? reduced_ao() : "o";
+        ++i; break;
+      case RU: vowel_prefix(&out); out += "u"; ++i; break;
+      case RY: vowel_prefix(&out); out += "ɨ"; ++i; break;
+      case REH: vowel_prefix(&out); out += "ɛ"; ++i; break;
       case RI:
+        vowel_prefix(&out);
         // и after ж ш ц is hard ɨ.
         out += ru_always_hard(prev) ? "ɨ" : "i";
         ++i; break;
       case RE: case RYO: case RYU: case RYA: {
-        const char* v = (c == RE) ? "e" : (c == RYO) ? "o" : (c == RYU) ? "u" : "a";
         bool j_onset = (prev == R_NONE) || ru_is_vowel(prev) ||
                        prev == RSOFT || prev == RHARD;
+        vowel_prefix(&out);
+        const char* v = (c == RE) ? "e" : (c == RYO) ? "o" : (c == RYU) ? "u" : "a";
+        // иканье: unstressed е/я → ɪ (ё is inherently stressed; ю keeps u).
+        if (stress > 0 && v_ord != stress && (c == RE || c == RYA)) v = "ɪ";
         if (j_onset) out += "j";
         out += v;
         ++i; break;
@@ -1853,7 +2031,7 @@ const char* phonemize_text_ru(const char* utf8_text) {
     std::vector<int> w = word;
     if (w == kChto) w[0] = RSH;
     else if (w == kSegodnya) w[2] = RV;
-    result += phonemize_word_ru(w);
+    result += phonemize_word_ru(w, ru_stress_lookup(word));
     word.clear();
   };
 

@@ -278,16 +278,25 @@ def test_ru_rule_engine():
     if not native_g2p.available():
         pytest.skip("no g++ / native lib")
     ph = lambda t: native_g2p.phonemize(t, "ru")
+    # stress-lexicon words render REAL Russian phonetics: ˈ + аканье/иканье
+    # (round 3; out-of-lexicon words keep the safe unreduced reading)
+    assert ph("привет") == "prʲivʲˈet"
+    assert ph("хорошо") == "xɐrɐʂˈo"          # textbook аканье
+    assert ph("молоко") == "mɐlɐkˈo"
+    assert ph("спасибо") == "spɐsʲˈibə"
+    assert ph("тебя") == "tʲɪbʲˈa"            # иканье: unstressed е/я → ɪ
+    assert ph("работа") == "rɐbˈotə"
     # palatalization before soft vowels / ь
-    assert ph("привет") == "prʲivʲet"
-    assert ph("дела") == "dʲela"
-    assert ph("большой") == "bolʲʂoj"
+    assert ph("дела") == "dʲɪlˈa"
+    # out-of-lexicon word: safe unreduced fallback (no stress guess)
+    assert ph("переплетение") == "pʲerʲeplʲetʲenʲije"
+    assert ph("большой") == "bɐlʲʂˈoj"
     # j-onset of е ё ю я at word start / after vowels
     assert ph("я") == "ja"
     assert ph("ёлка") == "jolka"
     assert ph("такое") == "takoje"
     # ж ш ц always hard (и → ɨ after them)
-    assert ph("жить") == "ʐɨtʲ"
+    assert ph("жить") == "ʐˈɨtʲ"   # lexicon: single stressed vowel
     assert ph("шить") == "ʂɨtʲ"
     # final devoicing
     assert ph("друг") == "druk"
@@ -295,10 +304,10 @@ def test_ru_rule_engine():
     assert ph("год") == "ɡot"
     # exceptions: что → што, сегодня / -ого genitive г → в
     assert ph("что") == "ʂto"
-    assert ph("сегодня") == "sʲevodnʲa"
+    assert ph("сегодня") == "sʲɪvˈodnʲɪ"      # lexicon stress + иканье
     assert ph("нового") == "novovo"
     # uppercase folds across both UTF-8 lead bytes
-    assert ph("Спасибо") == "spasʲibo"
+    assert ph("Спасибо") == "spɐsʲˈibə"
     assert ph("Привет") == ph("привет")
     # all emitted symbols must be in the model's phoneme table
     from zonos_tpu.conditioning.text import UNK_ID, get_symbol_ids
