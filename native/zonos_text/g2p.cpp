@@ -124,6 +124,7 @@ static const Rule kRules[] = {
   {"", "lo", "c#", "loʊ"}, {"l", "l", "", ""}, {"#:^", "l", "%", "əl"},
   {" ", "lead", "", "liːd"}, {"", "l", "", "l"},
   // --- M ---
+  {"", "mb", " ", "m"}, {"", "mn", " ", "m"},
   {"", "mov", "", "muːv"}, {"", "m", "", "m"},
   // --- N ---
   {"e", "ng", "+", "ndʒ"}, {"", "ng", "r", "ŋɡ"}, {"", "ng", "#", "ŋɡ"},
@@ -154,6 +155,7 @@ static const Rule kRules[] = {
   // --- R ---
   {" ", "re", "^#", "ɹiː"}, {"", "r", "", "ɹ"},
   // --- S ---
+  {"", "sten", " ", "sən"}, {"", "stle", " ", "səl"},
   {"", "sh", "", "ʃ"}, {"#", "sion", "", "ʒən"}, {"", "some", "", "sʌm"},
   {"#", "sur", "#", "ʒɚ"}, {"", "sur", "#", "ʃɚ"}, {"#", "su", "#", "ʒuː"},
   {"#", "ssu", "#", "ʃuː"}, {"#", "sed", " ", "zd"}, {"#", "s", "#", "z"},
@@ -300,6 +302,32 @@ static const LexEntry kLexiconEn[] = {
   {"own", "ˈoʊn"}, {"only", "ˈoʊnli"}, {"very", "vˈɛɹi"},
   {"every", "ˈɛvɹi"}, {"any", "ˈɛni"}, {"many", "mˈɛni"},
   {"ocean", "ˈoʊʃən"}, {"early", "ˈɝːli"}, {"earth", "ˈɝːθ"},
+  // round-3 audit batch (tools: en-word audit; worst rule misses)
+  {"another", "ənˈʌðɚ"}, {"father", "fˈɑːðɚ"}, {"heard", "hˈɝːd"},
+  {"house", "hˈaʊs"}, {"about", "əbˈaʊt"}, {"prove", "pɹˈuːv"},
+  {"lose", "lˈuːz"}, {"want", "wˈɑːnt"}, {"watch", "wˈɑːtʃ"},
+  {"beautiful", "bjˈuːtɪfəl"}, {"machine", "məʃˈiːn"},
+  {"chocolate", "tʃˈɑːklət"}, {"stomach", "stˈʌmək"},
+  {"character", "kˈɛɹəktɚ"}, {"echo", "ˈɛkoʊ"}, {"half", "hˈæf"},
+  {"calm", "kˈɑːm"}, {"country", "kˈʌntɹi"}, {"blood", "blˈʌd"},
+  {"flood", "flˈʌd"}, {"sugar", "ʃˈʊɡɚ"}, {"guarantee", "ɡɛɹəntˈiː"},
+  {"juice", "dʒˈuːs"}, {"fruit", "fɹˈuːt"}, {"suit", "sˈuːt"},
+  {"biscuit", "bˈɪskɪt"}, {"circuit", "sˈɝːkɪt"}, {"honest", "ˈɑːnɪst"},
+  {"honor", "ˈɑːnɚ"}, {"ghost", "ɡˈoʊst"}, {"anxiety", "æŋzˈaɪəti"},
+  {"christmas", "kɹˈɪsməs"}, {"aisle", "ˈaɪl"}, {"poor", "pˈʊɹ"},
+  {"usually", "jˈuːʒuəli"}, {"usual", "jˈuːʒuəl"}, {"quarter", "kwˈɔːɹtɚ"},
+  {"europe", "jˈʊɹəp"}, {"area", "ˈɛɹiə"}, {"idea", "aɪdˈiːə"},
+  {"real", "ɹˈiːl"}, {"really", "ɹˈiːli"}, {"video", "vˈɪdioʊ"},
+  {"radio", "ɹˈeɪdioʊ"}, {"piano", "piˈænoʊ"}, {"police", "pəlˈiːs"},
+  {"hotel", "hoʊtˈɛl"}, {"café", "kæfˈeɪ"}, {"cafe", "kæfˈeɪ"},
+  {"coffee", "kˈɔːfi"}, {"break", "bɹˈeɪk"}, {"steak", "stˈeɪk"},
+  {"bear", "bˈɛɹ"}, {"wear", "wˈɛɹ"}, {"pear", "pˈɛɹ"},
+  {"weird", "wˈɪɹd"}, {"height", "hˈaɪt"}, {"weight", "wˈeɪt"},
+  {"foreign", "fˈɔːɹɪn"}, {"recipe", "ɹˈɛsəpi"}, {"routine", "ɹuːtˈiːn"},
+  {"genre", "ʒˈɑːnɹə"}, {"vehicle", "vˈiːɪkəl"}, {"chaos", "kˈeɪɑːs"},
+  {"choice", "tʃˈɔɪs"}, {"voice", "vˈɔɪs"}, {"noise", "nˈɔɪz"},
+  {"comb", "kˈoʊm"}, {"climb", "klˈaɪm"}, {"tomb", "tˈuːm"},
+  {"womb", "wˈuːm"}, {"bomb", "bˈɑːm"}, {"plumber", "plˈʌmɚ"},
 };
 constexpr int kNumLexEn = sizeof(kLexiconEn) / sizeof(LexEntry);
 
