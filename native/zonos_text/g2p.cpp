@@ -1489,6 +1489,83 @@ int ru_stress_lookup(const std::vector<int>& w) {
     {"спасибо", 2}, {"пожалуйста", 2}, {"здравствуйте", 1},
     {"привет", 2}, {"извините", 3}, {"простите", 2},
     {"свидания", 2}, {"удачи", 2},
+    // numbers / time
+    {"один", 2}, {"одна", 2}, {"одно", 2}, {"четыре", 2}, {"пять", 1},
+    {"шесть", 1}, {"семь", 1}, {"восемь", 1}, {"девять", 1}, {"десять", 1},
+    {"одиннадцать", 2}, {"двенадцать", 2}, {"тринадцать", 2},
+    {"двадцать", 1}, {"тридцать", 1}, {"сорок", 1}, {"пятьдесят", 3},
+    {"девяносто", 3}, {"тысяча", 1}, {"миллион", 3}, {"миллиард", 3},
+    {"первая", 1}, {"второе", 2}, {"половина", 3}, {"минута", 2},
+    {"минут", 2}, {"секунда", 2}, {"часов", 2}, {"часа", 2},
+    {"января", 3}, {"февраля", 3}, {"марта", 1}, {"апреля", 2},
+    {"июня", 2}, {"июля", 2}, {"августа", 1}, {"сентября", 3},
+    {"октября", 3}, {"ноября", 3}, {"декабря", 3},
+    {"понедельник", 3}, {"вторник", 1}, {"среда", 2}, {"четверг", 2},
+    {"пятница", 1}, {"суббота", 2}, {"воскресенье", 3},
+    // more nouns
+    {"разговор", 3}, {"встреча", 1}, {"помощь", 1}, {"право", 1},
+    {"закон", 2}, {"суд", 1}, {"власть", 1}, {"сила", 1}, {"свет", 1},
+    {"цвет", 1}, {"звук", 1}, {"запах", 1}, {"вкус", 1}, {"еда", 2},
+    {"обед", 2}, {"ужин", 1}, {"завтрак", 1}, {"магазин", 3},
+    {"больница", 2}, {"врач", 1}, {"доктор", 1}, {"улица", 1},
+    {"площадь", 1}, {"квартира", 2}, {"этаж", 2}, {"лестница", 1},
+    {"поезд", 1}, {"самолёт", 3}, {"автобус", 2}, {"метро", 2},
+    {"билет", 2}, {"аэропорт", 4}, {"вокзал", 2}, {"гостиница", 2},
+    {"номер", 1}, {"ключ", 1}, {"карта", 1}, {"фотография", 3},
+    {"картина", 2}, {"фильм", 1}, {"игра", 2}, {"спорт", 1},
+    {"футбол", 2}, {"команда", 2}, {"группа", 1}, {"театр", 2},
+    {"кино", 2}, {"концерт", 2}, {"праздник", 1}, {"подарок", 2},
+    {"цветы", 2}, {"погода", 2}, {"воздух", 1}, {"огонь", 2},
+    {"камень", 1}, {"дерево", 1}, {"деревья", 2}, {"трава", 2},
+    {"птица", 1}, {"собака", 2}, {"кошка", 1}, {"лошадь", 1},
+    {"корова", 2}, {"рыба", 1}, {"медведь", 2}, {"волк", 1},
+    {"граница", 2}, {"север", 1}, {"юг", 1}, {"запад", 1}, {"восток", 2},
+    {"центр", 1}, {"край", 1}, {"область", 1}, {"район", 2},
+    {"деревня", 2}, {"столица", 2}, {"житель", 1}, {"сосед", 2},
+    {"гость", 1}, {"хозяин", 2}, {"начальник", 2}, {"директор", 2},
+    {"президент", 3}, {"министр", 2}, {"солдат", 2}, {"армия", 1},
+    {"оружие", 2}, {"победа", 2}, {"поражение", 3}, {"будущее", 1},
+    {"прошлое", 1}, {"настоящее", 3}, {"начало", 2}, {"конец", 2},
+    {"середина", 3}, {"причина", 2}, {"результат", 3}, {"решение", 2},
+    {"условие", 2}, {"возможность", 2}, {"проблема", 2}, {"ошибка", 2},
+    {"успех", 2}, {"опыт", 1}, {"знание", 1}, {"память", 1},
+    {"мысль", 1}, {"мечта", 2}, {"надежда", 2}, {"страх", 1},
+    {"радость", 1}, {"грусть", 1}, {"боль", 1}, {"улыбка", 2},
+    {"смех", 1}, {"слеза", 2}, {"слёзы", 1},
+    // more verbs / adverbs
+    {"приходить", 3}, {"приходит", 2}, {"уходить", 3}, {"уходит", 2},
+    {"ушёл", 2}, {"ушла", 2}, {"выйти", 1}, {"вышел", 1}, {"вышла", 1},
+    {"войти", 2}, {"вошёл", 2}, {"останется", 2}, {"остался", 2},
+    {"осталась", 2}, {"остаться", 2}, {"вернуться", 2}, {"вернулся", 2},
+    {"вернулась", 3}, {"получить", 3}, {"получил", 3}, {"получает", 3},
+    {"отвечает", 3}, {"спрашивает", 2}, {"рассказал", 3},
+    {"рассказывает", 2}, {"объяснить", 3}, {"учиться", 2}, {"учится", 1},
+    {"учить", 2}, {"изучать", 3}, {"помогает", 3}, {"бежать", 2},
+    {"бежит", 2}, {"летать", 2}, {"летит", 2}, {"плавать", 1},
+    {"петь", 1}, {"поёт", 2}, {"танцевать", 3}, {"рисовать", 3},
+    {"строить", 1}, {"построил", 3}, {"ломать", 2}, {"чувствовать", 1},
+    {"чувствует", 1}, {"болеть", 2}, {"болит", 2}, {"лечить", 2},
+    {"умереть", 3}, {"умер", 1}, {"родиться", 2}, {"родился", 2},
+    {"вырос", 1}, {"расти", 2}, {"растёт", 2}, {"менять", 2},
+    {"изменить", 3}, {"проверить", 2}, {"решить", 2}, {"решил", 2},
+    {"выбрать", 1}, {"выбрал", 1}, {"платить", 2}, {"платит", 1},
+    {"заплатил", 3}, {"стоить", 1}, {"считать", 2}, {"считает", 2},
+    {"верить", 1}, {"верю", 1}, {"надеюсь", 2}, {"бояться", 2},
+    {"боюсь", 2}, {"боится", 2}, {"смеяться", 2}, {"смеётся", 2},
+    {"плакать", 1}, {"плачет", 1}, {"кричать", 2}, {"кричит", 2},
+    {"молчать", 2}, {"молчит", 2}, {"шутить", 2},
+    {"попробовать", 2}, {"пробовать", 1}, {"пытаться", 2},
+    {"стараться", 2}, {"мешать", 2}, {"разрешить", 3}, {"запретить", 3},
+    {"случилось", 2}, {"происходит", 3}, {"произошло", 4},
+    {"кажется", 1}, {"например", 3}, {"наверное", 2}, {"обязательно", 3},
+    {"действительно", 3}, {"особенно", 2}, {"совершенно", 3},
+    {"абсолютно", 3}, {"срочно", 1}, {"внезапно", 2}, {"однажды", 2},
+    {"недавно", 2}, {"скоро", 1}, {"позже", 1}, {"раньше", 1},
+    {"дальше", 1}, {"ближе", 1}, {"выше", 1}, {"ниже", 1},
+    {"громко", 1}, {"тихо", 1}, {"весело", 1}, {"грустно", 1},
+    {"страшно", 1}, {"интересно", 3}, {"понятно", 2}, {"правильно", 1},
+    {"неправильно", 2}, {"отлично", 2}, {"прекрасно", 2},
+    {"возможно", 2}, {"невозможно", 3},
   };
   static std::map<std::string, int>* lex = nullptr;
   if (lex == nullptr) {
