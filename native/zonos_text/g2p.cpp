@@ -606,6 +606,27 @@ bool de_vowel(char c) {
 }
 
 std::string phonemize_word_de(const std::string& raw) {
+  // Irregulars / loanwords the rule engine misses (round-3 audit).
+  static const std::map<std::string, const char*> kLexDe = {
+    {"vielleicht", "fɪlˈaɪçt"}, {"familie", "famˈiːliə"},
+    {"europa", "ɔʏʁˈoːpa"}, {"minute", "minˈuːtə"}, {"monat", "mˈoːnat"},
+    {"montag", "mˈoːntaːk"}, {"dienstag", "dˈiːnstaːk"},
+    {"warum", "vaʁˈʊm"}, {"sofort", "zofˈɔɐt"}, {"zusammen", "tsuzˈamən"},
+    {"natur", "natˈuːɐ"}, {"musik", "muzˈiːk"}, {"papier", "papˈiːɐ"},
+    {"idee", "idˈeː"}, {"interessant", "ɪntəʁɛsˈant"},
+    {"information", "ɪnfɔɐmatsiˈoːn"}, {"universität", "unɪvɛɐzitˈɛːt"},
+    {"student", "ʃtudˈɛnt"}, {"hotel", "hotˈɛl"}, {"kaffee", "kˈafeː"},
+    {"büro", "byʁˈoː"}, {"telefon", "tˈeːlefoːn"}, {"problem", "pʁoblˈeːm"},
+    {"moment", "momˈɛnt"}, {"person", "pɛɐzˈoːn"}, {"polizei", "politsˈaɪ"},
+    {"restaurant", "ʁɛstoʁˈɑ̃ː"}, {"familien", "famˈiːliən"},
+  };
+  {
+    std::string lower;
+    for (char ch : raw) lower += static_cast<char>(tolower(static_cast<unsigned char>(ch)));
+    // fold umlauts in the key the cheap way: multibyte keys above are ASCII-only
+    auto it = kLexDe.find(lower);
+    if (it != kLexDe.end()) return it->second;
+  }
   // Fold UTF-8 umlauts/eszett to single-byte markers.
   std::string w;
   for (size_t i = 0; i < raw.size();) {
@@ -645,6 +666,17 @@ std::string phonemize_word_de(const std::string& raw) {
       ph.push_back({dark ? "x" : "ç", false}); i += 2; continue;
     }
     if (c=='c' && c1=='k') { ph.push_back({"k", false}); i += 2; continue; }
+    // Doubled consonant letters mark the SHORT preceding vowel and are one
+    // sound (kommen → kɔmən, Mann → man): drop the second letter and
+    // re-read the lookahead (c1/c2 are stale after the erase).
+    if (c == 's' && c1 == 's') {
+      // ss is ALWAYS voiceless (dropping one letter would re-trigger the
+      // intervocalic s → z rule: besser must stay bˈɛsɐ).
+      ph.push_back({"s", false}); i += 2; continue;
+    }
+    if (c == c1 && !de_vowel(c) && c >= 'a' && c <= 'z') {
+      w.erase(i + 1, 1); n = w.size(); continue;
+    }
     if (i == 0 && c=='s' && c1=='p') { ph.push_back({"ʃp", false}); i += 2; continue; }
     if (i == 0 && c=='s' && c1=='t') { ph.push_back({"ʃt", false}); i += 2; continue; }
     if (c=='t' && c1=='z') { ph.push_back({"ts", false}); i += 2; continue; }
@@ -732,16 +764,19 @@ std::string phonemize_word_de(const std::string& raw) {
   // Stress: first vowel nucleus, unless the word carries a standard
   // unstressed prefix — then the next nucleus.
   static const char* kUnstressedPrefix[] = {"ge", "be", "ver", "er", "ent", "zer", "emp", "miss"};
+  int total_vowels = 0;
+  for (const auto& p : ph) total_vowels += p.vowel ? 1 : 0;
   int skip = 0;
   for (const char* p : kUnstressedPrefix) {
     size_t len = strlen(p);
-    // Only a real prefix when a consonant follows (Beere is not be-+ere).
-    if (w.size() > len + 2 && w.compare(0, len, p) == 0 && !de_vowel(w[len])) {
+    // Only a real prefix when a consonant follows (Beere is not be-+ere)
+    // AND the word has ≥3 nuclei — in 2-syllable words the "prefix" is
+    // usually the root (geben, gehen, gestern, besser, erden).
+    if (w.size() > len + 2 && w.compare(0, len, p) == 0 && !de_vowel(w[len]) &&
+        total_vowels >= 3) {
       skip = 1; break;
     }
   }
-  int total_vowels = 0;
-  for (const auto& p : ph) total_vowels += p.vowel ? 1 : 0;
   int stress_at = (skip < total_vowels) ? skip : total_vowels - 1;
   int nuclei_seen = 0;
   std::string out;

@@ -1053,3 +1053,25 @@ def test_native_g2p_fuzz_no_crash():
         for text in nasty:
             out = native_g2p.phonemize(text, lang)
             assert out is None or isinstance(out, str)
+
+
+def test_de_round3_audit_fixes():
+    """German audit batch: doubled-consonant folding (short vowel, one
+    sound, ss stays voiceless), prefix-skip only for 3+-syllable words,
+    loanword lexicon."""
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "de")
+    assert ph("kommen") == "kˈɔmən"       # mm folds
+    assert ph("Mann") == "man"
+    assert ph("besser") == "bˈɛsɐ"        # ss voiceless, not re-voiced
+    assert ph("Wasser") == "vˈasɐ"
+    assert ph("geben") == "ɡˈɛbən"        # 2-syllable: ge- is the root
+    assert ph("gehen") == "ɡˈeːən"
+    assert ph("gegeben") == "ɡɛɡˈɛbən"    # 3-syllable: real prefix skip
+    assert ph("verstehen") == "fɛɐstˈeːən"
+    assert ph("vielleicht") == "fɪlˈaɪçt" # lexicon
+    assert ph("Familie") == "famˈiːliə"
+    assert ph("Europa") == "ɔʏʁˈoːpa"
