@@ -944,6 +944,16 @@ static const FrLex kLexFr[] = {
     {"femme", "fam"}, {"ville", "vil"}, {"mille", "mil"}, {"hier", "jɛʁ"},
     {"oui", "wi"}, {"huit", "ɥit"}, {"dix", "dis"}, {"six", "sis"},
     {"pays", "pei"}, {"y", "i"}, {"eau", "o"}, {"eaux", "o"},
+    // round-3 audit: -ent nouns/adverbs the 3pl-verb rule would silence,
+    // CaReFuL monosyllables, and assorted irregulars
+    {"argent", "aʁʒɑ̃"}, {"parent", "paʁɑ̃"}, {"parents", "paʁɑ̃"},
+    {"dent", "dɑ̃"}, {"cent", "sɑ̃"}, {"vent", "vɑ̃"}, {"souvent", "suvɑ̃"},
+    {"accident", "aksidɑ̃"}, {"client", "klijɑ̃"}, {"patient", "pasjɑ̃"},
+    {"mer", "mɛʁ"}, {"fer", "fɛʁ"}, {"cher", "ʃɛʁ"}, {"vert", "vɛʁ"},
+    {"hiver", "ivɛʁ"}, {"question", "kɛstjɔ̃"}, {"gestion", "ʒɛstjɔ̃"},
+    {"madame", "madam"}, {"travailler", "tʁavaje"}, {"travaille", "tʁavaj"},
+    {"merveilleux", "mɛʁvɛjø"}, {"meilleur", "mɛjœʁ"},
+    {"monde", "mɔ̃d"}, {"grande", "ɡʁɑ̃d"}, {"seconde", "səɡɔ̃d"},
 };
 
 bool fr_vowel_char(char c) {
@@ -996,22 +1006,41 @@ std::string phonemize_word_fr(const std::string& raw) {
     w = w.substr(0, n - 2) + "1";  // -er → é
   } else if (n > 2 && w.compare(n - 2, 2, "ez") == 0) {
     w = w.substr(0, n - 2) + "1";  // -ez → é
-  } else if (n > 2 && w.compare(n - 2, 2, "es") == 0) {
-    w = w.substr(0, n - 2);  // final -es silent
-  } else if (n > 2 && w.back() == 'e') {
-    w = w.substr(0, n - 1);  // final e silent
+  }
+  bool mute_e = false;  // the word ended in mute e: its consonant SOUNDS
+  if (n > 2 && w.compare(w.size() - 2, 2, "es") == 0 && w.size() == n) {
+    w = w.substr(0, w.size() - 2);
+    mute_e = true;
+  } else if (n > 2 && !w.empty() && w.back() == 'e' && w.size() == n) {
+    w = w.substr(0, w.size() - 1);
+    mute_e = true;
+  }
+  if (mute_e && w.size() >= 2) {
+    // -que/-gue: the u is orthographic (langue → lɑ̃ɡ, banque → bɑ̃k).
+    if (w.compare(w.size() - 2, 2, "qu") == 0) w = w.substr(0, w.size() - 2) + "k";
+    else if (w.compare(w.size() - 2, 2, "gu") == 0) w.pop_back();
+    // The mute e also preserved softening/voicing of the consonant before
+    // it: -ge → ʒ (rouge), -ce → s (France), vowel+se → z (chose).
+    else if (w.back() == 'g') w.back() = 'j';
+    else if (w.back() == 'c') w.back() = '5';  // ç marker = s
+    else if (w.back() == 's' && w.size() >= 2 && fr_vowel_char(w[w.size() - 2]))
+      w.back() = 'z';
   }
   // CaReFuL: keep final c/r/f/l; drop trailing s/d/t/p/x/z/g/b (repeatedly —
-  // plural/verb endings stack, e.g. "enfants" → enfan).
-  for (int strip = 0; strip < 2 && w.size() > 1 && strchr("sdtpxzgb", w.back()); ++strip)
-    w = w.substr(0, w.size() - 1);
+  // plural/verb endings stack, e.g. "enfants" → enfan). A consonant exposed
+  // by stripping MUTE E is pronounced — that is what the e was for
+  // (porte → pɔʁt, chose → ʃoz) — so no stripping in that case.
+  if (!mute_e)
+    for (int strip = 0; strip < 2 && w.size() > 1 && strchr("sdtpxzgb", w.back()); ++strip)
+      w = w.substr(0, w.size() - 1);
   n = w.size();
 
   std::string out;
   auto nasal_ctx = [&](size_t after) {
     // n/m at `after` nasalizes when followed by a consonant (not n/m/vowel)
-    // or the word end.
-    if (after + 1 >= n) return true;
+    // or the word end — unless the word ended in MUTE E, which keeps the
+    // nasal consonant oral and pronounced (semaine → səmɛn, not səmɛ̃).
+    if (after + 1 >= n) return !mute_e;
     char nx = w[after + 1];
     return !fr_vowel_char(nx) && nx != 'n' && nx != 'm';
   };

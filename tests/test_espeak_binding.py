@@ -1075,3 +1075,28 @@ def test_de_round3_audit_fixes():
     assert ph("vielleicht") == "fɪlˈaɪçt" # lexicon
     assert ph("Familie") == "famˈiːliə"
     assert ph("Europa") == "ɔʏʁˈoːpa"
+
+
+def test_fr_round3_mute_e():
+    """French audit: final mute e preserves its consonant (porte → pɔʁt,
+    not pɔʁ), keeps the nasal oral (semaine → səmɛn), and carries
+    softening/voicing (-ge→ʒ, -ce→s, vowel+se→z); -que/-gue drop the
+    orthographic u; -ent nouns rescued from the 3pl-verb silence rule."""
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "fr")
+    assert ph("porte") == "pɔʁt"
+    assert ph("chose") == "ʃɔz"
+    assert ph("rouge") == "ʁuʒ"
+    assert ph("france") == "fʁɑ̃s"
+    assert ph("semaine") == "səmɛn"
+    assert ph("cuisine") == "kɥizin"
+    assert ph("langue") == "lɑ̃ɡ"
+    assert ph("banque") == "bɑ̃k"
+    assert ph("parlent") == "paʁl"      # real 3pl verb: -ent silent
+    assert ph("argent") == "aʁʒɑ̃"      # noun rescued via lexicon
+    assert ph("souvent") == "suvɑ̃"
+    assert ph("question") == "kɛstjɔ̃"  # no -tion→sjɔ̃ after s
+    assert ph("mer") == "mɛʁ"
