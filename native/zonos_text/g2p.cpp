@@ -842,6 +842,12 @@ std::string phonemize_word_it(const std::string& raw) {
       case 'b': ph.push_back({"b", false, false}); ++i; break;
       case 'c':
         if (c1 == 'h') { ph.push_back({"k", false, false}); i += 2; }
+        else if (c1 == 'c' && (c2 == 'e' || c2 == 'i')) {
+          // doubled soft c: braccio → ttʃ (one long affricate); the i is
+          // silent before another vowel, a nucleus otherwise
+          ph.push_back({"ttʃ", false, false});
+          i += (c2 == 'i' && i + 3 < n && it_vowel_char(w[i + 3])) ? 3 : 2;
+        }
         else if (c1 == 'i' && it_vowel_char(c2)) { ph.push_back({"tʃ", false, false}); i += 2; }
         else if (c1 == 'e' || c1 == 'i') { ph.push_back({"tʃ", false, false}); ++i; }
         else { ph.push_back({"k", false, false}); ++i; }
@@ -850,6 +856,12 @@ std::string phonemize_word_it(const std::string& raw) {
       case 'f': ph.push_back({"f", false, false}); ++i; break;
       case 'g':
         if (c1 == 'h') { ph.push_back({"ɡ", false, false}); i += 2; }
+        else if (c1 == 'g' && (c2 == 'e' || c2 == 'i')) {
+          // doubled soft g: formaggio → ddʒ (one long affricate); the i is
+          // silent before another vowel, a nucleus otherwise
+          ph.push_back({"ddʒ", false, false});
+          i += (c2 == 'i' && i + 3 < n && it_vowel_char(w[i + 3])) ? 3 : 2;
+        }
         else if (c1 == 'n') { ph.push_back({"ɲ", false, false}); i += 2; }
         else if (c1 == 'l' && c2 == 'i') {
           // gli+vowel: i silent; gli before consonant/end keeps /i/.
@@ -1149,7 +1161,10 @@ std::string phonemize_word_fr(const std::string& raw) {
 
 struct PtPhone { std::string ipa; bool vowel; bool accented; };
 
-bool pt_vowel_char(char c) { return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'; }
+bool pt_vowel_char(char c) {
+  // includes the fold markers: '3'=ê '7'=ô 'A'=ã 'O'=õ
+  return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'||c=='3'||c=='7'||c=='A'||c=='O';
+}
 
 std::string phonemize_word_pt(const std::string& raw) {
   // Fold UTF-8: acute/circumflex vowels keep accent flag; ã/õ nasal markers

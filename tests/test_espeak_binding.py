@@ -1100,3 +1100,19 @@ def test_fr_round3_mute_e():
     assert ph("souvent") == "suvɑ̃"
     assert ph("question") == "kɛstjɔ̃"  # no -tion→sjɔ̃ after s
     assert ph("mer") == "mɛʁ"
+
+
+def test_it_pt_round3_audit_fixes():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    it = lambda t: native_g2p.phonemize(t, "it")
+    # doubled soft c/g = one long affricate, soft i silent before a vowel
+    assert it("formaggio") == "formˈaddʒo"
+    assert it("braccio") == "brˈattʃo"
+    assert it("oggi") == "ˈoddʒi"
+    pt = lambda t: native_g2p.phonemize(t, "pt")
+    # accent-marker vowels participate in the coda-l / voicing contexts
+    assert pt("inglês") == "ĩɡlˈes"      # gl stays an onset cluster
+    assert pt("três") == "tɾes"
