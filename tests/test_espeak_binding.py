@@ -1114,5 +1114,5 @@ def test_it_pt_round3_audit_fixes():
     assert it("oggi") == "ˈoddʒi"
     pt = lambda t: native_g2p.phonemize(t, "pt")
     # accent-marker vowels participate in the coda-l / voicing contexts
-    assert pt("inglês") == "ĩɡlˈes"      # gl stays an onset cluster
+    assert pt("inglês") == "i\u0303ɡlˈes"  # gl stays an onset cluster
     assert pt("três") == "tɾes"
