@@ -541,7 +541,13 @@ std::string phonemize_word_es(const std::string& raw) {
       case 's': ph.push_back({"s", false, false}); ++i; break;
       case 't': ph.push_back({"t", false, false}); ++i; break;
       case 'w': ph.push_back({"w", false, false}); ++i; break;
-      case 'x': ph.push_back({"ks", false, false}); ++i; break;
+      case 'x':
+        // Historic-spelling names keep x = /x/ (México, Texas, Oaxaca)
+        if (w.compare(0, 5, "mexic") == 0 || w.compare(0, 4, "texa") == 0 ||
+            w.find("oaxac") != std::string::npos)
+          ph.push_back({"x", false, false});
+        else ph.push_back({"ks", false, false});
+        ++i; break;
       case 'y':
         if (n == 1) ph.push_back({"i", true, false});
         else if (i + 1 == n) ph.push_back({"i", true, false});
@@ -3864,13 +3870,18 @@ std::string phonemize_word_cy(const std::string& raw) {
 // scripts are near-phonemic — the hard part of e.g. Hindi G2P is exactly the
 // schwa-deletion rule implemented below (delete word-finally, and medially
 // in the VC_CV context applying right to left).
-// No stress marks: Indo-Aryan/Dravidian stress is light and non-contrastive.
+// Stress (espeak marks it for these languages, so the checkpoint saw it):
+// Indo-Aryan takes the rightmost non-final heaviest syllable (weight = long
+// vowel or closed syllable; word-final consonants are extrametrical, so
+// kamal → kˈəməl but kitāb → kɪtˈaːb); Dravidian stress is a weak
+// first-syllable default.
 
 struct BrahmicCfg {
   unsigned int base;        // block base codepoint (Devanagari 0x0900, ...)
   const char* inherent;     // inherent vowel IPA
   bool schwa_deletion;      // Indo-Aryan final/medial inherent-vowel drop
   bool tamil_voicing;       // positional stop voicing (Tamil only)
+  int stress;               // 0 none, 1 Indo-Aryan weight rule, 2 initial
 };
 
 // Offsets base+0x05..base+0x14: independent vowels.
@@ -3971,7 +3982,38 @@ void brahmic_word(std::vector<BrPhone>& ph, const BrahmicCfg& cfg, std::string* 
       }
     }
   }
-  for (const auto& p : ph) *out += p.ipa;
+  // Stress assignment (post deletion/voicing, so weights see the surface
+  // form). Syllable weight: 2 for a long vowel, +1 for a closed syllable —
+  // a medial cluster of >=2 consonants closes the preceding syllable (single
+  // medial consonants are onsets); word-final consonants are extrametrical.
+  int surface_vowels = 0;
+  for (const auto& p : ph) surface_vowels += p.vowel ? 1 : 0;
+  int stress_at = -1;  // index into ph of the stressed vowel
+  if (cfg.stress != 0 && surface_vowels > 1) {
+    std::vector<int> vidx, weight;
+    for (size_t i = 0; i < ph.size(); ++i)
+      if (ph[i].vowel) vidx.push_back(static_cast<int>(i));
+    for (size_t s = 0; s < vidx.size(); ++s) {
+      int w = ph[vidx[s]].ipa.find("ː") != std::string::npos ? 2 : 1;
+      if (s + 1 < vidx.size() && vidx[s + 1] - vidx[s] > 2) w += 1;
+      weight.push_back(w);
+    }
+    if (cfg.stress == 2) {
+      stress_at = vidx[0];
+    } else {
+      int maxw = 0;
+      for (int w : weight) maxw = (w > maxw) ? w : maxw;
+      // rightmost non-final syllable of maximal weight; a final syllable
+      // only attracts stress when it is the sole heaviest
+      for (size_t s = 0; s + 1 < vidx.size(); ++s)
+        if (weight[s] == maxw) stress_at = vidx[s];
+      if (stress_at < 0) stress_at = vidx.back();
+    }
+  }
+  for (size_t i = 0; i < ph.size(); ++i) {
+    if (static_cast<int>(i) == stress_at) *out += "ˈ";
+    *out += ph[i].ipa;
+  }
 }
 
 const char* phonemize_text_brahmic(const char* utf8_text, const BrahmicCfg& cfg) {
@@ -5501,10 +5543,39 @@ const char* phonemize_text_vi(const char* utf8_text) {
 
 bool sv_front(char c) { return c=='e'||c=='i'||c=='y'||c=='E'||c=='O'; }
 
+// Swedish/Norwegian vowel length from orthography: a vowel before a doubled
+// consonant or a 2+-consonant cluster is short (komma/Norge → ɔ); before a
+// single consonant or word-finally it is long (bo/stor → u). The retroflex
+// digraphs rd/rt/rn/rl merge into ONE sound and do not close the syllable
+// (bord → buːɖ, hvordan → vuɖɑn) — rs does (fors → fɔʂ, norsk → nɔʂk).
+bool scand_short_vowel(const std::string& w, size_t i) {
+  auto vw = [](char c) {
+    return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'||c=='y'||c=='A'||c=='E'||c=='O';
+  };
+  int count = 0;
+  for (size_t j = i + 1; j < w.size() && !vw(w[j]); ) {
+    if (w[j] == 'r' && j + 1 < w.size() &&
+        (w[j+1]=='d' || w[j+1]=='t' || w[j+1]=='n' || w[j+1]=='l')) {
+      count += 1; j += 2; continue;
+    }
+    count += 1; ++j;
+  }
+  return count >= 2;
+}
+
 std::string phonemize_word_sv(const std::string& raw) {
   if (raw == "och") return "ɔk";
   if (raw == "det") return "deː";
   if (raw == "jag") return "jɑː";
+  // Irregulars the rules cannot reach: Sverige softens its medial g
+  // (svˈɛrjɛ), människa has the lexical sje-sound (mˈɛnɪɧa), dom is the
+  // spoken form of de/dem.
+  if (raw == "sverige") return "svˈɛrjɛ";
+  if (raw == "m\xC3\xA4nniska") return "mˈɛnɪɧa";
+  if (raw == "de" || raw == "dem" || raw == "dom") return "dɔm";
+  if (raw == "som") return "sɔm";
+  if (raw == "om") return "ɔm";
+  if (raw == "kom") return "kɔm";
   std::string w;
   for (size_t i = 0; i < raw.size();) {
     unsigned char c = raw[i];
@@ -5562,7 +5633,8 @@ std::string phonemize_word_sv(const std::string& raw) {
       case 'e': ph.push_back({"ɛ", true}); ++i; break;
       case 'E': ph.push_back({"ɛ", true}); ++i; break;   // ä
       case 'i': ph.push_back({"i", true}); ++i; break;
-      case 'o': ph.push_back({"u", true}); ++i; break;   // o → u shift
+      case 'o':  // o → u shift when long; short o stays ɔ (komma, borg)
+        ph.push_back({scand_short_vowel(w, i) ? "ɔ" : "u", true}); ++i; break;
       case 'O': ph.push_back({"ø", true}); ++i; break;   // ö
       case 'u': ph.push_back({"ʉ", true}); ++i; break;
       case 'y': ph.push_back({"ʏ", true}); ++i; break;
@@ -5610,6 +5682,7 @@ std::string phonemize_word_nb(const std::string& raw) {
   if (raw == "jeg") return "jæj";
   if (raw == "det") return "de";
   if (raw == "og") return "ɔ";
+  if (raw == "ogs\xC3\xA5") return "ˈɔsɔ";  // også: g silent
   std::string w;
   for (size_t i = 0; i < raw.size();) {
     unsigned char c = raw[i];
@@ -5647,6 +5720,7 @@ std::string phonemize_word_nb(const std::string& raw) {
     if (c=='r' && c1=='n') { ph.push_back({"ɳ", false}); i += 2; continue; }
     if (c=='r' && c1=='l') { ph.push_back({"ɭ", false}); i += 2; continue; }
     if (c=='c' && c1=='k') { ph.push_back({"k", false}); i += 2; continue; }
+    if (c=='d' && c1=='t') { ph.push_back({"t", false}); i += 2; continue; }  // godt → ɡɔt
     if (c == c1 && !vow(c) && c != '\0') { w.erase(i + 1, 1); n = w.size(); continue; }
     switch (c) {
       case 'a': ph.push_back({"ɑ", true}); ++i; break;
@@ -5654,7 +5728,8 @@ std::string phonemize_word_nb(const std::string& raw) {
       case 'e': ph.push_back({(i + 1 >= n && n > 2) ? "ə" : "e", true}); ++i; break;
       case 'E': ph.push_back({"æ", true}); ++i; break;   // æ
       case 'i': ph.push_back({"i", true}); ++i; break;
-      case 'o': ph.push_back({"u", true}); ++i; break;   // o → u shift
+      case 'o':  // o → u shift when long; short o stays ɔ (komme, Norge)
+        ph.push_back({scand_short_vowel(w, i) ? "ɔ" : "u", true}); ++i; break;
       case 'O': ph.push_back({"ø", true}); ++i; break;   // ø
       case 'u': ph.push_back({"ʉ", true}); ++i; break;
       case 'y': ph.push_back({"ʏ", true}); ++i; break;
@@ -5702,6 +5777,11 @@ std::string phonemize_word_da(const std::string& raw) {
   if (raw == "jeg") return "jɑj";
   if (raw == "det") return "de";
   if (raw == "og") return "ɔw";
+  // Common irregulars (Danish sound change outruns its spelling):
+  if (raw == "ikke") return "ˈeɡə";
+  if (raw == "lidt") return "let";
+  if (raw == "meget") return "mˈɑjəð";
+  if (raw == "er") return "ɛɐ";
   std::string w;
   for (size_t i = 0; i < raw.size();) {
     unsigned char c = raw[i];
@@ -5727,6 +5807,13 @@ std::string phonemize_word_da(const std::string& raw) {
     if (c=='h' && c1=='j') { ph.push_back({"j", false}); i += 2; continue; }
     if (c=='c' && c1=='k') { ph.push_back({"k", false}); i += 2; continue; }
     if (c=='s' && c1=='j') { ph.push_back({"ɕ", false}); i += 2; continue; }
+    if (c=='d' && c1=='t') { ph.push_back({"t", false}); i += 2; continue; }  // godt → ɡɔt
+    // Final -et (neuter/definite suffix) is [əð]: huset → huːsəð
+    if (c=='e' && c1=='t' && i + 2 == n && n > 3) {
+      ph.push_back({"ə", true});
+      ph.push_back({"ð", false});
+      i += 2; continue;
+    }
     if (c == c1 && !vow(c) && c != '\0') { w.erase(i + 1, 1); n = w.size(); continue; }
     switch (c) {
       case 'a': ph.push_back({"æ", true}); ++i; break;
@@ -6083,7 +6170,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
 
 extern "C" {
 
-int ztx_version() { return 18; }
+int ztx_version() { return 19; }
 
 // Phonemize UTF-8 text in the given language ("en", "en-us", "es", ...).
 // Returns nullptr for unsupported languages (caller falls back). Returned
@@ -6202,7 +6289,7 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (strncmp(lang, "el", 2) == 0) return phonemize_text_el(utf8_text);
   if (strncmp(lang, "kok", 3) == 0) {
     // Konkani (Devanagari) — must match BEFORE the bare "ko" Korean check.
-    static const BrahmicCfg kKok = {0x0900, "ə", true, false};
+    static const BrahmicCfg kKok = {0x0900, "ə", true, false, 1};
     return phonemize_text_brahmic(utf8_text, kKok);
   }
   if (strncmp(lang, "ko", 2) == 0) return phonemize_text_ko(utf8_text);
@@ -6306,19 +6393,19 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   {
     // Brahmic family: one ISCII-aligned decoder per Unicode block.
     static const struct { const char* code; BrahmicCfg cfg; } kBrahmic[] = {
-      {"hi", {0x0900, "\u0259", true,  false}},  // Hindi (Devanagari, schwa del.)
-      {"mr", {0x0900, "\u0259", true,  false}},  // Marathi
-      {"ne", {0x0900, "\u0259", true,  false}},  // Nepali
-      {"bn", {0x0980, "\u0254", true,  false}},  // Bengali (inherent \u0254)
-      {"bpy", {0x0980, "\u0254", true, false}},  // Bishnupriya (Bengali script)
-      {"as", {0x0980, "\u0254", true,  false}},  // Assamese (Bengali script)
-      {"pa", {0x0A00, "\u0259", true,  false}},  // Punjabi (Gurmukhi)
-      {"gu", {0x0A80, "\u0259", true,  false}},  // Gujarati
-      {"or", {0x0B00, "\u0254", false, false}},  // Odia (keeps inherent vowel)
-      {"ta", {0x0B80, "a", false, true}},         // Tamil (positional voicing)
-      {"te", {0x0C00, "a", false, false}},        // Telugu
-      {"kn", {0x0C80, "a", false, false}},        // Kannada
-      {"ml", {0x0D00, "a", false, false}},        // Malayalam
+      {"hi", {0x0900, "\u0259", true,  false, 1}},  // Hindi (Devanagari, schwa del.)
+      {"mr", {0x0900, "\u0259", true,  false, 1}},  // Marathi
+      {"ne", {0x0900, "\u0259", true,  false, 1}},  // Nepali
+      {"bn", {0x0980, "\u0254", true,  false, 2}},  // Bengali (fixed initial stress)
+      {"bpy", {0x0980, "\u0254", true, false, 2}},  // Bishnupriya (Bengali script)
+      {"as", {0x0980, "\u0254", true,  false, 2}},  // Assamese (Bengali script)
+      {"pa", {0x0A00, "\u0259", true,  false, 1}},  // Punjabi (Gurmukhi)
+      {"gu", {0x0A80, "\u0259", true,  false, 1}},  // Gujarati
+      {"or", {0x0B00, "\u0254", false, false, 2}},  // Odia (initial stress, keeps inherent vowel)
+      {"ta", {0x0B80, "a", false, true,  2}},        // Tamil (positional voicing)
+      {"te", {0x0C00, "a", false, false, 2}},        // Telugu
+      {"kn", {0x0C80, "a", false, false, 2}},        // Kannada
+      {"ml", {0x0D00, "a", false, false, 2}},        // Malayalam
     };
     for (const auto& e : kBrahmic)
       if (strncmp(lang, e.code, 2) == 0)

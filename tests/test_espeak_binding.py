@@ -728,18 +728,18 @@ def test_hi_brahmic_engine():
         pytest.skip("no g++ / native lib")
     ph = lambda t: native_g2p.phonemize(t, "hi")
     assert ph("राम") == "raːm"            # final schwa deletes
-    assert ph("कमला") == "kəmlaː"         # medial schwa deletes (VC_CV)
-    assert ph("समझ") == "səmədʒʱ"         # medial schwa KEPT (no V after)
-    assert ph("नमस्ते") == "nəməsteː"     # virama cluster st
-    assert ph("ज़रूर") == "zəruːr"        # nukta: ज़ → z
+    assert ph("कमला") == "kˈəmlaː"         # medial schwa deletes (VC_CV)
+    assert ph("समझ") == "sˈəmədʒʱ"         # medial schwa KEPT (no V after)
+    assert ph("नमस्ते") == "nəmˈəsteː"     # virama cluster st
+    assert ph("ज़रूर") == "zərˈuːr"        # nukta: ज़ → z
     assert ph("फ़िल्म") == "fɪlm"         # nukta: फ़ → f
     assert ph("है") == "ɦɛː"              # ai matra monophthong
-    assert ph("गंगा") == "ɡəŋɡaː"         # anusvara assimilates velar
+    assert ph("गंगा") == "ɡˈəŋɡaː"         # anusvara assimilates velar
     assert ph("अंक") == "əŋk"
-    assert ph("हिंदी") == "ɦɪndiː"        # anusvara before dental → n
-    assert ph("भारत") == "bʱaːrət"        # breathy-voiced bʱ
+    assert ph("हिंदी") == "ɦˈɪndiː"        # anusvara before dental → n
+    assert ph("भारत") == "bʱˈaːrət"        # breathy-voiced bʱ
     # mr / ne route through the same engine
-    assert native_g2p.phonemize("मराठी", "mr") == "məraːʈʰiː"
+    assert native_g2p.phonemize("मराठी", "mr") == "mərˈaːʈʰiː"
     assert native_g2p.phonemize("छ", "ne") == "tʃʰə"  # only vowel survives
 
 
@@ -749,10 +749,10 @@ def test_bn_brahmic_engine():
     if not native_g2p.available():
         pytest.skip("no g++ / native lib")
     ph = lambda t: native_g2p.phonemize(t, "bn")
-    assert ph("বাংলা") == "baːŋlaː"       # Bengali anusvara IS ŋ
-    assert ph("কথা") == "kɔtʰaː"          # inherent vowel is ɔ, not ə
-    assert ph("আমি") == "aːmɪ"
-    assert native_g2p.phonemize("ভাষা", "as") == "bʱaːʂaː"  # Assamese shares
+    assert ph("বাংলা") == "bˈaːŋlaː"       # Bengali anusvara IS ŋ
+    assert ph("কথা") == "kˈɔtʰaː"          # inherent vowel is ɔ, not ə
+    assert ph("আমি") == "ˈaːmɪ"
+    assert native_g2p.phonemize("ভাষা", "as") == "bʱˈaːʂaː"  # Assamese shares
 
 
 def test_dravidian_brahmic_engines():
@@ -762,15 +762,15 @@ def test_dravidian_brahmic_engines():
         pytest.skip("no g++ / native lib")
     ta = lambda t: native_g2p.phonemize(t, "ta")
     # Tamil positional voicing: bare stops voice between vowels/after nasals
-    assert ta("படம்") == "paɖam"          # intervocalic ʈ → ɖ
-    assert ta("வணக்கம்") == "ʋaɳakkam"    # geminate kk stays voiceless
-    assert ta("தமிழ்") == "tamɪɻ"         # ழ → retroflex approximant ɻ
-    assert ta("பந்து") == "pandʊ"         # post-nasal t → d
+    assert ta("படம்") == "pˈaɖam"          # intervocalic ʈ → ɖ
+    assert ta("வணக்கம்") == "ʋˈaɳakkam"    # geminate kk stays voiceless
+    assert ta("தமிழ்") == "tˈamɪɻ"         # ழ → retroflex approximant ɻ
+    assert ta("பந்து") == "pˈandʊ"         # post-nasal t → d
     # Telugu / Kannada / Malayalam: no deletion, inherent a, final anusvara m
-    assert native_g2p.phonemize("నమస్కారం", "te") == "namaskaːram"
-    assert native_g2p.phonemize("ಕನ್ನಡ", "kn") == "kannaɖa"
-    assert native_g2p.phonemize("മലയാളം", "ml") == "malajaːɭam"
-    assert native_g2p.phonemize("നന്ദി", "ml") == "nandɪ"
+    assert native_g2p.phonemize("నమస్కారం", "te") == "nˈamaskaːram"
+    assert native_g2p.phonemize("ಕನ್ನಡ", "kn") == "kˈannaɖa"
+    assert native_g2p.phonemize("മലയാളം", "ml") == "mˈalajaːɭam"
+    assert native_g2p.phonemize("നന്ദി", "ml") == "nˈandɪ"
 
 
 def test_gu_pa_or_brahmic_engines():
@@ -778,9 +778,9 @@ def test_gu_pa_or_brahmic_engines():
 
     if not native_g2p.available():
         pytest.skip("no g++ / native lib")
-    assert native_g2p.phonemize("ગુજરાતી", "gu") == "ɡʊdʒraːtiː"  # schwa del.
-    assert native_g2p.phonemize("ਪੰਜਾਬੀ", "pa") == "pəɲdʒaːbiː"   # tippi→ɲ/dʒ
-    assert native_g2p.phonemize("ଭାଷା", "or") == "bʱaːʂaː"
+    assert native_g2p.phonemize("ગુજરાતી", "gu") == "ɡʊdʒrˈaːtiː"  # schwa del.
+    assert native_g2p.phonemize("ਪੰਜਾਬੀ", "pa") == "pəɲdʒˈaːbiː"   # tippi→ɲ/dʒ
+    assert native_g2p.phonemize("ଭାଷା", "or") == "bʱˈaːʂaː"
 
 
 def test_brahmic_symbols_in_table():
@@ -940,7 +940,7 @@ def test_routing_batch_round3():
         pytest.skip("no g++ / native lib")
     ph = native_g2p.phonemize
     # Konkani must NOT be swallowed by the bare-"ko" Korean check.
-    assert ph("कोंकणी", "kok") == "koːŋkəɳiː"
+    assert ph("कोंकणी", "kok") == "kˈoːŋkəɳiː"
     # Bishnupriya reads through the Bengali-script decoder.
     out = ph("বিষ্ণুপ্রিয়া", "bpy")
     assert out and "ʂ" in out
@@ -1116,3 +1116,71 @@ def test_it_pt_round3_audit_fixes():
     # accent-marker vowels participate in the coda-l / voicing contexts
     assert pt("inglês") == "i\u0303ɡlˈes"  # gl stays an onset cluster
     assert pt("três") == "tɾes"
+
+
+def test_scandinavian_round3_audit_fixes():
+    """Scandinavian audit batch: orthographic vowel length for o (short ɔ
+    before geminates/clusters, long u otherwise; the retroflex merges
+    rd/rt/rn/rl do not close the syllable), dt → t, Danish final -et → əð
+    plus common irregulars, Swedish lexical exceptions."""
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    sv = lambda t: native_g2p.phonemize(t, "sv")
+    assert sv("komma") == "kˈɔma"        # geminate → short ɔ
+    assert sv("Göteborg") == "jˈøtɛbɔrj" # rg cluster → short; final g → j
+    assert sv("fors") == "fɔʂ"           # rs closes the syllable
+    assert sv("bord") == "buɖ"           # rd merges — stays long u
+    assert sv("bo") == "bu"              # open syllable stays long
+    assert sv("Sverige") == "svˈɛrjɛ"    # lexical: medial g softens
+    assert sv("människa") == "mˈɛnɪɧa"   # lexical sje-sound
+    assert sv("som") == "sɔm"            # short-o function words
+    nb = lambda t: native_g2p.phonemize(t, "nb")
+    assert nb("Norge") == "nˈɔrɡə"       # rg cluster → short ɔ
+    assert nb("komme") == "kˈɔmə"
+    assert nb("godt") == "ɡɔt"           # dt → t
+    assert nb("hvordan") == "vˈuɖɑn"     # rd merge keeps long u
+    assert nb("ord") == "uɖ"
+    assert nb("også") == "ˈɔsɔ"          # lexical: g silent
+    assert nb("norsk") == "nɔʂk"         # rs + k closes
+    da = lambda t: native_g2p.phonemize(t, "da")
+    assert da("godt") == "ɡɔt"           # dt → t
+    assert da("huset") == "hˈusəð"       # definite -et → əð
+    assert da("landet") == "lˈændəð"
+    assert da("ikke") == "ˈeɡə"          # irregulars
+    assert da("lidt") == "let"
+    assert da("meget") == "mˈɑjəð"
+    assert da("er") == "ɛɐ"
+
+
+def test_hi_stress_rule():
+    """Indo-Aryan weight stress: rightmost non-final heaviest syllable,
+    word-final consonants extrametrical (kamal → kˈəməl, kitāb → kɪtˈaːb);
+    matches eSpeak's convention of marking stress for these languages."""
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "hi")
+    assert ph("कमल") == "kˈəməl"          # light-light: first syllable
+    assert ph("किताब") == "kɪtˈaːb"       # final long vowel attracts
+    assert ph("दिल्ली") == "dˈɪlliː"      # closed vs final long: non-final wins
+    assert ph("आदमी") == "ˈaːdmiː"        # superheavy initial
+    assert ph("अमेरिका") == "əmˈeːrɪkaː"  # rightmost non-final heavy
+    assert ph("पानी") == "pˈaːniː"
+    assert ph("राम") == "raːm"            # monosyllables unmarked
+
+
+def test_es_historic_x_words():
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ph = lambda t: native_g2p.phonemize(t, "es")
+    assert ph("México") == "mˈexiko"      # historic x = /x/
+    assert ph("mexicano") == "mexikˈano"
+    assert ph("Texas") == "tˈexas"
+    assert ph("Oaxaca") == "oaxˈaka"
+    assert ph("taxi") == "tˈaksi"         # ordinary x = /ks/
+    assert ph("examen") == "eksˈamen"

@@ -34,7 +34,7 @@ _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
 
-_ABI_VERSION = 18  # bump when g2p.cpp's C ABI or tables change materially
+_ABI_VERSION = 19  # bump when g2p.cpp's C ABI or tables change materially
 
 _SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native", "zonos_text")
 # Versioned filename: dlopen caches handles by path within a process, so an
@@ -73,8 +73,15 @@ def _load():
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO_PATH) and not _build():
-        return None
+    src = os.path.join(_SRC_DIR, "g2p.cpp")
+    stale = (
+        os.path.exists(_SO_PATH)
+        and os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+    )
+    if (not os.path.exists(_SO_PATH) or stale) and not _build():
+        if not os.path.exists(_SO_PATH):
+            return None
     try:
         _LIB = _try_load()
     except OSError:
