@@ -120,3 +120,45 @@ def test_lora_rejects_quantized_and_missing_targets():
     qmodel = model.quantize()
     with pytest.raises(TypeError):
         init_lora(qmodel.params["backbone"], rank=4)
+
+
+def test_lora_npz_roundtrip(tmp_path):
+    from zonos_tpu.training.lora import load_lora_npz, save_lora_npz
+
+    cfg = _cfg()
+    model = Zonos.from_config(cfg, seed=0, dtype=jnp.float32)
+    lora = init_lora(model.params["backbone"], rank=4, seed=2)
+    p = str(tmp_path / "adapter.npz")
+    save_lora_npz(p, lora)
+    back = load_lora_npz(p)
+    assert set(back) == set(lora)
+    for target in lora:
+        np.testing.assert_array_equal(np.asarray(lora[target]["a"]), np.asarray(back[target]["a"]))
+        np.testing.assert_array_equal(np.asarray(lora[target]["b"]), np.asarray(back[target]["b"]))
+
+
+def test_finetune_lora_cli(tmp_path):
+    """The turnkey tool runs end-to-end on synthetic data and writes both
+    artifacts (tools/finetune_lora.py)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "finetune_lora", "/root/repo/tools/finetune_lora.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    adapter = str(tmp_path / "adapter.npz")
+    merged = str(tmp_path / "merged")
+    rc = mod.main([
+        "--synthetic", "4", "--model", "tiny", "--steps", "3", "--batch", "2",
+        "--frames", "24", "--out", adapter, "--merge", merged,
+    ])
+    assert rc == 0
+    assert (tmp_path / "adapter.npz").exists()
+    from zonos_tpu.training.lora import load_lora_npz
+
+    assert "layers/mlp/fc1" in load_lora_npz(adapter)
+    from zonos_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(merged)
+    assert "backbone" in ckpt

@@ -140,3 +140,26 @@ def build_lora_train_step(
 
 def init_lora_state(lora: dict, optimizer: optax.GradientTransformation) -> LoraState:
     return LoraState(lora=lora, opt_state=optimizer.init(lora), step=jnp.int32(0))
+
+
+def save_lora_npz(path: str, lora: dict) -> None:
+    """Adapter → one .npz (keys "<target>/a", "<target>/b") — small enough
+    that a flat archive beats a checkpoint tree."""
+    import numpy as np
+
+    flat = {}
+    for target, adapter in lora.items():
+        flat[f"{target}/a"] = np.asarray(adapter["a"])
+        flat[f"{target}/b"] = np.asarray(adapter["b"])
+    np.savez(path, **flat)
+
+
+def load_lora_npz(path: str) -> dict:
+    import numpy as np
+
+    with np.load(path) as z:
+        lora: dict = {}
+        for key in z.files:
+            target, factor = key.rsplit("/", 1)
+            lora.setdefault(target, {})[factor] = jnp.asarray(z[key])
+    return lora
