@@ -228,3 +228,31 @@ def test_quantize_enables_int8_kv_default():
     # Explicit override still wins.
     out2 = qmodel.generate(cond, max_new_tokens=12, seed=3, kv_int8=False)
     assert out2.shape[:2] == (1, 9)
+
+
+def test_gqa_attention_qq_auto_threshold(rng):
+    """At b >= 16 rows (serving batch 8 with CFG doubling) the q·k dot runs
+    natively in int8 (q quantized per (batch, kv-head)); the result must stay
+    within the q-quantization tolerance of the exact int8-KV path."""
+    from zonos_tpu.models.transformer import _kv_dequantize, _kv_quantize
+    from zonos_tpu.ops.attention import gqa_attention, gqa_attention_quantized
+
+    B, Sq, Sk, Hq, Hkv, Dh = 16, 1, 12, 4, 2, 16
+    q = jnp.asarray(rng.normal(size=(B, Sq, Hq, Dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, Sk, Hkv, Dh)).astype(np.float32)) * 3.0
+    v = jnp.asarray(rng.normal(size=(B, Sk, Hkv, Dh)).astype(np.float32)) * 0.7
+    mask = jnp.ones((B, Sq, Sk), bool)
+
+    kq, ks = _kv_quantize(k)
+    vq, vs = _kv_quantize(v)
+    got = gqa_attention_quantized(
+        q, jnp.swapaxes(kq, 1, 2), jnp.swapaxes(ks, 1, 2),
+        jnp.swapaxes(vq, 1, 2), jnp.swapaxes(vs, 1, 2), mask
+    )
+    ref = gqa_attention(
+        q, _kv_dequantize(kq, ks, jnp.float32), _kv_dequantize(vq, vs, jnp.float32), mask
+    )
+    # int8 q adds ~1% relative error on the attention output — bounded, and
+    # orders of magnitude under the int8-KV quantization already applied
+    err = float(jnp.max(jnp.abs(got - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+    assert err < 0.05, f"qq path diverged: rel err {err:.4f}"

@@ -19,7 +19,12 @@ from jax import nn as jnn
 
 import os
 
-_QQ_INT8 = os.environ.get("ZONOS_ATTN_QQ", "0") == "1"
+# int8×int8 q·k dot: "1" forces on, "0" forces off, unset = auto (on for
+# large batches, where it dodges the int8→bf16 K convert that starts to
+# materialize: measured on v5e, batch 8 4.41→4.33 ms/step, batch 16
+# 7.81→7.47; batch 1 neutral at 2.69 ms/frame, so it stays off there to
+# keep the decode path exactly linear in the KV scales).
+_QQ_ENV = os.environ.get("ZONOS_ATTN_QQ")
 
 NEG_INF = -1e30  # python float: no device allocation at import time
 
@@ -75,10 +80,11 @@ def gqa_attention_quantized(
     scale = 1.0 / jnp.sqrt(jnp.float32(dh))
 
     qg = q.reshape(b, sq, hkv, g, dh)
-    if _QQ_INT8:
+    use_qq = _QQ_ENV == "1" or (_QQ_ENV is None and b >= 16)
+    if use_qq:
         # Quantize q per (batch, kv-head) so the q·k dot runs NATIVELY in the
         # MXU's int8 mode (s8×s8→s32) instead of converting the whole int8 K
-        # read to bf16 (ZONOS_ATTN_QQ=1 experiment; see NOTES.md round 3).
+        # read to bf16 (auto above batch 16 incl. CFG doubling; NOTES.md).
         qf = qg.astype(jnp.float32)
         qs = jnp.max(jnp.abs(qf), axis=(1, 3, 4), keepdims=True) / 127.0 + 1e-12
         qq = jnp.round(qf / qs).astype(jnp.int8)
