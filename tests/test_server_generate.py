@@ -167,3 +167,20 @@ def test_generate_handler_non_latin_language():
     with wave.open(io.BytesIO(wav_bytes)) as w:
         assert w.getnframes() > 0
     assert meta["rtf"] > 0
+
+
+def test_warmup_compiles_serving_paths():
+    """server.warmup() runs a real generate + drained stream without error and
+    leaves the conditioning/compile caches hot (second call is fast)."""
+    import time
+
+    from zonos_tpu.serving.server import warmup
+
+    dt_cold = warmup()
+    assert dt_cold > 0
+    t0 = time.perf_counter()
+    warmup(stream=False)
+    dt_warm = time.perf_counter() - t0
+    # Warm call reuses every jit; it must not recompile (allow generous slack
+    # for the 1-core CI host — the cold call includes the stream path too).
+    assert dt_warm < dt_cold * 2

@@ -43,6 +43,17 @@ def test_root_serves_webui(live_server):
     assert "/ui_spec" in html and "/generate" in html and "/stream" in html
 
 
+def test_metrics_endpoint_counts_requests(live_server):
+    """GET /metrics serves Prometheus text and counts the preceding request."""
+    urllib.request.urlopen(f"{live_server}/health").read()
+    resp = urllib.request.urlopen(f"{live_server}/metrics")
+    assert resp.headers["Content-Type"].startswith("text/plain")
+    text = resp.read().decode()
+    assert "# TYPE zonos_requests_total counter" in text
+    assert 'zonos_requests_total{endpoint="/health",status="200"}' in text
+    assert 'zonos_request_seconds_bucket{endpoint="/health",le="+Inf"}' in text
+
+
 def test_ui_spec_endpoint(live_server):
     spec = json.loads(urllib.request.urlopen(f"{live_server}/ui_spec").read())
     controls = {c["name"]: c for c in spec["controls"]}

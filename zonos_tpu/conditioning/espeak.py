@@ -106,8 +106,8 @@ def phonemize(texts: list[str], languages: list[str]) -> list[str]:
     """Clean + phonemize a batch (reference conditioning.py:307-335).
 
     Backend order: libespeak-ng (all 109 languages) → native C++ rule engines
-    (native/zonos_text — dozens of language codes across six scripts, with
-    lexicon + stress marks; see docs/LANGUAGES.md) → kana mapper (ja) →
+    (native/zonos_text — 92 language codes across 19 scripts, with
+    lexicon + stress marks; see docs/LANGUAGES.md) → embedded ja/zh readers →
     lowercase graphemes (representable in the model symbol table, degraded
     quality — logged once per language so the degradation is loud, not
     silent).

@@ -179,6 +179,9 @@ class DynamicBatcher:
         self.stats["batches"] += 1
         if b > 1:
             self.stats["batched_requests"] += b
+        from zonos_tpu.serving import metrics
+
+        metrics.observe_batch(b)
 
         first = batch[0]
         if first.stream:

@@ -16,8 +16,11 @@ surface:
        mono; X-Sample-Rate header) — audio starts flowing after the first
        decoded chunk (low TTFA; no reference equivalent)
   GET  /models                → supported model list
+  GET  /languages             → language table + which G2P backends are live
   GET  /conditioners          → loaded model's conditioner names (drives the
        reference UI's dynamic visibility, SkyrimNet-Zonos.py:99-103)
+  GET  /metrics               → Prometheus text format (serving/metrics.py):
+       request counters/latency, RTF + batch-size histograms, audio seconds
 
 Requests are serialized through a semaphore (concurrency_limit=2 in the
 reference, app_constants.py:18) — generation itself is single-stream per
@@ -37,6 +40,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 from zonos_tpu.serving import constants as C
+from zonos_tpu.serving import metrics
 from zonos_tpu.serving.app_config import load_config, setup_logging
 from zonos_tpu.serving.model_manager import get_supported_models, load_model_if_needed
 from zonos_tpu.serving.pipeline import tts
@@ -176,6 +180,7 @@ def handle_generate(body: dict) -> tuple[bytes, dict]:
             )
         )
         rtf = (wav.shape[0] / sr) / max(_time.perf_counter() - t0, 1e-9)
+        metrics.observe_generation(rtf, wav.shape[0] / sr)
         return _wav_bytes(wav, sr), {"rtf": rtf, "sample_rate": sr, "batched": True}
 
     controls = _control_kwargs(body)
@@ -193,6 +198,7 @@ def handle_generate(body: dict) -> tuple[bytes, dict]:
             min_p=float(body.get("min_p", 0.1)),
             **controls,
         )
+    metrics.observe_generation(rtf, len(wav) / sr)
     return _wav_bytes(wav, sr), {"path": path, "rtf": rtf, "sample_rate": sr}
 
 
@@ -278,10 +284,38 @@ def handle_stream(body: dict):
             yield pcm.tobytes(), sr
 
 
+def warmup(model_name: str | None = None, stream: bool = True) -> float:
+    """Pre-compile the hot serving path before opening the listen socket.
+
+    One short generate warms the conditioner stack, the prefill bucket, the
+    jitted decode loop, and the DAC decode bucket; one drained stream warms
+    the chunked streaming jit. Without this the FIRST real request pays the
+    full compile (~20-40 s per shape on TPU; the reference pays the same
+    CUDA-graph capture cost lazily). Returns the wall seconds spent.
+    """
+    import time as _time
+
+    t0 = _time.perf_counter()
+    body = {
+        "text": "The quick brown fox jumps over the lazy dog.",
+        "randomize_seed": False,
+        "seed": 0,
+    }
+    if model_name:
+        body["model_choice"] = model_name
+    handle_generate(dict(body))
+    if stream:
+        for _ in handle_stream(dict(body)):
+            pass
+    return _time.perf_counter() - t0
+
+
 class Handler(BaseHTTPRequestHandler):
     server_version = "ZonosTPU/0.1"
+    _status = 0  # last response code, for the /metrics request counter
 
     def _send(self, code: int, content_type: str, payload: bytes, headers: dict | None = None):
+        self._status = code
         self.send_response(code)
         self.send_header("Content-Type", content_type)
         self.send_header("Content-Length", str(len(payload)))
@@ -294,6 +328,15 @@ class Handler(BaseHTTPRequestHandler):
         self._send(code, "application/json", json.dumps(obj).encode())
 
     def do_GET(self):
+        import time as _time
+
+        t0 = _time.perf_counter()
+        try:
+            self._get()
+        finally:
+            metrics.observe_request(self.path, self._status, _time.perf_counter() - t0)
+
+    def _get(self):
         if self.path in ("/", "/index.html"):
             # Dependency-free web UI (replaces the reference's Gradio app).
             import os
@@ -323,10 +366,25 @@ class Handler(BaseHTTPRequestHandler):
 
             model = load_model_if_needed(config=_APP_CONFIG)
             self._json(200, {"controls": control_specs(model.conditioner_names)})
+        elif self.path == "/metrics":
+            # Prometheus text exposition (serving/metrics.py).
+            self._send(
+                200, "text/plain; version=0.0.4; charset=utf-8",
+                metrics.REGISTRY.render().encode(),
+            )
         else:
             self._json(404, {"error": "not found"})
 
     def do_POST(self):
+        import time as _time
+
+        t0 = _time.perf_counter()
+        try:
+            self._post()
+        finally:
+            metrics.observe_request(self.path, self._status, _time.perf_counter() - t0)
+
+    def _post(self):
         if self.path == "/generate":
             try:
                 length = int(self.headers.get("Content-Length", 0))
@@ -344,6 +402,7 @@ class Handler(BaseHTTPRequestHandler):
                 body = json.loads(self.rfile.read(length) or b"{}")
                 gen = handle_stream(body)
                 first_chunk, sr = next(gen)
+                self._status = 200
                 self.send_response(200)
                 self.send_header("Content-Type", "application/octet-stream")
                 self.send_header("Transfer-Encoding", "chunked")
@@ -398,6 +457,11 @@ def main(argv=None):
     parser.add_argument("--checkmodels", action="store_true")
     parser.add_argument("--sysreport", action="store_true")
     parser.add_argument("--no-preload", action="store_true")
+    parser.add_argument(
+        "--warmup", action="store_true",
+        help="pre-compile the generate + stream paths before serving "
+             "(also: ZONOS_WARMUP=1); first request then runs at steady-state speed",
+    )
     # Reference CLI compat (SkyrimNet-Zonos.py:63-74): --share is Gradio
     # public-link tunneling; meaningless for the plain HTTP server.
     parser.add_argument("--share", action="store_true", help="(ignored; reference compat)")
@@ -426,6 +490,11 @@ def main(argv=None):
 
         init_latent_cache("speakers/en", args.model)
         logger.info(f"model preloaded: {args.model}")
+
+    if args.warmup or os.environ.get("ZONOS_WARMUP") == "1":
+        logger.info("warmup: compiling the generate + stream paths ...")
+        dt = warmup(args.model)
+        logger.info(f"warmup done in {dt:.1f}s; first request is steady-state")
 
     server = ThreadingHTTPServer((args.server, args.port), Handler)
     logger.info(f"Zonos-TPU serving on http://{args.server}:{args.port}")
