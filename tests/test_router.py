@@ -25,6 +25,25 @@ def _stub_backend(name: str, fail: bool = False, slow: float = 0.0):
             if fail:
                 self.send_error(500)
                 return
+            if self.path == "/metrics":
+                # Minimal Prometheus page; values vary per backend so the
+                # router aggregate is distinguishable from a single proxy.
+                n = {"one": 1, "two": 2}.get(name, 5)
+                page = (
+                    "# TYPE zonos_requests_total counter\n"
+                    f'zonos_requests_total{{endpoint="/generate",status="200"}} {n}\n'
+                    "# TYPE zonos_rtf histogram\n"
+                    f'zonos_rtf_bucket{{le="4"}} {n}\n'
+                    f'zonos_rtf_bucket{{le="+Inf"}} {n}\n'
+                    f"zonos_rtf_sum {n * 3.5:g}\n"
+                    f"zonos_rtf_count {n}\n"
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(page)))
+                self.end_headers()
+                self.wfile.write(page)
+                return
             payload = json.dumps({"backend": name, "path": self.path}).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
@@ -148,3 +167,48 @@ def test_all_dead_returns_503():
         assert exc.value.code == 503
     finally:
         rsrv.shutdown()
+
+
+def test_aggregate_metrics_sums_series():
+    from zonos_tpu.serving.router import aggregate_metrics
+
+    page_a = (
+        "# HELP zonos_requests_total HTTP requests\n"
+        "# TYPE zonos_requests_total counter\n"
+        'zonos_requests_total{endpoint="/generate",status="200"} 3\n'
+        "# TYPE zonos_rtf histogram\n"
+        'zonos_rtf_bucket{le="4"} 2\n'
+        'zonos_rtf_bucket{le="+Inf"} 3\n'
+        "zonos_rtf_sum 10.5\n"
+        "zonos_rtf_count 3\n"
+    )
+    page_b = (
+        "# TYPE zonos_requests_total counter\n"
+        'zonos_requests_total{endpoint="/generate",status="200"} 4\n'
+        'zonos_requests_total{endpoint="/stream",status="200"} 1\n'
+        "# TYPE zonos_rtf histogram\n"
+        'zonos_rtf_bucket{le="4"} 1\n'
+        'zonos_rtf_bucket{le="+Inf"} 1\n'
+        "zonos_rtf_sum 2.5\n"
+        "zonos_rtf_count 1\n"
+    )
+    text = aggregate_metrics([page_a, page_b])
+    assert 'zonos_requests_total{endpoint="/generate",status="200"} 7' in text
+    assert 'zonos_requests_total{endpoint="/stream",status="200"} 1' in text
+    assert 'zonos_rtf_bucket{le="4"} 3' in text
+    assert 'zonos_rtf_bucket{le="+Inf"} 4' in text
+    assert "zonos_rtf_sum 13" in text
+    assert "zonos_rtf_count 4" in text
+    # Meta lines kept once, before any sample of that metric.
+    assert text.count("# TYPE zonos_requests_total counter") == 1
+    assert text.index("# TYPE zonos_rtf") < text.index("zonos_rtf_bucket")
+
+
+def test_router_metrics_fans_out_to_all_backends(router_with_two_backends):
+    url, pool, _, _ = router_with_two_backends
+    with urllib.request.urlopen(url + "/metrics") as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    # one + two = 3 across the fleet (each backend alone reports 1 or 2).
+    assert 'zonos_requests_total{endpoint="/generate",status="200"} 3' in text
+    assert "zonos_rtf_count 3" in text

@@ -65,6 +65,16 @@ class BackendPool:
             if not ok:
                 self._down_until[url] = time.monotonic() + self.cooldown_s
 
+    def healthy_urls(self) -> list[str]:
+        now = time.monotonic()
+        with self._lock:
+            return [u for u in self.urls if self._down_until[u] <= now]
+
+    def quarantine(self, url: str) -> None:
+        """Mark a backend down without touching its outstanding count."""
+        with self._lock:
+            self._down_until[url] = time.monotonic() + self.cooldown_s
+
     def stats(self) -> dict:
         now = time.monotonic()
         with self._lock:
@@ -78,6 +88,45 @@ class BackendPool:
                     for u in self.urls
                 ]
             }
+
+
+def aggregate_metrics(texts: list[str]) -> str:
+    """Merge Prometheus text pages from N backends into one fleet view.
+
+    Every zonos series is summable across instances: counters add, and
+    histogram _bucket/_sum/_count samples add bucket-wise (serving/metrics.py
+    emits fixed buckets, so same-name series share bucket bounds). HELP/TYPE
+    headers are kept once, first occurrence wins.
+    """
+    order: list[str] = []  # sample keys in first-seen order
+    sums: dict[str, float] = {}
+    meta: list[str] = []
+    meta_seen: set[str] = set()
+    for text in texts:
+        for line in text.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("#"):
+                # "# TYPE <name> <kind>" / "# HELP <name> ..." — dedup by
+                # the first two tokens after '#'.
+                parts = line.split(None, 3)
+                key = " ".join(parts[:3])
+                if key not in meta_seen:
+                    meta_seen.add(key)
+                    meta.append(line)
+                continue
+            series, _, value = line.rpartition(" ")
+            try:
+                v = float(value)
+            except ValueError:
+                continue
+            if series not in sums:
+                sums[series] = 0.0
+                order.append(series)
+            sums[series] += v
+    out = meta + [f"{s} {sums[s]:g}" for s in order]
+    return "\n".join(out) + "\n"
 
 
 def make_handler(pool: BackendPool, timeout_s: float = 600.0):
@@ -147,6 +196,23 @@ def make_handler(pool: BackendPool, timeout_s: float = 600.0):
                 pool.release(url, ok)
 
         def do_GET(self):
+            if self.path == "/metrics":
+                # Fleet aggregate: sum every backend's Prometheus page
+                # (counters and fixed-bucket histograms are all summable).
+                texts = []
+                for u in pool.healthy_urls():
+                    try:
+                        with urllib.request.urlopen(u + "/metrics", timeout=10.0) as r:
+                            texts.append(r.read().decode())
+                    except (urllib.error.URLError, ConnectionError, TimeoutError, OSError):
+                        pool.quarantine(u)
+                payload = aggregate_metrics(texts).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+                return
             if self.path == "/router_stats":
                 payload = json.dumps(pool.stats()).encode()
                 self.send_response(200)
