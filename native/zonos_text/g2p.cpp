@@ -5227,13 +5227,128 @@ void pa_word(std::vector<PAPhone>& ph, const PACfg& cfg, std::string* out) {
   for (const auto& p : ph) *out += p.ipa;
 }
 
+// Vocalized lexicon for Modern Standard Arabic. Written Arabic omits the
+// short vowels and the generic (C)V(C)(C) epenthesis guesses /a/ for all of
+// them; for the highest-frequency words the true vocalization is lexical
+// (من = min, not man), so this table supplies segments + stress for ~80
+// function words and everyday vocabulary. Keys are the bare unvocalized
+// spellings; input carrying its own harakat bypasses the lexicon (explicit
+// vocalization outranks a lexicon guess). Where a spelling is ambiguous
+// (من min "from" / man "who") the higher-frequency reading wins.
+const std::map<std::string, const char*>& ar_lexicon() {
+  static const std::map<std::string, const char*> kLex = {
+      // demonstratives / relatives / pronouns
+      {"هذا", "ˈhaːðaː"}, {"هذه", "ˈhaːðihi"}, {"ذلك", "ˈðaːlika"},
+      {"الذي", "ʔalˈlaðiː"}, {"التي", "ʔalˈlatiː"},
+      {"أنا", "ˈʔanaː"}, {"انا", "ˈʔanaː"}, {"أنت", "ˈʔanta"},
+      {"هو", "ˈhuwa"}, {"هي", "ˈhija"}, {"نحن", "ˈnaħnu"}, {"هم", "hum"},
+      // particles / prepositions / question words
+      {"من", "min"}, {"عن", "ʕan"}, {"إلى", "ˈʔilaː"}, {"الى", "ˈʔilaː"},
+      {"هل", "hal"}, {"لا", "laː"}, {"نعم", "ˈnaʕam"}, {"ما", "maː"},
+      {"لم", "lam"}, {"لن", "lan"}, {"قد", "qad"}, {"ثم", "ˈθumma"},
+      {"أو", "ʔaw"}, {"إذا", "ˈʔiðaː"}, {"حتى", "ˈħattaː"},
+      {"ماذا", "ˈmaːðaː"}, {"لماذا", "liˈmaːðaː"}, {"كيف", "ˈkajfa"},
+      {"أين", "ˈʔajna"}, {"متى", "ˈmataː"}, {"كل", "kull"},
+      {"بعض", "baʕdˤ"}, {"عند", "ˈʕinda"}, {"عندما", "ˈʕindamaː"},
+      {"بعد", "ˈbaʕda"}, {"قبل", "ˈqabla"}, {"تحت", "ˈtaħta"},
+      {"فوق", "ˈfawqa"}, {"أمام", "ʔaˈmaːma"}, {"بين", "ˈbajna"},
+      {"مع", "ˈmaʕa"}, {"لكن", "ˈlaːkin"}, {"أيضا", "ˈʔajdˤan"},
+      {"جدا", "ˈdʒiddan"}, {"هنا", "ˈhunaː"}, {"هناك", "huˈnaːka"},
+      // time
+      {"الآن", "ʔalˈʔaːna"}, {"اليوم", "ʔalˈjawm"}, {"غدا", "ˈɣadan"},
+      {"أمس", "ʔams"}, {"سنة", "ˈsana"}, {"يوم", "jawm"},
+      {"أيام", "ʔajˈjaːm"}, {"ليلة", "ˈlajla"}, {"صباح", "sˤaˈbaːħ"},
+      {"مساء", "maˈsaːʔ"}, {"وقت", "waqt"},
+      // people / things
+      {"رجل", "ˈradʒul"}, {"امرأة", "ˈimraʔa"}, {"ولد", "ˈwalad"},
+      {"بنت", "bint"}, {"ناس", "naːs"}, {"صديق", "sˤaˈdiːq"},
+      {"بيت", "bajt"}, {"ماء", "maːʔ"}, {"مدينة", "maˈdiːna"},
+      {"كتاب", "kiˈtaːb"}, {"مدرسة", "ˈmadrasa"}, {"عمل", "ˈʕamal"},
+      {"شيء", "ʃajʔ"}, {"كلمة", "ˈkalima"}, {"لغة", "ˈluɣa"},
+      {"عربية", "ʕaraˈbijja"}, {"الله", "ʔalˈlaːh"},
+      // adjectives
+      {"كبير", "kaˈbiːr"}, {"صغير", "sˤaˈɣiːr"}, {"جديد", "dʒaˈdiːd"},
+      {"قديم", "qaˈdiːm"}, {"جميل", "dʒaˈmiːl"}, {"جيد", "ˈdʒajjid"},
+      {"كثير", "kaˈθiːr"}, {"قليل", "qaˈliːl"}, {"خير", "xajr"},
+      // verbs (common citation/conjugated forms)
+      {"كان", "ˈkaːna"}, {"يكون", "jaˈkuːn"}, {"قال", "ˈqaːla"},
+      {"يقول", "jaˈquːl"}, {"ذهب", "ˈðahaba"}, {"جاء", "ˈdʒaːʔa"},
+      {"أريد", "ʔuˈriːd"}, {"يريد", "juˈriːd"},
+      // greetings / formulae
+      {"شكرا", "ˈʃukran"}, {"عفوا", "ˈʕafwan"}, {"مرحبا", "ˈmarħaban"},
+      {"السلام", "ʔassaˈlaːm"}, {"سلام", "saˈlaːm"},
+      {"عليكم", "ʕaˈlajkum"}, {"أهلا", "ˈʔahlan"}, {"وسهلا", "wa ˈsahlan"},
+  };
+  return kLex;
+}
+
+// Article prefix for a lexicon word: "ʔal", or before a sun letter "ʔa" +
+// a geminating copy of the word's first consonant (ʔal + ʃams → ʔaʃʃams).
+std::string ar_article_prefix(const char* ipa) {
+  std::string v(ipa);
+  size_t p = 0;
+  if (v.size() >= 2 && v.compare(0, 2, "\xCB\x88") == 0) p = 2;  // skip ˈ
+  if (p >= v.size()) return "\xCA\x94\x61l";                      // "ʔal"
+  size_t l = 1;
+  unsigned char c = v[p];
+  if ((c >> 5) == 0x6) l = 2;
+  else if ((c >> 4) == 0xE) l = 3;
+  std::string cons = v.substr(p, l);
+  if (p + l + 2 <= v.size()) {
+    std::string nxt = v.substr(p + l, 2);
+    if ((cons == "t" || cons == "d") && (nxt == "ʃ" || nxt == "ʒ"))
+      cons += nxt;                       // affricate: dʒ/tʃ is one segment
+    else if (nxt == "\xCB\xA4") cons += nxt;  // emphatic ˤ (U+02E4)
+  }
+  static const char* kSunIpa[] = {"t", "θ", "d", "ð", "r", "z", "s", "ʃ",
+                                  "sˤ", "dˤ", "tˤ", "zˤ", "l", "n"};
+  for (const char* sl : kSunIpa)
+    if (cons == sl) return std::string("\xCA\x94\x61") + cons;  // ʔa + geminate
+  return "\xCA\x94\x61l";
+}
+
 const char* phonemize_text_perso_arabic(const char* utf8_text, const PACfg& cfg) {
   if (!utf8_text) return nullptr;
   std::string text(utf8_text);
   std::string result;
   std::vector<PAPhone> word;
+  std::string raw;          // bare letters of the current word (no harakat)
+  bool harakat = false;     // word carried explicit vocalization
   auto flush = [&]() {
-    if (!word.empty()) { pa_word(word, cfg, &result); word.clear(); }
+    if (!word.empty()) {
+      const char* lex = nullptr;
+      std::string pre;
+      if (cfg.lang == 2 && !harakat) {
+        const auto& L = ar_lexicon();
+        // Lookup with clitic stripping: exact → [wa-] → [al-] → [wa-al-].
+        auto lookup = [&L](const std::string& key, std::string* prefix)
+            -> const char* {
+          auto it = L.find(key);
+          if (it != L.end()) return it->second;
+          // ال definite article: strip; sun letter geminates the lam.
+          if (key.size() > 4 && key.compare(0, 4, "\xD8\xA7\xD9\x84") == 0) {
+            it = L.find(key.substr(4));
+            if (it != L.end()) {
+              *prefix += ar_article_prefix(it->second);
+              return it->second;
+            }
+          }
+          return nullptr;
+        };
+        lex = lookup(raw, &pre);
+        if (!lex && raw.size() > 2 && raw.compare(0, 2, "\xD9\x88") == 0) {
+          // wa- clitic (و "and" welded to the word): strip and retry.
+          pre = "wa";
+          lex = lookup(raw.substr(2), &pre);
+          if (!lex) pre.clear();
+        }
+      }
+      if (lex) { result += pre; result += lex; }
+      else pa_word(word, cfg, &result);
+      word.clear();
+    }
+    raw.clear();
+    harakat = false;
   };
   size_t nbytes = text.size();
   for (size_t i = 0; i < nbytes;) {
@@ -5245,7 +5360,12 @@ const char* phonemize_text_perso_arabic(const char* utf8_text, const PACfg& cfg)
     } else if ((c >> 4) == 0xE && i + 2 < nbytes) {
       cp = ((c & 0x0F) << 12) | ((text[i+1] & 0x3F) << 6) | (text[i+2] & 0x3F); len = 3;
     } else if ((c >> 3) == 0x1E && i + 3 < nbytes) { len = 4; }
-    if (pa_letter(cp, cfg, &word, word.empty())) { i += len; continue; }
+    if (pa_letter(cp, cfg, &word, word.empty())) {
+      if (cp >= 0x064B && cp <= 0x0652) harakat = true;                // diacritic
+      else if (cp != 0x0640 && cp != 0x200C) raw.append(text, i, len); // skip kashida/ZWNJ
+      i += len;
+      continue;
+    }
     flush();
     if (cp == 0x060C) result += ',';        // ،
     else if (cp == 0x061F) result += '?';   // ؟

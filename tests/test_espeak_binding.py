@@ -845,6 +845,29 @@ def test_ur_ar_perso_arabic_engines():
     assert "θ" in ar("ثلاثة")            # interdental kept (Persian merges → s)
 
 
+def test_ar_vocalized_lexicon():
+    """MSA lexicon: unvocalized spellings of high-frequency words get their
+    true short vowels (من = min, not the epenthetic guess man); explicit
+    harakat bypass the lexicon; wa-/al- clitics strip with sun-letter
+    assimilation on the article."""
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ar = lambda t: native_g2p.phonemize(t, "ar")
+    assert ar("هذا كتاب جديد") == "ˈhaːðaː kiˈtaːb dʒaˈdiːd"
+    assert ar("من") == "min"                  # lexical vocalization
+    assert ar("مَن") == "man"                 # explicit fatha outranks lexicon
+    assert ar("السلام عليكم") == "ʔassaˈlaːm ʕaˈlajkum"
+    assert ar("وهذا") == "waˈhaːðaː"          # wa- clitic stripped
+    assert ar("الكتاب") == "ʔalkiˈtaːb"       # al- + moon letter
+    assert ar("السنة") == "ʔasˈsana"          # al- + sun letter geminates
+    assert ar("الصباح") == "ʔasˤsˤaˈbaːħ"     # emphatic sun letter (2-byte ˤ)
+    assert ar("والكتاب") == "waʔalkiˈtaːb"    # stacked clitics
+    # Persian/Urdu never consult the Arabic lexicon.
+    assert native_g2p.phonemize("من", "fa") == "mæn"
+
+
 def test_generic_latin_tier():
     """Table-driven Latin engines: one representative assertion per language
     plus vocab-compatibility for all of them."""
