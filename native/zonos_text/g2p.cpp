@@ -5462,12 +5462,18 @@ const char* phonemize_text_falatn(const char* utf8_text) {
 
 // --- Vietnamese -------------------------------------------------------------
 // Quốc ngữ is a regular Latin orthography once the diacritics are decoded:
-// tone marks (sắc/huyền/hỏi/ngã/nặng) are DROPPED EXPLICITLY — the model's
-// phoneme table has no tone letters (conditioning/text.py _letters_ipa) — and
-// vowel-quality diacritics (ă â ê ô ơ ư) are kept. Segment mapping follows a
-// composite literary standard (retroflex s/tr kept distinct, d/gi/r → z as in
-// the north). Each syllable = onset + nucleus + coda; no stress marks
-// (Vietnamese has none).
+// vowel-quality diacritics (ă â ê ô ơ ư) are kept, and the tone mark
+// (ngang/sắc/huyền/hỏi/ngã/nặng) is emitted AFTER each syllable as Chao
+// tone letters (Hanoi contours: ˧ ˧˥ ˨˩ ˧˩˧ ˧ˀ˥ ˨˩ˀ) — the same convention
+// eSpeak NG's IPA output uses, which is what the reference feeds the
+// tokenizer. The model's phoneme table has no tone letters, so these map to
+// the UNK id exactly as they do in the reference
+// (/root/reference/zonos/conditioning.py:240-241 `_symbol_to_id.get(s, 1)`):
+// the checkpoint was trained seeing a tone-dependent run of UNK tokens after
+// every syllable, and omitting them would shift the token-stream shape.
+// Segment mapping follows a composite literary standard (retroflex s/tr kept
+// distinct, d/gi/r → z as in the north). Each syllable = onset + nucleus +
+// coda; no stress marks (Vietnamese has none).
 //
 // Internal markers after decoding: 1=ă 2=â 3=ê 4=ô 5=ơ 6=ư 7=đ.
 
@@ -5517,6 +5523,54 @@ char vi_fold(unsigned int cp) {
     return 'y';                                // ỳ ỵ ỷ ỹ
   }
   return 0;
+}
+
+// Tone class of one codepoint: 0 ngang/none, 1 sắc, 2 huyền, 3 hỏi,
+// 4 ngã, 5 nặng. Covers precomposed letters (NFC) and the bare combining
+// marks (NFD input: a + U+0300 etc.).
+int vi_tone(unsigned int cp) {
+  if (cp >= 0xC0 && cp <= 0xDD) cp += 0x20;
+  switch (cp) {
+    case 0xE1: case 0xE9: case 0xED: case 0xF3: case 0xFA: case 0xFD:
+      return 1;                                  // á é í ó ú ý
+    case 0xE0: case 0xE8: case 0xEC: case 0xF2: case 0xF9:
+      return 2;                                  // à è ì ò ù
+    case 0xE3: case 0xF5: case 0x129: case 0x169:
+      return 4;                                  // ã õ ĩ ũ
+    case 0x300: return 2; case 0x301: return 1; case 0x303: return 4;
+    case 0x309: return 3; case 0x323: return 5;  // combining marks
+  }
+  if (cp >= 0x1EA0 && cp <= 0x1EF9) {
+    if ((cp & 1) == 0) ++cp;  // uppercase → lowercase
+    switch (cp) {
+      case 0x1EA1: case 0x1EB9: case 0x1ECB: case 0x1ECD: case 0x1EE5:
+      case 0x1EF5: return 5;                     // ạ ẹ ị ọ ụ ỵ
+      case 0x1EA3: case 0x1EBB: case 0x1EC9: case 0x1ECF: case 0x1EE7:
+      case 0x1EF7: return 3;                     // ả ẻ ỉ ỏ ủ ỷ
+      case 0x1EBD: case 0x1EF9: return 4;        // ẽ ỹ
+      case 0x1EF3: return 2;                     // ỳ
+    }
+    // Full five-tone series on the quality-marked vowels â ă ê ô ơ ư,
+    // laid out sắc/huyền/hỏi/ngã/nặng at consecutive odd codepoints.
+    static const unsigned int kSeries[] = {0x1EA5, 0x1EAF, 0x1EBF,
+                                           0x1ED1, 0x1EDB, 0x1EE9};
+    for (unsigned int b : kSeries)
+      if (cp >= b && cp <= b + 8) return (int)((cp - b) / 2) + 1;
+  }
+  return 0;
+}
+
+// Chao tone letters appended after the syllable (index = vi_tone class).
+const char* vi_tone_ipa(int tone) {
+  static const char* kChao[6] = {
+      "\xCB\xA7",                          // ngang ˧
+      "\xCB\xA7\xCB\xA5",                  // sắc ˧˥
+      "\xCB\xA8\xCB\xA9",                  // huyền ˨˩
+      "\xCB\xA7\xCB\xA9\xCB\xA7",          // hỏi ˧˩˧
+      "\xCB\xA7\xCB\x80\xCB\xA5",          // ngã ˧ˀ˥ (glottalized rise)
+      "\xCB\xA8\xCB\xA9\xCB\x80",          // nặng ˨˩ˀ (glottalized drop)
+  };
+  return kChao[tone >= 0 && tone <= 5 ? tone : 0];
 }
 
 bool vi_is_vowel_marker(char c) {
@@ -5627,8 +5681,14 @@ const char* phonemize_text_vi(const char* utf8_text) {
   if (!utf8_text) return nullptr;
   std::string text(utf8_text);
   std::string result, word;
+  int tone = 0;
   auto flush = [&]() {
-    if (!word.empty()) { result += phonemize_syllable_vi(word); word.clear(); }
+    if (!word.empty()) {
+      result += phonemize_syllable_vi(word);
+      result += vi_tone_ipa(tone);
+      word.clear();
+    }
+    tone = 0;
   };
   for (size_t i = 0; i < text.size();) {
     unsigned char c = text[i];
@@ -5640,7 +5700,18 @@ const char* phonemize_text_vi(const char* utf8_text) {
       cp = ((c & 0x0F) << 12) | ((text[i+1] & 0x3F) << 6) | (text[i+2] & 0x3F); len = 3;
     } else if ((c >> 3) == 0x1E && i + 3 < text.size()) { len = 4; }
     char m = cp ? vi_fold(cp) : 0;
-    if (m) { word += m; i += len; continue; }
+    if (m) {
+      int t = vi_tone(cp);
+      if (t) tone = t;
+      word += m;
+      i += len;
+      continue;
+    }
+    if (cp && vi_tone(cp) && !word.empty()) {  // NFD combining tone mark
+      tone = vi_tone(cp);
+      i += len;
+      continue;
+    }
     flush();
     if (cp < 128 && cp && strchr(";:,.!?()\"- ", (int)cp)) {
       if (!((char)cp == ' ' && !result.empty() && result.back() == ' '))

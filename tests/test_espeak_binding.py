@@ -655,26 +655,38 @@ def test_vi_rule_engine():
     if not native_g2p.available():
         pytest.skip("no g++ / native lib")
     ph = lambda t: native_g2p.phonemize(t, "vi")
-    # tones are dropped (no tone letters in the model's symbol table);
-    # quality diacritics are kept
-    assert ph("Việt") == "viət"          # iê diphthong + final t
-    assert ph("chào") == "tɕaw"          # ch → tɕ, off-glide o → w
-    assert ph("không") == "xoŋ"          # kh → x, ô → o, ng → ŋ
-    assert ph("người") == "ŋɯəj"         # ngh/ng → ŋ, ươ → ɯə, i-glide
-    assert ph("được") == "ɗɯək"          # đ → ɗ implosive
-    assert ph("bạn") == "ɓan"            # b → ɓ implosive
-    assert ph("gì") == "zi"              # bare gi- keeps i as nucleus
-    assert ph("giá") == "za"             # gi+vowel consumes the i
-    assert ph("quyển") == "kwiən"        # qu → kw
-    assert ph("tiếng") == "tiəŋ"
-    assert ph("thơ") == "tʰɤ"            # th → tʰ, ơ → ɤ
-    assert ph("trà") == "ʈʂa"            # tr retroflex
-    assert ph("sông") == "ʂoŋ"           # s retroflex
-    assert ph("xanh") == "saɲ"           # x → s, final nh → ɲ
-    assert ph("phở") == "fɤ"
-    assert ph("đường") == "ɗɯəŋ"
-    assert ph("hoa") == "hwa"            # medial o → w on-glide
-    assert ph("ăn") == "an"              # ă folds to short a
+    # Tones are EMITTED as Chao letters after each syllable (Hanoi contours:
+    # ngang ˧, sắc ˧˥, huyền ˨˩, hỏi ˧˩˧, ngã ˧ˀ˥, nặng ˨˩ˀ) — like the
+    # reference's espeak IPA output. The model's symbol table has no tone
+    # letters, so they tokenize to UNK exactly as in the reference
+    # (conditioning.py _symbol_to_id.get(s, 1)); quality diacritics are kept.
+    assert ph("Việt") == "viət˨˩ˀ"        # iê diphthong + final t, nặng
+    assert ph("chào") == "tɕaw˨˩"         # ch → tɕ, off-glide o → w, huyền
+    assert ph("không") == "xoŋ˧"          # kh → x, ô → o, ng → ŋ, ngang
+    assert ph("người") == "ŋɯəj˨˩"        # ngh/ng → ŋ, ươ → ɯə, i-glide
+    assert ph("được") == "ɗɯək˨˩ˀ"        # đ → ɗ implosive, nặng
+    assert ph("bạn") == "ɓan˨˩ˀ"          # b → ɓ implosive, nặng
+    assert ph("gì") == "zi˨˩"             # bare gi- keeps i as nucleus
+    assert ph("giá") == "za˧˥"            # gi+vowel consumes the i, sắc
+    assert ph("quyển") == "kwiən˧˩˧"      # qu → kw, hỏi
+    assert ph("tiếng") == "tiəŋ˧˥"
+    assert ph("thơ") == "tʰɤ˧"            # th → tʰ, ơ → ɤ
+    assert ph("trà") == "ʈʂa˨˩"           # tr retroflex, huyền
+    assert ph("sông") == "ʂoŋ˧"           # s retroflex
+    assert ph("xanh") == "saɲ˧"           # x → s, final nh → ɲ
+    assert ph("phở") == "fɤ˧˩˧"           # hỏi
+    assert ph("đường") == "ɗɯəŋ˨˩"
+    assert ph("hoa") == "hwa˧"            # medial o → w on-glide
+    assert ph("ăn") == "an˧"              # ă folds to short a
+    assert ph("ngã") == "ŋa˧ˀ˥"           # ngã: glottalized rise
+    # NFD input (precomposed quality vowel + combining tone mark)
+    assert ph("chò") == "tɕɔ˨˩"     # o + combining grave = ò
+    # Tone letters map to UNK ids, same as the reference tokenizer; the
+    # segmental phonemes before them stay in-vocab.
+    from zonos_tpu.conditioning.text import UNK_ID, get_symbol_ids
+    ids = get_symbol_ids(ph("xin chào"))
+    assert ids.count(UNK_ID) == 3         # ˧ + ˨˩
+    assert UNK_ID not in get_symbol_ids("sin tɕaw")
 
 
 def test_sv_rule_engine():
