@@ -197,35 +197,52 @@ def test_corpus_coverage_floor():
 def test_zh_basic_reading():
     from zonos_tpu.conditioning.zh import read_chinese
 
-    assert read_chinese("我们在北京学习中文。") == "wo men zai bei jing xue xi zhong wen."
-    assert read_chinese("你好") == "ni hao"
+    assert read_chinese("我们在北京学习中文。") == "wo3 men5 zai4 bei3 jing1 xue2 xi2 zhong1 wen2."
+    assert read_chinese("你好") == "ni2 hao3"  # 3-3 sandhi
 
 
 def test_zh_polyphonic_disambiguation():
     """行/乐/长/都-class polyphones resolved by word context (Viterbi)."""
     from zonos_tpu.conditioning.zh import read_chinese
 
-    assert "yin hang" in read_chinese("银行")       # 行 háng in bank
-    assert "zi xing che" in read_chinese("自行车")  # 行 xíng in bicycle
-    assert "yin yue" in read_chinese("音乐")        # 乐 yuè in music
-    assert "kuai le" in read_chinese("快乐")        # 乐 lè in happy
-    assert "zhang da" in read_chinese("长大")       # 长 zhǎng grow up
-    assert "chang cheng" in read_chinese("长城")    # 长 cháng Great Wall
-    assert "shou du" in read_chinese("首都")        # 都 dū capital
-    assert read_chinese("我们都去") == "wo men dou qu"  # 都 dōu all
+    assert "yin2 hang2" in read_chinese("银行")       # 行 háng in bank
+    assert "zi4 xing2 che1" in read_chinese("自行车")  # 行 xíng in bicycle
+    assert "yin1 yue4" in read_chinese("音乐")        # 乐 yuè in music
+    assert "kuai4 le4" in read_chinese("快乐")        # 乐 lè in happy
+    assert "zhang3 da4" in read_chinese("长大")       # 长 zhǎng grow up
+    assert "chang2 cheng2" in read_chinese("长城")    # 长 cháng Great Wall
+    assert "shou3 du1" in read_chinese("首都")        # 都 dū capital
+    assert read_chinese("我们都去") == "wo3 men5 dou1 qu4"  # 都 dōu all
 
 
 def test_zh_numbers_and_measures():
     from zonos_tpu.conditioning.zh import number_to_pinyin, read_chinese
 
-    assert number_to_pinyin(0) == "ling"
-    assert number_to_pinyin(25) == "er shi wu"
-    assert number_to_pinyin(13) == "shi san"          # 13 = shi san, not yi shi san
-    assert number_to_pinyin(105) == "yi bai ling wu"  # interior zero
-    assert number_to_pinyin(12345) == "yi wan er qian san bai si shi wu"
-    assert "liang ge" in read_chinese("2个苹果")      # 两 before measure word
-    assert "er shi wu ben" in read_chinese("25本书")  # but 25 stays er-based
-    assert "nian" in read_chinese("2024年")
+    assert number_to_pinyin(0) == "ling2"
+    assert number_to_pinyin(25) == "er4 shi2 wu3"
+    assert number_to_pinyin(13) == "shi2 san1"          # 13 = shi san, not yi shi san
+    assert number_to_pinyin(105) == "yi1 bai3 ling2 wu3"  # interior zero
+    assert number_to_pinyin(12345) == "yi1 wan4 er4 qian1 san1 bai3 si4 shi2 wu3"
+    assert "liang3 ge4" in read_chinese("2个苹果")      # 两 before measure word
+    assert "er4 shi2 wu2 ben3" in read_chinese("25本书")  # 25 er-based; wu3-ben3 sandhi
+    assert "nian2" in read_chinese("2024年")
+
+
+def test_zh_tone_sandhi():
+    from zonos_tpu.conditioning.zh import read_chinese
+
+    # 3-3 → 2-3; a 3-3-3 run reads 3-2-3 (right neighbour changes first,
+    # which matches the subject-predicate phrasing of e.g. 我很好).
+    assert read_chinese("你好") == "ni2 hao3"
+    assert read_chinese("我很好") == "wo3 hen2 hao3"
+    # 不 bù → bú before tone 4 only.
+    assert read_chinese("不对") == "bu2 dui4"
+    assert read_chinese("不来") == "bu4 lai2"
+    # Quantifier 一: yí before 4, yì before 1/2/3.
+    assert read_chinese("一个") == "yi2 ge4"
+    assert read_chinese("一起") == "yi4 qi3"
+    # Sandhi never crosses punctuation.
+    assert read_chinese("你,好") == "ni3, hao3"
 
 
 def test_zh_pinyin_to_ipa():
@@ -241,6 +258,12 @@ def test_zh_pinyin_to_ipa():
     assert pinyin_to_ipa("you") == "jow"
     assert pinyin_to_ipa("yuan") == "ɥɛn"
     assert pinyin_to_ipa("wo") == "wo"
+    # Trailing tone digits become Chao letters (espeak IPA convention).
+    assert pinyin_to_ipa("zhong1") == "ʈʂʊŋ˥"
+    assert pinyin_to_ipa("ma2") == "ma˧˥"
+    assert pinyin_to_ipa("hao3") == "xaw˨˩˦"
+    assert pinyin_to_ipa("ma4") == "ma˥˩"
+    assert pinyin_to_ipa("ma5") == "ma"  # neutral tone unmarked
 
 
 def test_zh_ipa_in_symbol_table():
@@ -248,7 +271,13 @@ def test_zh_ipa_in_symbol_table():
     from zonos_tpu.conditioning.zh import chinese_to_ipa
 
     out = chinese_to_ipa("今天天气很好，我们一起去公园散步。")
-    assert out and UNK_ID not in get_symbol_ids(out), out
+    assert out
+    # Chao tone letters are outside the checkpoint's symbol table and map to
+    # UNK — exactly what the reference's espeak path feeds the tokenizer
+    # (conditioning.py:240-241). Everything else must be in-table.
+    assert any(c in out for c in "˥˧˨˩˦"), out
+    segments = "".join(c for c in out if c not in "˥˧˨˩˦")
+    assert UNK_ID not in get_symbol_ids(segments), segments
 
 
 def test_zh_routed_through_phonemize(monkeypatch):

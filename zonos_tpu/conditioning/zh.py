@@ -15,13 +15,19 @@ Mandarin to intelligible the same way ``conditioning/ja.py`` does Japanese:
 * an exact Arabic-numeral reader (一 through 万亿 scale, 两-selection
   before measure words);
 * a regular pinyin → IPA mapping (Standard Mandarin initials/finals).
-  TONES ARE DROPPED — the model's phoneme table has no tone letters
-  (conditioning/text.py _letters_ipa), the same explicit decision as the
-  Vietnamese engine. Intonation is lost; segments remain intelligible.
+  TONES ARE EMITTED as Chao letters after each syllable (1 ˥, 2 ˧˥,
+  3 ˨˩˦, 4 ˥˩, neutral unmarked) — the same convention eSpeak NG's IPA
+  output uses, which is what the reference pipeline feeds the tokenizer.
+  The model's phoneme table has no tone letters, so they map to the UNK id
+  exactly as in the reference (conditioning.py:240-241
+  ``_symbol_to_id.get(s, 1)``): the checkpoint saw a tone-dependent UNK run
+  after every syllable, and omitting it would shift the token-stream shape.
+  Standard tone sandhi is applied on the pinyin stream (3-3 → 2-3,
+  不 bù→bú before tone 4, quantifier 一 yī→yí/yì by following tone).
 
-Cantonese ("yue") has no separate reading table; it routes through the
-Mandarin readings with a loud one-time warning (still far better than the
-all-UNK grapheme tier for a hanzi text).
+Cantonese ("yue") has its own engine (conditioning/yue.py, jyutping-based);
+espeak.py routes it there. Calling ``read_chinese`` with a yue language tag
+directly still works — Mandarin readings with a loud one-time warning.
 """
 
 from __future__ import annotations
@@ -60,10 +66,19 @@ _FINALS = [
 # i after sibilants is the apical vowel, not /i/.
 _APICAL = {"z", "c", "s", "zh", "ch", "sh", "r"}
 
+# Chao tone letters appended after each syllable (espeak IPA convention;
+# index = tone digit, 5/0 = neutral, unmarked).
+_TONE_IPA = {"1": "˥", "2": "˧˥", "3": "˨˩˦", "4": "˥˩", "5": ""}
+
 
 def pinyin_to_ipa(syllable: str) -> str:
-    """One toneless pinyin syllable → IPA ('' for empty/unknown)."""
+    """One pinyin syllable (optional trailing tone digit 1-5) → IPA
+    ('' for empty/unknown)."""
     s = syllable.strip().lower()
+    tone = ""
+    if s and s[-1] in _TONE_IPA:
+        tone = _TONE_IPA[s[-1]]
+        s = s[:-1]
     if not s:
         return ""
     # y/w onsets are orthographic forms of i/u finals.
@@ -86,34 +101,33 @@ def pinyin_to_ipa(syllable: str) -> str:
             break
 
     if s == "i" and initial in _APICAL:
-        return ipa_init + "ɨ"
+        return ipa_init + "ɨ" + tone
     # ju/qu/xu spell ü.
     if initial in ("j", "q", "x") and s.startswith("u"):
         s = "v" + s[1:]
     # Bare finals starting with i/u after no initial → glide onset.
     for pin, ipa in _FINALS:
         if s == pin:
-            out = ipa_init + ipa
             # A final-initial i/u with no onset consonant becomes a glide+vowel;
             # the _FINALS values already encode medials (j/w), so only the bare
             # "i"/"u"/"v" nucleus needs nothing extra.
-            return out
+            return ipa_init + ipa + tone
     # Unknown tail: emit what we can, vowel-letter by letter.
     plain = {"a": "a", "e": "ɤ", "i": "i", "o": "o", "u": "u", "v": "y", "n": "n", "g": "ŋ", "r": "ɚ"}
-    return ipa_init + "".join(plain.get(c, "") for c in s)
+    return ipa_init + "".join(plain.get(c, "") for c in s) + tone
 
 
 # ---------------------------------------------------------------------------
 # Numbers
 # ---------------------------------------------------------------------------
 
-_DIGIT_PY = ["ling", "yi", "er", "san", "si", "wu", "liu", "qi", "ba", "jiu"]
+_DIGIT_PY = ["ling2", "yi1", "er4", "san1", "si4", "wu3", "liu4", "qi1", "ba1", "jiu3"]
 
 
 def number_to_pinyin(n: int, *, liang: bool = False) -> str:
-    """Non-negative integer → space-separated toneless pinyin."""
+    """Non-negative integer → space-separated toned pinyin."""
     if n == 0:
-        return "ling"
+        return "ling2"
     if n >= 10**12:
         return " ".join(_DIGIT_PY[int(c)] for c in str(n))
 
@@ -124,18 +138,18 @@ def number_to_pinyin(n: int, *, liang: bool = False) -> str:
         h, k3 = divmod(k2, 100)
         t, d = divmod(k3, 10)
         if th:
-            out += [_DIGIT_PY[th], "qian"]
+            out += [_DIGIT_PY[th], "qian1"]
             if not h and (t or d):
-                out.append("ling")
+                out.append("ling2")
         if h:
-            out += [_DIGIT_PY[h], "bai"]
+            out += [_DIGIT_PY[h], "bai3"]
             if not t and d:
-                out.append("ling")
+                out.append("ling2")
         if t:
             if t == 1 and not th and not h and leading_unit:
-                out.append("shi")
+                out.append("shi2")
             else:
-                out += [_DIGIT_PY[t], "shi"]
+                out += [_DIGIT_PY[t], "shi2"]
         if d:
             out.append(_DIGIT_PY[d])
         return out
@@ -144,7 +158,7 @@ def number_to_pinyin(n: int, *, liang: bool = False) -> str:
     while n:
         n, g = divmod(n, 10000)
         groups.append(g)
-    units = ["", "wan", "yi"]
+    units = ["", "wan4", "yi4"]
     parts: list[str] = []
     for i in range(len(groups) - 1, -1, -1):
         g = groups[i]
@@ -154,401 +168,402 @@ def number_to_pinyin(n: int, *, liang: bool = False) -> str:
         if units[i]:
             seg.append(units[i])
         parts += seg
-    if liang and parts == ["er"]:
-        parts = ["liang"]
+    if liang and parts == ["er4"]:
+        parts = ["liang3"]
     return " ".join(parts)
 
 
 # Measure words that prefer 两 for 2 and are common after numerals.
-_MEASURES = {"个": "ge", "本": "ben", "只": "zhi", "条": "tiao", "张": "zhang",
-             "件": "jian", "位": "wei", "名": "ming", "台": "tai", "辆": "liang",
-             "杯": "bei", "瓶": "ping", "块": "kuai", "元": "yuan", "岁": "sui",
-             "年": "nian", "月": "yue", "日": "ri", "号": "hao", "天": "tian",
-             "次": "ci", "遍": "bian", "种": "zhong", "点": "dian", "分": "fen",
-             "秒": "miao", "小时": "xiao shi", "分钟": "fen zhong"}
+_MEASURES = {"个": "ge4", "本": "ben3", "只": "zhi1", "条": "tiao2", "张": "zhang1",
+             "件": "jian4", "位": "wei4", "名": "ming2", "台": "tai2", "辆": "liang4",
+             "杯": "bei1", "瓶": "ping2", "块": "kuai4", "元": "yuan2", "岁": "sui4",
+             "年": "nian2", "月": "yue4", "日": "ri4", "号": "hao4", "天": "tian1",
+             "次": "ci4", "遍": "bian4", "种": "zhong3", "点": "dian3", "分": "fen1",
+             "秒": "miao3", "小时": "xiao3 shi2", "分钟": "fen1 zhong1"}
 
 
 # ---------------------------------------------------------------------------
 # Word lexicon (polyphonic-character disambiguation + high-frequency words)
 # ---------------------------------------------------------------------------
-# Values are space-separated toneless pinyin. Single-char defaults live in
+# Values are space-separated toned pinyin (trailing digit 1-5; 5 = neutral).
+# Single-char defaults live in
 # PINYIN below; entries here override them in context via the Viterbi cost.
 
 WORDS: dict[str, str] = {
     # 的/地/得 — de as particles (default 的 de already), 得 dei in 得去
-    "目的": "mu di", "的确": "di que", "打的": "da di",
-    "土地": "tu di", "地方": "di fang", "地球": "di qiu", "地图": "di tu",
-    "地铁": "di tie", "地址": "di zhi", "地区": "di qu", "地面": "di mian",
-    "获得": "huo de", "觉得": "jue de", "记得": "ji de", "值得": "zhi de",
-    "得到": "de dao",
+    "目的": "mu4 di4", "的确": "di2 que4", "打的": "da3 di1",
+    "土地": "tu3 di4", "地方": "di4 fang1", "地球": "di4 qiu2", "地图": "di4 tu2",
+    "地铁": "di4 tie3", "地址": "di4 zhi3", "地区": "di4 qu1", "地面": "di4 mian4",
+    "获得": "huo4 de2", "觉得": "jue2 de5", "记得": "ji4 de5", "值得": "zhi2 de5",
+    "得到": "de2 dao4",
     # 行 xing/hang
-    "银行": "yin hang", "行业": "hang ye", "一行": "yi hang", "行列": "hang lie",
-    "自行车": "zi xing che", "旅行": "lv xing", "行为": "xing wei",
-    "进行": "jin xing", "流行": "liu xing", "行动": "xing dong",
+    "银行": "yin2 hang2", "行业": "hang2 ye4", "一行": "yi4 hang2", "行列": "hang2 lie4",
+    "自行车": "zi4 xing2 che1", "旅行": "lv3 xing2", "行为": "xing2 wei2",
+    "进行": "jin4 xing2", "流行": "liu2 xing2", "行动": "xing2 dong4",
     # 长 chang/zhang
-    "长大": "zhang da", "校长": "xiao zhang", "长辈": "zhang bei",
-    "成长": "cheng zhang", "队长": "dui zhang", "市长": "shi zhang",
-    "长城": "chang cheng", "长江": "chang jiang", "长期": "chang qi",
-    "很长": "hen chang", "长度": "chang du",
+    "长大": "zhang3 da4", "校长": "xiao4 zhang3", "长辈": "zhang3 bei4",
+    "成长": "cheng2 zhang3", "队长": "dui4 zhang3", "市长": "shi4 zhang3",
+    "长城": "chang2 cheng2", "长江": "chang2 jiang1", "长期": "chang2 qi1",
+    "很长": "hen3 chang2", "长度": "chang2 du4",
     # 重 zhong/chong
-    "重要": "zhong yao", "重量": "zhong liang", "严重": "yan zhong",
-    "重复": "chong fu", "重新": "chong xin",
+    "重要": "zhong4 yao4", "重量": "zhong4 liang4", "严重": "yan2 zhong4",
+    "重复": "chong2 fu4", "重新": "chong2 xin1",
     # 乐 le/yue
-    "音乐": "yin yue", "乐器": "yue qi", "快乐": "kuai le", "乐观": "le guan",
+    "音乐": "yin1 yue4", "乐器": "yue4 qi4", "快乐": "kuai4 le4", "乐观": "le4 guan1",
     # 都 dou/du
-    "首都": "shou du", "都市": "du shi", "成都": "cheng du",
+    "首都": "shou3 du1", "都市": "du1 shi4", "成都": "cheng2 du1",
     # 会 hui (kuai in 会计)
-    "会计": "kuai ji",
-    # 发 fa/fa4 (same toneless), 头发 fa
-    "头发": "tou fa", "发现": "fa xian", "发展": "fa zhan",
+    "会计": "kuai4 ji4",
+    # 发 fa1/fa4, 头发 fa4
+    "头发": "tou2 fa4", "发现": "fa1 xian4", "发展": "fa1 zhan3",
     # 还 hai/huan
-    "还有": "hai you", "还是": "hai shi", "还钱": "huan qian",
-    "归还": "gui huan",
+    "还有": "hai2 you3", "还是": "hai2 shi4", "还钱": "huan2 qian2",
+    "归还": "gui1 huan2",
     # 着 zhe/zhao/zhuo
-    "着急": "zhao ji", "穿着": "chuan zhe", "睡着": "shui zhao",
+    "着急": "zhao2 ji2", "穿着": "chuan1 zhe5", "睡着": "shui4 zhao2",
     # 觉 jue/jiao
-    "睡觉": "shui jiao", "感觉": "gan jue", "觉得": "jue de",
+    "睡觉": "shui4 jiao4", "感觉": "gan3 jue2", "觉得": "jue2 de5",
     # 教 jiao/jiao4
-    "教育": "jiao yu", "教师": "jiao shi", "教室": "jiao shi", "教学": "jiao xue",
+    "教育": "jiao4 yu4", "教师": "jiao4 shi1", "教室": "jiao4 shi4", "教学": "jiao4 xue2",
     # 为 wei/wei4
-    "因为": "yin wei", "为了": "wei le", "为什么": "wei shen me",
-    "认为": "ren wei", "成为": "cheng wei", "行为": "xing wei",
+    "因为": "yin1 wei4", "为了": "wei4 le5", "为什么": "wei4 shen2 me5",
+    "认为": "ren4 wei2", "成为": "cheng2 wei2", "行为": "xing2 wei2",
     # 好 hao/hao4
-    "爱好": "ai hao", "好奇": "hao qi",
+    "爱好": "ai4 hao4", "好奇": "hao4 qi2",
     # 少 shao/shao4
-    "少年": "shao nian", "多少": "duo shao", "减少": "jian shao",
+    "少年": "shao4 nian2", "多少": "duo1 shao3", "减少": "jian3 shao3",
     # 几 ji/ji3
-    "几乎": "ji hu", "茶几": "cha ji",
+    "几乎": "ji1 hu1", "茶几": "cha2 ji1",
     # 干 gan/gan4
-    "干净": "gan jing", "干部": "gan bu", "干活": "gan huo", "饼干": "bing gan",
+    "干净": "gan1 jing4", "干部": "gan4 bu4", "干活": "gan4 huo2", "饼干": "bing3 gan1",
     # 空 kong/kong4
-    "天空": "tian kong", "空气": "kong qi", "空闲": "kong xian", "有空": "you kong",
+    "天空": "tian1 kong1", "空气": "kong1 qi4", "空闲": "kong4 xian2", "有空": "you3 kong4",
     # 便 bian/pian
-    "方便": "fang bian", "便宜": "pian yi", "顺便": "shun bian",
+    "方便": "fang1 bian4", "便宜": "pian2 yi5", "顺便": "shun4 bian4",
     # 参 can/shen
-    "参加": "can jia", "参观": "can guan", "人参": "ren shen",
+    "参加": "can1 jia1", "参观": "can1 guan1", "人参": "ren2 shen1",
     # 差 cha/chai
-    "差不多": "cha bu duo", "出差": "chu chai", "差别": "cha bie",
+    "差不多": "cha4 bu5 duo1", "出差": "chu1 chai1", "差别": "cha1 bie2",
     # 假 jia/jia4
-    "假期": "jia qi", "放假": "fang jia", "假如": "jia ru",
+    "假期": "jia4 qi1", "放假": "fang4 jia4", "假如": "jia3 ru2",
     # 间 jian/jian4
-    "时间": "shi jian", "房间": "fang jian", "中间": "zhong jian",
+    "时间": "shi2 jian1", "房间": "fang2 jian1", "中间": "zhong1 jian1",
     # 应 ying/ying4
-    "应该": "ying gai", "应用": "ying yong",
+    "应该": "ying1 gai1", "应用": "ying4 yong4",
     # 相 xiang/xiang4
-    "相信": "xiang xin", "互相": "hu xiang", "照相": "zhao xiang",
+    "相信": "xiang1 xin4", "互相": "hu4 xiang1", "照相": "zhao4 xiang4",
     # 转 zhuan/zhuan4
-    "转变": "zhuan bian", "旋转": "xuan zhuan",
+    "转变": "zhuan3 bian4", "旋转": "xuan2 zhuan3",
     # 藏 cang/zang
-    "西藏": "xi zang", "躲藏": "duo cang",
+    "西藏": "xi1 zang4", "躲藏": "duo3 cang2",
     # 弹 dan/tan
-    "子弹": "zi dan", "弹琴": "tan qin",
+    "子弹": "zi3 dan4", "弹琴": "tan2 qin2",
     # 调 diao/tiao
-    "调查": "diao cha", "调整": "tiao zheng", "空调": "kong tiao",
+    "调查": "diao4 cha2", "调整": "tiao2 zheng3", "空调": "kong1 tiao2",
     # 数 shu/shu3
-    "数学": "shu xue", "数字": "shu zi", "数量": "shu liang",
+    "数学": "shu4 xue2", "数字": "shu4 zi4", "数量": "shu4 liang4",
     # 切 qie/qie4
-    "一切": "yi qie", "亲切": "qin qie",
+    "一切": "yi2 qie4", "亲切": "qin1 qie4",
     # 更 geng/geng4
-    "更加": "geng jia", "更好": "geng hao", "更新": "geng xin",
+    "更加": "geng4 jia1", "更好": "geng4 hao3", "更新": "geng1 xin1",
     # 传 chuan/zhuan
-    "传统": "chuan tong", "传说": "chuan shuo", "自传": "zi zhuan",
+    "传统": "chuan2 tong3", "传说": "chuan2 shuo1", "自传": "zi4 zhuan4",
     # 模 mo/mu
-    "模型": "mo xing", "模样": "mu yang",
+    "模型": "mo2 xing2", "模样": "mu2 yang4",
     # 薄 bao/bo
-    "薄弱": "bo ruo",
+    "薄弱": "bo2 ruo4",
     # 血 xue/xie
-    "血液": "xue ye", "流血": "liu xie",
+    "血液": "xue4 ye4", "流血": "liu2 xie3",
     # high-frequency multi-char function words (cheap Viterbi wins)
-    "我们": "wo men", "你们": "ni men", "他们": "ta men", "她们": "ta men",
-    "什么": "shen me", "怎么": "zen me", "这么": "zhe me", "那么": "na me",
-    "没有": "mei you", "可以": "ke yi", "知道": "zhi dao", "现在": "xian zai",
-    "今天": "jin tian", "明天": "ming tian", "昨天": "zuo tian",
-    "中国": "zhong guo", "中文": "zhong wen", "普通话": "pu tong hua",
-    "北京": "bei jing", "上海": "shang hai", "谢谢": "xie xie",
-    "朋友": "peng you", "老师": "lao shi", "学生": "xue sheng",
-    "学习": "xue xi", "工作": "gong zuo", "时候": "shi hou",
-    "喜欢": "xi huan", "非常": "fei chang", "已经": "yi jing",
-    "电脑": "dian nao", "电话": "dian hua", "电影": "dian ying",
-    "汉语": "han yu", "英语": "ying yu", "世界": "shi jie",
-    "大家": "da jia", "东西": "dong xi", "先生": "xian sheng",
-    "小姐": "xiao jie", "孩子": "hai zi", "早上": "zao shang",
-    "晚上": "wan shang", "中午": "zhong wu", "再见": "zai jian",
-    "出租车": "chu zu che", "飞机": "fei ji", "火车": "huo che",
-    "自己": "zi ji", "问题": "wen ti", "开始": "kai shi",
-    "认识": "ren shi", "高兴": "gao xing", "漂亮": "piao liang",
-    "便利店": "bian li dian",
+    "我们": "wo3 men5", "你们": "ni3 men5", "他们": "ta1 men5", "她们": "ta1 men5",
+    "什么": "shen2 me5", "怎么": "zen3 me5", "这么": "zhe4 me5", "那么": "na4 me5",
+    "没有": "mei2 you3", "可以": "ke3 yi3", "知道": "zhi1 dao4", "现在": "xian4 zai4",
+    "今天": "jin1 tian1", "明天": "ming2 tian1", "昨天": "zuo2 tian1",
+    "中国": "zhong1 guo2", "中文": "zhong1 wen2", "普通话": "pu3 tong1 hua4",
+    "北京": "bei3 jing1", "上海": "shang4 hai3", "谢谢": "xie4 xie5",
+    "朋友": "peng2 you3", "老师": "lao3 shi1", "学生": "xue2 sheng1",
+    "学习": "xue2 xi2", "工作": "gong1 zuo4", "时候": "shi2 hou4",
+    "喜欢": "xi3 huan1", "非常": "fei1 chang2", "已经": "yi3 jing1",
+    "电脑": "dian4 nao3", "电话": "dian4 hua4", "电影": "dian4 ying3",
+    "汉语": "han4 yu3", "英语": "ying1 yu3", "世界": "shi4 jie4",
+    "大家": "da4 jia1", "东西": "dong1 xi5", "先生": "xian1 sheng5",
+    "小姐": "xiao3 jie3", "孩子": "hai2 zi5", "早上": "zao3 shang5",
+    "晚上": "wan3 shang5", "中午": "zhong1 wu3", "再见": "zai4 jian4",
+    "出租车": "chu1 zu1 che1", "飞机": "fei1 ji1", "火车": "huo3 che1",
+    "自己": "zi4 ji3", "问题": "wen4 ti2", "开始": "kai1 shi3",
+    "认识": "ren4 shi5", "高兴": "gao1 xing4", "漂亮": "piao4 liang5",
+    "便利店": "bian4 li4 dian4",
 }
 
 # ---------------------------------------------------------------------------
-# Single-character pinyin (frequency-ranked core, toneless; v = ü)
+# Single-character pinyin (frequency-ranked core, toned; v = ü)
 # ---------------------------------------------------------------------------
 
 PINYIN: dict[str, str] = {
-    "的": "de", "一": "yi", "是": "shi", "了": "le", "我": "wo", "不": "bu",
-    "在": "zai", "人": "ren", "们": "men", "有": "you", "来": "lai",
-    "他": "ta", "这": "zhe", "上": "shang", "着": "zhe", "个": "ge",
-    "地": "de", "到": "dao", "大": "da", "里": "li", "说": "shuo",
-    "就": "jiu", "去": "qu", "子": "zi", "得": "de", "也": "ye", "和": "he",
-    "那": "na", "要": "yao", "下": "xia", "看": "kan", "天": "tian",
-    "时": "shi", "过": "guo", "出": "chu", "小": "xiao", "么": "me",
-    "起": "qi", "你": "ni", "都": "dou", "把": "ba", "好": "hao",
-    "还": "hai", "多": "duo", "没": "mei", "为": "wei", "又": "you",
-    "可": "ke", "家": "jia", "学": "xue", "只": "zhi", "以": "yi",
-    "主": "zhu", "会": "hui", "样": "yang", "年": "nian", "想": "xiang",
-    "生": "sheng", "同": "tong", "老": "lao", "中": "zhong", "十": "shi",
-    "从": "cong", "自": "zi", "面": "mian", "前": "qian", "头": "tou",
-    "道": "dao", "它": "ta", "后": "hou", "然": "ran", "走": "zou",
-    "很": "hen", "像": "xiang", "见": "jian", "两": "liang", "用": "yong",
-    "她": "ta", "国": "guo", "动": "dong", "进": "jin", "成": "cheng",
-    "回": "hui", "什": "shen", "边": "bian", "作": "zuo", "对": "dui",
-    "开": "kai", "而": "er", "己": "ji", "些": "xie", "现": "xian",
-    "山": "shan", "民": "min", "候": "hou", "经": "jing", "发": "fa",
-    "工": "gong", "向": "xiang", "事": "shi", "命": "ming", "给": "gei",
-    "长": "chang", "水": "shui", "几": "ji", "义": "yi", "三": "san",
-    "声": "sheng", "于": "yu", "高": "gao", "手": "shou", "知": "zhi",
-    "理": "li", "眼": "yan", "志": "zhi", "点": "dian", "心": "xin",
-    "战": "zhan", "二": "er", "问": "wen", "但": "dan", "身": "shen",
-    "方": "fang", "实": "shi", "吃": "chi", "做": "zuo", "叫": "jiao",
-    "当": "dang", "住": "zhu", "听": "ting", "革": "ge", "打": "da",
-    "呢": "ne", "真": "zhen", "全": "quan", "才": "cai", "四": "si",
-    "已": "yi", "所": "suo", "敌": "di", "之": "zhi", "最": "zui",
-    "光": "guang", "产": "chan", "情": "qing", "路": "lu", "分": "fen",
-    "总": "zong", "条": "tiao", "白": "bai", "话": "hua", "东": "dong",
-    "席": "xi", "次": "ci", "亲": "qin", "如": "ru", "被": "bei",
-    "花": "hua", "口": "kou", "放": "fang", "儿": "er", "常": "chang",
-    "气": "qi", "五": "wu", "第": "di", "使": "shi", "写": "xie",
-    "军": "jun", "吧": "ba", "文": "wen", "运": "yun", "再": "zai",
-    "果": "guo", "怎": "zen", "定": "ding", "许": "xu", "快": "kuai",
-    "明": "ming", "行": "xing", "因": "yin", "别": "bie", "飞": "fei",
-    "外": "wai", "树": "shu", "物": "wu", "活": "huo", "部": "bu",
-    "门": "men", "无": "wu", "往": "wang", "船": "chuan", "望": "wang",
-    "新": "xin", "带": "dai", "队": "dui", "先": "xian", "力": "li",
-    "完": "wan", "却": "que", "站": "zhan", "代": "dai", "员": "yuan",
-    "机": "ji", "更": "geng", "九": "jiu", "您": "nin", "每": "mei",
-    "风": "feng", "级": "ji", "跟": "gen", "笑": "xiao", "啊": "a",
-    "孩": "hai", "万": "wan", "少": "shao", "直": "zhi", "意": "yi",
-    "夜": "ye", "比": "bi", "阶": "jie", "连": "lian", "车": "che",
-    "重": "zhong", "便": "bian", "斗": "dou", "马": "ma", "哪": "na",
-    "化": "hua", "太": "tai", "指": "zhi", "变": "bian", "社": "she",
-    "似": "si", "士": "shi", "者": "zhe", "干": "gan", "石": "shi",
-    "满": "man", "日": "ri", "决": "jue", "百": "bai", "原": "yuan",
-    "拿": "na", "群": "qun", "究": "jiu", "各": "ge", "六": "liu",
-    "本": "ben", "思": "si", "解": "jie", "立": "li", "河": "he",
-    "村": "cun", "八": "ba", "难": "nan", "早": "zao", "论": "lun",
-    "吗": "ma", "根": "gen", "共": "gong", "让": "rang", "相": "xiang",
-    "研": "yan", "今": "jin", "其": "qi", "题": "ti", "省": "sheng",
-    "听": "ting", "样": "yang", "与": "yu", "皮": "pi", "边": "bian",
-    "教": "jiao", "正": "zheng", "笔": "bi", "战": "zhan", "声": "sheng",
-    "七": "qi", "近": "jin", "信": "xin", "脸": "lian", "句": "ju",
-    "山": "shan", "字": "zi", "间": "jian", "片": "pian", "爱": "ai",
-    "老": "lao", "因": "yin", "房": "fang", "音": "yin", "火": "huo",
-    "介": "jie", "再": "zai", "做": "zuo", "觉": "jue", "轻": "qing",
-    "张": "zhang", "吃": "chi", "友": "you", "求": "qiu", "毛": "mao",
-    "具": "ju", "妈": "ma", "受": "shou", "挥": "hui", "名": "ming",
-    "红": "hong", "快": "kuai", "场": "chang", "青": "qing", "领": "ling",
-    "确": "que", "传": "chuan", "海": "hai", "色": "se", "金": "jin",
-    "接": "jie", "校": "xiao", "爱": "ai", "元": "yuan", "肯": "ken",
-    "练": "lian", "远": "yuan", "钱": "qian", "吧": "ba", "吹": "chui",
-    "乐": "le", "含": "han", "坐": "zuo", "应": "ying", "低": "di",
-    "收": "shou", "财": "cai", "由": "you", "达": "da", "冷": "leng",
-    "哥": "ge", "弟": "di", "姐": "jie", "妹": "mei", "爸": "ba",
-    "妇": "fu", "食": "shi", "送": "song", "切": "qie", "星": "xing",
-    "晚": "wan", "错": "cuo", "买": "mai", "卖": "mai", "午": "wu",
-    "读": "du", "写": "xie", "书": "shu", "语": "yu", "词": "ci",
-    "汉": "han", "英": "ying", "法": "fa", "德": "de", "美": "mei",
-    "俄": "e", "意": "yi", "服": "fu", "衣": "yi", "穿": "chuan",
-    "鞋": "xie", "帽": "mao", "裤": "ku", "杯": "bei", "茶": "cha",
-    "酒": "jiu", "饭": "fan", "菜": "cai", "肉": "rou", "鱼": "yu",
-    "蛋": "dan", "奶": "nai", "糖": "tang", "盐": "yan", "水": "shui",
-    "果": "guo", "苹": "ping", "香": "xiang", "蕉": "jiao", "梨": "li",
-    "桃": "tao", "瓜": "gua", "米": "mi", "面": "mian", "包": "bao",
-    "汤": "tang", "喝": "he", "渴": "ke", "饿": "e", "饱": "bao",
-    "猫": "mao", "狗": "gou", "鸟": "niao", "鸡": "ji", "猪": "zhu",
-    "羊": "yang", "牛": "niu", "虎": "hu", "兔": "tu", "龙": "long",
-    "蛇": "she", "猴": "hou", "熊": "xiong", "象": "xiang", "鹿": "lu",
-    "狼": "lang", "虫": "chong", "草": "cao", "叶": "ye", "林": "lin",
-    "森": "sen", "花": "hua", "树": "shu", "根": "gen", "种": "zhong",
-    "春": "chun", "夏": "xia", "秋": "qiu", "冬": "dong", "季": "ji",
-    "节": "jie", "假": "jia", "雨": "yu", "雪": "xue", "云": "yun",
-    "雷": "lei", "电": "dian", "风": "feng", "冰": "bing", "热": "re",
-    "温": "wen", "凉": "liang", "晴": "qing", "阴": "yin", "月": "yue",
-    "星": "xing", "空": "kong", "阳": "yang", "田": "tian",
-    "土": "tu", "岩": "yan", "沙": "sha", "湖": "hu", "江": "jiang",
-    "池": "chi", "井": "jing", "泉": "quan", "波": "bo", "浪": "lang",
-    "岛": "dao", "岸": "an", "桥": "qiao", "街": "jie", "城": "cheng",
-    "市": "shi", "县": "xian", "区": "qu", "镇": "zhen", "乡": "xiang",
-    "州": "zhou", "京": "jing", "港": "gang", "台": "tai",
-    "楼": "lou", "层": "ceng", "房": "fang", "屋": "wu", "室": "shi",
-    "厅": "ting", "厨": "chu", "厕": "ce", "窗": "chuang", "床": "chuang",
-    "桌": "zhuo", "椅": "yi", "灯": "deng", "门": "men", "墙": "qiang",
-    "院": "yuan", "园": "yuan", "店": "dian", "馆": "guan", "厂": "chang",
-    "场": "chang", "站": "zhan", "局": "ju", "所": "suo", "医": "yi",
-    "药": "yao", "病": "bing", "疼": "teng", "痛": "tong", "伤": "shang",
-    "治": "zhi", "健": "jian", "康": "kang", "体": "ti", "身": "shen",
-    "头": "tou", "脑": "nao", "眼": "yan", "耳": "er", "鼻": "bi",
-    "嘴": "zui", "牙": "ya", "舌": "she", "脖": "bo", "肩": "jian",
-    "背": "bei", "胸": "xiong", "肚": "du", "腿": "tui", "脚": "jiao",
-    "指": "zhi", "血": "xue", "骨": "gu", "肤": "fu", "汗": "han",
-    "泪": "lei", "梦": "meng", "睡": "shui", "醒": "xing", "休": "xiu",
-    "息": "xi", "累": "lei", "忙": "mang", "闲": "xian", "静": "jing",
-    "闹": "nao", "吵": "chao", "安": "an", "危": "wei", "险": "xian",
-    "全": "quan", "保": "bao", "护": "hu", "救": "jiu", "帮": "bang",
-    "助": "zhu", "谢": "xie", "请": "qing", "问": "wen", "答": "da",
-    "告": "gao", "诉": "su", "讲": "jiang", "谈": "tan", "议": "yi",
-    "论": "lun", "评": "ping", "批": "pi", "夸": "kua", "骂": "ma",
-    "哭": "ku", "喊": "han", "唱": "chang", "歌": "ge", "舞": "wu",
-    "跳": "tiao", "跑": "pao", "爬": "pa", "游": "you", "泳": "yong",
-    "踢": "ti", "球": "qiu", "赛": "sai", "赢": "ying", "输": "shu",
-    "玩": "wan", "棋": "qi", "画": "hua", "图": "tu", "照": "zhao",
-    "拍": "pai", "摄": "she", "影": "ying", "视": "shi", "播": "bo",
-    "闻": "wen", "报": "bao", "纸": "zhi", "刊": "kan", "志": "zhi",
-    "版": "ban", "印": "yin", "刷": "shua", "剧": "ju", "戏": "xi",
-    "演": "yan", "奏": "zou", "琴": "qin", "鼓": "gu", "号": "hao",
-    "曲": "qu", "调": "diao", "韵": "yun", "诗": "shi", "歌": "ge",
-    "史": "shi", "古": "gu", "旧": "jiu", "新": "xin", "久": "jiu",
-    "永": "yong", "暂": "zan", "短": "duan", "延": "yan", "迟": "chi",
-    "早": "zao", "晨": "chen", "夜": "ye", "晚": "wan", "昨": "zuo",
-    "明": "ming", "周": "zhou", "末": "mo", "初": "chu", "终": "zhong",
-    "始": "shi", "段": "duan", "程": "cheng", "途": "tu", "旅": "lv",
-    "游": "you", "玩": "wan", "票": "piao", "证": "zheng", "卡": "ka",
-    "银": "yin", "币": "bi", "付": "fu", "费": "fei", "价": "jia",
-    "贵": "gui", "宜": "yi", "租": "zu", "借": "jie", "换": "huan",
-    "存": "cun", "取": "qu", "送": "song", "递": "di", "邮": "you",
-    "寄": "ji", "收": "shou", "发": "fa", "传": "chuan", "递": "di",
-    "网": "wang", "线": "xian", "号": "hao", "码": "ma", "键": "jian",
-    "屏": "ping", "幕": "mu", "机": "ji", "器": "qi", "修": "xiu",
-    "坏": "huai", "换": "huan", "装": "zhuang", "卸": "xie", "试": "shi",
-    "验": "yan", "查": "cha", "检": "jian", "测": "ce", "算": "suan",
-    "计": "ji", "数": "shu", "量": "liang", "称": "cheng", "秤": "cheng",
-    "尺": "chi", "寸": "cun", "米": "mi", "克": "ke", "斤": "jin",
-    "吨": "dun", "升": "sheng", "加": "jia", "减": "jian", "乘": "cheng",
-    "除": "chu", "等": "deng", "零": "ling", "半": "ban", "双": "shuang",
-    "对": "dui", "单": "dan", "偶": "ou", "奇": "qi", "整": "zheng",
-    "余": "yu", "倍": "bei", "率": "lv", "比": "bi", "均": "jun",
-    "概": "gai", "约": "yue", "估": "gu", "准": "zhun", "精": "jing",
-    "细": "xi", "粗": "cu", "宽": "kuan", "窄": "zhai", "厚": "hou",
-    "薄": "bao", "深": "shen", "浅": "qian", "高": "gao", "矮": "ai",
-    "胖": "pang", "瘦": "shou", "壮": "zhuang", "弱": "ruo", "强": "qiang",
-    "硬": "ying", "软": "ruan", "紧": "jin", "松": "song", "密": "mi",
-    "疏": "shu", "满": "man", "空": "kong", "虚": "xu", "实": "shi",
-    "真": "zhen", "假": "jia", "对": "dui", "错": "cuo", "正": "zheng",
-    "反": "fan", "好": "hao", "坏": "huai", "美": "mei", "丑": "chou",
-    "善": "shan", "恶": "e", "净": "jing", "脏": "zang", "亮": "liang",
-    "暗": "an", "黑": "hei", "白": "bai", "红": "hong", "黄": "huang",
-    "蓝": "lan", "绿": "lv", "紫": "zi", "灰": "hui", "粉": "fen",
-    "棕": "zong", "橙": "cheng", "彩": "cai", "颜": "yan", "色": "se",
-    "形": "xing", "状": "zhuang", "圆": "yuan", "方": "fang", "角": "jiao",
-    "尖": "jian", "平": "ping", "弯": "wan", "曲": "qu", "斜": "xie",
-    "横": "heng", "竖": "shu", "左": "zuo", "右": "you", "东": "dong",
-    "南": "nan", "西": "xi", "北": "bei", "内": "nei", "外": "wai",
-    "旁": "pang", "邻": "lin", "隔": "ge", "距": "ju", "离": "li",
-    "环": "huan", "绕": "rao", "围": "wei", "转": "zhuan", "移": "yi",
-    "挪": "nuo", "搬": "ban", "运": "yun", "载": "zai", "托": "tuo",
-    "抬": "tai", "举": "ju", "提": "ti", "拉": "la", "推": "tui",
-    "拖": "tuo", "抱": "bao", "背": "bei", "扛": "kang", "挑": "tiao",
-    "担": "dan", "扔": "reng", "丢": "diu", "抛": "pao", "接": "jie",
-    "捡": "jian", "拾": "shi", "抓": "zhua", "握": "wo", "捏": "nie",
-    "摸": "mo", "碰": "peng", "撞": "zhuang", "敲": "qiao", "拍": "pai",
-    "击": "ji", "踩": "cai", "踏": "ta", "蹬": "deng", "登": "deng",
-    "爬": "pa", "滚": "gun", "滑": "hua", "摔": "shuai", "跌": "die",
-    "倒": "dao", "立": "li", "站": "zhan", "蹲": "dun", "躺": "tang",
-    "趴": "pa", "靠": "kao", "倚": "yi", "蹦": "beng", "跃": "yue",
-    "冲": "chong", "奔": "ben", "追": "zhui", "赶": "gan", "逃": "tao",
-    "躲": "duo", "藏": "cang", "寻": "xun", "找": "zhao", "搜": "sou",
-    "失": "shi", "丢": "diu", "获": "huo", "留": "liu", "剩": "sheng",
-    "余": "yu", "缺": "que", "补": "bu", "添": "tian", "增": "zeng",
-    "减": "jian", "除": "chu", "消": "xiao", "灭": "mie", "毁": "hui",
-    "坏": "huai", "破": "po", "裂": "lie", "碎": "sui", "断": "duan",
-    "折": "zhe", "弯": "wan", "扭": "niu", "拧": "ning", "撕": "si",
-    "剪": "jian", "切": "qie", "割": "ge", "砍": "kan", "劈": "pi",
-    "锯": "ju", "钻": "zuan", "挖": "wa", "埋": "mai", "填": "tian",
-    "盖": "gai", "遮": "zhe", "盖": "gai", "包": "bao", "裹": "guo",
-    "捆": "kun", "绑": "bang", "系": "xi", "解": "jie", "开": "kai",
-    "关": "guan", "锁": "suo", "封": "feng", "贴": "tie", "粘": "zhan",
-    "挂": "gua", "吊": "diao", "钉": "ding", "插": "cha", "拔": "ba",
-    "塞": "sai", "灌": "guan", "倒": "dao", "洒": "sa", "泼": "po",
-    "滴": "di", "流": "liu", "淌": "tang", "渗": "shen", "漏": "lou",
-    "涨": "zhang", "退": "tui", "淹": "yan", "浮": "fu", "沉": "chen",
-    "漂": "piao", "洗": "xi", "刷": "shua", "擦": "ca", "抹": "mo",
-    "扫": "sao", "拖": "tuo", "晾": "liang", "晒": "shai", "烤": "kao",
-    "烧": "shao", "煮": "zhu", "蒸": "zheng", "炒": "chao", "炸": "zha",
-    "煎": "jian", "炖": "dun", "拌": "ban", "切": "qie", "剥": "bao",
-    "削": "xiao", "磨": "mo", "压": "ya", "榨": "zha", "挤": "ji",
-    "捣": "dao", "搅": "jiao", "泡": "pao", "腌": "yan", "冻": "dong",
-    "化": "hua", "融": "rong", "凝": "ning", "固": "gu", "液": "ye",
-    "汽": "qi", "烟": "yan", "雾": "wu", "尘": "chen", "灰": "hui",
-    "油": "you", "脂": "zhi", "蜡": "la", "胶": "jiao", "漆": "qi",
-    "墨": "mo", "铁": "tie", "钢": "gang", "铜": "tong", "铝": "lv",
-    "锡": "xi", "铅": "qian", "锌": "xin", "矿": "kuang", "煤": "mei",
-    "炭": "tan", "玻": "bo", "璃": "li", "瓷": "ci", "陶": "tao",
-    "砖": "zhuan", "瓦": "wa", "泥": "ni", "塑": "su", "料": "liao",
-    "橡": "xiang", "棉": "mian", "麻": "ma", "丝": "si", "绸": "chou",
-    "布": "bu", "皮": "pi", "革": "ge", "毛": "mao", "绒": "rong",
-    "线": "xian", "绳": "sheng", "带": "dai", "链": "lian", "环": "huan",
-    "圈": "quan", "网": "wang", "袋": "dai", "箱": "xiang", "盒": "he",
-    "桶": "tong", "罐": "guan", "瓶": "ping", "壶": "hu", "碗": "wan",
-    "盘": "pan", "碟": "die", "勺": "shao", "筷": "kuai", "叉": "cha",
-    "刀": "dao", "锅": "guo", "炉": "lu", "灶": "zao", "柜": "gui",
-    "架": "jia", "箱": "xiang", "篮": "lan", "筐": "kuang", "梯": "ti",
-    "凳": "deng", "镜": "jing", "梳": "shu", "刷": "shua", "巾": "jin",
-    "伞": "san", "扇": "shan", "钟": "zhong", "表": "biao", "针": "zhen",
-    "剪": "jian", "尺": "chi", "笔": "bi", "墨": "mo", "纸": "zhi",
-    "砚": "yan", "橡": "xiang", "胶": "jiao", "夹": "jia", "订": "ding",
-    "册": "ce", "页": "ye", "章": "zhang", "节": "jie", "篇": "pian",
-    "段": "duan", "句": "ju", "词": "ci", "字": "zi", "母": "mu",
-    "拼": "pin", "读": "du", "念": "nian", "背": "bei", "默": "mo",
-    "抄": "chao", "译": "yi", "注": "zhu", "释": "shi", "义": "yi",
-    "培": "pei", "训": "xun", "考": "kao", "测": "ce", "卷": "juan",
-    "题": "ti", "答": "da", "案": "an", "析": "xi", "探": "tan",
-    "索": "suo", "创": "chuang", "造": "zao", "设": "she", "制": "zhi",
-    "做": "zuo", "建": "jian", "筑": "zhu",
+    "的": "de5", "一": "yi1", "是": "shi4", "了": "le5", "我": "wo3", "不": "bu4",
+    "在": "zai4", "人": "ren2", "们": "men5", "有": "you3", "来": "lai2",
+    "他": "ta1", "这": "zhe4", "上": "shang4", "着": "zhe5", "个": "ge4",
+    "地": "de5", "到": "dao4", "大": "da4", "里": "li3", "说": "shuo1",
+    "就": "jiu4", "去": "qu4", "子": "zi5", "得": "de5", "也": "ye3", "和": "he2",
+    "那": "na4", "要": "yao4", "下": "xia4", "看": "kan4", "天": "tian1",
+    "时": "shi2", "过": "guo4", "出": "chu1", "小": "xiao3", "么": "me5",
+    "起": "qi3", "你": "ni3", "都": "dou1", "把": "ba3", "好": "hao3",
+    "还": "hai2", "多": "duo1", "没": "mei2", "为": "wei4", "又": "you4",
+    "可": "ke3", "家": "jia1", "学": "xue2", "只": "zhi3", "以": "yi3",
+    "主": "zhu3", "会": "hui4", "样": "yang4", "年": "nian2", "想": "xiang3",
+    "生": "sheng1", "同": "tong2", "老": "lao3", "中": "zhong1", "十": "shi2",
+    "从": "cong2", "自": "zi4", "面": "mian4", "前": "qian2", "头": "tou2",
+    "道": "dao4", "它": "ta1", "后": "hou4", "然": "ran2", "走": "zou3",
+    "很": "hen3", "像": "xiang4", "见": "jian4", "两": "liang3", "用": "yong4",
+    "她": "ta1", "国": "guo2", "动": "dong4", "进": "jin4", "成": "cheng2",
+    "回": "hui2", "什": "shen2", "边": "bian1", "作": "zuo4", "对": "dui4",
+    "开": "kai1", "而": "er2", "己": "ji3", "些": "xie1", "现": "xian4",
+    "山": "shan1", "民": "min2", "候": "hou4", "经": "jing1", "发": "fa1",
+    "工": "gong1", "向": "xiang4", "事": "shi4", "命": "ming4", "给": "gei3",
+    "长": "chang2", "水": "shui3", "几": "ji3", "义": "yi4", "三": "san1",
+    "声": "sheng1", "于": "yu2", "高": "gao1", "手": "shou3", "知": "zhi1",
+    "理": "li3", "眼": "yan3", "志": "zhi4", "点": "dian3", "心": "xin1",
+    "战": "zhan4", "二": "er4", "问": "wen4", "但": "dan4", "身": "shen1",
+    "方": "fang1", "实": "shi2", "吃": "chi1", "做": "zuo4", "叫": "jiao4",
+    "当": "dang1", "住": "zhu4", "听": "ting1", "革": "ge2", "打": "da3",
+    "呢": "ne5", "真": "zhen1", "全": "quan2", "才": "cai2", "四": "si4",
+    "已": "yi3", "所": "suo3", "敌": "di2", "之": "zhi1", "最": "zui4",
+    "光": "guang1", "产": "chan3", "情": "qing2", "路": "lu4", "分": "fen1",
+    "总": "zong3", "条": "tiao2", "白": "bai2", "话": "hua4", "东": "dong1",
+    "席": "xi2", "次": "ci4", "亲": "qin1", "如": "ru2", "被": "bei4",
+    "花": "hua1", "口": "kou3", "放": "fang4", "儿": "er2", "常": "chang2",
+    "气": "qi4", "五": "wu3", "第": "di4", "使": "shi3", "写": "xie3",
+    "军": "jun1", "吧": "ba5", "文": "wen2", "运": "yun4", "再": "zai4",
+    "果": "guo3", "怎": "zen3", "定": "ding4", "许": "xu3", "快": "kuai4",
+    "明": "ming2", "行": "xing2", "因": "yin1", "别": "bie2", "飞": "fei1",
+    "外": "wai4", "树": "shu4", "物": "wu4", "活": "huo2", "部": "bu4",
+    "门": "men2", "无": "wu2", "往": "wang3", "船": "chuan2", "望": "wang4",
+    "新": "xin1", "带": "dai4", "队": "dui4", "先": "xian1", "力": "li4",
+    "完": "wan2", "却": "que4", "站": "zhan4", "代": "dai4", "员": "yuan2",
+    "机": "ji1", "更": "geng4", "九": "jiu3", "您": "nin2", "每": "mei3",
+    "风": "feng1", "级": "ji2", "跟": "gen1", "笑": "xiao4", "啊": "a5",
+    "孩": "hai2", "万": "wan4", "少": "shao3", "直": "zhi2", "意": "yi4",
+    "夜": "ye4", "比": "bi3", "阶": "jie1", "连": "lian2", "车": "che1",
+    "重": "zhong4", "便": "bian4", "斗": "dou4", "马": "ma3", "哪": "na3",
+    "化": "hua4", "太": "tai4", "指": "zhi3", "变": "bian4", "社": "she4",
+    "似": "si4", "士": "shi4", "者": "zhe3", "干": "gan4", "石": "shi2",
+    "满": "man3", "日": "ri4", "决": "jue2", "百": "bai3", "原": "yuan2",
+    "拿": "na2", "群": "qun2", "究": "jiu1", "各": "ge4", "六": "liu4",
+    "本": "ben3", "思": "si1", "解": "jie3", "立": "li4", "河": "he2",
+    "村": "cun1", "八": "ba1", "难": "nan2", "早": "zao3", "论": "lun4",
+    "吗": "ma5", "根": "gen1", "共": "gong4", "让": "rang4", "相": "xiang1",
+    "研": "yan2", "今": "jin1", "其": "qi2", "题": "ti2", "省": "sheng3",
+    "听": "ting1", "样": "yang4", "与": "yu3", "皮": "pi2", "边": "bian1",
+    "教": "jiao1", "正": "zheng4", "笔": "bi3", "战": "zhan4", "声": "sheng1",
+    "七": "qi1", "近": "jin4", "信": "xin4", "脸": "lian3", "句": "ju4",
+    "山": "shan1", "字": "zi4", "间": "jian1", "片": "pian4", "爱": "ai4",
+    "老": "lao3", "因": "yin1", "房": "fang2", "音": "yin1", "火": "huo3",
+    "介": "jie4", "再": "zai4", "做": "zuo4", "觉": "jue2", "轻": "qing1",
+    "张": "zhang1", "吃": "chi1", "友": "you3", "求": "qiu2", "毛": "mao2",
+    "具": "ju4", "妈": "ma1", "受": "shou4", "挥": "hui1", "名": "ming2",
+    "红": "hong2", "快": "kuai4", "场": "chang3", "青": "qing1", "领": "ling3",
+    "确": "que4", "传": "chuan2", "海": "hai3", "色": "se4", "金": "jin1",
+    "接": "jie1", "校": "xiao4", "爱": "ai4", "元": "yuan2", "肯": "ken3",
+    "练": "lian4", "远": "yuan3", "钱": "qian2", "吧": "ba5", "吹": "chui1",
+    "乐": "le4", "含": "han2", "坐": "zuo4", "应": "ying1", "低": "di1",
+    "收": "shou1", "财": "cai2", "由": "you2", "达": "da2", "冷": "leng3",
+    "哥": "ge1", "弟": "di4", "姐": "jie3", "妹": "mei4", "爸": "ba4",
+    "妇": "fu4", "食": "shi2", "送": "song4", "切": "qie1", "星": "xing1",
+    "晚": "wan3", "错": "cuo4", "买": "mai3", "卖": "mai4", "午": "wu3",
+    "读": "du2", "写": "xie3", "书": "shu1", "语": "yu3", "词": "ci2",
+    "汉": "han4", "英": "ying1", "法": "fa3", "德": "de2", "美": "mei3",
+    "俄": "e2", "意": "yi4", "服": "fu2", "衣": "yi1", "穿": "chuan1",
+    "鞋": "xie2", "帽": "mao4", "裤": "ku4", "杯": "bei1", "茶": "cha2",
+    "酒": "jiu3", "饭": "fan4", "菜": "cai4", "肉": "rou4", "鱼": "yu2",
+    "蛋": "dan4", "奶": "nai3", "糖": "tang2", "盐": "yan2", "水": "shui3",
+    "果": "guo3", "苹": "ping2", "香": "xiang1", "蕉": "jiao1", "梨": "li2",
+    "桃": "tao2", "瓜": "gua1", "米": "mi3", "面": "mian4", "包": "bao1",
+    "汤": "tang1", "喝": "he1", "渴": "ke3", "饿": "e4", "饱": "bao3",
+    "猫": "mao1", "狗": "gou3", "鸟": "niao3", "鸡": "ji1", "猪": "zhu1",
+    "羊": "yang2", "牛": "niu2", "虎": "hu3", "兔": "tu4", "龙": "long2",
+    "蛇": "she2", "猴": "hou2", "熊": "xiong2", "象": "xiang4", "鹿": "lu4",
+    "狼": "lang2", "虫": "chong2", "草": "cao3", "叶": "ye4", "林": "lin2",
+    "森": "sen1", "花": "hua1", "树": "shu4", "根": "gen1", "种": "zhong3",
+    "春": "chun1", "夏": "xia4", "秋": "qiu1", "冬": "dong1", "季": "ji4",
+    "节": "jie2", "假": "jia3", "雨": "yu3", "雪": "xue3", "云": "yun2",
+    "雷": "lei2", "电": "dian4", "风": "feng1", "冰": "bing1", "热": "re4",
+    "温": "wen1", "凉": "liang2", "晴": "qing2", "阴": "yin1", "月": "yue4",
+    "星": "xing1", "空": "kong1", "阳": "yang2", "田": "tian2",
+    "土": "tu3", "岩": "yan2", "沙": "sha1", "湖": "hu2", "江": "jiang1",
+    "池": "chi2", "井": "jing3", "泉": "quan2", "波": "bo1", "浪": "lang4",
+    "岛": "dao3", "岸": "an4", "桥": "qiao2", "街": "jie1", "城": "cheng2",
+    "市": "shi4", "县": "xian4", "区": "qu1", "镇": "zhen4", "乡": "xiang1",
+    "州": "zhou1", "京": "jing1", "港": "gang3", "台": "tai2",
+    "楼": "lou2", "层": "ceng2", "房": "fang2", "屋": "wu1", "室": "shi4",
+    "厅": "ting1", "厨": "chu2", "厕": "ce4", "窗": "chuang1", "床": "chuang2",
+    "桌": "zhuo1", "椅": "yi3", "灯": "deng1", "门": "men2", "墙": "qiang2",
+    "院": "yuan4", "园": "yuan2", "店": "dian4", "馆": "guan3", "厂": "chang3",
+    "场": "chang3", "站": "zhan4", "局": "ju2", "所": "suo3", "医": "yi1",
+    "药": "yao4", "病": "bing4", "疼": "teng2", "痛": "tong4", "伤": "shang1",
+    "治": "zhi4", "健": "jian4", "康": "kang1", "体": "ti3", "身": "shen1",
+    "头": "tou2", "脑": "nao3", "眼": "yan3", "耳": "er3", "鼻": "bi2",
+    "嘴": "zui3", "牙": "ya2", "舌": "she2", "脖": "bo2", "肩": "jian1",
+    "背": "bei4", "胸": "xiong1", "肚": "du4", "腿": "tui3", "脚": "jiao3",
+    "指": "zhi3", "血": "xue4", "骨": "gu3", "肤": "fu1", "汗": "han4",
+    "泪": "lei4", "梦": "meng4", "睡": "shui4", "醒": "xing3", "休": "xiu1",
+    "息": "xi1", "累": "lei4", "忙": "mang2", "闲": "xian2", "静": "jing4",
+    "闹": "nao4", "吵": "chao3", "安": "an1", "危": "wei1", "险": "xian3",
+    "全": "quan2", "保": "bao3", "护": "hu4", "救": "jiu4", "帮": "bang1",
+    "助": "zhu4", "谢": "xie4", "请": "qing3", "问": "wen4", "答": "da2",
+    "告": "gao4", "诉": "su4", "讲": "jiang3", "谈": "tan2", "议": "yi4",
+    "论": "lun4", "评": "ping2", "批": "pi1", "夸": "kua1", "骂": "ma4",
+    "哭": "ku1", "喊": "han3", "唱": "chang4", "歌": "ge1", "舞": "wu3",
+    "跳": "tiao4", "跑": "pao3", "爬": "pa2", "游": "you2", "泳": "yong3",
+    "踢": "ti1", "球": "qiu2", "赛": "sai4", "赢": "ying2", "输": "shu1",
+    "玩": "wan2", "棋": "qi2", "画": "hua4", "图": "tu2", "照": "zhao4",
+    "拍": "pai1", "摄": "she4", "影": "ying3", "视": "shi4", "播": "bo1",
+    "闻": "wen2", "报": "bao4", "纸": "zhi3", "刊": "kan1", "志": "zhi4",
+    "版": "ban3", "印": "yin4", "刷": "shua1", "剧": "ju4", "戏": "xi4",
+    "演": "yan3", "奏": "zou4", "琴": "qin2", "鼓": "gu3", "号": "hao4",
+    "曲": "qu3", "调": "diao4", "韵": "yun4", "诗": "shi1", "歌": "ge1",
+    "史": "shi3", "古": "gu3", "旧": "jiu4", "新": "xin1", "久": "jiu3",
+    "永": "yong3", "暂": "zan4", "短": "duan3", "延": "yan2", "迟": "chi2",
+    "早": "zao3", "晨": "chen2", "夜": "ye4", "晚": "wan3", "昨": "zuo2",
+    "明": "ming2", "周": "zhou1", "末": "mo4", "初": "chu1", "终": "zhong1",
+    "始": "shi3", "段": "duan4", "程": "cheng2", "途": "tu2", "旅": "lv3",
+    "游": "you2", "玩": "wan2", "票": "piao4", "证": "zheng4", "卡": "ka3",
+    "银": "yin2", "币": "bi4", "付": "fu4", "费": "fei4", "价": "jia4",
+    "贵": "gui4", "宜": "yi2", "租": "zu1", "借": "jie4", "换": "huan4",
+    "存": "cun2", "取": "qu3", "送": "song4", "递": "di4", "邮": "you2",
+    "寄": "ji4", "收": "shou1", "发": "fa1", "传": "chuan2", "递": "di4",
+    "网": "wang3", "线": "xian4", "号": "hao4", "码": "ma3", "键": "jian4",
+    "屏": "ping2", "幕": "mu4", "机": "ji1", "器": "qi4", "修": "xiu1",
+    "坏": "huai4", "换": "huan4", "装": "zhuang1", "卸": "xie4", "试": "shi4",
+    "验": "yan4", "查": "cha2", "检": "jian3", "测": "ce4", "算": "suan4",
+    "计": "ji4", "数": "shu4", "量": "liang4", "称": "cheng1", "秤": "cheng4",
+    "尺": "chi3", "寸": "cun4", "米": "mi3", "克": "ke4", "斤": "jin1",
+    "吨": "dun1", "升": "sheng1", "加": "jia1", "减": "jian3", "乘": "cheng2",
+    "除": "chu2", "等": "deng3", "零": "ling2", "半": "ban4", "双": "shuang1",
+    "对": "dui4", "单": "dan1", "偶": "ou3", "奇": "qi2", "整": "zheng3",
+    "余": "yu2", "倍": "bei4", "率": "lv4", "比": "bi3", "均": "jun1",
+    "概": "gai4", "约": "yue1", "估": "gu1", "准": "zhun3", "精": "jing1",
+    "细": "xi4", "粗": "cu1", "宽": "kuan1", "窄": "zhai3", "厚": "hou4",
+    "薄": "bao2", "深": "shen1", "浅": "qian3", "高": "gao1", "矮": "ai3",
+    "胖": "pang4", "瘦": "shou4", "壮": "zhuang4", "弱": "ruo4", "强": "qiang2",
+    "硬": "ying4", "软": "ruan3", "紧": "jin3", "松": "song1", "密": "mi4",
+    "疏": "shu1", "满": "man3", "空": "kong1", "虚": "xu1", "实": "shi2",
+    "真": "zhen1", "假": "jia3", "对": "dui4", "错": "cuo4", "正": "zheng4",
+    "反": "fan3", "好": "hao3", "坏": "huai4", "美": "mei3", "丑": "chou3",
+    "善": "shan4", "恶": "e4", "净": "jing4", "脏": "zang1", "亮": "liang4",
+    "暗": "an4", "黑": "hei1", "白": "bai2", "红": "hong2", "黄": "huang2",
+    "蓝": "lan2", "绿": "lv4", "紫": "zi3", "灰": "hui1", "粉": "fen3",
+    "棕": "zong1", "橙": "cheng2", "彩": "cai3", "颜": "yan2", "色": "se4",
+    "形": "xing2", "状": "zhuang4", "圆": "yuan2", "方": "fang1", "角": "jiao3",
+    "尖": "jian1", "平": "ping2", "弯": "wan1", "曲": "qu3", "斜": "xie2",
+    "横": "heng2", "竖": "shu4", "左": "zuo3", "右": "you4", "东": "dong1",
+    "南": "nan2", "西": "xi1", "北": "bei3", "内": "nei4", "外": "wai4",
+    "旁": "pang2", "邻": "lin2", "隔": "ge2", "距": "ju4", "离": "li2",
+    "环": "huan2", "绕": "rao4", "围": "wei2", "转": "zhuan3", "移": "yi2",
+    "挪": "nuo2", "搬": "ban1", "运": "yun4", "载": "zai4", "托": "tuo1",
+    "抬": "tai2", "举": "ju3", "提": "ti2", "拉": "la1", "推": "tui1",
+    "拖": "tuo1", "抱": "bao4", "背": "bei4", "扛": "kang2", "挑": "tiao1",
+    "担": "dan1", "扔": "reng1", "丢": "diu1", "抛": "pao1", "接": "jie1",
+    "捡": "jian3", "拾": "shi2", "抓": "zhua1", "握": "wo4", "捏": "nie1",
+    "摸": "mo1", "碰": "peng4", "撞": "zhuang4", "敲": "qiao1", "拍": "pai1",
+    "击": "ji1", "踩": "cai3", "踏": "ta4", "蹬": "deng1", "登": "deng1",
+    "爬": "pa2", "滚": "gun3", "滑": "hua2", "摔": "shuai1", "跌": "die1",
+    "倒": "dao3", "立": "li4", "站": "zhan4", "蹲": "dun1", "躺": "tang3",
+    "趴": "pa1", "靠": "kao4", "倚": "yi3", "蹦": "beng4", "跃": "yue4",
+    "冲": "chong1", "奔": "ben1", "追": "zhui1", "赶": "gan3", "逃": "tao2",
+    "躲": "duo3", "藏": "cang2", "寻": "xun2", "找": "zhao3", "搜": "sou1",
+    "失": "shi1", "丢": "diu1", "获": "huo4", "留": "liu2", "剩": "sheng4",
+    "余": "yu2", "缺": "que1", "补": "bu3", "添": "tian1", "增": "zeng1",
+    "减": "jian3", "除": "chu2", "消": "xiao1", "灭": "mie4", "毁": "hui3",
+    "坏": "huai4", "破": "po4", "裂": "lie4", "碎": "sui4", "断": "duan4",
+    "折": "zhe2", "弯": "wan1", "扭": "niu3", "拧": "ning2", "撕": "si1",
+    "剪": "jian3", "切": "qie1", "割": "ge1", "砍": "kan3", "劈": "pi1",
+    "锯": "ju4", "钻": "zuan1", "挖": "wa1", "埋": "mai2", "填": "tian2",
+    "盖": "gai4", "遮": "zhe1", "盖": "gai4", "包": "bao1", "裹": "guo3",
+    "捆": "kun3", "绑": "bang3", "系": "xi4", "解": "jie3", "开": "kai1",
+    "关": "guan1", "锁": "suo3", "封": "feng1", "贴": "tie1", "粘": "zhan1",
+    "挂": "gua4", "吊": "diao4", "钉": "ding1", "插": "cha1", "拔": "ba2",
+    "塞": "sai1", "灌": "guan4", "倒": "dao3", "洒": "sa3", "泼": "po1",
+    "滴": "di1", "流": "liu2", "淌": "tang3", "渗": "shen4", "漏": "lou4",
+    "涨": "zhang3", "退": "tui4", "淹": "yan1", "浮": "fu2", "沉": "chen2",
+    "漂": "piao1", "洗": "xi3", "刷": "shua1", "擦": "ca1", "抹": "mo3",
+    "扫": "sao3", "拖": "tuo1", "晾": "liang4", "晒": "shai4", "烤": "kao3",
+    "烧": "shao1", "煮": "zhu3", "蒸": "zheng1", "炒": "chao3", "炸": "zha2",
+    "煎": "jian1", "炖": "dun4", "拌": "ban4", "切": "qie1", "剥": "bao1",
+    "削": "xiao1", "磨": "mo2", "压": "ya1", "榨": "zha4", "挤": "ji3",
+    "捣": "dao3", "搅": "jiao3", "泡": "pao4", "腌": "yan1", "冻": "dong4",
+    "化": "hua4", "融": "rong2", "凝": "ning2", "固": "gu4", "液": "ye4",
+    "汽": "qi4", "烟": "yan1", "雾": "wu4", "尘": "chen2", "灰": "hui1",
+    "油": "you2", "脂": "zhi1", "蜡": "la4", "胶": "jiao1", "漆": "qi1",
+    "墨": "mo4", "铁": "tie3", "钢": "gang1", "铜": "tong2", "铝": "lv3",
+    "锡": "xi1", "铅": "qian1", "锌": "xin1", "矿": "kuang4", "煤": "mei2",
+    "炭": "tan4", "玻": "bo1", "璃": "li2", "瓷": "ci2", "陶": "tao2",
+    "砖": "zhuan1", "瓦": "wa3", "泥": "ni2", "塑": "su4", "料": "liao4",
+    "橡": "xiang4", "棉": "mian2", "麻": "ma2", "丝": "si1", "绸": "chou2",
+    "布": "bu4", "皮": "pi2", "革": "ge2", "毛": "mao2", "绒": "rong2",
+    "线": "xian4", "绳": "sheng2", "带": "dai4", "链": "lian4", "环": "huan2",
+    "圈": "quan1", "网": "wang3", "袋": "dai4", "箱": "xiang1", "盒": "he2",
+    "桶": "tong3", "罐": "guan4", "瓶": "ping2", "壶": "hu2", "碗": "wan3",
+    "盘": "pan2", "碟": "die2", "勺": "shao2", "筷": "kuai4", "叉": "cha1",
+    "刀": "dao1", "锅": "guo1", "炉": "lu2", "灶": "zao4", "柜": "gui4",
+    "架": "jia4", "箱": "xiang1", "篮": "lan2", "筐": "kuang1", "梯": "ti1",
+    "凳": "deng4", "镜": "jing4", "梳": "shu1", "刷": "shua1", "巾": "jin1",
+    "伞": "san3", "扇": "shan4", "钟": "zhong1", "表": "biao3", "针": "zhen1",
+    "剪": "jian3", "尺": "chi3", "笔": "bi3", "墨": "mo4", "纸": "zhi3",
+    "砚": "yan4", "橡": "xiang4", "胶": "jiao1", "夹": "jia1", "订": "ding4",
+    "册": "ce4", "页": "ye4", "章": "zhang1", "节": "jie2", "篇": "pian1",
+    "段": "duan4", "句": "ju4", "词": "ci2", "字": "zi4", "母": "mu3",
+    "拼": "pin1", "读": "du2", "念": "nian4", "背": "bei4", "默": "mo4",
+    "抄": "chao1", "译": "yi4", "注": "zhu4", "释": "shi4", "义": "yi4",
+    "培": "pei2", "训": "xun4", "考": "kao3", "测": "ce4", "卷": "juan4",
+    "题": "ti2", "答": "da2", "案": "an4", "析": "xi1", "探": "tan4",
+    "索": "suo3", "创": "chuang4", "造": "zao4", "设": "she4", "制": "zhi4",
+    "做": "zuo4", "建": "jian4", "筑": "zhu4",
     # supplement: common characters missed by the first pass
-    "公": "gong", "散": "san", "步": "bu", "历": "li", "欢": "huan",
-    "迎": "ying", "习": "xi", "记": "ji", "忆": "yi", "忘": "wang",
-    "念": "nian", "感": "gan", "恩": "en", "愿": "yuan", "希": "xi",
-    "盼": "pan", "期": "qi", "待": "dai", "预": "yu", "或": "huo",
-    "若": "ruo", "虽": "sui", "且": "qie", "并": "bing", "则": "ze",
-    "即": "ji", "既": "ji", "必": "bi", "须": "xu", "需": "xu",
-    "能": "neng", "该": "gai", "敢": "gan", "肯": "ken", "懂": "dong",
-    "记": "ji", "识": "shi", "智": "zhi", "慧": "hui", "聪": "cong",
-    "谁": "shei", "某": "mou", "每": "mei", "任": "ren", "凡": "fan",
-    "另": "ling", "其": "qi", "彼": "bi", "此": "ci", "互": "hu",
-    "术": "shu", "科": "ke", "究": "jiu", "察": "cha", "观": "guan",
-    "览": "lan", "显": "xian", "示": "shi", "表": "biao", "达": "da",
-    "述": "shu", "描": "miao", "绘": "hui", "记": "ji", "录": "lu",
-    "载": "zai", "编": "bian", "排": "pai", "列": "lie", "序": "xu",
-    "组": "zu", "织": "zhi", "构": "gou", "系": "xi", "统": "tong",
-    "规": "gui", "则": "ze", "律": "lv", "例": "li", "式": "shi",
-    "型": "xing", "类": "lei", "款": "kuan", "项": "xiang", "품": "",
-    "任": "ren", "务": "wu", "责": "ze", "职": "zhi", "权": "quan",
-    "利": "li", "益": "yi", "损": "sun", "害": "hai", "罚": "fa",
-    "奖": "jiang", "赏": "shang", "励": "li", "努": "nu", "勤": "qin",
-    "懒": "lan", "勇": "yong", "怕": "pa", "惊": "jing", "恐": "kong",
-    "慌": "huang", "忧": "you", "愁": "chou", "烦": "fan", "怒": "nu",
-    "恨": "hen", "怨": "yuan", "悔": "hui", "惜": "xi", "怜": "lian",
-    "慕": "mu", "羡": "xian", "嫉": "ji", "妒": "du", "骄": "jiao",
-    "傲": "ao", "谦": "qian", "诚": "cheng", "谎": "huang", "骗": "pian",
-    "偷": "tou", "抢": "qiang", "盗": "dao", "罪": "zui", "犯": "fan",
-    "警": "jing", "捕": "bu", "审": "shen", "判": "pan", "狱": "yu",
-    "政": "zheng", "府": "fu", "党": "dang", "委": "wei", "官": "guan",
-    "职": "zhi", "选": "xuan", "举": "ju", "投": "tou", "税": "shui",
-    "贸": "mao", "易": "yi", "购": "gou", "销": "xiao", "售": "shou",
-    "货": "huo", "商": "shang", "业": "ye", "企": "qi", "司": "si",
-    "厂": "chang", "营": "ying", "管": "guan", "雇": "gu", "聘": "pin",
-    "薪": "xin", "酬": "chou", "奖": "jiang", "金": "jin", "富": "fu",
-    "穷": "qiong", "贫": "pin", "债": "zhai", "赚": "zhuan", "赔": "pei",
-    "亏": "kui", "盈": "ying", "婚": "hun", "嫁": "jia", "娶": "qu",
-    "妻": "qi", "夫": "fu", "儿": "er", "女": "nv", "孙": "sun",
-    "祖": "zu", "宗": "zong", "族": "zu", "戚": "qi", "邻": "lin",
-    "居": "ju", "客": "ke", "宾": "bin", "主": "zhu", "仆": "pu",
-    "宣": "xuan", "济": "ji", "策": "ce", "府": "fu", "效": "xiao",
-    "验": "yan", "境": "jing", "况": "kuang", "величина": "",
-    "态": "tai", "势": "shi", "局": "ju", "景": "jing", "象": "xiang",
-    "征": "zheng", "兆": "zhao", "亿": "yi", "兼": "jian", "较": "jiao",
-    "超": "chao", "越": "yue", "限": "xian", "制": "zhi", "止": "zhi",
-    "禁": "jin", "允": "yun", "批": "pi", "准": "zhun", "证": "zheng",
-    "据": "ju", "依": "yi", "按": "an", "照": "zhao", "据": "ju",
+    "公": "gong1", "散": "san4", "步": "bu4", "历": "li4", "欢": "huan1",
+    "迎": "ying2", "习": "xi2", "记": "ji4", "忆": "yi4", "忘": "wang4",
+    "念": "nian4", "感": "gan3", "恩": "en1", "愿": "yuan4", "希": "xi1",
+    "盼": "pan4", "期": "qi1", "待": "dai4", "预": "yu4", "或": "huo4",
+    "若": "ruo4", "虽": "sui1", "且": "qie3", "并": "bing4", "则": "ze2",
+    "即": "ji2", "既": "ji4", "必": "bi4", "须": "xu1", "需": "xu1",
+    "能": "neng2", "该": "gai1", "敢": "gan3", "肯": "ken3", "懂": "dong3",
+    "记": "ji4", "识": "shi2", "智": "zhi4", "慧": "hui4", "聪": "cong1",
+    "谁": "shei2", "某": "mou3", "每": "mei3", "任": "ren4", "凡": "fan2",
+    "另": "ling4", "其": "qi2", "彼": "bi3", "此": "ci3", "互": "hu4",
+    "术": "shu4", "科": "ke1", "究": "jiu1", "察": "cha2", "观": "guan1",
+    "览": "lan3", "显": "xian3", "示": "shi4", "表": "biao3", "达": "da2",
+    "述": "shu4", "描": "miao2", "绘": "hui4", "记": "ji4", "录": "lu4",
+    "载": "zai4", "编": "bian1", "排": "pai2", "列": "lie4", "序": "xu4",
+    "组": "zu3", "织": "zhi1", "构": "gou4", "系": "xi4", "统": "tong3",
+    "规": "gui1", "则": "ze2", "律": "lv4", "例": "li4", "式": "shi4",
+    "型": "xing2", "类": "lei4", "款": "kuan3", "项": "xiang4", "품": "",
+    "任": "ren4", "务": "wu4", "责": "ze2", "职": "zhi2", "权": "quan2",
+    "利": "li4", "益": "yi4", "损": "sun3", "害": "hai4", "罚": "fa2",
+    "奖": "jiang3", "赏": "shang3", "励": "li4", "努": "nu3", "勤": "qin2",
+    "懒": "lan3", "勇": "yong3", "怕": "pa4", "惊": "jing1", "恐": "kong3",
+    "慌": "huang1", "忧": "you1", "愁": "chou2", "烦": "fan2", "怒": "nu4",
+    "恨": "hen4", "怨": "yuan4", "悔": "hui3", "惜": "xi1", "怜": "lian2",
+    "慕": "mu4", "羡": "xian4", "嫉": "ji2", "妒": "du4", "骄": "jiao1",
+    "傲": "ao4", "谦": "qian1", "诚": "cheng2", "谎": "huang3", "骗": "pian4",
+    "偷": "tou1", "抢": "qiang3", "盗": "dao4", "罪": "zui4", "犯": "fan4",
+    "警": "jing3", "捕": "bu3", "审": "shen3", "判": "pan4", "狱": "yu4",
+    "政": "zheng4", "府": "fu3", "党": "dang3", "委": "wei3", "官": "guan1",
+    "职": "zhi2", "选": "xuan3", "举": "ju3", "投": "tou2", "税": "shui4",
+    "贸": "mao4", "易": "yi4", "购": "gou4", "销": "xiao1", "售": "shou4",
+    "货": "huo4", "商": "shang1", "业": "ye4", "企": "qi3", "司": "si1",
+    "厂": "chang3", "营": "ying2", "管": "guan3", "雇": "gu4", "聘": "pin4",
+    "薪": "xin1", "酬": "chou2", "奖": "jiang3", "金": "jin1", "富": "fu4",
+    "穷": "qiong2", "贫": "pin2", "债": "zhai4", "赚": "zhuan4", "赔": "pei2",
+    "亏": "kui1", "盈": "ying2", "婚": "hun1", "嫁": "jia4", "娶": "qu3",
+    "妻": "qi1", "夫": "fu1", "儿": "er2", "女": "nv3", "孙": "sun1",
+    "祖": "zu3", "宗": "zong1", "族": "zu2", "戚": "qi1", "邻": "lin2",
+    "居": "ju1", "客": "ke4", "宾": "bin1", "主": "zhu3", "仆": "pu2",
+    "宣": "xuan1", "济": "ji4", "策": "ce4", "府": "fu3", "效": "xiao4",
+    "验": "yan4", "境": "jing4", "况": "kuang4", "величина": "",
+    "态": "tai4", "势": "shi4", "局": "ju2", "景": "jing3", "象": "xiang4",
+    "征": "zheng1", "兆": "zhao4", "亿": "yi4", "兼": "jian1", "较": "jiao4",
+    "超": "chao1", "越": "yue4", "限": "xian4", "制": "zhi4", "止": "zhi3",
+    "禁": "jin4", "允": "yun3", "批": "pi1", "准": "zhun3", "证": "zheng4",
+    "据": "ju4", "依": "yi1", "按": "an4", "照": "zhao4", "据": "ju4",
 }
 for _bad2 in ("величина", ""):
     PINYIN.pop(_bad2, None)
@@ -589,8 +604,54 @@ def _read_number_at(text: str, i: int) -> tuple[str, int] | None:
     return number_to_pinyin(int(digits)), j
 
 
+def _tone_of(syl: str) -> str:
+    return syl[-1] if syl and syl[-1] in "12345" else ""
+
+
+def _apply_sandhi(tokens: list[str], flags: list[str]) -> list[str]:
+    """Standard Mandarin tone sandhi over the flat syllable stream.
+
+    ``tokens`` alternates pinyin syllables and separators (space/punct);
+    ``flags`` marks the 不/一 syllables eligible for lexical sandhi.
+    Rules (applied only across adjacent syllables, never across
+    punctuation): 3-3 → 2-3 (right-to-left against the post-sandhi right
+    neighbour, so a 3-3-3 run reads 3-2-3), 不 bù→bú
+    before tone 4, quantifier 一 yī→yí before 4 / yì before 1-2-3.
+    """
+    # Indices of syllable tokens with their neighbour relationships.
+    syl_idx = [i for i, t in enumerate(tokens) if t and t[0].isalpha()]
+
+    def next_syl(k: int) -> str:
+        # The following syllable, unless punctuation intervenes.
+        if k + 1 >= len(syl_idx):
+            return ""
+        i, j = syl_idx[k], syl_idx[k + 1]
+        between = "".join(tokens[i + 1 : j])
+        if any(c not in " " for c in between):
+            return ""
+        return tokens[j]
+
+    for k, i in enumerate(syl_idx):
+        nxt_tone = _tone_of(next_syl(k))
+        if flags[i] == "bu" and nxt_tone == "4":
+            tokens[i] = "bu2"
+        elif flags[i] == "yi" and nxt_tone:
+            if nxt_tone in "45":
+                tokens[i] = "yi2"
+            elif nxt_tone in "123":
+                tokens[i] = "yi4"
+    # Third-tone sandhi, right-to-left against the post-sandhi right
+    # neighbour, so a 3-3-3 run reads 3-2-3.
+    for k in range(len(syl_idx) - 2, -1, -1):
+        i = syl_idx[k]
+        if _tone_of(tokens[i]) == "3" and _tone_of(next_syl(k)) == "3":
+            tokens[i] = tokens[i][:-1] + "2"
+    return tokens
+
+
 def read_chinese(text: str, language: str = "cmn") -> str:
-    """hanzi/numeral text → toneless pinyin string (space-separated).
+    """hanzi/numeral text → toned pinyin string (space-separated, trailing
+    tone digits 1-5; 5 = neutral), with standard sandhi applied.
 
     Viterbi segmentation over WORDS + single-char PINYIN (same lattice
     design as conditioning/ja.py::_segment); unknown hanzi are dropped with
@@ -655,7 +716,13 @@ def read_chinese(text: str, language: str = "cmn") -> str:
         j = prev
     pieces.reverse()
 
-    out: list[str] = []
+    tokens: list[str] = []
+    flags: list[str] = []
+
+    def emit(tok: str, flag: str = "") -> None:
+        tokens.append(tok)
+        flags.append(flag)
+
     for reading, kind, surface in pieces:
         if kind == "drop":
             if surface not in _warned_hanzi:
@@ -666,22 +733,33 @@ def read_chinese(text: str, language: str = "cmn") -> str:
                 )
             continue
         if kind in ("word", "char", "num"):
-            if out and out[-1] and not out[-1].endswith(" "):
-                out.append(" ")
-            out.append(reading)
+            if tokens and tokens[-1] and not tokens[-1].endswith(" "):
+                emit(" ")
+            for si, syl in enumerate(reading.split(" ")):
+                if si:
+                    emit(" ")
+                flag = ""
+                if kind == "char" and surface == "不":
+                    flag = "bu"
+                elif (kind == "char" and surface == "一") or (
+                    kind == "num" and si == 0 and syl == "yi1"
+                ):
+                    flag = "yi"  # quantifier 一, incl. a bare numeral 1
+                emit(syl, flag)
         else:
-            out.append(reading)
-    return "".join(out).strip()
+            emit(reading)
+    tokens = _apply_sandhi(tokens, flags)
+    return "".join(tokens).strip()
 
 
 def chinese_to_ipa(text: str, language: str = "cmn") -> str:
-    """hanzi text → IPA via pinyin (tones dropped)."""
+    """hanzi text → IPA via pinyin, tones as Chao letters (espeak style)."""
     py = read_chinese(text, language)
     out: list[str] = []
     for token in re.split(r"(\s+|[;:,.!?()\"-])", py):
         if not token:
             continue
-        if re.fullmatch(r"[a-zv]+", token):
+        if re.fullmatch(r"[a-zv]+[1-5]?", token):
             out.append(pinyin_to_ipa(token))
         else:
             out.append(" " if token.isspace() else token)
