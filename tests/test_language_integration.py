@@ -121,6 +121,7 @@ def test_round3_language_tiers_end_to_end(no_espeak):
         ("kk", "Сәлем әлем"),              # Kazakh (Turkic Cyrillic)
         ("am", "ሰላም ለዓለም"),              # Amharic (Ethiopic)
         ("cmn", "你好世界"),               # Mandarin (hanzi→pinyin→IPA)
+        ("yue", "我哋喺香港"),             # Cantonese (hanzi→jyutping→IPA)
         ("ga", "Dia dhuit"),               # Irish
         ("si", "ආයුබෝවන්"),               # Sinhala
         ("my", "မင်္ဂလာပါ"),               # Burmese

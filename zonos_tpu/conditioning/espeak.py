@@ -107,7 +107,7 @@ def phonemize(texts: list[str], languages: list[str]) -> list[str]:
 
     Backend order: libespeak-ng (all 109 languages) → native C++ rule engines
     (native/zonos_text — 92 language codes across 19 scripts, with
-    lexicon + stress marks; see docs/LANGUAGES.md) → embedded ja/zh readers →
+    lexicon + stress marks; see docs/LANGUAGES.md) → embedded ja/zh/yue readers →
     lowercase graphemes (representable in the model symbol table, degraded
     quality — logged once per language so the degradation is loud, not
     silent).
@@ -126,7 +126,11 @@ def phonemize(texts: list[str], languages: list[str]) -> list[str]:
         ipa = native_g2p.phonemize(t, lang)
         if ipa is None and lang.startswith("ja") and has_kana(t):
             ipa = kana_to_ipa(t)
-        if ipa is None and lang[:3] in ("cmn", "yue", "hak") or ipa is None and lang[:2] == "zh":
+        if ipa is None and lang[:3] == "yue":
+            from zonos_tpu.conditioning.yue import cantonese_to_ipa
+
+            ipa = cantonese_to_ipa(t)
+        elif ipa is None and lang[:3] in ("cmn", "hak") or ipa is None and lang[:2] == "zh":
             from zonos_tpu.conditioning.zh import chinese_to_ipa
 
             ipa = chinese_to_ipa(t, lang)
