@@ -5230,7 +5230,7 @@ void pa_word(std::vector<PAPhone>& ph, const PACfg& cfg, std::string* out) {
 // Vocalized lexicon for Modern Standard Arabic. Written Arabic omits the
 // short vowels and the generic (C)V(C)(C) epenthesis guesses /a/ for all of
 // them; for the highest-frequency words the true vocalization is lexical
-// (من = min, not man), so this table supplies segments + stress for ~80
+// (من = min, not man), so this table supplies segments + stress for ~340
 // function words and everyday vocabulary. Keys are the bare unvocalized
 // spellings; input carrying its own harakat bypasses the lexicon (explicit
 // vocalization outranks a lexicon guess). Where a spelling is ambiguous
@@ -5278,6 +5278,147 @@ const std::map<std::string, const char*>& ar_lexicon() {
       {"شكرا", "ˈʃukran"}, {"عفوا", "ˈʕafwan"}, {"مرحبا", "ˈmarħaban"},
       {"السلام", "ʔassaˈlaːm"}, {"سلام", "saˈlaːm"},
       {"عليكم", "ʕaˈlajkum"}, {"أهلا", "ˈʔahlan"}, {"وسهلا", "wa ˈsahlan"},
+      // --- expansion batch 2: core vocabulary ---
+      // particles / prepositions / conjunctions / quantifiers
+      {"في", "fiː"}, {"على", "ˈʕalaː"}, {"كم", "kam"}, {"أي", "ʔajj"},
+      {"لأن", "liˈʔanna"}, {"إن", "ˈʔinna"}, {"أن", "ˈʔanna"},
+      {"كما", "kaˈmaː"}, {"إلا", "ˈʔillaː"}, {"غير", "ɣajr"}, {"بل", "bal"},
+      {"فقط", "ˈfaqatˤ"}, {"ليس", "ˈlajsa"}, {"ليست", "ˈlajsat"},
+      {"كانت", "ˈkaːnat"}, {"يوجد", "ˈjuːdʒad"}, {"أكثر", "ˈʔakθar"},
+      {"أقل", "ˈʔaqall"}, {"جميع", "dʒaˈmiːʕ"}, {"نفس", "nafs"},
+      {"حول", "ˈħawla"}, {"خلال", "xiˈlaːla"}, {"ضد", "dˤidd"},
+      {"منذ", "ˈmunðu"}, {"عبر", "ˈʕabra"}, {"نحو", "ˈnaħwa"},
+      {"لدى", "ˈladaː"}, {"حيث", "ˈħajθu"}, {"حسب", "ˈħasaba"},
+      {"مثل", "ˈmiθla"}, {"أثناء", "ʔaθˈnaːʔa"}, {"أنتم", "ˈʔantum"},
+      {"هما", "huˈmaː"}, {"هن", "ˈhunna"},
+      // adverbs
+      {"دائما", "ˈdaːʔiman"}, {"أحيانا", "ʔaħˈjaːnan"},
+      {"كثيرا", "kaˈθiːran"}, {"قليلا", "qaˈliːlan"},
+      {"ربما", "ˈrubbamaː"}, {"طبعا", "ˈtˤabʕan"}, {"فورا", "ˈfawran"},
+      {"معا", "ˈmaʕan"}, {"حقا", "ˈħaqqan"}, {"أبدا", "ˈʔabadan"},
+      {"هكذا", "ˈhaːkaðaː"}, {"جميعا", "dʒaˈmiːʕan"},
+      // time
+      {"ساعة", "ˈsaːʕa"}, {"دقيقة", "daˈqiːqa"}, {"ثانية", "ˈθaːnija"},
+      {"أسبوع", "ʔusˈbuːʕ"}, {"شهر", "ʃahr"}, {"صيف", "sˤajf"},
+      {"شتاء", "ʃiˈtaːʔ"}, {"ربيع", "raˈbiːʕ"}, {"خريف", "xaˈriːf"},
+      {"ظهر", "ðˤuhr"}, {"عصر", "ʕasˤr"}, {"فجر", "fadʒr"},
+      {"ليل", "lajl"}, {"نهار", "naˈhaːr"}, {"لحظة", "ˈlaħðˤa"},
+      {"مستقبل", "musˈtaqbal"}, {"ماضي", "ˈmaːdˤiː"},
+      {"حاضر", "ˈħaːdˤir"}, {"تاريخ", "taːˈriːx"},
+      // numbers / ordinals
+      {"واحد", "ˈwaːħid"}, {"اثنان", "iθˈnaːn"}, {"ثلاثة", "θaˈlaːθa"},
+      {"أربعة", "ˈʔarbaʕa"}, {"خمسة", "ˈxamsa"}, {"ستة", "ˈsitta"},
+      {"سبعة", "ˈsabʕa"}, {"ثمانية", "θaˈmaːnija"}, {"تسعة", "ˈtisʕa"},
+      {"عشرة", "ˈʕaʃara"}, {"مئة", "ˈmiʔa"}, {"مائة", "ˈmiʔa"},
+      {"ألف", "ʔalf"}, {"مليون", "milˈjuːn"}, {"أول", "ˈʔawwal"},
+      {"ثاني", "ˈθaːniː"}, {"آخر", "ˈʔaːxir"}, {"نصف", "nisˤf"},
+      {"ربع", "rubʕ"},
+      // family / people / professions
+      {"أب", "ʔab"}, {"أم", "ʔumm"}, {"ابن", "ibn"}, {"ابنة", "ˈibna"},
+      {"أخ", "ʔax"}, {"أخت", "ʔuxt"}, {"جد", "dʒadd"}, {"جدة", "ˈdʒadda"},
+      {"عائلة", "ˈʕaːʔila"}, {"أسرة", "ˈʔusra"}, {"زوج", "zawdʒ"},
+      {"زوجة", "ˈzawdʒa"}, {"أطفال", "ʔatˤˈfaːl"}, {"طفل", "tˤifl"},
+      {"شاب", "ʃaːbb"}, {"طالب", "ˈtˤaːlib"}, {"معلم", "muˈʕallim"},
+      {"أستاذ", "ʔusˈtaːð"}, {"دكتور", "dukˈtuːr"}, {"طبيب", "tˤaˈbiːb"},
+      {"مهندس", "muˈhandis"}, {"شرطة", "ˈʃurtˤa"}, {"جيش", "dʒajʃ"},
+      {"عامل", "ˈʕaːmil"}, {"مدير", "muˈdiːr"},
+      // body
+      {"رأس", "raʔs"}, {"عين", "ʕajn"}, {"يد", "jad"}, {"قلب", "qalb"},
+      {"وجه", "wadʒh"}, {"قدم", "ˈqadam"}, {"فم", "fam"},
+      {"أذن", "ˈʔuðun"}, {"شعر", "ʃaʕr"}, {"دم", "dam"},
+      // nature
+      {"شمس", "ʃams"}, {"قمر", "ˈqamar"}, {"نجم", "nadʒm"},
+      {"سماء", "saˈmaːʔ"}, {"أرض", "ʔardˤ"}, {"بحر", "baħr"},
+      {"نهر", "nahr"}, {"جبل", "ˈdʒabal"}, {"شجرة", "ˈʃadʒara"},
+      {"زهرة", "ˈzahra"}, {"حديقة", "ħaˈdiːqa"}, {"هواء", "haˈwaːʔ"},
+      {"نار", "naːr"}, {"مطر", "ˈmatˤar"}, {"ثلج", "θaldʒ"},
+      {"ريح", "riːħ"}, {"طقس", "tˤaqs"}, {"عالم", "ˈʕaːlam"},
+      {"طبيعة", "tˤaˈbiːʕa"}, {"صحراء", "sˤaħˈraːʔ"}, {"غابة", "ˈɣaːba"},
+      // animals
+      {"قط", "qitˤtˤ"}, {"كلب", "kalb"}, {"حصان", "ħiˈsˤaːn"},
+      {"طائر", "ˈtˤaːʔir"}, {"سمك", "ˈsamak"}, {"أسد", "ˈʔasad"},
+      {"جمل", "ˈdʒamal"}, {"بقرة", "ˈbaqara"}, {"خروف", "xaˈruːf"},
+      {"فيل", "fiːl"},
+      // food
+      {"طعام", "tˤaˈʕaːm"}, {"خبز", "xubz"}, {"لحم", "laħm"},
+      {"حليب", "ħaˈliːb"}, {"قهوة", "ˈqahwa"}, {"شاي", "ʃaːj"},
+      {"سكر", "ˈsukkar"}, {"ملح", "milħ"}, {"تفاح", "tufˈfaːħ"},
+      {"برتقال", "burtuˈqaːl"}, {"عصير", "ʕaˈsˤiːr"},
+      {"فطور", "fuˈtˤuːr"}, {"غداء", "ɣaˈdaːʔ"}, {"عشاء", "ʕaˈʃaːʔ"},
+      // places / transport
+      {"مكان", "maˈkaːn"}, {"بلد", "ˈbalad"}, {"دولة", "ˈdawla"},
+      {"شارع", "ˈʃaːriʕ"}, {"سوق", "suːq"}, {"مطار", "maˈtˤaːr"},
+      {"محطة", "maˈħatˤtˤa"}, {"فندق", "ˈfunduq"}, {"مطعم", "ˈmatˤʕam"},
+      {"مستشفى", "musˈtaʃfaː"}, {"جامعة", "ˈdʒaːmiʕa"},
+      {"مكتب", "ˈmaktab"}, {"مسجد", "ˈmasdʒid"}, {"متحف", "ˈmatħaf"},
+      {"مكتبة", "ˈmaktaba"}, {"غرفة", "ˈɣurfa"}, {"باب", "baːb"},
+      {"نافذة", "ˈnaːfiða"}, {"طريق", "tˤaˈriːq"}, {"سيارة", "sajˈjaːra"},
+      {"قطار", "qiˈtˤaːr"}, {"طائرة", "ˈtˤaːʔira"}, {"حافلة", "ˈħaːfila"},
+      {"سفينة", "saˈfiːna"}, {"دراجة", "darˈraːdʒa"},
+      // abstract / society
+      {"حياة", "ħaˈjaːt"}, {"موت", "mawt"}, {"حب", "ħubb"},
+      {"حرب", "ħarb"}, {"علم", "ʕilm"}, {"فكرة", "ˈfikra"},
+      {"سؤال", "suˈʔaːl"}, {"جواب", "dʒaˈwaːb"}, {"مشكلة", "ˈmuʃkila"},
+      {"حل", "ħall"}, {"خبر", "ˈxabar"}, {"أخبار", "ʔaxˈbaːr"},
+      {"قصة", "ˈqisˤsˤa"}, {"موسيقى", "muːˈsiːqaː"}, {"فن", "fann"},
+      {"رياضة", "riˈjaːdˤa"}, {"لعبة", "ˈluʕba"}, {"فيلم", "film"},
+      {"صورة", "ˈsˤuːra"}, {"اسم", "ism"}, {"رقم", "raqm"},
+      {"سعر", "siʕr"}, {"مال", "maːl"}, {"نقود", "nuˈquːd"},
+      {"حق", "ħaqq"}, {"قانون", "qaːˈnuːn"}, {"حكومة", "ħuˈkuːma"},
+      {"رئيس", "raˈʔiːs"}, {"ملك", "ˈmalik"}, {"شركة", "ˈʃarika"},
+      {"درس", "dars"},
+      // objects
+      {"هاتف", "ˈhaːtif"}, {"حاسوب", "ħaːˈsuːb"}, {"تلفاز", "tilˈfaːz"},
+      {"رسالة", "riˈsaːla"}, {"بريد", "baˈriːd"}, {"ورقة", "ˈwaraqa"},
+      {"قلم", "ˈqalam"}, {"كرسي", "ˈkursijj"}, {"طاولة", "ˈtˤaːwila"},
+      {"سرير", "saˈriːr"}, {"مفتاح", "mifˈtaːħ"}, {"حقيبة", "ħaˈqiːba"},
+      {"ملابس", "maˈlaːbis"}, {"قميص", "qaˈmiːsˤ"}, {"حذاء", "ħiˈðaːʔ"},
+      // verbs (perfect + imperfect of the everyday set)
+      {"يذهب", "ˈjaðhab"}, {"رأى", "ˈraʔaː"}, {"يرى", "ˈjaraː"},
+      {"عرف", "ˈʕarafa"}, {"يعرف", "ˈjaʕrif"}, {"أكل", "ˈʔakala"},
+      {"يأكل", "ˈjaʔkul"}, {"شرب", "ˈʃariba"}, {"يشرب", "ˈjaʃrab"},
+      {"كتب", "ˈkataba"}, {"يكتب", "ˈjaktub"}, {"قرأ", "ˈqaraʔa"},
+      {"يقرأ", "ˈjaqraʔ"}, {"سمع", "ˈsamiʕa"}, {"يسمع", "ˈjasmaʕ"},
+      {"فعل", "ˈfaʕala"}, {"يفعل", "ˈjafʕal"}, {"وجد", "ˈwadʒada"},
+      {"يجد", "ˈjadʒid"}, {"أخذ", "ˈʔaxaða"}, {"يأخذ", "ˈjaʔxuð"},
+      {"أعطى", "ˈʔaʕtˤaː"}, {"يعطي", "ˈjuʕtˤiː"}, {"يعمل", "ˈjaʕmal"},
+      {"دخل", "ˈdaxala"}, {"يدخل", "ˈjadxul"}, {"خرج", "ˈxaradʒa"},
+      {"يخرج", "ˈjaxrudʒ"}, {"رجع", "ˈradʒaʕa"}, {"وصل", "ˈwasˤala"},
+      {"يصل", "ˈjasˤil"}, {"بدأ", "ˈbadaʔa"}, {"يبدأ", "ˈjabdaʔ"},
+      {"فهم", "ˈfahima"}, {"يفهم", "ˈjafham"}, {"تكلم", "taˈkallama"},
+      {"يتكلم", "jataˈkallam"}, {"أحب", "ʔaˈħabba"}, {"يحب", "juˈħibb"},
+      {"ساعد", "ˈsaːʕada"}, {"يساعد", "juˈsaːʕid"}, {"جلس", "ˈdʒalasa"},
+      {"يجلس", "ˈjadʒlis"}, {"نام", "ˈnaːma"}, {"ينام", "jaˈnaːm"},
+      {"عاش", "ˈʕaːʃa"}, {"يعيش", "jaˈʕiːʃ"}, {"مات", "ˈmaːta"},
+      {"يموت", "jaˈmuːt"}, {"فتح", "ˈfataħa"}, {"يفتح", "ˈjaftaħ"},
+      {"وضع", "ˈwadˤaʕa"}, {"يضع", "ˈjadˤaʕ"}, {"طلب", "ˈtˤalaba"},
+      {"يطلب", "ˈjatˤlub"}, {"سأل", "ˈsaʔala"}, {"يسأل", "ˈjasʔal"},
+      {"يدرس", "ˈjadrus"}, {"اشترى", "iʃˈtaraː"}, {"يشتري", "jaʃˈtariː"},
+      {"باع", "ˈbaːʕa"}, {"يبيع", "jaˈbiːʕ"}, {"دفع", "ˈdafaʕa"},
+      {"مشى", "ˈmaʃaː"}, {"يمشي", "ˈjamʃiː"}, {"جرى", "ˈdʒaraː"},
+      {"يجري", "ˈjadʒriː"}, {"لعب", "ˈlaʕiba"}, {"يلعب", "ˈjalʕab"},
+      {"ضحك", "ˈdˤaħika"}, {"يضحك", "ˈjadˤħak"}, {"بكى", "ˈbakaː"},
+      {"يبكي", "ˈjabkiː"}, {"خاف", "ˈxaːfa"}, {"يخاف", "jaˈxaːf"},
+      {"نسي", "ˈnasija"}, {"ينسى", "ˈjansaː"}, {"يشعر", "ˈjaʃʕur"},
+      {"بقي", "ˈbaqija"}, {"يبقى", "ˈjabqaː"}, {"صار", "ˈsˤaːra"},
+      {"أصبح", "ˈʔasˤbaħa"}, {"استطاع", "istaˈtˤaːʕa"},
+      {"يستطيع", "jastaˈtˤiːʕ"}, {"يجب", "ˈjadʒib"}, {"يمكن", "ˈjumkin"},
+      // adjectives
+      {"طويل", "tˤaˈwiːl"}, {"قصير", "qaˈsˤiːr"}, {"واسع", "ˈwaːsiʕ"},
+      {"ضيق", "ˈdˤajjiq"}, {"ثقيل", "θaˈqiːl"}, {"خفيف", "xaˈfiːf"},
+      {"سريع", "saˈriːʕ"}, {"بطيء", "baˈtˤiːʔ"}, {"سهل", "sahl"},
+      {"صعب", "sˤaʕb"}, {"قوي", "qaˈwijj"}, {"ضعيف", "dˤaˈʕiːf"},
+      {"حار", "ħaːrr"}, {"بارد", "ˈbaːrid"}, {"نظيف", "naˈðˤiːf"},
+      {"جائع", "ˈdʒaːʔiʕ"}, {"عطشان", "ʕatˤˈʃaːn"}, {"سعيد", "saˈʕiːd"},
+      {"حزين", "ħaˈziːn"}, {"غاضب", "ˈɣaːdˤib"}, {"مريض", "maˈriːdˤ"},
+      {"صحيح", "sˤaˈħiːħ"}, {"خطأ", "ˈxatˤaʔ"}, {"مهم", "muˈhimm"},
+      {"ممكن", "ˈmumkin"}, {"مستحيل", "mustaˈħiːl"}, {"مشهور", "maʃˈhuːr"},
+      {"غني", "ɣaˈnijj"}, {"فقير", "faˈqiːr"}, {"ذكي", "ðaˈkijj"},
+      {"لطيف", "laˈtˤiːf"}, {"رخيص", "raˈxiːsˤ"}, {"غالي", "ˈɣaːliː"},
+      {"مفتوح", "mafˈtuːħ"}, {"مغلق", "ˈmuɣlaq"}, {"فارغ", "ˈfaːriɣ"},
+      {"أبيض", "ˈʔabjadˤ"}, {"أسود", "ˈʔaswad"}, {"أحمر", "ˈʔaħmar"},
+      {"أخضر", "ˈʔaxdˤar"}, {"أزرق", "ˈʔazraq"}, {"أصفر", "ˈʔasˤfar"},
+      {"كبيرة", "kaˈbiːra"}, {"جميلة", "dʒaˈmiːla"},
   };
   return kLex;
 }
@@ -5329,7 +5470,12 @@ const char* phonemize_text_perso_arabic(const char* utf8_text, const PACfg& cfg)
           if (key.size() > 4 && key.compare(0, 4, "\xD8\xA7\xD9\x84") == 0) {
             it = L.find(key.substr(4));
             if (it != L.end()) {
-              *prefix += ar_article_prefix(it->second);
+              std::string art = ar_article_prefix(it->second);
+              // Hamzat wasl elides after a clitic vowel: wa+al -> wal,
+              // bi+al -> bil (not *biʔal).
+              if (!prefix->empty() && art.compare(0, 3, "\xCA\x94\x61") == 0)
+                art = art.substr(3);
+              *prefix += art;
               return it->second;
             }
           }
@@ -5341,6 +5487,31 @@ const char* phonemize_text_perso_arabic(const char* utf8_text, const PACfg& cfg)
           pre = "wa";
           lex = lookup(raw.substr(2), &pre);
           if (!lex) pre.clear();
+        }
+        if (!lex && raw.size() > 4 && raw.compare(0, 4, "\xD9\x84\xD9\x84") == 0) {
+          // li+al contraction, written لل: lil- (moon) / liCC- (sun).
+          const auto& L2 = ar_lexicon();
+          auto it2 = L2.find(raw.substr(4));
+          if (it2 != L2.end()) {
+            std::string art = ar_article_prefix(it2->second);
+            if (art.compare(0, 3, "\xCA\x94\x61") == 0) art = art.substr(3);
+            pre = std::string("li") + art;
+            lex = it2->second;
+          }
+        }
+        if (!lex && raw.size() > 2) {
+          // bi-/li-/fa- proclitics (ب/ل/ف welded to the word).
+          static const struct { const char* u8; const char* ipa; }
+              kClitics[] = {{"\xD8\xA8", "bi"}, {"\xD9\x84", "li"},
+                            {"\xD9\x81", "fa"}};
+          for (const auto& cl : kClitics) {
+            if (raw.compare(0, 2, cl.u8) == 0) {
+              pre = cl.ipa;
+              lex = lookup(raw.substr(2), &pre);
+              if (lex) break;
+              pre.clear();
+            }
+          }
         }
       }
       if (lex) { result += pre; result += lex; }

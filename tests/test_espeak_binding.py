@@ -875,9 +875,32 @@ def test_ar_vocalized_lexicon():
     assert ar("الكتاب") == "ʔalkiˈtaːb"       # al- + moon letter
     assert ar("السنة") == "ʔasˈsana"          # al- + sun letter geminates
     assert ar("الصباح") == "ʔasˤsˤaˈbaːħ"     # emphatic sun letter (2-byte ˤ)
-    assert ar("والكتاب") == "waʔalkiˈtaːb"    # stacked clitics
+    assert ar("والكتاب") == "walkiˈtaːb"      # hamzat wasl elides after wa-
     # Persian/Urdu never consult the Arabic lexicon.
     assert native_g2p.phonemize("من", "fa") == "mæn"
+
+
+def test_ar_lexicon_expansion_and_proclitics():
+    """Expansion batch 2 (~340 words) + bi-/li-/fa- proclitics and the
+    lil contraction (لل = li+al)."""
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ar = lambda t: native_g2p.phonemize(t, "ar")
+    # Core prepositions that the epenthesis guesser got wrong before.
+    assert ar("في") == "fiː"
+    assert ar("على") == "ˈʕalaː"
+    # Number words, verbs, adjectives carry true vocalization + stress.
+    assert ar("واحد اثنان ثلاثة") == "ˈwaːħid iθˈnaːn θaˈlaːθa"
+    assert ar("يكتب") == "ˈjaktub"            # imperfect: u-stem vowel
+    assert ar("كتب") == "ˈkataba"             # perfect: a-stem
+    assert ar("سيارة سريعة") .startswith("sajˈjaːra")
+    # Proclitics: bi+al elides the article's hamza; fa- strips; lil works.
+    assert ar("بالقلم") == "bilˈqalam"
+    assert ar("فالبيت") == "falbajt"
+    assert ar("للبيت") == "lilbajt"
+    assert ar("للسلام") == "lissaˈlaːm"       # sun letter inside lil-
 
 
 def test_generic_latin_tier():
