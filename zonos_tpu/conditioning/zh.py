@@ -7,8 +7,8 @@ degrade to the grapheme tier — and the model's symbol table has no CJK
 characters, so every one became UNK (total loss). This module raises
 Mandarin to intelligible the same way ``conditioning/ja.py`` does Japanese:
 
-* an embedded frequency-ranked hanzi → pinyin table (~1200 characters,
-  covering ≈95% of running text) plus a word lexicon for the common
+* an embedded frequency-ranked hanzi → pinyin table (~1550 characters,
+  covering ≈98% of running text) plus a word lexicon for the common
   polyphonic characters (的/得/地, 行 xíng/háng, 长 cháng/zhǎng,
   重 zhòng/chóng, 乐 lè/yuè, 都 dōu/dū, …) disambiguated by Viterbi
   segmentation exactly as in ja.py;
@@ -564,6 +564,88 @@ PINYIN: dict[str, str] = {
     "超": "chao1", "越": "yue4", "限": "xian4", "制": "zhi4", "止": "zhi3",
     "禁": "jin4", "允": "yun3", "批": "pi1", "准": "zhun3", "证": "zheng4",
     "据": "ju4", "依": "yi1", "按": "an4", "照": "zhao4", "据": "ju4",
+
+    # supplement 2: next frequency tier (~400 chars, toned)
+    "位": "wei4", "何": "he2", "供": "gong1", "俱": "ju4", "储": "chu3",
+    "入": "ru4", "兵": "bing1", "典": "dian3", "冒": "mao4", "农": "nong2",
+    "凑": "cou4", "刚": "gang1", "办": "ban4", "功": "gong1", "博": "bo2",
+    "占": "zhan4", "叔": "shu1", "召": "zhao4", "合": "he2", "否": "fou3",
+    "启": "qi3", "呀": "ya5", "呜": "wu1", "品": "pin3", "哈": "ha1",
+    "响": "xiang3", "哦": "o2", "唉": "ai1", "喂": "wei4", "嗯": "en4",
+    "嘛": "ma5", "困": "kun4", "圣": "sheng4", "块": "kuai4", "坚": "jian1",
+    "基": "ji1", "堂": "tang2", "堆": "dui1", "塔": "ta3", "壁": "bi4",
+    "处": "chu4", "备": "bei4", "够": "gou4", "妙": "miao4", "姑": "gu1",
+    "姓": "xing4", "姿": "zi1", "娘": "niang2", "婆": "po2", "嫌": "xian2",
+    "孔": "kong3", "孝": "xiao4", "宁": "ning2", "宇": "yu3", "守": "shou3",
+    "宝": "bao3", "宴": "yan4", "容": "rong2", "宿": "su4", "寒": "han2",
+    "寺": "si4", "导": "dao3", "射": "she4", "将": "jiang1", "尊": "zun1",
+    "尚": "shang4", "尝": "chang2", "尤": "you2", "尽": "jin4", "屈": "qu1",
+    "属": "shu3", "岁": "sui4", "岂": "qi3", "峰": "feng1", "崇": "chong2",
+    "川": "chuan1", "巴": "ba1", "帝": "di4", "幅": "fu2", "幼": "you4",
+    "库": "ku4", "底": "di3", "座": "zuo4", "庭": "ting2", "廉": "lian2",
+    "引": "yin3", "微": "wei1", "忍": "ren3", "忠": "zhong1", "怀": "huai2",
+    "性": "xing4", "恋": "lian4", "恰": "qia4", "悟": "wu4", "患": "huan4",
+    "悲": "bei1", "惯": "guan4", "愈": "yu4", "慢": "man4", "户": "hu4",
+    "扁": "bian3", "扎": "zha1", "扑": "pu1", "扣": "kou4", "执": "zhi2",
+    "扩": "kuo4", "扬": "yang2", "扮": "ban4", "扶": "fu2", "承": "cheng2",
+    "技": "ji4", "抗": "kang4", "抚": "fu3", "抽": "chou1", "拒": "ju4",
+    "拘": "ju1", "拙": "zhuo1", "招": "zhao1", "拜": "bai4", "拟": "ni3",
+    "拥": "yong1", "拳": "quan2", "持": "chi2", "挺": "ting3", "捧": "peng3",
+    "摆": "bai3", "摇": "yao2", "撑": "cheng1", "支": "zhi1", "改": "gai3",
+    "攻": "gong1", "故": "gu4", "敬": "jing4", "斋": "zhai1", "施": "shi1",
+    "旦": "dan4", "旨": "zhi3", "旬": "xun2", "旺": "wang4", "昂": "ang2",
+    "昌": "chang1", "昏": "hun1", "映": "ying4", "昼": "zhou4", "晋": "jin4",
+    "晓": "xiao3", "暖": "nuan3", "曾": "ceng2", "替": "ti4", "朝": "chao2",
+    "木": "mu4", "朱": "zhu1", "杀": "sha1", "杂": "za2", "束": "shu4",
+    "杨": "yang2", "板": "ban3", "枯": "ku1", "柔": "rou2", "标": "biao1",
+    "栏": "lan2", "格": "ge2", "桂": "gui4", "梁": "liang2", "榜": "bang3",
+    "欣": "xin1", "死": "si3", "毅": "yi4", "毫": "hao2", "汇": "hui4",
+    "沈": "shen3", "泰": "tai4", "洁": "jie2", "派": "pai4", "浩": "hao4",
+    "涉": "she4", "混": "hun4", "清": "qing1", "渡": "du4", "湾": "wan1",
+    "源": "yuan2", "溪": "xi1", "滋": "zi1", "滥": "lan4", "漫": "man4",
+    "潮": "chao2", "灵": "ling2", "灾": "zai1", "炼": "lian4", "烈": "lie4",
+    "煌": "huang2", "熟": "shu2", "燃": "ran2", "爆": "bao4", "父": "fu4",
+    "牌": "pai2", "特": "te4", "犹": "you2", "狂": "kuang2", "独": "du2",
+    "猛": "meng3", "玉": "yu4", "王": "wang2", "班": "ban1", "瑞": "rui4",
+    "甘": "gan1", "甲": "jia3", "申": "shen1", "男": "nan2", "略": "lve4",
+    "番": "fan1", "疑": "yi2", "疗": "liao2", "疾": "ji2", "症": "zheng4",
+    "痕": "hen2", "皆": "jie1", "皇": "huang2", "盆": "pen2", "监": "jian1",
+    "眉": "mei2", "眠": "mian2", "睛": "jing1", "瞧": "qiao2", "础": "chu3",
+    "磁": "ci2", "礼": "li3", "神": "shen2", "祥": "xiang2", "祭": "ji4",
+    "福": "fu2", "秀": "xiu4", "私": "si1", "秘": "mi4", "积": "ji1",
+    "稀": "xi1", "稳": "wen3", "窝": "wo1", "竞": "jing4", "童": "tong2",
+    "端": "duan1", "笨": "ben4", "筋": "jin1", "签": "qian1", "简": "jian3",
+    "箭": "jian4", "糊": "hu2", "素": "su4", "纯": "chun2", "纹": "wen2",
+    "结": "jie2", "继": "ji4", "维": "wei2", "绵": "mian2", "缓": "huan3",
+    "缘": "yuan2", "缩": "suo1", "耍": "shua3", "耐": "nai4", "耗": "hao4",
+    "聊": "liao2", "联": "lian2", "聚": "ju4", "肃": "su4", "胀": "zhang4",
+    "胜": "sheng4", "胞": "bao1", "脆": "cui4", "脱": "tuo1", "腐": "fu3",
+    "臂": "bi4", "臭": "chou4", "至": "zhi4", "致": "zhi4", "舍": "she4",
+    "良": "liang2", "艺": "yi4", "芳": "fang1", "苦": "ku3", "茫": "mang2",
+    "荒": "huang1", "荣": "rong2", "荷": "he2", "莫": "mo4", "菊": "ju2",
+    "萌": "meng2", "落": "luo4", "著": "zhu4", "虑": "lv4", "蚁": "yi3",
+    "蛮": "man2", "衡": "heng2", "袭": "xi2", "裁": "cai2", "裕": "yu4",
+    "覆": "fu4", "触": "chu4", "言": "yan2", "誉": "yu4", "讨": "tao3",
+    "讯": "xun4", "访": "fang3", "诞": "dan4", "误": "wu4", "诸": "zhu1",
+    "课": "ke4", "谊": "yi4", "谋": "mou2", "谓": "wei4", "谜": "mi2",
+    "谨": "jin3", "谱": "pu3", "负": "fu4", "败": "bai4", "质": "zhi4",
+    "贯": "guan4", "贺": "he4", "资": "zi1", "赋": "fu4", "赌": "du3",
+    "赖": "lai4", "赞": "zan4", "赤": "chi4", "足": "zu2", "跨": "kua4",
+    "踪": "zong1", "轨": "gui3", "轮": "lun2", "辅": "fu3", "辆": "liang4",
+    "辛": "xin1", "辞": "ci2", "辨": "bian4", "迅": "xun4", "返": "fan3",
+    "违": "wei2", "迫": "po4", "适": "shi4", "逆": "ni4", "透": "tou4",
+    "逐": "zhu2", "速": "su4", "逢": "feng2", "逼": "bi1", "遇": "yu4",
+    "遍": "bian4", "遗": "yi2", "遭": "zao1", "避": "bi4", "邦": "bang1",
+    "配": "pei4", "酸": "suan1", "醉": "zui4", "采": "cai3", "野": "ye3",
+    "钓": "diao4", "铺": "pu1", "锋": "feng1", "闪": "shan3", "闭": "bi4",
+    "闷": "men4", "阁": "ge2", "防": "fang2", "阵": "zhen4", "阿": "a1",
+    "附": "fu4", "际": "ji4", "陆": "lu4", "降": "jiang4", "隆": "long2",
+    "随": "sui2", "隐": "yin3", "障": "zhang4", "雄": "xiong2", "雅": "ya3",
+    "集": "ji2", "震": "zhen4", "鞭": "bian1", "顶": "ding3", "顽": "wan2",
+    "顾": "gu4", "顿": "dun4", "频": "pin2", "颤": "chan4", "飘": "piao1",
+    "餐": "can1", "饮": "yin3", "饰": "shi4", "驱": "qu1", "驶": "shi3",
+    "骑": "qi2", "鬼": "gui3", "魂": "hun2", "魅": "mei4", "鲜": "xian1",
+    "鸣": "ming2", "鸿": "hong2", "麦": "mai4", "黎": "li2", "齐": "qi2",
 }
 for _bad2 in ("величина", ""):
     PINYIN.pop(_bad2, None)
