@@ -299,7 +299,7 @@ def test_zh_coverage_floor():
         "这个问题很难，但是我们可以解决。政府宣布了新的经济政策。"
         "我喜欢听音乐和看电影。明天早上八点开会。"
     )
-    assert coverage(corpus) >= 0.92
+    assert coverage(corpus) >= 0.97  # supplement 2 raised the floor
 
 
 def test_readers_fuzz_no_exceptions():

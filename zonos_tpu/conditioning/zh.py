@@ -293,6 +293,11 @@ WORDS: dict[str, str] = {
     "自己": "zi4 ji3", "问题": "wen4 ti2", "开始": "kai1 shi3",
     "认识": "ren4 shi5", "高兴": "gao1 xing4", "漂亮": "piao4 liang5",
     "便利店": "bian4 li4 dian4",
+    # erhua: 儿 is a neutral -r suffix in these, not the full syllable er2
+    "这儿": "zhe4 er5", "那儿": "na4 er5", "哪儿": "na3 er5",
+    "一点儿": "yi4 dian3 er5", "有点儿": "you3 dian3 er5",
+    "一会儿": "yi2 hui4 er5", "一块儿": "yi2 kuai4 er5",
+    "事儿": "shi4 er5", "玩儿": "wan2 er5",
 }
 
 # ---------------------------------------------------------------------------
