@@ -328,6 +328,136 @@ static const LexEntry kLexiconEn[] = {
   {"choice", "tʃˈɔɪs"}, {"voice", "vˈɔɪs"}, {"noise", "nˈɔɪz"},
   {"comb", "kˈoʊm"}, {"climb", "klˈaɪm"}, {"tomb", "tˈuːm"},
   {"womb", "wˈuːm"}, {"bomb", "bˈɑːm"}, {"plumber", "plˈʌmɚ"},
+  // round-3 batch 2: multisyllabic stress + vowel reduction the first-vowel
+  // heuristic gets wrong (Latinate vocabulary, -tion/-sion, silent letters)
+  {"hello", "həlˈoʊ"}, {"although", "ɔːlðˈoʊ"}, {"though", "ðˈoʊ"},
+  {"dough", "dˈoʊ"}, {"thorough", "θˈɝːoʊ"}, {"drought", "dɹˈaʊt"},
+  {"daughter", "dˈɔːtɚ"}, {"caught", "kˈɔːt"}, {"taught", "tˈɔːt"},
+  {"bought", "bˈɔːt"}, {"brought", "bɹˈɔːt"}, {"fought", "fˈɔːt"},
+  {"ought", "ˈɔːt"}, {"thought", "θˈɔːt"},
+  {"other", "ˈʌðɚ"}, {"mother", "mˈʌðɚ"}, {"brother", "bɹˈʌðɚ"},
+  {"nothing", "nˈʌθɪŋ"}, {"someone", "sˈʌmwʌn"}, {"somebody", "sˈʌmbɑːdi"},
+  {"anything", "ˈɛniθɪŋ"}, {"everything", "ˈɛvɹiθɪŋ"},
+  {"everyone", "ˈɛvɹiwʌn"}, {"anyone", "ˈɛniwʌn"}, {"nobody", "nˈoʊbɑːdi"},
+  {"today", "tədˈeɪ"}, {"tomorrow", "təmˈɑːɹoʊ"},
+  {"yesterday", "jˈɛstɚdeɪ"}, {"together", "təɡˈɛðɚ"},
+  {"until", "əntˈɪl"}, {"maybe", "mˈeɪbi"}, {"perhaps", "pɚhˈæps"},
+  {"almost", "ˈɔːlmoʊst"}, {"already", "ɔːlɹˈɛdi"}, {"always", "ˈɔːlweɪz"},
+  {"also", "ˈɔːlsoʊ"}, {"away", "əwˈeɪ"}, {"around", "əɹˈaʊnd"},
+  {"above", "əbˈʌv"}, {"ago", "əɡˈoʊ"}, {"across", "əkɹˈɑːs"},
+  {"along", "əlˈɔːŋ"}, {"among", "əmˈʌŋ"}, {"between", "bɪtwˈiːn"},
+  {"behind", "bɪhˈaɪnd"}, {"before", "bɪfˈoːɹ"}, {"below", "bɪlˈoʊ"},
+  {"beyond", "bɪjˈɑːnd"}, {"become", "bɪkˈʌm"}, {"began", "bɪɡˈæn"},
+  {"begin", "bɪɡˈɪn"}, {"believe", "bɪlˈiːv"},
+  {"give", "ɡˈɪv"}, {"given", "ɡˈɪvən"}, {"move", "mˈuːv"},
+  {"remove", "ɹɪmˈuːv"}, {"include", "ɪnklˈuːd"}, {"provide", "pɹəvˈaɪd"},
+  {"decide", "dɪsˈaɪd"}, {"receive", "ɹɪsˈiːv"}, {"remember", "ɹɪmˈɛmbɚ"},
+  {"understand", "ʌndɚstˈænd"}, {"continue", "kəntˈɪnjuː"},
+  {"consider", "kənsˈɪdɚ"}, {"suppose", "səpˈoʊz"},
+  {"explain", "ɪksplˈeɪn"}, {"happen", "hˈæpən"}, {"appear", "əpˈɪɹ"},
+  {"return", "ɹɪtˈɝːn"}, {"report", "ɹɪpˈoːɹt"}, {"support", "səpˈoːɹt"},
+  {"suggest", "səɡdʒˈɛst"}, {"develop", "dɪvˈɛləp"},
+  {"create", "kɹiːˈeɪt"}, {"produce", "pɹədˈuːs"}, {"prepare", "pɹɪpˈɛɹ"},
+  {"compare", "kəmpˈɛɹ"}, {"perform", "pɚfˈɔːɹm"}, {"allow", "əlˈaʊ"},
+  {"follow", "fˈɑːloʊ"}, {"borrow", "bˈɑːɹoʊ"}, {"arrive", "əɹˈaɪv"},
+  {"achieve", "ətʃˈiːv"}, {"imagine", "ɪmˈædʒɪn"},
+  {"involve", "ɪnvˈɑːlv"}, {"require", "ɹɪkwˈaɪɚ"},
+  {"realize", "ɹˈiːəlaɪz"}, {"recognize", "ɹˈɛkəɡnaɪz"},
+  {"organize", "ˈɔːɹɡənaɪz"}, {"occur", "əkˈɝː"}, {"accept", "əksˈɛpt"},
+  {"open", "ˈoʊpən"}, {"listen", "lˈɪsən"}, {"often", "ˈɔːfən"},
+  {"whistle", "wˈɪsəl"}, {"castle", "kˈæsəl"}, {"subtle", "sˈʌtəl"},
+  {"doubt", "dˈaʊt"}, {"soften", "sˈɔːfən"}, {"fasten", "fˈæsən"},
+  {"wrestle", "ɹˈɛsəl"}, {"muscle", "mˈʌsəl"}, {"scissors", "sˈɪzɚz"},
+  {"salmon", "sˈæmən"}, {"almond", "ˈɑːmənd"}, {"palm", "pˈɑːm"},
+  {"folk", "fˈoʊk"}, {"yolk", "jˈoʊk"}, {"wednesday", "wˈɛnzdeɪ"},
+  {"february", "fˈɛbjuːɛɹi"}, {"library", "lˈaɪbɹɛɹi"},
+  {"literature", "lˈɪtɚətʃɚ"}, {"temperature", "tˈɛmpɹətʃɚ"},
+  {"evening", "ˈiːvnɪŋ"}, {"favorite", "fˈeɪvɚɪt"}, {"camera", "kˈæmɹə"},
+  {"jewelry", "dʒˈuːəlɹi"}, {"extraordinary", "ɪkstɹˈɔːɹdɪnɛɹi"},
+  {"computer", "kəmpjˈuːtɚ"}, {"important", "ɪmpˈɔːɹtənt"},
+  {"information", "ɪnfɚmˈeɪʃən"}, {"education", "ɛdʒʊkˈeɪʃən"},
+  {"government", "ɡˈʌvɚnmənt"}, {"development", "dɪvˈɛləpmənt"},
+  {"environment", "ɪnvˈaɪɹənmənt"}, {"experience", "ɪkspˈɪɹiəns"},
+  {"technology", "tɛknˈɑːlədʒi"}, {"university", "juːnɪvˈɝːsɪti"},
+  {"different", "dˈɪfɹənt"}, {"difference", "dˈɪfɹəns"},
+  {"interesting", "ˈɪntɹəstɪŋ"}, {"interest", "ˈɪntɹəst"},
+  {"probably", "pɹˈɑːbəbli"}, {"possible", "pˈɑːsəbəl"},
+  {"impossible", "ɪmpˈɑːsəbəl"}, {"available", "əvˈeɪləbəl"},
+  {"necessary", "nˈɛsəsɛɹi"}, {"especially", "ɪspˈɛʃəli"},
+  {"language", "lˈæŋɡwɪdʒ"}, {"message", "mˈɛsɪdʒ"},
+  {"manage", "mˈænɪdʒ"}, {"village", "vˈɪlɪdʒ"}, {"image", "ˈɪmɪdʒ"},
+  {"average", "ˈævɹɪdʒ"}, {"knowledge", "nˈɑːlɪdʒ"},
+  {"college", "kˈɑːlɪdʒ"}, {"company", "kˈʌmpəni"},
+  {"community", "kəmjˈuːnɪti"}, {"society", "səsˈaɪəti"},
+  {"economy", "ɪkˈɑːnəmi"}, {"economic", "ɛkənˈɑːmɪk"},
+  {"political", "pəlˈɪtɪkəl"}, {"hospital", "hˈɑːspɪtəl"},
+  {"business", "bˈɪznəs"}, {"moment", "mˈoʊmənt"},
+  {"problem", "pɹˈɑːbləm"}, {"example", "ɪɡzˈæmpəl"},
+  {"measure", "mˈɛʒɚ"}, {"pleasure", "plˈɛʒɚ"}, {"treasure", "tɹˈɛʒɚ"},
+  {"picture", "pˈɪktʃɚ"}, {"nature", "nˈeɪtʃɚ"}, {"future", "fjˈuːtʃɚ"},
+  {"culture", "kˈʌltʃɚ"}, {"century", "sˈɛntʃɚi"},
+  {"service", "sˈɝːvɪs"}, {"office", "ˈɔːfɪs"}, {"notice", "nˈoʊtɪs"},
+  {"practice", "pɹˈæktɪs"}, {"justice", "dʒˈʌstɪs"},
+  {"promise", "pɹˈɑːmɪs"}, {"purpose", "pˈɝːpəs"},
+  {"surface", "sˈɝːfəs"}, {"private", "pɹˈaɪvət"},
+  {"climate", "klˈaɪmət"}, {"separate", "sˈɛpɚət"},
+  {"delicate", "dˈɛlɪkət"}, {"certain", "sˈɝːtən"},
+  {"captain", "kˈæptən"}, {"mountain", "mˈaʊntən"},
+  {"fountain", "fˈaʊntən"}, {"curtain", "kˈɝːtən"},
+  {"cousin", "kˈʌzən"}, {"dozen", "dˈʌzən"}, {"oven", "ˈʌvən"},
+  {"onion", "ˈʌnjən"}, {"union", "jˈuːnjən"}, {"million", "mˈɪljən"},
+  {"billion", "bˈɪljən"}, {"opinion", "əpˈɪnjən"},
+  {"companion", "kəmpˈænjən"}, {"attention", "ətˈɛnʃən"},
+  {"position", "pəzˈɪʃən"}, {"condition", "kəndˈɪʃən"},
+  {"decision", "dɪsˈɪʒən"}, {"television", "tˈɛlɪvɪʒən"},
+  {"occasion", "əkˈeɪʒən"}, {"situation", "sɪtʃuːˈeɪʃən"},
+  {"population", "pɑːpjʊlˈeɪʃən"}, {"direction", "dɚɹˈɛkʃən"},
+  {"collection", "kəlˈɛkʃən"}, {"connection", "kənˈɛkʃən"},
+  {"american", "əmˈɛɹɪkən"}, {"national", "nˈæʃənəl"},
+  {"international", "ɪntɚnˈæʃənəl"}, {"general", "dʒˈɛnɚəl"},
+  {"several", "sˈɛvɚəl"}, {"natural", "nˈætʃɚəl"},
+  {"personal", "pˈɝːsənəl"}, {"professional", "pɹəfˈɛʃənəl"},
+  {"original", "əɹˈɪdʒɪnəl"}, {"popular", "pˈɑːpjʊlɚ"},
+  {"particular", "pɚtˈɪkjʊlɚ"}, {"regular", "ɹˈɛɡjʊlɚ"},
+  {"similar", "sˈɪmɪlɚ"}, {"familiar", "fəmˈɪljɚ"},
+  {"wonderful", "wˈʌndɚfəl"}, {"successful", "səksˈɛsfəl"},
+  {"careful", "kˈɛɹfəl"}, {"serious", "sˈɪɹiəs"},
+  {"various", "vˈɛɹiəs"}, {"obvious", "ˈɑːbviəs"},
+  {"previous", "pɹˈiːviəs"}, {"curious", "kjˈʊɹiəs"},
+  {"dangerous", "dˈeɪndʒɚəs"}, {"famous", "fˈeɪməs"},
+  {"nervous", "nˈɝːvəs"}, {"enormous", "ɪnˈɔːɹməs"},
+  {"delicious", "dɪlˈɪʃəs"}, {"religious", "ɹɪlˈɪdʒəs"},
+  {"anxious", "ˈæŋkʃəs"}, {"conscious", "kˈɑːnʃəs"},
+  {"complete", "kəmplˈiːt"}, {"extreme", "ɪkstɹˈiːm"},
+  {"expensive", "ɪkspˈɛnsɪv"}, {"positive", "pˈɑːzɪtɪv"},
+  {"negative", "nˈɛɡətɪv"}, {"active", "ˈæktɪv"},
+  {"effective", "ɪfˈɛktɪv"}, {"attractive", "ətɹˈæktɪv"},
+  {"sensitive", "sˈɛnsɪtɪv"}, {"relative", "ɹˈɛlətɪv"},
+  {"alternative", "ɔːltˈɝːnətɪv"}, {"comfortable", "kˈʌmftɚbəl"},
+  {"vegetable", "vˈɛdʒtəbəl"}, {"terrible", "tˈɛɹəbəl"},
+  {"horrible", "hˈɔːɹəbəl"}, {"responsible", "ɹɪspˈɑːnsəbəl"},
+  {"incredible", "ɪnkɹˈɛdəbəl"},
+  {"children", "tʃˈɪldɹən"}, {"restaurant", "ɹˈɛstɚɑːnt"},
+  {"breakfast", "bɹˈɛkfəst"}, {"schedule", "skˈɛdʒuːl"},
+  {"architect", "ˈɑːɹkɪtɛkt"}, {"mechanic", "məkˈænɪk"},
+  {"orchestra", "ˈɔːɹkɪstɹə"}, {"headache", "hˈɛdeɪk"},
+  {"chemistry", "kˈɛmɪstɹi"}, {"champagne", "ʃæmpˈeɪn"},
+  {"chef", "ʃˈɛf"}, {"heaven", "hˈɛvən"}, {"heavy", "hˈɛvi"},
+  {"weather", "wˈɛðɚ"}, {"leather", "lˈɛðɚ"}, {"feather", "fˈɛðɚ"},
+  {"breath", "bɹˈɛθ"}, {"breathe", "bɹˈiːð"}, {"bread", "bɹˈɛd"},
+  {"dead", "dˈɛd"}, {"death", "dˈɛθ"}, {"ready", "ɹˈɛdi"},
+  {"instead", "ɪnstˈɛd"}, {"meant", "mˈɛnt"}, {"threat", "θɹˈɛt"},
+  {"sweat", "swˈɛt"}, {"sweater", "swˈɛtɚ"}, {"pleasant", "plˈɛzənt"},
+  {"jealous", "dʒˈɛləs"}, {"great", "ɡɹˈeɪt"},
+  {"eleven", "ɪlˈɛvən"}, {"seven", "sˈɛvən"}, {"seventy", "sˈɛvənti"},
+  {"thirteen", "θɝːtˈiːn"}, {"thirty", "θˈɝːti"},
+  {"fourteen", "foːɹtˈiːn"}, {"forty", "fˈɔːɹti"},
+  {"fifteen", "fɪftˈiːn"}, {"fifty", "fˈɪfti"}, {"eighty", "ˈeɪti"},
+  {"ninety", "nˈaɪnti"}, {"ninth", "nˈaɪnθ"}, {"twelfth", "twˈɛlfθ"},
+  {"hundred", "hˈʌndɹəd"}, {"thousand", "θˈaʊzənd"},
+  {"hour", "ˈaʊɚ"}, {"our", "ˈaʊɚ"}, {"their", "ðˈɛɹ"},
+  {"there", "ðˈɛɹ"}, {"where", "wˈɛɹ"}, {"who", "hˈuː"},
+  {"whom", "hˈuːm"}, {"whose", "hˈuːz"}, {"what", "wˈʌt"},
 };
 constexpr int kNumLexEn = sizeof(kLexiconEn) / sizeof(LexEntry);
 
@@ -412,10 +542,100 @@ std::string add_stress_en(const std::string& word, const std::string& ipa) {
   return ipa;
 }
 
-std::string phonemize_word(const std::string& raw) {
-  // Irregular lexicon first (stress included).
-  for (int i = 0; i < kNumLexEn; ++i) {
+const char* en_lex_find(const std::string& raw) {
+  for (int i = 0; i < kNumLexEn; ++i)
     if (raw == kLexiconEn[i].word) return kLexiconEn[i].ipa;
+  return nullptr;
+}
+
+bool ipa_ends(const std::string& s, const char* suf) {
+  size_t n = strlen(suf);
+  return s.size() >= n && s.compare(s.size() - n, n, suf) == 0;
+}
+
+// Regular-inflection suffix phonology (last SOUND of the stem's IPA).
+std::string en_plural_suffix(const std::string& ipa) {
+  for (const char* sib : {"s", "z", "ʃ", "ʒ", "tʃ", "dʒ"})
+    if (ipa_ends(ipa, sib)) return "ɪz";
+  for (const char* vl : {"p", "t", "k", "f", "θ"})
+    if (ipa_ends(ipa, vl)) return "s";
+  return "z";
+}
+
+std::string en_past_suffix(const std::string& ipa) {
+  if (ipa_ends(ipa, "tʃ")) return "t";
+  if (ipa_ends(ipa, "dʒ")) return "d";
+  if (ipa_ends(ipa, "t") || ipa_ends(ipa, "d")) return "ɪd";
+  for (const char* vl : {"p", "k", "f", "θ", "s", "ʃ"})
+    if (ipa_ends(ipa, vl)) return "t";
+  return "d";
+}
+
+// Lexicon lookup through the regular inflections (-s/-es, -ed, -ing, -ly,
+// -er/-est), so "computers"/"decided"/"moving" reuse the stem's stress and
+// reduced vowels instead of falling back to the first-vowel heuristic.
+// Handles silent-e drop (moving → move) and consonant doubling
+// (stopped → stop). Empty string = no hit.
+std::string en_lex_inflected(const std::string& raw) {
+  size_t n = raw.size();
+  if (n < 4) return "";
+  auto stem = [&](const std::string& base) -> const char* {
+    const char* hit = en_lex_find(base);
+    if (hit) return hit;
+    return nullptr;
+  };
+  // -ing (drop, +e restore, undouble)
+  if (n > 4 && raw.compare(n - 3, 3, "ing") == 0) {
+    std::string b = raw.substr(0, n - 3);
+    if (const char* h = stem(b)) return std::string(h) + "ɪŋ";
+    if (const char* h = stem(b + "e")) return std::string(h) + "ɪŋ";
+    if (b.size() > 2 && b[b.size() - 1] == b[b.size() - 2])
+      if (const char* h = stem(b.substr(0, b.size() - 1)))
+        return std::string(h) + "ɪŋ";
+    return "";
+  }
+  // -ed (loved → love via -d; wanted → want via -ed; stopped undoubles)
+  if (raw.compare(n - 2, 2, "ed") == 0) {
+    if (const char* h = stem(raw.substr(0, n - 1)))  // silent-e stem
+      return std::string(h) + en_past_suffix(h);
+    std::string b = raw.substr(0, n - 2);
+    if (const char* h = stem(b)) return std::string(h) + en_past_suffix(h);
+    if (b.size() > 2 && b[b.size() - 1] == b[b.size() - 2])
+      if (const char* h = stem(b.substr(0, b.size() - 1)))
+        return std::string(h) + en_past_suffix(h);
+    return "";
+  }
+  // -ly
+  if (raw.compare(n - 2, 2, "ly") == 0) {
+    if (const char* h = stem(raw.substr(0, n - 2))) return std::string(h) + "li";
+    return "";
+  }
+  // -er / -est (lexicon stems only; agentive and comparative share IPA)
+  if (n > 4 && raw.compare(n - 3, 3, "est") == 0) {
+    if (const char* h = stem(raw.substr(0, n - 3))) return std::string(h) + "ɪst";
+    if (const char* h = stem(raw.substr(0, n - 2))) return std::string(h) + "st";
+  }
+  if (raw.compare(n - 2, 2, "er") == 0) {
+    if (const char* h = stem(raw.substr(0, n - 2))) return std::string(h) + "ɚ";
+    if (const char* h = stem(raw.substr(0, n - 1))) return std::string(h) + "ɚ";
+  }
+  // -s / -es (boxes restores nothing; watches → watch via -es)
+  if (raw[n - 1] == 's' && raw[n - 2] != 's') {
+    if (const char* h = stem(raw.substr(0, n - 1)))
+      return std::string(h) + en_plural_suffix(h);
+    if (raw.compare(n - 2, 2, "es") == 0)
+      if (const char* h = stem(raw.substr(0, n - 2)))
+        return std::string(h) + "ɪz";
+  }
+  return "";
+}
+
+std::string phonemize_word(const std::string& raw) {
+  // Irregular lexicon first (stress included), then its inflections.
+  if (const char* hit = en_lex_find(raw)) return hit;
+  {
+    std::string infl = en_lex_inflected(raw);
+    if (!infl.empty()) return infl;
   }
   // Pad with spaces so boundary contexts can match.
   std::string w = " " + raw + " ";

@@ -880,6 +880,30 @@ def test_ar_vocalized_lexicon():
     assert native_g2p.phonemize("من", "fa") == "mæn"
 
 
+def test_en_lexicon_batch2_and_inflections():
+    """Multisyllabic stress/reduction entries + the regular-inflection layer
+    (-s/-ed/-ing/-ly/-er reuse the stem's lexicon IPA with correct suffix
+    phonology) — the first-vowel heuristic got all of these wrong."""
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    en = lambda t: native_g2p.phonemize(t, "en-us")
+    # Latinate stress off the first syllable + reduced vowels.
+    assert en("hello") == "həlˈoʊ"
+    assert en("computer") == "kəmpjˈuːtɚ"
+    assert en("technology") == "tɛknˈɑːlədʒi"
+    assert en("important") == "ɪmpˈɔːɹtənt"
+    assert en("university") == "juːnɪvˈɝːsɪti"
+    # Inflections reuse the stem entry.
+    assert en("computers") == "kəmpjˈuːtɚz"      # voiced plural /z/
+    assert en("watches") == "wˈɑːtʃɪz"            # sibilant plural /ɪz/
+    assert en("decided") == "dɪsˈaɪdɪd"           # /ɪd/ after d
+    assert en("laughed") == "lˈæft"               # voiceless /t/
+    assert en("moving") == "mˈuːvɪŋ"              # silent-e drop
+    assert en("probably") == "pɹˈɑːbəbli"
+
+
 def test_ar_lexicon_expansion_and_proclitics():
     """Expansion batch 2 (~340 words) + bi-/li-/fa- proclitics and the
     lil contraction (لل = li+al)."""
