@@ -1192,6 +1192,11 @@ static const FrLex kLexFr[] = {
     {"madame", "madam"}, {"travailler", "tʁavaje"}, {"travaille", "tʁavaj"},
     {"merveilleux", "mɛʁvɛjø"}, {"meilleur", "mɛjœʁ"},
     {"monde", "mɔ̃d"}, {"grande", "ɡʁɑ̃d"}, {"seconde", "səɡɔ̃d"},
+    // elision stems (c'est splits to c + est — bare "c" must read s, the
+    // elided vowel was e) and CaReFuL casualties
+    {"c", "s"}, {"j", "ʒ"}, {"aujourd", "oʒuʁd"}, {"sud", "syd"},
+    {"but", "byt"}, {"fait", "fɛ"}, {"faits", "fɛ"},
+    {"8il", "œj"}, {"oeil", "œj"}, {"yeux", "jø"},  // 8 = œ marker
 };
 
 bool fr_vowel_char(char c) {

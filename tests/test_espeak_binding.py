@@ -880,6 +880,21 @@ def test_ar_vocalized_lexicon():
     assert native_g2p.phonemize("من", "fa") == "mæn"
 
 
+def test_fr_elision_and_irregulars():
+    """c'est must read /sɛ/ (bare elision stem c -> s), aujourd'hui keeps
+    its /d/, œil/yeux decode."""
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    fr = lambda t: native_g2p.phonemize(t, "fr-fr")
+    assert fr("c'est bon") == "sɛ bɔ̃"
+    assert fr("j'ai") == "ʒɛ"
+    assert fr("aujourd'hui") == "oʒuʁdɥi"
+    assert fr("œil") == "œj"
+    assert fr("les yeux") == "le jø"
+
+
 def test_en_lexicon_batch2_and_inflections():
     """Multisyllabic stress/reduction entries + the regular-inflection layer
     (-s/-ed/-ing/-ly/-er reuse the stem's lexicon IPA with correct suffix
