@@ -782,6 +782,16 @@ std::string phonemize_word_es(const std::string& raw) {
   // in a vowel/n/s, else the last vowel. Weak vowels (i, u) next to strong
   // ones form diphthongs — treat a strong+weak/weak+strong pair as one
   // nucleus for stress counting.
+  // Rising diphthongs: an unaccented weak vowel (i/u) directly before
+  // another vowel is a glide, not a nucleus (bueno → bweno, tiene → tjene,
+  // agua → aɡwa — matches eSpeak's es voice). Accented í/ú stay vowels
+  // (día → dia) and the gue/qui silent-u cases never reach here.
+  for (size_t i = 0; i + 1 < ph.size(); ++i) {
+    if (!ph[i].vowel || ph[i].accented || !ph[i + 1].vowel) continue;
+    if (ph[i].ipa == "i") { ph[i] = {"j", false, false}; }
+    else if (ph[i].ipa == "u") { ph[i] = {"w", false, false}; }
+  }
+
   std::vector<int> nuclei;  // indices into ph (first vowel of each nucleus)
   int stressed_nucleus = -1;
   for (size_t i = 0; i < ph.size(); ++i) {

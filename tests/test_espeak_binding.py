@@ -880,6 +880,23 @@ def test_ar_vocalized_lexicon():
     assert native_g2p.phonemize("من", "fa") == "mæn"
 
 
+def test_es_rising_diphthongs():
+    """Unaccented weak vowels glide before another vowel (bueno -> bweno),
+    accented ones stay syllabic (dia)."""
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    es = lambda t: native_g2p.phonemize(t, "es")
+    assert es("bueno") == "bwˈeno"
+    assert es("tiene") == "tjˈene"
+    assert es("agua") == "ˈaɡwa"
+    assert es("cuando") == "kwˈando"
+    assert es("día") == "dˈia"          # accented í is a real nucleus
+    assert es("guerra") == "ɡˈera"      # silent u untouched
+    assert es("pingüino") == "pinɡwˈino"
+
+
 def test_fr_elision_and_irregulars():
     """c'est must read /sɛ/ (bare elision stem c -> s), aujourd'hui keeps
     its /d/, œil/yeux decode."""
