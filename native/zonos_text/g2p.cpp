@@ -1144,6 +1144,16 @@ std::string phonemize_word_it(const std::string& raw) {
     }
   }
 
+  // Rising diphthongs: unaccented i/u directly before another vowel are
+  // glides (piazza → pjattsa, buono → bwono, chiesa → kjeza — eSpeak's it
+  // voice). The softening-i of cia/gio/scia never reaches here (consumed
+  // by the c/g rules above); accented ì/ù stay syllabic.
+  for (size_t i = 0; i + 1 < ph.size(); ++i) {
+    if (!ph[i].vowel || ph[i].accented || !ph[i + 1].vowel) continue;
+    if (ph[i].ipa == "i") { ph[i] = {"j", false, false}; }
+    else if (ph[i].ipa == "u") { ph[i] = {"w", false, false}; }
+  }
+
   // Stress: accented vowel wins; else penultimate nucleus (Italian default).
   // i/u adjacent to a strong vowel merge into the same nucleus (diphthong).
   std::vector<int> nuclei;

@@ -880,6 +880,21 @@ def test_ar_vocalized_lexicon():
     assert native_g2p.phonemize("من", "fa") == "mæn"
 
 
+def test_it_rising_diphthongs():
+    """piazza/buono/chiesa glide their i/u; softening-i (ciao) and accented
+    vowels are untouched."""
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    it = lambda t: native_g2p.phonemize(t, "it")
+    assert it("piazza") == "pjˈatsa"
+    assert it("buono") == "bwˈono"
+    assert it("chiesa") == "kjˈeza"
+    assert it("ciao") == "tʃˈao"        # softening i consumed, no glide
+    assert it("lingua") == "lˈinɡwa"
+
+
 def test_es_rising_diphthongs():
     """Unaccented weak vowels glide before another vowel (bueno -> bweno),
     accented ones stay syllabic (dia)."""
