@@ -880,6 +880,25 @@ def test_ar_vocalized_lexicon():
     assert native_g2p.phonemize("من", "fa") == "mæn"
 
 
+def test_latin_runs_in_non_latin_languages():
+    """Non-Latin engines drop embedded Latin runs; the wrapper now reads
+    them with the English engine (espeak-style language switching) — this is
+    how anglicized numbers from clean() reach e.g. Russian requests."""
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    P = native_g2p.phonemize
+    out = P("у меня twenty-five книг", "ru")
+    assert "twˈɛnti" in out and "knʲik" in out
+    assert "vivlˈia" in P("twenty-five βιβλία", "el")
+    assert "twˈɛnti" in P("twenty-five كتاب", "ar")
+    # Digraphic Serbian: Latin input is NATIVE Gajica, never English.
+    assert P("dobar dan", "sr") == "dˈobar dan"
+    # Romanized Persian is Latin text for its own engine.
+    assert P("salam", "fa-latn") == "sælɒːm"
+
+
 def test_it_rising_diphthongs():
     """piazza/buono/chiesa glide their i/u; softening-i (ciao) and accented
     vowels are untouched."""

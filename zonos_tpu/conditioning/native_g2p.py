@@ -27,6 +27,7 @@ from __future__ import annotations
 import ctypes
 import os
 import shutil
+import re
 import subprocess
 import threading
 
@@ -100,6 +101,29 @@ def available() -> bool:
         return _load() is not None
 
 
+# Languages written in a non-Latin script: their engines drop embedded
+# Latin-alphabet runs (anglicized numbers from clean(), foreign names, ...).
+# eSpeak speaks such runs by switching voices; we match that by reading them
+# with the English rule engine and stitching the pieces back together.
+_NON_LATIN_PREFIXES = (
+    # NOT "sr": Serbian is digraphic — Latin (Gajica) input is native
+    # text for its engine, and Cyrillic input is script-sniffed there.
+    "ru", "uk", "bg", "mk", "kk", "ky", "tt", "ba", "be",
+    "el", "grc", "ar", "fa", "ur", "sd", "he", "hi", "mr", "ne",
+    "bn", "as", "bpy", "pa", "gu", "or", "ta", "te", "kn", "ml",
+    "si", "my", "shn", "ka", "hy", "am", "ko", "kok",
+)
+
+_LATIN_RUN = re.compile(r"[A-Za-z][A-Za-z']*(?:[ -][A-Za-z][A-Za-z']*)*")
+
+
+def _is_non_latin_lang(language: str) -> bool:
+    if language.startswith("fa-latn"):
+        return False  # romanized Persian IS Latin text
+    base = language.split("-")[0]
+    return base in _NON_LATIN_PREFIXES
+
+
 def phonemize(text: str, language: str) -> str | None:
     """Text → IPA via the native rule engines; None if the language (or the
     library) is unavailable. Languages: en*, es*, de*, it*, fr*,
@@ -108,7 +132,37 @@ def phonemize(text: str, language: str) -> str | None:
     ka*, hy*, lv*, cy*, vi*, sv*, nb*/nn*/no*, da*, hi*, mr*, ne*, bn*, as*,
     pa*, gu*, or*, ta*, te*, kn*, ml*, fa*, fa-latn, ur*, ar*, mi, la, sq,
     mt, af, is, ca, ht, pap, gn, uz, ku, tn, om, ia, lfn, jbo, lt, kl, an,
-    kk, ky, tt, ba, am."""
+    kk, ky, tt, ba, am.
+
+    For non-Latin-script languages, embedded Latin-letter runs (e.g. the
+    anglicized numbers clean() emits, acronyms, foreign names) are read with
+    the English engine instead of being dropped — the same behaviour as
+    eSpeak's automatic language switching.
+    """
+    if _is_non_latin_lang(language) and _LATIN_RUN.search(text):
+        pieces: list[str] = []
+        pos = 0
+        for m in _LATIN_RUN.finditer(text):
+            if m.start() > pos:
+                seg = _phonemize_raw(text[pos:m.start()], language)
+                if seg is None:
+                    return None
+                pieces.append(seg)
+            en = _phonemize_raw(m.group(0), "en")
+            if en is None:
+                return None
+            pieces.append(en)
+            pos = m.end()
+        if pos < len(text):
+            seg = _phonemize_raw(text[pos:], language)
+            if seg is None:
+                return None
+            pieces.append(seg)
+        return " ".join(p.strip() for p in pieces if p.strip())
+    return _phonemize_raw(text, language)
+
+
+def _phonemize_raw(text: str, language: str) -> str | None:
     with _LOCK:
         lib = _load()
         if lib is None:
