@@ -896,7 +896,7 @@ def test_latin_runs_in_non_latin_languages():
     # Digraphic Serbian: Latin input is NATIVE Gajica, never English.
     assert P("dobar dan", "sr") == "dˈobar dan"
     # Romanized Persian is Latin text for its own engine.
-    assert P("salam", "fa-latn") == "sælɒːm"
+    assert P("salaam", "fa-latn") == "sælɒːm"  # aa = long back a
 
 
 def test_it_rising_diphthongs():
