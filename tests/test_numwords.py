@@ -1,0 +1,103 @@
+"""Native number-words (conditioning/numwords.py).
+
+The reference anglicizes all digits (conditioning.py:139-221); this module
+spells them in the request language instead — a deliberate quality-positive
+deviation, documented in clean()'s docstring.
+"""
+
+import pytest
+
+from zonos_tpu.conditioning.numwords import localize_numbers, supported
+
+
+CASES = [
+    # (lang, n, words)
+    ("es", 0, "cero"), ("es", 25, "veinticinco"), ("es", 100, "cien"),
+    ("es", 101, "ciento uno"), ("es", 531, "quinientos treinta y uno"),
+    ("es", 2000, "dos mil"), ("es", 1000000, "un millón"),
+    ("fr", 25, "vingt-cinq"), ("fr", 21, "vingt et un"),
+    ("fr", 71, "soixante et onze"), ("fr", 80, "quatre-vingts"),
+    ("fr", 95, "quatre-vingt-quinze"), ("fr", 200, "deux cents"),
+    ("fr", 201, "deux cent un"), ("fr", 1000, "mille"),
+    ("de", 25, "fünfundzwanzig"), ("de", 1, "eins"),
+    ("de", 21, "einundzwanzig"), ("de", 101, "einhunderteins"),
+    ("de", 345, "dreihundertfünfundvierzig"), ("de", 1000, "eintausend"),
+    ("de", 2001, "zweitausendeins"), ("de", 1000000, "eine Million"),
+    ("it", 21, "ventuno"), ("it", 28, "ventotto"),
+    ("it", 1985, "millenovecentoottantacinque"), ("it", 2000, "duemila"),
+    ("pt", 25, "vinte e cinco"), ("pt", 100, "cem"),
+    ("pt", 125, "cento e vinte e cinco"),
+    ("ru", 25, "двадцать пять"), ("ru", 1000, "одна тысяча"),
+    ("ru", 2000, "две тысячи"), ("ru", 5000, "пять тысяч"),
+    ("ru", 1985, "одна тысяча девятьсот восемьдесят пять"),
+    ("uk", 25, "двадцять п'ять"),
+    ("pl", 25, "dwadzieścia pięć"), ("pl", 2000, "dwa tysiące"),
+    ("pl", 5000, "pięć tysięcy"),
+    ("cs", 25, "dvacet pět"),
+    ("tr", 25, "yirmi beş"), ("tr", 100, "yüz"), ("tr", 2000, "iki bin"),
+    ("nl", 22, "tweeëntwintig"), ("nl", 25, "vijfentwintig"),
+    ("sv", 25, "tjugofem"), ("da", 25, "femogtyve"), ("nb", 25, "tjuefem"),
+    ("ar", 25, "خمسة وعشرون"), ("ar", 100, "مئة"), ("ar", 3000, "ثلاثة آلاف"),
+    ("fa", 25, "بیست و پنج"),
+    ("hi", 25, "पच्चीस"), ("hi", 99, "निन्यानवे"), ("hi", 100, "एक सौ"),
+    ("hi", 150000, "एक लाख पचास हज़ार"),
+    ("ko", 25, "이십오"), ("ko", 1234, "천이백삼십사"),
+]
+
+
+@pytest.mark.parametrize("lang,n,words", CASES)
+def test_cardinals(lang, n, words):
+    assert localize_numbers(str(n), lang) == words
+
+
+def test_supported_set():
+    for lang in ("es", "fr-fr", "de", "ru", "ar", "hi", "ko", "nb"):
+        assert supported(lang)
+    for lang in ("en-us", "ja", "cmn", "sw", "fi"):
+        assert not supported(lang)
+
+
+def test_decimals_and_grouping():
+    assert localize_numbers("1,5", "ru") == "один запятая пять"
+    assert localize_numbers("3.14", "de") == "drei Komma eins vier"
+    assert localize_numbers("1,234,567", "es") == (
+        "un millón doscientos treinta y cuatro mil quinientos sesenta y siete"
+    )
+
+
+def test_eastern_digits():
+    assert localize_numbers("٢٥", "ar") == "خمسة وعشرون"
+    assert localize_numbers("۲۵", "fa") == "بیست و پنج"
+    assert localize_numbers("२५", "hi") == "पच्चीस"
+
+
+def test_clean_routes_native():
+    from zonos_tpu.conditioning.text import clean
+
+    de, fr, en = clean(
+        ["ich habe 25 Bücher", "j'ai 25 livres", "I have 25 books"],
+        ["de", "fr-fr", "en-us"],
+    )
+    assert "fünfundzwanzig" in de
+    assert "vingt-cinq" in fr
+    assert "twenty-five" in en   # English keeps the reference path
+
+
+def test_unsupported_language_falls_back_to_english():
+    from zonos_tpu.conditioning.text import clean
+
+    (fi,) = clean(["minulla on 25 kirjaa"], ["fi"])
+    assert "twenty-five" in fi
+
+
+def test_range_and_fuzz():
+    import random
+
+    rng = random.Random(0)
+    langs = ["es", "fr", "de", "it", "pt", "ru", "uk", "pl", "cs", "tr",
+             "nl", "sv", "da", "nb", "ar", "fa", "hi", "ko"]
+    for _ in range(300):
+        n = rng.randrange(0, 10**9)
+        for lang in langs:
+            out = localize_numbers(str(n), lang)
+            assert out and not any(c.isdigit() for c in out), (lang, n, out)

@@ -1,0 +1,759 @@
+"""Native number-words for the text frontend (host-side).
+
+The reference rewrites every digit sequence to ENGLISH words before
+phonemization regardless of request language (conditioning.py:139-221 via
+``inflect``), so a French request hears "vingt-cinq" as "twenty-five" read
+with French letter rules. This module spells integers and decimals in the
+request language instead; ``clean`` (conditioning/text.py) consults it and
+falls back to the English path for unsupported codes. Chinese/Japanese have
+their own native readers (conditioning/{zh,yue,ja}.py) and never reach here.
+
+Scope: cardinals 0 .. 999,999,999,999 plus decimals ("," or "." read as the
+language's separator word, fractional digits read one by one). Ordinal and
+currency morphology is out of scope — grammatical case/gender agreement is
+simplified to the citation forms, which is the intelligibility floor TTS
+needs (and far above English words in a foreign accent).
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------------------
+# Per-language cardinal spellers. Each takes a non-negative int < 10^12.
+# ---------------------------------------------------------------------------
+
+
+def _es(n: int) -> str:
+    units = ["cero", "uno", "dos", "tres", "cuatro", "cinco", "seis",
+             "siete", "ocho", "nueve", "diez", "once", "doce", "trece",
+             "catorce", "quince", "dieciséis", "diecisiete", "dieciocho",
+             "diecinueve", "veinte", "veintiuno", "veintidós", "veintitrés",
+             "veinticuatro", "veinticinco", "veintiséis", "veintisiete",
+             "veintiocho", "veintinueve"]
+    tens = ["", "", "", "treinta", "cuarenta", "cincuenta", "sesenta",
+            "setenta", "ochenta", "noventa"]
+    hundreds = ["", "ciento", "doscientos", "trescientos", "cuatrocientos",
+                "quinientos", "seiscientos", "setecientos", "ochocientos",
+                "novecientos"]
+
+    def below1000(k: int) -> str:
+        parts = []
+        h, r = divmod(k, 100)
+        if h:
+            parts.append("cien" if (h == 1 and r == 0) else hundreds[h])
+        if r:
+            if r < 30:
+                parts.append(units[r])
+            else:
+                t, u = divmod(r, 10)
+                parts.append(tens[t] + (" y " + units[u] if u else ""))
+        return " ".join(parts) if parts else ""
+
+    if n == 0:
+        return "cero"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        if mill == 1:
+            parts.append("un millón")
+        else:
+            parts.append(_es(mill) + " millones")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append("mil" if th == 1 else below1000(th) + " mil")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _fr(n: int) -> str:
+    units = ["zéro", "un", "deux", "trois", "quatre", "cinq", "six", "sept",
+             "huit", "neuf", "dix", "onze", "douze", "treize", "quatorze",
+             "quinze", "seize", "dix-sept", "dix-huit", "dix-neuf"]
+
+    def below100(k: int) -> str:
+        if k < 20:
+            return units[k]
+        t, u = divmod(k, 10)
+        if t in (2, 3, 4, 5, 6):
+            name = ["", "", "vingt", "trente", "quarante", "cinquante",
+                    "soixante"][t]
+            if u == 1:
+                return name + " et un"
+            return name + ("-" + units[u] if u else "")
+        if t == 7:
+            if u == 1:
+                return "soixante et onze"
+            return "soixante-" + units[10 + u]
+        if t == 8:
+            return "quatre-vingts" if u == 0 else "quatre-vingt-" + units[u]
+        return "quatre-vingt-" + units[10 + u]  # 90-99
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        if not h:
+            return below100(r)
+        if h == 1:
+            head = "cent"
+        else:
+            head = units[h] + (" cents" if r == 0 else " cent")
+        return head + (" " + below100(r) if r else "")
+
+    if n == 0:
+        return "zéro"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("un million" if mill == 1 else _fr(mill) + " millions"))
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append("mille" if th == 1 else below1000(th) + " mille")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _de(n: int) -> str:
+    units = ["null", "eins", "zwei", "drei", "vier", "fünf", "sechs",
+             "sieben", "acht", "neun", "zehn", "elf", "zwölf", "dreizehn",
+             "vierzehn", "fünfzehn", "sechzehn", "siebzehn", "achtzehn",
+             "neunzehn"]
+    tens = ["", "", "zwanzig", "dreißig", "vierzig", "fünfzig", "sechzig",
+            "siebzig", "achtzig", "neunzig"]
+
+    def unit_c(u: int) -> str:  # "ein" in compounds, "eins" standalone
+        return "ein" if u == 1 else units[u]
+
+    def below100(k: int) -> str:
+        if k < 20:
+            return units[k]  # final 1 is always "eins"
+        t, u = divmod(k, 10)
+        if u:
+            return unit_c(u) + "und" + tens[t]
+        return tens[t]
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        out = ""
+        if h:
+            out += unit_c(h) + "hundert"
+        if r:
+            out += below100(r)
+        return out
+
+    if n == 0:
+        return "null"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append("eine Million" if mill == 1 else _de(mill) + " Millionen")
+    th, rest2 = divmod(rest, 1000)
+    tail = ""
+    if th:
+        tail = below1000(th) + "tausend"
+        if th == 1:
+            tail = "eintausend"
+    if rest2:
+        tail += below1000(rest2)  # zweitausendeins: one word
+    if tail:
+        parts.append(tail)
+    return " ".join(parts)
+
+
+def _it(n: int) -> str:
+    units = ["zero", "uno", "due", "tre", "quattro", "cinque", "sei",
+             "sette", "otto", "nove", "dieci", "undici", "dodici", "tredici",
+             "quattordici", "quindici", "sedici", "diciassette", "diciotto",
+             "diciannove"]
+    tens = ["", "", "venti", "trenta", "quaranta", "cinquanta", "sessanta",
+            "settanta", "ottanta", "novanta"]
+
+    def below100(k: int) -> str:
+        if k < 20:
+            return units[k]
+        t, u = divmod(k, 10)
+        base = tens[t]
+        if u in (1, 8):  # vowel elision: ventuno, ventotto
+            base = base[:-1]
+        return base + (units[u] if u else "")
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        out = ""
+        if h:
+            out += ("" if h == 1 else units[h]) + "cento"
+        out += below100(r) if r else ""
+        return out
+
+    if n == 0:
+        return "zero"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append("un milione" if mill == 1 else _it(mill) + " milioni")
+    th, rest2 = divmod(rest, 1000)
+    tail = ""
+    if th:
+        tail = "mille" if th == 1 else below1000(th) + "mila"
+    tail += below1000(rest2) if rest2 else ""  # millenovecento...: one word
+    if tail:
+        parts.append(tail)
+    return " ".join(parts)
+
+
+def _pt(n: int) -> str:
+    units = ["zero", "um", "dois", "três", "quatro", "cinco", "seis", "sete",
+             "oito", "nove", "dez", "onze", "doze", "treze", "catorze",
+             "quinze", "dezesseis", "dezessete", "dezoito", "dezenove"]
+    tens = ["", "", "vinte", "trinta", "quarenta", "cinquenta", "sessenta",
+            "setenta", "oitenta", "noventa"]
+    hundreds = ["", "cento", "duzentos", "trezentos", "quatrocentos",
+                "quinhentos", "seiscentos", "setecentos", "oitocentos",
+                "novecentos"]
+
+    def below1000(k: int) -> str:
+        if k == 100:
+            return "cem"
+        h, r = divmod(k, 100)
+        parts = []
+        if h:
+            parts.append(hundreds[h])
+        if r:
+            if r < 20:
+                parts.append(units[r])
+            else:
+                t, u = divmod(r, 10)
+                parts.append(tens[t] + (" e " + units[u] if u else ""))
+        return " e ".join(parts)
+
+    if n == 0:
+        return "zero"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append("um milhão" if mill == 1 else _pt(mill) + " milhões")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append("mil" if th == 1 else below1000(th) + " mil")
+    if rest2:
+        joiner = " e " if rest2 < 100 or rest2 % 100 == 0 else " "
+        if parts:
+            return " ".join(parts[:-1]) + ("" if len(parts) < 2 else " ") + parts[-1] + joiner + below1000(rest2)
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _slavic(n, units, teens, tens, hundreds, thousand_forms, million_forms,
+            one_thousand=None, two=None):
+    """Shared East-Slavic/Polish/Czech shape: thousand/million agree with
+    the count (1 / 2-4 / 5+)."""
+    def agree(k, forms):
+        if k % 100 in (11, 12, 13, 14):
+            return forms[2]
+        if k % 10 == 1:
+            return forms[0]
+        if k % 10 in (2, 3, 4):
+            return forms[1]
+        return forms[2]
+
+    def below1000(k: int) -> str:
+        parts = []
+        h, r = divmod(k, 100)
+        if h:
+            parts.append(hundreds[h])
+        if r:
+            if 10 <= r <= 19:
+                parts.append(teens[r - 10])
+            else:
+                t, u = divmod(r, 10)
+                if t:
+                    parts.append(tens[t])
+                if u:
+                    parts.append(units[u])
+        return " ".join(parts)
+
+    if n == 0:
+        return units[0]
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        head = below1000(mill) if mill > 1 else ""
+        parts.append((head + " " if head else "") + agree(mill, million_forms))
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        if th == 1:
+            head = one_thousand or ""
+        elif th % 10 in (1, 2) and th % 100 not in (11, 12) and two:
+            t10, u = divmod(th, 10)
+            head = (below1000(t10 * 10) + " " if t10 else "") + (
+                two[u - 1])  # feminine одна/две
+        else:
+            head = below1000(th)
+        parts.append(((head + " ") if head else "") + agree(th, thousand_forms))
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(p for p in parts if p)
+
+
+def _ru(n: int) -> str:
+    return _slavic(
+        n,
+        ["ноль", "один", "два", "три", "четыре", "пять", "шесть", "семь",
+         "восемь", "девять"],
+        ["десять", "одиннадцать", "двенадцать", "тринадцать",
+         "четырнадцать", "пятнадцать", "шестнадцать", "семнадцать",
+         "восемнадцать", "девятнадцать"],
+        ["", "десять", "двадцать", "тридцать", "сорок", "пятьдесят",
+         "шестьдесят", "семьдесят", "восемьдесят", "девяносто"],
+        ["", "сто", "двести", "триста", "четыреста", "пятьсот", "шестьсот",
+         "семьсот", "восемьсот", "девятьсот"],
+        ("тысяча", "тысячи", "тысяч"),
+        ("миллион", "миллиона", "миллионов"),
+        one_thousand="одна",
+        two=("одна", "две"),
+    )
+
+
+def _uk(n: int) -> str:
+    return _slavic(
+        n,
+        ["нуль", "один", "два", "три", "чотири", "п'ять", "шість", "сім",
+         "вісім", "дев'ять"],
+        ["десять", "одинадцять", "дванадцять", "тринадцять",
+         "чотирнадцять", "п'ятнадцять", "шістнадцять", "сімнадцять",
+         "вісімнадцять", "дев'ятнадцять"],
+        ["", "десять", "двадцять", "тридцять", "сорок", "п'ятдесят",
+         "шістдесят", "сімдесят", "вісімдесят", "дев'яносто"],
+        ["", "сто", "двісті", "триста", "чотириста", "п'ятсот", "шістсот",
+         "сімсот", "вісімсот", "дев'ятсот"],
+        ("тисяча", "тисячі", "тисяч"),
+        ("мільйон", "мільйони", "мільйонів"),
+        one_thousand="одна",
+        two=("одна", "дві"),
+    )
+
+
+def _pl(n: int) -> str:
+    return _slavic(
+        n,
+        ["zero", "jeden", "dwa", "trzy", "cztery", "pięć", "sześć",
+         "siedem", "osiem", "dziewięć"],
+        ["dziesięć", "jedenaście", "dwanaście", "trzynaście", "czternaście",
+         "piętnaście", "szesnaście", "siedemnaście", "osiemnaście",
+         "dziewiętnaście"],
+        ["", "dziesięć", "dwadzieścia", "trzydzieści", "czterdzieści",
+         "pięćdziesiąt", "sześćdziesiąt", "siedemdziesiąt",
+         "osiemdziesiąt", "dziewięćdziesiąt"],
+        ["", "sto", "dwieście", "trzysta", "czterysta", "pięćset",
+         "sześćset", "siedemset", "osiemset", "dziewięćset"],
+        ("tysiąc", "tysiące", "tysięcy"),
+        ("milion", "miliony", "milionów"),
+    )
+
+
+def _cs(n: int) -> str:
+    return _slavic(
+        n,
+        ["nula", "jedna", "dva", "tři", "čtyři", "pět", "šest", "sedm",
+         "osm", "devět"],
+        ["deset", "jedenáct", "dvanáct", "třináct", "čtrnáct", "patnáct",
+         "šestnáct", "sedmnáct", "osmnáct", "devatenáct"],
+        ["", "deset", "dvacet", "třicet", "čtyřicet", "padesát", "šedesát",
+         "sedmdesát", "osmdesát", "devadesát"],
+        ["", "sto", "dvě stě", "tři sta", "čtyři sta", "pět set",
+         "šest set", "sedm set", "osm set", "devět set"],
+        ("tisíc", "tisíce", "tisíc"),
+        ("milion", "miliony", "milionů"),
+    )
+
+
+def _nl(n: int) -> str:
+    units = ["nul", "een", "twee", "drie", "vier", "vijf", "zes", "zeven",
+             "acht", "negen", "tien", "elf", "twaalf", "dertien",
+             "veertien", "vijftien", "zestien", "zeventien", "achttien",
+             "negentien"]
+    tens = ["", "", "twintig", "dertig", "veertig", "vijftig", "zestig",
+            "zeventig", "tachtig", "negentig"]
+
+    def below100(k: int) -> str:
+        if k < 20:
+            return units[k]
+        t, u = divmod(k, 10)
+        if not u:
+            return tens[t]
+        joiner = "ën" if units[u][-1] == "e" else "en"  # tweeëntwintig
+        return units[u] + joiner + tens[t]
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        out = ""
+        if h:
+            out += ("" if h == 1 else units[h]) + "honderd"
+        if r:
+            out += below100(r)
+        return out
+
+    if n == 0:
+        return "nul"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append("een miljoen" if mill == 1 else _nl(mill) + " miljoen")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("" if th == 1 else below1000(th)) + "duizend")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _tr(n: int) -> str:
+    units = ["sıfır", "bir", "iki", "üç", "dört", "beş", "altı", "yedi",
+             "sekiz", "dokuz"]
+    tens = ["", "on", "yirmi", "otuz", "kırk", "elli", "altmış", "yetmiş",
+            "seksen", "doksan"]
+
+    def below1000(k: int) -> str:
+        parts = []
+        h, r = divmod(k, 100)
+        if h:
+            parts.append(("" if h == 1 else units[h] + " ") + "yüz")
+        t, u = divmod(r, 10)
+        if t:
+            parts.append(tens[t])
+        if u:
+            parts.append(units[u])
+        return " ".join(parts)
+
+    if n == 0:
+        return "sıfır"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("bir" if mill == 1 else _tr(mill)) + " milyon")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("" if th == 1 else below1000(th) + " ") + "bin")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _sv(n: int) -> str:
+    units = ["noll", "ett", "två", "tre", "fyra", "fem", "sex", "sju",
+             "åtta", "nio", "tio", "elva", "tolv", "tretton", "fjorton",
+             "femton", "sexton", "sjutton", "arton", "nitton"]
+    tens = ["", "", "tjugo", "trettio", "fyrtio", "femtio", "sextio",
+            "sjuttio", "åttio", "nittio"]
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        out = ""
+        if h:
+            out += ("" if h == 1 else units[h]) + "hundra"
+        if r:
+            if r < 20:
+                out += units[r]
+            else:
+                t, u = divmod(r, 10)
+                out += tens[t] + (units[u] if u else "")
+        return out
+
+    if n == 0:
+        return "noll"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("en" if mill == 1 else _sv(mill)) + " miljon" +
+                     ("er" if mill > 1 else ""))
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("" if th == 1 else below1000(th)) + "tusen")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _da(n: int) -> str:
+    units = ["nul", "en", "to", "tre", "fire", "fem", "seks", "syv", "otte",
+             "ni", "ti", "elleve", "tolv", "tretten", "fjorten", "femten",
+             "seksten", "sytten", "atten", "nitten"]
+    tens = ["", "", "tyve", "tredive", "fyrre", "halvtreds", "tres",
+            "halvfjerds", "firs", "halvfems"]
+
+    def below100(k: int) -> str:
+        if k < 20:
+            return units[k]
+        t, u = divmod(k, 10)
+        if not u:
+            return tens[t]
+        return units[u] + "og" + tens[t]  # femogtyve
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        out = ""
+        if h:
+            out += ("et" if h == 1 else units[h]) + " hundrede"
+        if r:
+            out += (" og " if h else "") + below100(r)
+        return out
+
+    if n == 0:
+        return "nul"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("en" if mill == 1 else _da(mill)) + " million" +
+                     ("er" if mill > 1 else ""))
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("et" if th == 1 else below1000(th)) + " tusind")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " og ".join(parts) if len(parts) > 1 and rest2 and rest2 < 100 else " ".join(parts)
+
+
+def _no(n: int) -> str:
+    units = ["null", "en", "to", "tre", "fire", "fem", "seks", "sju",
+             "åtte", "ni", "ti", "elleve", "tolv", "tretten", "fjorten",
+             "femten", "seksten", "sytten", "atten", "nitten"]
+    tens = ["", "", "tjue", "tretti", "førti", "femti", "seksti", "sytti",
+            "åtti", "nitti"]
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        out = ""
+        if h:
+            out += ("" if h == 1 else units[h]) + "hundre"
+        if r:
+            if r < 20:
+                out += units[r]
+            else:
+                t, u = divmod(r, 10)
+                out += tens[t] + (units[u] if u else "")
+        return out
+
+    if n == 0:
+        return "null"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("en" if mill == 1 else _no(mill)) + " million" +
+                     ("er" if mill > 1 else ""))
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("ett" if th == 1 else below1000(th)) + " tusen")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _ar(n: int) -> str:
+    """MSA cardinals, units-before-tens with و (khamsa wa-ʿishrūn)."""
+    units = ["صفر", "واحد", "اثنان", "ثلاثة", "أربعة", "خمسة", "ستة",
+             "سبعة", "ثمانية", "تسعة", "عشرة", "أحد عشر", "اثنا عشر",
+             "ثلاثة عشر", "أربعة عشر", "خمسة عشر", "ستة عشر", "سبعة عشر",
+             "ثمانية عشر", "تسعة عشر"]
+    tens = ["", "", "عشرون", "ثلاثون", "أربعون", "خمسون", "ستون",
+            "سبعون", "ثمانون", "تسعون"]
+    hundreds = ["", "مئة", "مئتان", "ثلاثمئة", "أربعمئة", "خمسمئة",
+                "ستمئة", "سبعمئة", "ثمانمئة", "تسعمئة"]
+
+    def below1000(k: int) -> str:
+        parts = []
+        h, r = divmod(k, 100)
+        if h:
+            parts.append(hundreds[h])
+        if r:
+            if r < 20:
+                parts.append(units[r])
+            else:
+                t, u = divmod(r, 10)
+                if u:
+                    parts.append(units[u] + " و" + tens[t])
+                else:
+                    parts.append(tens[t])
+        return " و".join(parts)
+
+    if n == 0:
+        return "صفر"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append("مليون" if mill == 1 else below1000(mill) + " مليون")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        if th == 1:
+            parts.append("ألف")
+        elif th == 2:
+            parts.append("ألفان")
+        elif th <= 10:
+            parts.append(units[th] + " آلاف")
+        else:
+            parts.append(below1000(th) + " ألف")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " و".join(parts)
+
+
+def _fa(n: int) -> str:
+    units = ["صفر", "یک", "دو", "سه", "چهار", "پنج", "شش", "هفت", "هشت",
+             "نه", "ده", "یازده", "دوازده", "سیزده", "چهارده", "پانزده",
+             "شانزده", "هفده", "هجده", "نوزده"]
+    tens = ["", "", "بیست", "سی", "چهل", "پنجاه", "شصت", "هفتاد", "هشتاد",
+            "نود"]
+    hundreds = ["", "صد", "دویست", "سیصد", "چهارصد", "پانصد", "ششصد",
+                "هفتصد", "هشتصد", "نهصد"]
+
+    def below1000(k: int) -> str:
+        parts = []
+        h, r = divmod(k, 100)
+        if h:
+            parts.append(hundreds[h])
+        if r:
+            if r < 20:
+                parts.append(units[r])
+            else:
+                t, u = divmod(r, 10)
+                parts.append(tens[t] + (" و " + units[u] if u else ""))
+        return " و ".join(parts)
+
+    if n == 0:
+        return "صفر"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("یک" if mill == 1 else below1000(mill)) + " میلیون")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("" if th == 1 else below1000(th) + " ") + "هزار")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " و ".join(parts)
+
+
+_HI_0_99 = (
+    "शून्य एक दो तीन चार पाँच छह सात आठ नौ दस "
+    "ग्यारह बारह तेरह चौदह पंद्रह सोलह सत्रह अठारह उन्नीस बीस "
+    "इक्कीस बाईस तेईस चौबीस पच्चीस छब्बीस सत्ताईस अट्ठाईस उनतीस तीस "
+    "इकतीस बत्तीस तैंतीस चौंतीस पैंतीस छत्तीस सैंतीस अड़तीस उनतालीस चालीस "
+    "इकतालीस बयालीस तैंतालीस चौवालीस पैंतालीस छियालीस सैंतालीस अड़तालीस उनचास पचास "
+    "इक्यावन बावन तिरपन चौवन पचपन छप्पन सत्तावन अट्ठावन उनसठ साठ "
+    "इकसठ बासठ तिरसठ चौंसठ पैंसठ छियासठ सड़सठ अड़सठ उनहत्तर सत्तर "
+    "इकहत्तर बहत्तर तिहत्तर चौहत्तर पचहत्तर छिहत्तर सतहत्तर अठहत्तर उनासी अस्सी "
+    "इक्यासी बयासी तिरासी चौरासी पचासी छियासी सत्तासी अट्ठासी नवासी नब्बे "
+    "इक्यानवे बानवे तिरानवे चौरानवे पचानवे छियानवे सत्तानवे अट्ठानवे निन्यानवे"
+).split()
+
+
+def _hi(n: int) -> str:
+    """Hindi cardinals (Indian grouping: सौ/हज़ार/लाख/करोड़)."""
+    if n < 100:
+        return _HI_0_99[n]
+    parts = []
+    crore, rest = divmod(n, 10**7)
+    if crore:
+        parts.append(_hi(crore) + " करोड़")
+    lakh, rest = divmod(rest, 10**5)
+    if lakh:
+        parts.append(_HI_0_99[lakh] + " लाख")
+    th, rest = divmod(rest, 1000)
+    if th:
+        parts.append(_HI_0_99[th] + " हज़ार")
+    h, rest = divmod(rest, 100)
+    if h:
+        parts.append(_HI_0_99[h] + " सौ")
+    if rest:
+        parts.append(_HI_0_99[rest])
+    return " ".join(parts)
+
+
+def _ko(n: int) -> str:
+    """Sino-Korean cardinals (일/이/삼 · 십/백/천 · 만/억)."""
+    digits = ["", "일", "이", "삼", "사", "오", "육", "칠", "팔", "구"]
+
+    def below10000(k: int) -> str:
+        out = ""
+        for div, name in ((1000, "천"), (100, "백"), (10, "십")):
+            d, k = divmod(k, div)
+            if d:
+                out += ("" if d == 1 else digits[d]) + name
+        if k:
+            out += digits[k]
+        return out
+
+    if n == 0:
+        return "영"
+    parts = []
+    eok, rest = divmod(n, 10**8)
+    if eok:
+        parts.append(below10000(eok) + "억")
+    man, rest2 = divmod(rest, 10**4)
+    if man:
+        parts.append(below10000(man) + "만")
+    if rest2:
+        parts.append(below10000(rest2))
+    return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Registry + text-level localization
+# ---------------------------------------------------------------------------
+
+# base language code → (speller, decimal-separator word)
+_SPELLERS = {
+    "es": (_es, "coma"), "fr": (_fr, "virgule"), "de": (_de, "Komma"),
+    "it": (_it, "virgola"), "pt": (_pt, "vírgula"), "nl": (_nl, "komma"),
+    "ru": (_ru, "запятая"), "uk": (_uk, "кома"), "pl": (_pl, "przecinek"),
+    "cs": (_cs, "celá"), "tr": (_tr, "virgül"), "sv": (_sv, "komma"),
+    "da": (_da, "komma"), "nb": (_no, "komma"), "nn": (_no, "komma"),
+    "no": (_no, "komma"), "ar": (_ar, "فاصلة"), "fa": (_fa, "ممیز"),
+    "ur": (_fa, "اعشاریہ"),  # Urdu shares the Perso-Arabic digits path;
+    # its cardinals differ from Persian's — digits are still better read
+    # with the fa speller's script than as dropped Latin, but proper Urdu
+    # forms are future work, so ur is NOT registered by default:
+    "hi": (_hi, "दशमलव"), "ko": (_ko, "점"),
+}
+del _SPELLERS["ur"]
+
+# Eastern digit forms normalized to ASCII before matching.
+_DIGIT_TRANS = str.maketrans(
+    "٠١٢٣٤٥٦٧٨٩۰۱۲۳۴۵۶۷۸۹०१२३४५६७८९",
+    "012345678901234567890123456789",
+)
+
+_INT_RE = re.compile(r"\d+")
+_DEC_RE = re.compile(r"(\d+)[.,](\d+)")
+_COMMA_GROUP_RE = re.compile(r"(\d)[,.](\d{3})\b")
+
+
+def supported(language: str) -> bool:
+    return language.split("-")[0] in _SPELLERS
+
+
+def localize_numbers(text: str, language: str) -> str | None:
+    """Replace digit runs with native number words; None if unsupported."""
+    base = language.split("-")[0]
+    entry = _SPELLERS.get(base)
+    if entry is None:
+        return None
+    speller, decimal_word = entry
+    text = text.translate(_DIGIT_TRANS)
+    # Thousands grouping (1,234,567 / 1.234.567) collapses first.
+    while _COMMA_GROUP_RE.search(text):
+        text = _COMMA_GROUP_RE.sub(r"\1\2", text)
+
+    def spell(n: int) -> str:
+        if n >= 10**12:  # out of range: digit-by-digit
+            return " ".join(speller(int(d)) for d in str(n))
+        return speller(n)
+
+    def dec_sub(m: re.Match) -> str:
+        whole = spell(int(m.group(1)))
+        frac = " ".join(speller(int(d)) for d in m.group(2))
+        return f"{whole} {decimal_word} {frac}"
+
+    text = _DEC_RE.sub(dec_sub, text)
+    text = _INT_RE.sub(lambda m: spell(int(m.group(0))), text)
+    return text

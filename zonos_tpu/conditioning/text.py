@@ -211,17 +211,26 @@ except Exception:
 def clean(texts: list[str], languages: list[str]) -> list[str]:
     """Language-aware cleanup before phonemization (conditioning.py:263-288).
 
-    Deviation from the reference: digits in Chinese-family requests
-    (cmn/yue/hak/zh) are NOT rewritten to English number-words — both
-    eSpeak's zh voices and the native reader (conditioning/zh.py) read
-    digits natively in Mandarin, which the reference's English
-    normalization would have destroyed."""
+    Deviations from the reference (both quality-positive):
+    * digits in Chinese-family requests (cmn/yue/hak/zh) are NOT rewritten
+      to English number-words — both eSpeak's zh voices and the native
+      readers (conditioning/{zh,yue}.py) read digits natively, which the
+      reference's English normalization would have destroyed;
+    * for ~20 other languages, digits become NATIVE number-words
+      (conditioning/numwords.py: vingt-cinq, fünfundzwanzig, двадцать
+      пять, …) instead of the reference's English words-in-a-foreign-
+      accent. Unsupported languages keep the reference's English path."""
+    from zonos_tpu.conditioning import numwords
+
     out = []
     for text, language in zip(texts, languages):
         if "ja" in language:
             out.append(normalize_jp_text(text))
         elif language[:3] in ("cmn", "yue", "hak") or language[:2] == "zh":
             out.append(text)
+        elif not language.startswith("en"):
+            localized = numwords.localize_numbers(text, language)
+            out.append(localized if localized is not None else normalize_numbers(text))
         else:
             out.append(normalize_numbers(text))
     return out
