@@ -5558,6 +5558,13 @@ const std::map<std::string, const char*>& ar_lexicon() {
       {"ألف", "ʔalf"}, {"مليون", "milˈjuːn"}, {"أول", "ˈʔawwal"},
       {"ثاني", "ˈθaːniː"}, {"آخر", "ˈʔaːxir"}, {"نصف", "nisˤf"},
       {"ربع", "rubʕ"},
+      // tens + teens (numwords.py emits these for digit input)
+      {"عشرون", "ʕiʃˈruːn"}, {"ثلاثون", "θalaːˈθuːn"},
+      {"أربعون", "ʔarbaˈʕuːn"}, {"خمسون", "xamˈsuːn"},
+      {"ستون", "sitˈtuːn"}, {"سبعون", "sabˈʕuːn"},
+      {"ثمانون", "θamaːˈnuːn"}, {"تسعون", "tisˈʕuːn"},
+      {"عشر", "ˈʕaʃar"}, {"ألفان", "ʔalˈfaːn"}, {"آلاف", "ʔaːˈlaːf"},
+      {"مئتان", "miʔaˈtaːn"},
       // family / people / professions
       {"أب", "ʔab"}, {"أم", "ʔumm"}, {"ابن", "ibn"}, {"ابنة", "ˈibna"},
       {"أخ", "ʔax"}, {"أخت", "ʔuxt"}, {"جد", "dʒadd"}, {"جدة", "ˈdʒadda"},
