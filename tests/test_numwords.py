@@ -42,6 +42,15 @@ CASES = [
     ("hi", 25, "पच्चीस"), ("hi", 99, "निन्यानवे"), ("hi", 100, "एक सौ"),
     ("hi", 150000, "एक लाख पचास हज़ार"),
     ("ko", 25, "이십오"), ("ko", 1234, "천이백삼십사"),
+    ("el", 25, "είκοσι πέντε"), ("el", 113, "εκατόν δεκατρία"),
+    ("fi", 25, "kaksikymmentäviisi"), ("fi", 200, "kaksisataa"),
+    ("hu", 25, "huszonöt"), ("hu", 345, "háromszáznegyvenöt"),
+    ("id", 25, "dua puluh lima"), ("id", 111, "seratus sebelas"),
+    ("vi", 25, "hai mươi lăm"), ("vi", 21, "hai mươi mốt"),
+    ("vi", 105, "một trăm lẻ năm"),
+    ("ro", 25, "douăzeci și cinci"), ("ro", 100, "o sută"),
+    ("sw", 25, "ishirini na tano"),
+    ("ur", 25, "پچیس"), ("ur", 100, "ایک سو"),
 ]
 
 
@@ -53,7 +62,9 @@ def test_cardinals(lang, n, words):
 def test_supported_set():
     for lang in ("es", "fr-fr", "de", "ru", "ar", "hi", "ko", "nb"):
         assert supported(lang)
-    for lang in ("en-us", "ja", "cmn", "sw", "fi"):
+    for lang in ("el", "fi", "hu", "id", "vi", "ro", "sw", "ur"):
+        assert supported(lang)
+    for lang in ("en-us", "ja", "cmn", "et", "lv"):
         assert not supported(lang)
 
 
@@ -86,8 +97,8 @@ def test_clean_routes_native():
 def test_unsupported_language_falls_back_to_english():
     from zonos_tpu.conditioning.text import clean
 
-    (fi,) = clean(["minulla on 25 kirjaa"], ["fi"])
-    assert "twenty-five" in fi
+    (et,) = clean(["mul on 25 raamatut"], ["et"])
+    assert "twenty-five" in et
 
 
 def test_range_and_fuzz():
@@ -95,7 +106,8 @@ def test_range_and_fuzz():
 
     rng = random.Random(0)
     langs = ["es", "fr", "de", "it", "pt", "ru", "uk", "pl", "cs", "tr",
-             "nl", "sv", "da", "nb", "ar", "fa", "hi", "ko"]
+             "nl", "sv", "da", "nb", "ar", "fa", "hi", "ko", "el", "fi",
+             "hu", "id", "vi", "ro", "sw", "ur"]
     for _ in range(300):
         n = rng.randrange(0, 10**9)
         for lang in langs:

@@ -633,6 +633,316 @@ def _fa(n: int) -> str:
     return " و ".join(parts)
 
 
+def _el(n: int) -> str:
+    units = ["μηδέν", "ένα", "δύο", "τρία", "τέσσερα", "πέντε", "έξι",
+             "επτά", "οκτώ", "εννέα", "δέκα", "έντεκα", "δώδεκα"]
+    teens = ["δεκατρία", "δεκατέσσερα", "δεκαπέντε", "δεκαέξι",
+             "δεκαεπτά", "δεκαοκτώ", "δεκαεννέα"]
+    tens = ["", "", "είκοσι", "τριάντα", "σαράντα", "πενήντα", "εξήντα",
+            "εβδομήντα", "ογδόντα", "ενενήντα"]
+    hundreds = ["", "εκατόν", "διακόσια", "τριακόσια", "τετρακόσια",
+                "πεντακόσια", "εξακόσια", "επτακόσια", "οκτακόσια",
+                "εννιακόσια"]
+
+    def below1000(k: int) -> str:
+        parts = []
+        h, r = divmod(k, 100)
+        if h:
+            parts.append("εκατό" if (h == 1 and r == 0) else hundreds[h])
+        if r:
+            if r < 13:
+                parts.append(units[r])
+            elif r < 20:
+                parts.append(teens[r - 13])
+            else:
+                t, u = divmod(r, 10)
+                parts.append(tens[t] + (" " + units[u] if u else ""))
+        return " ".join(parts)
+
+    if n == 0:
+        return "μηδέν"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append("ένα εκατομμύριο" if mill == 1
+                     else below1000(mill) + " εκατομμύρια")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append("χίλια" if th == 1 else below1000(th) + " χιλιάδες")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _fi(n: int) -> str:
+    units = ["nolla", "yksi", "kaksi", "kolme", "neljä", "viisi", "kuusi",
+             "seitsemän", "kahdeksan", "yhdeksän", "kymmenen"]
+
+    def below100(k: int) -> str:
+        if k <= 10:
+            return units[k]
+        if k < 20:
+            return units[k - 10] + "toista"
+        t, u = divmod(k, 10)
+        return units[t] + "kymmentä" + (units[u] if u else "")
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        out = ""
+        if h:
+            out += ("" if h == 1 else units[h]) + "sata" + ("a" if h > 1 else "")
+        if r:
+            out += below100(r)
+        return out
+
+    if n == 0:
+        return "nolla"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append("miljoona" if mill == 1 else below1000(mill) + " miljoonaa")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append("tuhat" if th == 1 else below1000(th) + "tuhatta")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _hu(n: int) -> str:
+    units = ["nulla", "egy", "kettő", "három", "négy", "öt", "hat", "hét",
+             "nyolc", "kilenc", "tíz"]
+    tens = ["", "tizen", "huszon", "harminc", "negyven", "ötven", "hatvan",
+            "hetven", "nyolcvan", "kilencven"]
+
+    def below100(k: int) -> str:
+        if k <= 10:
+            return units[k]
+        if k < 20:
+            return "tizen" + units[k - 10]
+        if k == 20:
+            return "húsz"
+        t, u = divmod(k, 10)
+        if t == 2:
+            return "huszon" + units[u] if u else "húsz"
+        return tens[t] + (units[u] if u else "")
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        out = ""
+        if h:
+            out += ("" if h == 1 else units[h]) + "száz"
+        if r:
+            out += below100(r)
+        return out
+
+    if n == 0:
+        return "nulla"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("egy" if mill == 1 else below1000(mill)) + "millió")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("" if th == 1 else below1000(th)) + "ezer")
+    if rest2:
+        parts.append(below1000(rest2))
+    return "".join(parts) if n < 2000 else " ".join(parts)
+
+
+def _id(n: int) -> str:
+    units = ["nol", "satu", "dua", "tiga", "empat", "lima", "enam",
+             "tujuh", "delapan", "sembilan"]
+
+    def below1000(k: int) -> str:
+        parts = []
+        h, r = divmod(k, 100)
+        if h:
+            parts.append("seratus" if h == 1 else units[h] + " ratus")
+        if r:
+            if r < 10:
+                parts.append(units[r])
+            elif r == 10:
+                parts.append("sepuluh")
+            elif r == 11:
+                parts.append("sebelas")
+            elif r < 20:
+                parts.append(units[r - 10] + " belas")
+            else:
+                t, u = divmod(r, 10)
+                parts.append(units[t] + " puluh" + (" " + units[u] if u else ""))
+        return " ".join(parts)
+
+    if n == 0:
+        return "nol"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("satu" if mill == 1 else below1000(mill)) + " juta")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append("seribu" if th == 1 else below1000(th) + " ribu")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _vi(n: int) -> str:
+    units = ["không", "một", "hai", "ba", "bốn", "năm", "sáu", "bảy",
+             "tám", "chín"]
+
+    def below100(k: int) -> str:
+        if k < 10:
+            return units[k]
+        t, u = divmod(k, 10)
+        if t == 1:
+            head = "mười"
+            if u == 5:
+                return "mười lăm"
+            return head + (" " + units[u] if u else "")
+        head = units[t] + " mươi"
+        if u == 0:
+            return head
+        if u == 1:
+            return head + " mốt"
+        if u == 5:
+            return head + " lăm"
+        return head + " " + units[u]
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        out = ""
+        if h:
+            out = units[h] + " trăm"
+            if r and r < 10:
+                out += " lẻ " + units[r]
+            elif r:
+                out += " " + below100(r)
+            return out
+        return below100(r)
+
+    if n == 0:
+        return "không"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(below1000(mill) + " triệu")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(below1000(th) + " nghìn")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _ro(n: int) -> str:
+    units = ["zero", "unu", "doi", "trei", "patru", "cinci", "șase",
+             "șapte", "opt", "nouă", "zece", "unsprezece", "doisprezece",
+             "treisprezece", "paisprezece", "cincisprezece", "șaisprezece",
+             "șaptesprezece", "optsprezece", "nouăsprezece"]
+    tens = ["", "", "douăzeci", "treizeci", "patruzeci", "cincizeci",
+            "șaizeci", "șaptezeci", "optzeci", "nouăzeci"]
+
+    def below100(k: int) -> str:
+        if k < 20:
+            return units[k]
+        t, u = divmod(k, 10)
+        return tens[t] + (" și " + units[u] if u else "")
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        parts = []
+        if h:
+            parts.append("o sută" if h == 1 else units[h] + " sute")
+        if r:
+            parts.append(below100(r))
+        return " ".join(parts)
+
+    if n == 0:
+        return "zero"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append("un milion" if mill == 1 else below1000(mill) + " milioane")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append("o mie" if th == 1 else below1000(th) + " mii")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _sw(n: int) -> str:
+    units = ["sifuri", "moja", "mbili", "tatu", "nne", "tano", "sita",
+             "saba", "nane", "tisa"]
+    tens = ["", "kumi", "ishirini", "thelathini", "arobaini", "hamsini",
+            "sitini", "sabini", "themanini", "tisini"]
+
+    def below100(k: int) -> str:
+        if k < 10:
+            return units[k]
+        t, u = divmod(k, 10)
+        return tens[t] + (" na " + units[u] if u else "")
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        parts = []
+        if h:
+            parts.append("mia " + units[h])
+        if r:
+            parts.append(("na " if h else "") + below100(r))
+        return " ".join(parts)
+
+    if n == 0:
+        return "sifuri"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append("milioni " + below1000(mill))
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append("elfu " + below1000(th))
+    if rest2:
+        parts.append(("na " if parts else "") + below1000(rest2))
+    return " ".join(parts)
+
+
+_UR_0_99 = (
+    "صفر ایک دو تین چار پانچ چھ سات آٹھ نو دس "
+    "گیارہ بارہ تیرہ چودہ پندرہ سولہ سترہ اٹھارہ انیس بیس "
+    "اکیس بائیس تئیس چوبیس پچیس چھبیس ستائیس اٹھائیس انتیس تیس "
+    "اکتیس بتیس تینتیس چونتیس پینتیس چھتیس سینتیس اڑتیس انتالیس چالیس "
+    "اکتالیس بیالیس تینتالیس چوالیس پینتالیس چھیالیس سینتالیس اڑتالیس انچاس پچاس "
+    "اکاون باون ترپن چون پچپن چھپن ستاون اٹھاون انسٹھ ساٹھ "
+    "اکسٹھ باسٹھ ترسٹھ چونسٹھ پینسٹھ چھیاسٹھ سڑسٹھ اڑسٹھ انہتر ستر "
+    "اکہتر بہتر تہتر چوہتر پچہتر چھہتر ستتر اٹھہتر اناسی اسی "
+    "اکیاسی بیاسی تراسی چوراسی پچاسی چھیاسی ستاسی اٹھاسی نواسی نوے "
+    "اکانوے بانوے ترانوے چورانوے پچانوے چھیانوے ستانوے اٹھانوے ننانوے"
+).split()
+
+
+def _ur(n: int) -> str:
+    """Urdu cardinals (same Indian grouping as Hindi: سو/ہزار/لاکھ/کروڑ)."""
+    if n < 100:
+        return _UR_0_99[n]
+    parts = []
+    crore, rest = divmod(n, 10**7)
+    if crore:
+        parts.append(_ur(crore) + " کروڑ")
+    lakh, rest = divmod(rest, 10**5)
+    if lakh:
+        parts.append(_UR_0_99[lakh] + " لاکھ")
+    th, rest = divmod(rest, 1000)
+    if th:
+        parts.append(_UR_0_99[th] + " ہزار")
+    h, rest = divmod(rest, 100)
+    if h:
+        parts.append(_UR_0_99[h] + " سو")
+    if rest:
+        parts.append(_UR_0_99[rest])
+    return " ".join(parts)
+
+
 _HI_0_99 = (
     "शून्य एक दो तीन चार पाँच छह सात आठ नौ दस "
     "ग्यारह बारह तेरह चौदह पंद्रह सोलह सत्रह अठारह उन्नीस बीस "
@@ -709,13 +1019,11 @@ _SPELLERS = {
     "cs": (_cs, "celá"), "tr": (_tr, "virgül"), "sv": (_sv, "komma"),
     "da": (_da, "komma"), "nb": (_no, "komma"), "nn": (_no, "komma"),
     "no": (_no, "komma"), "ar": (_ar, "فاصلة"), "fa": (_fa, "ممیز"),
-    "ur": (_fa, "اعشاریہ"),  # Urdu shares the Perso-Arabic digits path;
-    # its cardinals differ from Persian's — digits are still better read
-    # with the fa speller's script than as dropped Latin, but proper Urdu
-    # forms are future work, so ur is NOT registered by default:
     "hi": (_hi, "दशमलव"), "ko": (_ko, "점"),
+    "el": (_el, "κόμμα"), "fi": (_fi, "pilkku"), "hu": (_hu, "egész"),
+    "id": (_id, "koma"), "ms": (_id, "perpuluhan"), "vi": (_vi, "phẩy"),
+    "ro": (_ro, "virgulă"), "sw": (_sw, "nukta"), "ur": (_ur, "اعشاریہ"),
 }
-del _SPELLERS["ur"]
 
 # Eastern digit forms normalized to ASCII before matching.
 _DIGIT_TRANS = str.maketrans(
