@@ -5263,6 +5263,13 @@ static const LatRule kLfnRules[] = {  // Lingua Franca Nova
 static const LatRule kJboRules[] = {  // Lojban: engineered 1:1
   {"c", "ʃ"}, {"j", "ʒ"}, {"x", "x"}, {"y", "ə"}, {"'", "h"}, {"g", "ɡ"},
 };
+static const LatRule kPyRules[] = {   // Pyash (conlang; engineered phonemic
+  // Latin spelling — approximate near-1:1 reading, last code to leave the
+  // grapheme tier)
+  {"ng", "ŋ"}, {"sh", "ʃ"}, {"ch", "tʃ"}, {"zh", "ʒ"},
+  {"c", "tʃ"}, {"j", "dʒ"}, {"x", "ʃ"}, {"y", "ɨ"}, {"'", "ʔ"},
+  {"g", "ɡ"},
+};
 static const LatRule kLtRules[] = {   // Lithuanian
   {"ch", "x"}, {"č", "tʃ"}, {"š", "ʃ"}, {"ž", "ʒ"}, {"ė", "eː"},
   {"ą", "aː"}, {"ę", "ɛː"}, {"į", "iː"}, {"ų", "uː"}, {"ū", "uː"},
@@ -6963,6 +6970,7 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
       {"an",  {kAnRules,  sizeof(kAnRules)/sizeof(LatRule),  LatStress::PENULT}},
       {"quc", {kQucRules, sizeof(kQucRules)/sizeof(LatRule), LatStress::FINAL}},
       {"nci", {kNciRules, sizeof(kNciRules)/sizeof(LatRule), LatStress::PENULT}},
+      {"py",  {kPyRules,  sizeof(kPyRules)/sizeof(LatRule),  LatStress::PENULT}},
     };
     for (const auto& e : kLatin) {
       size_t cl = strlen(e.code);

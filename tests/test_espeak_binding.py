@@ -134,7 +134,9 @@ def test_grapheme_fallback_warns_loudly(monkeypatch, caplog):
     monkeypatch.setattr(E, "_load", lambda: None)
     E._WARNED_LANGS.clear()
     with caplog.at_level(logging.WARNING, logger="zonos_tpu"):
-        out = E.phonemize(["zawo penata lirek", "moro zeli"], ["py", "py"])
+        # "xx" is not a real code: with every one of the reference's 109
+        # codes now native, only unknown codes reach the grapheme tier.
+        out = E.phonemize(["zawo penata lirek", "moro zeli"], ["xx", "xx"])
     assert out == ["zawo penata lirek", "moro zeli"]
     warnings = [r for r in caplog.records if "falling back" in r.message]
     assert len(warnings) == 1  # loud once, not per request

@@ -67,9 +67,19 @@ def test_japanese_tier(no_espeak):
 
 
 def test_grapheme_tier_latin(no_espeak, monkeypatch):
-    # Unsupported Latin-script language: lowercase graphemes, usable tokens.
-    out = E.phonemize(["Zawo penata"], ["py"])[0]
+    # Unknown language code: lowercase graphemes, usable tokens. (Every one
+    # of the reference's 109 codes now has a native path, incl. "py".)
+    out = E.phonemize(["Zawo penata"], ["xx"])[0]
     assert out == "zawo penata"
+
+
+def test_py_conlang_native(no_espeak):
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    out = E.phonemize(["nyarka lohatri"], ["py"])[0]
+    assert "ˈ" in out and "ɨ" in out  # engineered reading, not graphemes
 
 
 def test_phoneme_conditioner_end_to_end(no_espeak):
