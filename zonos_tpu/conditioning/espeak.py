@@ -106,7 +106,7 @@ def phonemize(texts: list[str], languages: list[str]) -> list[str]:
     """Clean + phonemize a batch (reference conditioning.py:307-335).
 
     Backend order: libespeak-ng (all 109 languages) → native C++ rule engines
-    (native/zonos_text — 92 language codes across 19 scripts, with
+    (native/zonos_text — 93 language codes across 19 scripts, with
     lexicon + stress marks; see docs/LANGUAGES.md) → embedded ja/zh/yue readers →
     lowercase graphemes (representable in the model symbol table, degraded
     quality — logged once per language so the degradation is loud, not
