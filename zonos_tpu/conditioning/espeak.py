@@ -102,6 +102,36 @@ def _phonemize_one(lib, text: str, language: str) -> str:
     return " ".join(p.strip() for p in pieces if p.strip())
 
 
+def _engine_one(t: str, lang: str) -> str:
+    """One cleaned text → IPA via the backend chain (no lexicon handling)."""
+    with _LOCK:
+        lib = _load()
+        if lib is not None:
+            return _phonemize_one(lib, t, lang)
+
+    from zonos_tpu.conditioning import native_g2p
+    from zonos_tpu.conditioning.kana import has_kana, kana_to_ipa
+
+    ipa = native_g2p.phonemize(t, lang)
+    if ipa is None and lang.startswith("ja") and has_kana(t):
+        ipa = kana_to_ipa(t)
+    if ipa is None and lang[:3] == "yue":
+        from zonos_tpu.conditioning.yue import cantonese_to_ipa
+
+        ipa = cantonese_to_ipa(t)
+    elif ipa is None and lang[:3] in ("cmn", "hak") or ipa is None and lang[:2] == "zh":
+        from zonos_tpu.conditioning.zh import chinese_to_ipa
+
+        ipa = chinese_to_ipa(t, lang)
+    if (ipa is None or not ipa.strip()) and t.strip():
+        # None = no engine for the language; empty = the engine dropped
+        # every byte (e.g. script mismatch). Both degrade to graphemes
+        # and both must be loud.
+        _warn_grapheme_fallback(lang)
+        ipa = None
+    return ipa if ipa else t.lower()
+
+
 def phonemize(texts: list[str], languages: list[str]) -> list[str]:
     """Clean + phonemize a batch (reference conditioning.py:307-335).
 
@@ -111,36 +141,29 @@ def phonemize(texts: list[str], languages: list[str]) -> list[str]:
     lowercase graphemes (representable in the model symbol table, degraded
     quality — logged once per language so the degradation is loud, not
     silent).
+
+    Registered pronunciation overrides (conditioning/lexicon.py — proper
+    nouns with hand-written IPA) are spliced in before any backend runs,
+    so they hold for espeak and the native engines alike.
     """
+    from zonos_tpu.conditioning import lexicon
+
     texts = clean(texts, languages)
-    with _LOCK:
-        lib = _load()
-        if lib is not None:
-            return [_phonemize_one(lib, t, lang) for t, lang in zip(texts, languages)]
-
-    from zonos_tpu.conditioning import native_g2p
-    from zonos_tpu.conditioning.kana import has_kana, kana_to_ipa
-
     out = []
     for t, lang in zip(texts, languages):
-        ipa = native_g2p.phonemize(t, lang)
-        if ipa is None and lang.startswith("ja") and has_kana(t):
-            ipa = kana_to_ipa(t)
-        if ipa is None and lang[:3] == "yue":
-            from zonos_tpu.conditioning.yue import cantonese_to_ipa
-
-            ipa = cantonese_to_ipa(t)
-        elif ipa is None and lang[:3] in ("cmn", "hak") or ipa is None and lang[:2] == "zh":
-            from zonos_tpu.conditioning.zh import chinese_to_ipa
-
-            ipa = chinese_to_ipa(t, lang)
-        if (ipa is None or not ipa.strip()) and t.strip():
-            # None = no engine for the language; empty = the engine dropped
-            # every byte (e.g. script mismatch). Both degrade to graphemes
-            # and both must be loud.
-            _warn_grapheme_fallback(lang)
-            ipa = None
-        out.append(ipa if ipa else t.lower())
+        segments = lexicon.split(t, lang)
+        if segments is None:
+            out.append(_engine_one(t, lang))
+            continue
+        pieces = []
+        for is_ipa, payload in segments:
+            if is_ipa:
+                pieces.append(payload)
+            else:
+                converted = _engine_one(payload, lang)
+                if converted.strip():
+                    pieces.append(converted.strip())
+        out.append(" ".join(pieces))
     return out
 
 

@@ -366,6 +366,10 @@ class Handler(BaseHTTPRequestHandler):
 
             model = load_model_if_needed(config=_APP_CONFIG)
             self._json(200, {"controls": control_specs(model.conditioner_names)})
+        elif self.path == "/lexicon":
+            from zonos_tpu.conditioning import lexicon
+
+            self._json(200, {"entries": lexicon.entries()})
         elif self.path == "/metrics":
             # Prometheus text exposition (serving/metrics.py).
             self._send(
@@ -427,6 +431,25 @@ class Handler(BaseHTTPRequestHandler):
                     self._json(500, {"error": str(e)})
                 except Exception:
                     pass
+        elif self.path == "/lexicon":
+            # Pronunciation overrides: {"entries": {word: ipa}, "language"?: str,
+            # "remove"?: [words] | "clear": true}. Applies to every G2P backend.
+            from zonos_tpu.conditioning import lexicon
+
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                if body.get("clear"):
+                    total = lexicon.remove(None)
+                elif body.get("remove"):
+                    total = lexicon.remove(list(body["remove"]))
+                else:
+                    total = lexicon.set_entries(
+                        dict(body.get("entries") or {}), body.get("language")
+                    )
+                self._json(200, {"total": total})
+            except Exception as e:
+                self._json(400, {"error": str(e)})
         else:
             self._json(404, {"error": "not found"})
 
@@ -462,6 +485,11 @@ def main(argv=None):
         help="pre-compile the generate + stream paths before serving "
              "(also: ZONOS_WARMUP=1); first request then runs at steady-state speed",
     )
+    parser.add_argument(
+        "--lexicon", default=os.environ.get("ZONOS_LEXICON", ""),
+        help="JSON pronunciation-override file: {word: ipa} or "
+             "{language: {word: ipa}} ('*' = global); also POST /lexicon",
+    )
     # Reference CLI compat (SkyrimNet-Zonos.py:63-74): --share is Gradio
     # public-link tunneling; meaningless for the plain HTTP server.
     parser.add_argument("--share", action="store_true", help="(ignored; reference compat)")
@@ -472,6 +500,12 @@ def main(argv=None):
     global _APP_CONFIG
     _APP_CONFIG = load_config()
     logger = setup_logging(_APP_CONFIG)
+
+    if args.lexicon:
+        from zonos_tpu.conditioning import lexicon as _lex
+
+        total = _lex.load_file(args.lexicon)
+        logger.info(f"pronunciation lexicon: {total} entries from {args.lexicon}")
 
     if args.sysreport:
         from zonos_tpu.utils.sysinfo import generate_report
