@@ -97,6 +97,22 @@ def setup_prefix_audio(prefix_audio_path: str | None, autoencoder, use_cache: bo
         return process_prefix_audio(prefix_audio_path, autoencoder, use_cache=use_cache)
 
 
+def _generate_wave(model, cond_dict, params, audio_prefix_codes, use_cond_cache):
+    """conditioning → generate → DAC decode; returns (wav [T], n_tokens)."""
+    conditioning = model.prepare_conditioning(
+        cond_dict, use_cache=use_cond_cache, cfg_scale=params.cfg_scale
+    )
+    codes = model.generate(
+        conditioning,
+        audio_prefix_codes=audio_prefix_codes,
+        max_new_tokens=params.max_new_tokens,
+        cfg_scale=params.cfg_scale,
+        sampling_params=params.sampling,
+        seed=params.seed,
+    )
+    return model.autoencoder.decode(codes)[0, 0], int(codes.shape[-1])
+
+
 def generate_and_save_audio(
     model,
     cond_dict: dict,
@@ -111,18 +127,9 @@ def generate_and_save_audio(
     """
     t_start = time.perf_counter_ns()
 
-    conditioning = model.prepare_conditioning(
-        cond_dict, use_cache=use_cond_cache, cfg_scale=params.cfg_scale
+    wav, n_tokens = _generate_wave(
+        model, cond_dict, params, audio_prefix_codes, use_cond_cache
     )
-    codes = model.generate(
-        conditioning,
-        audio_prefix_codes=audio_prefix_codes,
-        max_new_tokens=params.max_new_tokens,
-        cfg_scale=params.cfg_scale,
-        sampling_params=params.sampling,
-        seed=params.seed,
-    )
-    wav = model.autoencoder.decode(codes)[0, 0]
     sr = model.autoencoder.sampling_rate
 
     if output_path is None:
@@ -134,7 +141,7 @@ def generate_and_save_audio(
     rtf = audio_s / wall_s if wall_s > 0 else 0.0
     logger.info(
         f"generated {audio_s:.2f}s audio in {wall_s:.2f}s "
-        f"({rtf:.2f}x realtime, seed={params.seed}, tokens={codes.shape[-1]})"
+        f"({rtf:.2f}x realtime, seed={params.seed}, tokens={n_tokens})"
     )
     return output_path, wav, sr, rtf
 
@@ -199,13 +206,64 @@ def tts(
     cfg_scale: float = 2.0,
     min_p: float = 0.1,
     output_path: str | None = None,
+    chunk_long: bool = True,
 ) -> tuple[str, np.ndarray, int, float]:
-    """One-call convenience API covering the reference server's request surface."""
+    """One-call convenience API covering the reference server's request surface.
+
+    Text beyond the 30-second token ceiling is sentence-chunked and the
+    chunk waveforms concatenated (serving/longform.py) unless
+    ``chunk_long=False`` reinstates the reference's hard truncation."""
+    from zonos_tpu.serving import longform
+
     params = prepare_generation_params(
         text, seed=seed, randomize_seed=randomize_seed, cfg_scale=cfg_scale, min_p=min_p
     )
     speaker = setup_speaker_conditioning(model_name, speaker_audio)
     prefix_codes = setup_prefix_audio(prefix_audio, model.autoencoder)
+
+    if chunk_long and longform.is_longform(text):
+        t_start = time.perf_counter_ns()
+        chunks = longform.chunk_text(text)
+        sr = model.autoencoder.sampling_rate
+        gap = np.zeros(int(longform.CHUNK_GAP_S * sr), dtype=np.float32)
+        waves: list[np.ndarray] = []
+        total_tokens = 0
+        for i, chunk in enumerate(chunks):
+            cond_i = build_cond_dict(
+                model, text=chunk, language=language, speaker=speaker,
+                emotion=emotion, fmax=fmax, pitch_std=pitch_std,
+                speaking_rate=speaking_rate, vqscore_8=vqscore_8,
+                ctc_loss=ctc_loss, dnsmos_ovrl=dnsmos_ovrl,
+                speaker_noised=speaker_noised,
+                unconditional_keys=unconditional_keys,
+            )
+            params_i = prepare_generation_params(
+                chunk, seed=params.seed + i, randomize_seed=False,
+                cfg_scale=cfg_scale, min_p=min_p,
+            )
+            # The audio prefix is a continuation prompt: first chunk only.
+            wav_i, n_tok = _generate_wave(
+                model, cond_i, params_i, prefix_codes if i == 0 else None, True
+            )
+            total_tokens += n_tok
+            if waves:
+                waves.append(gap)
+            waves.append(np.asarray(wav_i, dtype=np.float32))
+        wav = np.concatenate(waves)
+        if output_path is None:
+            output_path = os.path.join(
+                get_output_dir(), f"zonos_{time.time_ns() // 1_000_000}.wav"
+            )
+        write_wav(output_path, wav, sr)
+        wall_s = (time.perf_counter_ns() - t_start) / 1e9
+        audio_s = wav.shape[-1] / sr
+        rtf = audio_s / wall_s if wall_s > 0 else 0.0
+        logger.info(
+            f"longform: {len(chunks)} chunks, {audio_s:.2f}s audio in "
+            f"{wall_s:.2f}s ({rtf:.2f}x realtime, seed={params.seed}, "
+            f"tokens={total_tokens})"
+        )
+        return output_path, wav, sr, rtf
     cond = build_cond_dict(
         model,
         text=text,

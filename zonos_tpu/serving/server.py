@@ -137,11 +137,14 @@ def handle_generate(body: dict) -> tuple[bytes, dict]:
     model_name = body.get("model_choice", C.MODEL_TRANSFORMER)
     model = load_model_if_needed(model_name, _APP_CONFIG)
 
+    from zonos_tpu.serving import longform
+
     # Dynamic batching path: concurrent requests coalesce into one decode
-    # (aggregate throughput; see serving/batcher.py). Prefix-audio requests
-    # fall through to the single-request path.
+    # (aggregate throughput; see serving/batcher.py). Prefix-audio and
+    # long-form requests fall through to the single-request path (the
+    # latter sentence-chunk inside pipeline.tts).
     batcher = _get_batcher(model)
-    if batcher is not None and not body.get("prefix_audio"):
+    if batcher is not None and not body.get("prefix_audio") and not longform.is_longform(text):
         import time as _time
 
         from zonos_tpu.serving.batcher import TTSRequest
@@ -230,11 +233,14 @@ def handle_stream(body: dict):
     )
     speaker = setup_speaker_conditioning(model_name, body.get("speaker_audio"))
 
+    from zonos_tpu.serving import longform
+
     # Batched streaming: concurrent /stream requests coalesce into one
     # chunked decode (serving/batcher._run_stream_batch) instead of
-    # serializing behind the semaphore at batch 1.
+    # serializing behind the semaphore at batch 1. Long-form requests go
+    # through the sequential per-chunk path below.
     batcher = _get_batcher(model)
-    if batcher is not None and not body.get("prefix_audio"):
+    if batcher is not None and not body.get("prefix_audio") and not longform.is_longform(text):
         from zonos_tpu.ops.sampling import SamplingParams
         from zonos_tpu.serving.batcher import TTSRequest
 
@@ -264,24 +270,39 @@ def handle_stream(body: dict):
         return
 
     prefix_codes = setup_prefix_audio(body.get("prefix_audio"), model.autoencoder)
-    cond_dict = build_cond_dict(model, text=text, speaker=speaker, **_control_kwargs(body))
-    # use_cache: repeated streaming requests with identical conditioning skip
-    # the conditioner stack, matching the /generate path (pipeline.tts).
-    conditioning = model.prepare_conditioning(
-        cond_dict, cfg_scale=params.cfg_scale, use_cache=True
-    )
+    controls = _control_kwargs(body)
+    # Long-form requests stream chunk after chunk with a short silence
+    # between them — TTFA stays that of the FIRST chunk regardless of the
+    # total text length.
+    chunks = longform.chunk_text(text) if longform.is_longform(text) else [text]
 
     with _GEN_SEMAPHORE:
-        for wav, sr in model.stream(
-            conditioning,
-            audio_prefix_codes=prefix_codes,
-            max_new_tokens=params.max_new_tokens,
-            cfg_scale=params.cfg_scale,
-            sampling_params=params.sampling,
-            seed=params.seed,
-        ):
-            pcm = np.clip(wav * 32767.0, -32767.0, 32767.0).astype("<i2")
-            yield pcm.tobytes(), sr
+        for i, chunk in enumerate(chunks):
+            cond_dict = build_cond_dict(model, text=chunk, speaker=speaker, **controls)
+            # use_cache: repeated streaming requests with identical
+            # conditioning skip the conditioner stack (parity with /generate).
+            conditioning = model.prepare_conditioning(
+                cond_dict, cfg_scale=params.cfg_scale, use_cache=True
+            )
+            params_i = prepare_generation_params(
+                chunk, seed=params.seed + i, randomize_seed=False,
+                cfg_scale=params.cfg_scale,
+                min_p=float(body.get("min_p", 0.1)),
+            )
+            sr_out = model.autoencoder.sampling_rate
+            if i:
+                gap = np.zeros(int(longform.CHUNK_GAP_S * sr_out), dtype="<i2")
+                yield gap.tobytes(), sr_out
+            for wav, sr in model.stream(
+                conditioning,
+                audio_prefix_codes=prefix_codes if i == 0 else None,
+                max_new_tokens=params_i.max_new_tokens,
+                cfg_scale=params_i.cfg_scale,
+                sampling_params=params_i.sampling,
+                seed=params_i.seed,
+            ):
+                pcm = np.clip(wav * 32767.0, -32767.0, 32767.0).astype("<i2")
+                yield pcm.tobytes(), sr
 
 
 def warmup(model_name: str | None = None, stream: bool = True) -> float:
