@@ -128,6 +128,83 @@ def _control_kwargs(body: dict) -> dict:
     )
 
 
+_SPEAKERS_DIR = "speakers"
+_SPEAKER_EXTS = (".wav", ".mp3", ".flac", ".ogg")
+
+
+def list_speakers() -> list[str]:
+    """Registered voice names: relative stems of audio files under
+    speakers/ (the reference's bundled-voice directory, audio_utils.py:108)."""
+    import os
+
+    out = []
+    for root, _dirs, files in os.walk(_SPEAKERS_DIR):
+        for f in sorted(files):
+            stem, ext = os.path.splitext(f)
+            if ext.lower() in _SPEAKER_EXTS:
+                rel = os.path.relpath(os.path.join(root, stem), _SPEAKERS_DIR)
+                out.append(rel.replace(os.sep, "/"))
+    return out
+
+
+def _safe_speaker_name(name: str) -> str | None:
+    import re as _re
+
+    name = name.strip().replace("\\", "/")
+    if not name or not _re.fullmatch(r"[A-Za-z0-9_\-]+(/[A-Za-z0-9_\-]+)*", name):
+        return None
+    return name
+
+
+def save_speaker(name: str, wav_bytes: bytes) -> str:
+    """Store an uploaded voice under speakers/uploads/<name>.wav."""
+    import os
+
+    safe = _safe_speaker_name(name)
+    if safe is None:
+        raise ValueError("speaker name must be [A-Za-z0-9_-]+ (optional / path)")
+    path = os.path.join(_SPEAKERS_DIR, "uploads", *safe.split("/")) + ".wav"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(wav_bytes)
+    return "uploads/" + safe
+
+
+def resolve_speaker_path(body: dict) -> str | None:
+    """Request → speaker wav path. Precedence: explicit server-side path
+    ("speaker_audio") → registered voice name ("speaker", resolved under
+    speakers/ — the reference UI's bundled-voice dropdown as an API) →
+    inline audio ("speaker_wav_base64", content-addressed temp file so
+    remote clients can voice-clone without filesystem access)."""
+    import base64
+    import hashlib
+    import os
+
+    if body.get("speaker_audio"):
+        return str(body["speaker_audio"])
+    name = body.get("speaker")
+    if name:
+        safe = _safe_speaker_name(str(name))
+        if safe is None:
+            raise ValueError(f"invalid speaker name: {name!r}")
+        for ext in _SPEAKER_EXTS:
+            cand = os.path.join(_SPEAKERS_DIR, *safe.split("/")) + ext
+            if os.path.exists(cand):
+                return cand
+        raise ValueError(f"unknown speaker: {name!r} (GET /speakers lists voices)")
+    b64 = body.get("speaker_wav_base64")
+    if b64:
+        raw = base64.b64decode(b64)
+        digest = hashlib.sha1(raw).hexdigest()[:16]
+        path = os.path.join("cache", "uploads", f"{digest}.wav")
+        if not os.path.exists(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(raw)
+        return path
+    return None
+
+
 def handle_generate(body: dict) -> tuple[bytes, dict]:
     """Core request handler; returns (wav_bytes, metadata)."""
     text = str(body.get("text", ""))
@@ -158,7 +235,7 @@ def handle_generate(body: dict) -> tuple[bytes, dict]:
             cfg_scale=float(body.get("cfg_scale", 2.0)),
             min_p=float(body.get("min_p", 0.1)),
         )
-        speaker = setup_speaker_conditioning(model_name, body.get("speaker_audio"))
+        speaker = setup_speaker_conditioning(model_name, resolve_speaker_path(body))
         controls = _control_kwargs(body)
         t0 = _time.perf_counter()
         wav, sr = batcher.submit(
@@ -192,7 +269,7 @@ def handle_generate(body: dict) -> tuple[bytes, dict]:
         path, wav, sr, rtf = tts(
             model,
             text=text,
-            speaker_audio=body.get("speaker_audio"),
+            speaker_audio=resolve_speaker_path(body),
             prefix_audio=body.get("prefix_audio"),
             model_name=model_name,
             seed=int(body.get("seed", C.DEFAULT_SEED)),
@@ -231,7 +308,7 @@ def handle_stream(body: dict):
         cfg_scale=float(body.get("cfg_scale", 2.0)),
         min_p=float(body.get("min_p", 0.1)),
     )
-    speaker = setup_speaker_conditioning(model_name, body.get("speaker_audio"))
+    speaker = setup_speaker_conditioning(model_name, resolve_speaker_path(body))
 
     from zonos_tpu.serving import longform
 
@@ -391,6 +468,8 @@ class Handler(BaseHTTPRequestHandler):
             from zonos_tpu.conditioning import lexicon
 
             self._json(200, {"entries": lexicon.entries()})
+        elif self.path == "/speakers":
+            self._json(200, {"speakers": list_speakers()})
         elif self.path == "/metrics":
             # Prometheus text exposition (serving/metrics.py).
             self._send(
@@ -452,6 +531,25 @@ class Handler(BaseHTTPRequestHandler):
                     self._json(500, {"error": str(e)})
                 except Exception:
                     pass
+        elif self.path == "/speakers":
+            # Voice upload: {"name": "myvoice", "wav_base64": "..."} →
+            # stored under speakers/uploads/, then usable as "speaker": name.
+            import base64
+
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                name = str(body.get("name", ""))
+                raw = base64.b64decode(body.get("wav_base64", "") or "")
+                if not raw:
+                    self._json(400, {"error": "wav_base64 required"})
+                    return
+                stored = save_speaker(name, raw)
+                self._json(200, {"speaker": stored})
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+            except Exception as e:
+                self._json(500, {"error": str(e)})
         elif self.path == "/lexicon":
             # Pronunciation overrides: {"entries": {word: ipa}, "language"?: str,
             # "remove"?: [words] | "clear": true}. Applies to every G2P backend.
