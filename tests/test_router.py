@@ -212,3 +212,26 @@ def test_router_metrics_fans_out_to_all_backends(router_with_two_backends):
     # one + two = 3 across the fleet (each backend alone reports 1 or 2).
     assert 'zonos_requests_total{endpoint="/generate",status="200"} 3' in text
     assert "zonos_rtf_count 3" in text
+
+
+def test_admin_posts_broadcast_to_all_backends(router_with_two_backends):
+    """POST /lexicon and /speakers are idempotent admin ops: the router
+    fans them out to every healthy backend instead of picking one."""
+    url, pool, _, _ = router_with_two_backends
+    req = urllib.request.Request(
+        url + "/lexicon",
+        data=json.dumps({"entries": {"x": "ks"}}).encode(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        got = json.loads(r.read())
+    assert got["backends_ok"] == 2
+    backends = {res.get("backend") for res in got["results"]}
+    assert backends == {"one", "two"}
+    # /generate still goes to exactly one backend.
+    req = urllib.request.Request(
+        url + "/generate", data=b'{"text":"hi"}', method="POST"
+    )
+    with urllib.request.urlopen(req) as r:
+        got = json.loads(r.read())
+    assert got.get("backend") in ("one", "two")

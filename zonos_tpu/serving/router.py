@@ -224,6 +224,35 @@ def make_handler(pool: BackendPool, timeout_s: float = 600.0):
             self._proxy("GET")
 
         def do_POST(self):
+            if self.path in ("/lexicon", "/speakers"):
+                # Admin ops are idempotent: broadcast to every healthy
+                # backend so pronunciation overrides and uploaded voices
+                # stay fleet-consistent.
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                results, ok = [], 0
+                for u in pool.healthy_urls():
+                    try:
+                        req = urllib.request.Request(
+                            u + self.path, data=body, method="POST",
+                            headers={"Content-Type": "application/json"},
+                        )
+                        with urllib.request.urlopen(req, timeout=30.0) as r:
+                            results.append(json.loads(r.read()))
+                            ok += 1
+                    except (urllib.error.URLError, ConnectionError,
+                            TimeoutError, OSError) as e:
+                        results.append({"error": str(e)})
+                        pool.quarantine(u)
+                payload = json.dumps(
+                    {"backends_ok": ok, "results": results}
+                ).encode()
+                self.send_response(200 if ok else 502)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+                return
             self._proxy("POST")
 
     return RouterHandler
