@@ -13,6 +13,7 @@ import json
 import os
 import shutil
 import threading
+import urllib.error
 import urllib.request
 import wave
 
@@ -94,3 +95,17 @@ def test_speakers_http_roundtrip(live_server):
     with urllib.request.urlopen(req, timeout=600) as r:
         wav_bytes = r.read()
     assert wav_bytes[:4] == b"RIFF"
+
+
+def test_unknown_speaker_is_a_400(live_server):
+    req = urllib.request.Request(
+        live_server + "/generate",
+        data=json.dumps({"text": "hi", "speaker": "nope"}).encode(),
+        method="POST",
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "unknown speaker" in json.loads(e.read())["error"]

@@ -495,6 +495,9 @@ class Handler(BaseHTTPRequestHandler):
                 body = json.loads(self.rfile.read(length) or b"{}")
                 wav_bytes, meta = handle_generate(body)
                 self._send(200, "audio/wav", wav_bytes, {"X-Zonos-Meta": json.dumps(meta)})
+            except ValueError as e:
+                # Client errors (unknown speaker name, malformed fields).
+                self._json(400, {"error": str(e)})
             except Exception as e:
                 import traceback
 
@@ -523,6 +526,11 @@ class Handler(BaseHTTPRequestHandler):
                 for data, _sr in gen:
                     write_chunk(data)
                 self.wfile.write(b"0\r\n\r\n")
+            except ValueError as e:
+                try:
+                    self._json(400, {"error": str(e)})
+                except Exception:
+                    pass
             except Exception as e:
                 import traceback
 
