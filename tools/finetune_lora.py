@@ -42,6 +42,9 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="adapter.npz", help="adapter output (.npz)")
     ap.add_argument("--merge", help="also write a merged orbax checkpoint here")
+    ap.add_argument("--export-reference",
+                    help="also export the merged weights to the reference "
+                         "safetensors layout in this directory (requires --merge)")
     ap.add_argument("--platform", help="jax platform override (e.g. cpu)")
     args = ap.parse_args(argv)
 
@@ -135,6 +138,11 @@ def main(argv=None) -> int:
         merged["backbone"] = merge_lora(merged["backbone"], state.lora, scale=args.scale)
         save_checkpoint(args.merge, merged, config=cfg)
         print(f"merged checkpoint → {args.merge}")
+        if args.export_reference:
+            from zonos_tpu.utils.export import save_reference_checkpoint
+
+            wpath, cpath = save_reference_checkpoint(args.export_reference, merged, cfg)
+            print(f"reference-format export → {wpath} + {cpath}")
     return 0
 
 

@@ -171,7 +171,8 @@ def save_reference_checkpoint(out_dir: str, params: Mapping[str, Any], cfg: Zono
 
     os.makedirs(out_dir, exist_ok=True)
     sd = params_to_torch_state_dict(params, cfg)
-    tensors = {k: torch.from_numpy(v).to(torch.bfloat16) for k, v in sd.items()}
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v)).to(torch.bfloat16)
+               for k, v in sd.items()}
     wpath = os.path.join(out_dir, "model.safetensors")
     save_file(tensors, wpath)
     cpath = os.path.join(out_dir, "config.json")
