@@ -2461,11 +2461,35 @@ const char* phonemize_text_ru(const char* utf8_text) {
   static const std::vector<int> kSegodnya = {RS, RE, RG, RO, RD, RN, RYA};  // г→в
   (void)ids;
 
+  // Unpronounceable-cluster simplification (regular across the lexicon:
+  // солнце, сердце, лестница, праздник, здравствуйте, чувство,
+  // счастливый): drop the silent middle consonant.
+  auto simplify_clusters = [](std::vector<int>& w) {
+    static const struct { std::vector<int> pat; int drop; } kRules[] = {
+        {{RV, RS, RT, RV}, 0},  // вств → ств
+        {{RL, RN, RC}, 0},      // лнц → нц
+        {{RR, RD, RC}, 1},      // рдц → рц
+        {{RS, RT, RN}, 1},      // стн → сн
+        {{RZ, RD, RN}, 1},      // здн → зн
+        {{RS, RT, RL}, 1},      // стл → сл
+    };
+    for (const auto& r : kRules) {
+      for (size_t i = 0; i + r.pat.size() <= w.size();) {
+        if (std::equal(r.pat.begin(), r.pat.end(), w.begin() + i)) {
+          w.erase(w.begin() + i + r.drop);
+        } else {
+          ++i;
+        }
+      }
+    }
+  };
+
   auto flush = [&]() {
     if (word.empty()) return;
     std::vector<int> w = word;
     if (w == kChto) w[0] = RSH;
     else if (w == kSegodnya) w[2] = RV;
+    simplify_clusters(w);
     result += phonemize_word_ru(w, ru_stress_lookup(word));
     word.clear();
   };

@@ -882,6 +882,23 @@ def test_ar_vocalized_lexicon():
     assert native_g2p.phonemize("من", "fa") == "mæn"
 
 
+def test_ru_cluster_simplification():
+    """Silent middle consonants in стн/здн/лнц/рдц/вств/стл drop — the
+    regular rule behind солнце/здравствуйте/лестница-class words."""
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    ru = lambda t: native_g2p.phonemize(t, "ru")
+    assert ru("здравствуйте") == "zdrˈastvujtʲɪ"
+    assert ru("солнце") == "sˈontsɪ"
+    assert ru("праздник") == "prˈaznʲik"
+    assert ru("лестница") == "lʲˈesnʲitsə"
+    assert ru("поздно") == "pˈoznə"
+    # Negative controls: bare ст/вст clusters are untouched.
+    assert "st" in ru("место") and ru("вставать").startswith("vstav")
+
+
 def test_latin_runs_in_non_latin_languages():
     """Non-Latin engines drop embedded Latin runs; the wrapper now reads
     them with the English engine (espeak-style language switching) — this is
