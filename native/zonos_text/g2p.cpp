@@ -2482,6 +2482,13 @@ const char* phonemize_text_ru(const char* utf8_text) {
         }
       }
     }
+    // сч/зч assimilate to щ (счастье → щастье, грузчик → грущик).
+    for (size_t i = 0; i + 1 < w.size(); ++i) {
+      if ((w[i] == RS || w[i] == RZ) && w[i + 1] == RCH) {
+        w[i] = RSHCH;
+        w.erase(w.begin() + i + 1);
+      }
+    }
   };
 
   auto flush = [&]() {

@@ -897,6 +897,9 @@ def test_ru_cluster_simplification():
     assert ru("поздно") == "pˈoznə"
     # Negative controls: bare ст/вст clusters are untouched.
     assert "st" in ru("место") and ru("вставать").startswith("vstav")
+    # сч/зч assimilate to щ.
+    assert ru("счастье") == "ɕːˈastʲjɪ"
+    assert ru("считать") == "ɕːitˈatʲ"
 
 
 def test_latin_runs_in_non_latin_languages():
