@@ -946,6 +946,23 @@ std::string phonemize_word_de(const std::string& raw) {
       i += 2; continue;
     }
 
+    if (de_vowel(c) && c1 == '$') {
+      // Vowel before ß is long/tense (post-1996 orthography: Straße, groß;
+      // short vowels take ss instead).
+      switch (c) {
+        case 'a': ph.push_back({"aː", true}); break;
+        case 'e': ph.push_back({"eː", true}); break;
+        case 'i': ph.push_back({"iː", true}); break;
+        case 'o': ph.push_back({"oː", true}); break;
+        case 'u': ph.push_back({"uː", true}); break;
+        case '@': ph.push_back({"ɛː", true}); break;
+        case '#': ph.push_back({"øː", true}); break;
+        case '&': ph.push_back({"yː", true}); break;
+        case 'y': ph.push_back({"yː", true}); break;
+      }
+      ++i; continue;
+    }
+
     switch (c) {
       // Vowels (short/lax defaults; final -e/-en/-el/-er get schwa below).
       case 'a': ph.push_back({"a", true}); ++i; break;

@@ -882,6 +882,20 @@ def test_ar_vocalized_lexicon():
     assert native_g2p.phonemize("من", "fa") == "mæn"
 
 
+def test_de_eszett_long_vowel():
+    """Vowel before ß is long (Straße/groß); ss keeps it short (wissen)."""
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    de = lambda t: native_g2p.phonemize(t, "de")
+    assert de("Straße") == "ʃtʁˈaːsə"
+    assert de("groß") == "ɡʁoːs"
+    assert de("Fuß") == "fuːs"
+    assert de("wissen") == "vˈɪsən"   # ss after short vowel untouched
+    assert de("heißen") == "hˈaɪsən"  # diphthong + ß unchanged
+
+
 def test_ru_cluster_simplification():
     """Silent middle consonants in стн/здн/лнц/рдц/вств/стл drop — the
     regular rule behind солнце/здравствуйте/лестница-class words."""
