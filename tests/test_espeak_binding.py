@@ -170,7 +170,7 @@ def test_de_rule_engine():
     assert v.startswith("fɛɐ") and "ˈ" in v and not v.startswith("ˈ"), v
     # umlauts + eszett
     assert "œ" in native_g2p.phonemize("schön", "de")
-    assert native_g2p.phonemize("Straße", "de") == "ʃtʁˈasə"
+    assert native_g2p.phonemize("Straße", "de") == "ʃtʁˈaːsə"  # long before ß
     # w → v, z → ts
     assert native_g2p.phonemize("zwei", "de") == "tsvaɪ"
 
