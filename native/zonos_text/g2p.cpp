@@ -5755,6 +5755,70 @@ std::string ar_article_prefix(const char* ipa) {
   return "\xCA\x94\x61l";
 }
 
+// Vocalized lexicon for Persian. Written Persian omits short vowels the
+// same way Arabic does; the epenthesis guesser fills æ everywhere, which is
+// wrong for o/e-vowelled high-frequency words (شما = shomā not shæmā).
+// Keys are bare spellings (ZWNJ already stripped by the reader); the می/نمی
+// verb prefixes are peeled below so joined forms resolve too.
+const std::map<std::string, const char*>& fa_lexicon() {
+  static const std::map<std::string, const char*> kLex = {
+      // pronouns / determiners / particles
+      {"من", "mæn"}, {"تو", "to"}, {"او", "u"}, {"ما", "mɒː"},
+      {"شما", "ʃomɒː"}, {"آنها", "ɒːnhɒː"}, {"این", "in"}, {"آن", "ɒːn"},
+      {"که", "ke"}, {"را", "rɒː"}, {"از", "æz"}, {"به", "be"},
+      {"با", "bɒː"}, {"در", "dær"}, {"بر", "bær"}, {"تا", "tɒː"},
+      {"و", "væ"}, {"یا", "jɒː"}, {"هم", "hæm"}, {"نه", "næ"},
+      {"بله", "bæle"}, {"آره", "ɒːre"},
+      // question words
+      {"چه", "tʃe"}, {"چی", "tʃi"}, {"کی", "ki"}, {"کجا", "kodʒɒː"},
+      {"چرا", "tʃerɒː"}, {"چطور", "tʃetor"}, {"چگونه", "tʃeɡune"},
+      {"کدام", "kodɒːm"}, {"چند", "tʃænd"},
+      // verbs (high-frequency forms)
+      {"است", "æst"}, {"هست", "hæst"}, {"هستم", "hæstæm"},
+      {"هستید", "hæstid"}, {"نیست", "nist"}, {"بود", "bud"},
+      {"باشد", "bɒːʃæd"}, {"کنم", "konæm"}, {"کند", "konæd"},
+      {"کنید", "konid"}, {"کردن", "kærdæn"}, {"کرد", "kærd"},
+      {"کرده", "kærde"}, {"شد", "ʃod"}, {"شده", "ʃode"},
+      {"شدن", "ʃodæn"}, {"دارم", "dɒːræm"}, {"دارد", "dɒːræd"},
+      {"دارید", "dɒːrid"}, {"داشت", "dɒːʃt"}, {"داد", "dɒːd"},
+      {"دهد", "dæhæd"}, {"رفت", "ræft"}, {"رفتن", "ræftæn"},
+      {"آمد", "ɒːmæd"}, {"گفت", "ɡoft"}, {"گفتن", "ɡoftæn"},
+      {"گوید", "ɡujæd"}, {"دید", "did"}, {"دیدن", "didæn"},
+      {"خورد", "xord"}, {"خوردن", "xordæn"}, {"دانم", "dɒːnæm"},
+      {"داند", "dɒːnæd"}, {"توانم", "tævɒːnæm"}, {"تواند", "tævɒːnæd"},
+      {"باید", "bɒːjæd"}, {"شاید", "ʃɒːjæd"}, {"خواهم", "xɒːhæm"},
+      {"خواهد", "xɒːhæd"},
+      // adjectives / adverbs
+      {"خوب", "xub"}, {"بد", "bæd"}, {"بزرگ", "bozorɡ"},
+      {"کوچک", "kutʃæk"}, {"زیبا", "zibɒː"}, {"جدید", "dʒædid"},
+      {"خیلی", "xejli"}, {"بسیار", "besjɒːr"}, {"کم", "kæm"},
+      {"زیاد", "zijɒːd"}, {"فقط", "fæɣæt"}, {"هنوز", "hænuz"},
+      {"دیگر", "diɡær"}, {"دوباره", "dobɒːre"}, {"البته", "ælbætte"},
+      {"همیشه", "hæmiʃe"}, {"هرگز", "hærɡez"}, {"اکنون", "æknun"},
+      {"الان", "ælɒːn"},
+      // nouns / formulae
+      {"خانه", "xɒːne"}, {"کتاب", "ketɒːb"}, {"آب", "ɒːb"},
+      {"نان", "nɒːn"}, {"شهر", "ʃæhr"}, {"کشور", "keʃvær"},
+      {"ایران", "irɒːn"}, {"تهران", "tehrɒːn"}, {"فارسی", "fɒːrsi"},
+      {"زبان", "zæbɒːn"}, {"روز", "ruz"}, {"شب", "ʃæb"},
+      {"صبح", "sobh"}, {"امروز", "emruz"}, {"دیروز", "diruz"},
+      {"فردا", "færdɒː"}, {"سال", "sɒːl"}, {"ماه", "mɒːh"},
+      {"هفته", "hæfte"}, {"ساعت", "sɒːæt"}, {"وقت", "væɣt"},
+      {"زمان", "zæmɒːn"}, {"اینجا", "indʒɒː"}, {"آنجا", "ɒːndʒɒː"},
+      {"لطفا", "lotfæn"}, {"ممنون", "mæmnun"},
+      {"متشکرم", "moteʃækkeræm"}, {"خداحافظ", "xodɒːhɒːfez"},
+      {"دوست", "dust"}, {"عشق", "eʃɣ"}, {"دل", "del"}, {"سر", "sær"},
+      {"دست", "dæst"}, {"پا", "pɒː"}, {"چشم", "tʃeʃm"},
+      {"مادر", "mɒːdær"}, {"پدر", "pedær"}, {"برادر", "bærɒːdær"},
+      {"خواهر", "xɒːhær"}, {"مرد", "mærd"}, {"زن", "zæn"},
+      {"مردم", "mærdom"}, {"نام", "nɒːm"}, {"اسم", "esm"},
+      {"چیز", "tʃiz"}, {"کار", "kɒːr"}, {"راه", "rɒːh"},
+      {"خانم", "xɒːnom"}, {"آقا", "ɒːɣɒː"}, {"صحبت", "sohbæt"},
+      {"سخن", "soxæn"}, {"حرف", "hærf"},
+  };
+  return kLex;
+}
+
 const char* phonemize_text_perso_arabic(const char* utf8_text, const PACfg& cfg) {
   if (!utf8_text) return nullptr;
   std::string text(utf8_text);
@@ -5766,6 +5830,23 @@ const char* phonemize_text_perso_arabic(const char* utf8_text, const PACfg& cfg)
     if (!word.empty()) {
       const char* lex = nullptr;
       std::string pre;
+      if (cfg.lang == 0 && !harakat) {
+        const auto& L = fa_lexicon();
+        auto it = L.find(raw);
+        if (it != L.end()) lex = it->second;
+        if (!lex && raw.size() > 4) {
+          // می/نمی verb prefixes (ZWNJ-joined forms arrive fused).
+          static const struct { const char* u8; size_t n; const char* ipa; }
+              kPre[] = {{"\xD9\x86\xD9\x85\xDB\x8C", 6, "nemi"},
+                        {"\xD9\x85\xDB\x8C", 4, "mi"}};
+          for (const auto& pr : kPre) {
+            if (raw.size() > pr.n && raw.compare(0, pr.n, pr.u8) == 0) {
+              auto it2 = L.find(raw.substr(pr.n));
+              if (it2 != L.end()) { pre = pr.ipa; lex = it2->second; break; }
+            }
+          }
+        }
+      }
       if (cfg.lang == 2 && !harakat) {
         const auto& L = ar_lexicon();
         // Lookup with clitic stripping: exact → [wa-] → [al-] → [wa-al-].

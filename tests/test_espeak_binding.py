@@ -882,6 +882,24 @@ def test_ar_vocalized_lexicon():
     assert native_g2p.phonemize("من", "fa") == "mæn"
 
 
+def test_fa_vocalized_lexicon():
+    """Persian high-frequency words get true vowels (shomā not the
+    epenthetic shæmā); ZWNJ-joined می/نمی verb forms resolve through
+    prefix peeling."""
+    from zonos_tpu.conditioning import native_g2p
+
+    if not native_g2p.available():
+        pytest.skip("no g++ / native lib")
+    fa = lambda t: native_g2p.phonemize(t, "fa")
+    assert fa("شما") == "ʃomɒː"
+    assert fa("چطور") == "tʃetor"
+    assert fa("کنم") == "konæm"
+    assert fa("می\u200cکنم") == "mikonæm"      # ZWNJ-joined prefix
+    assert fa("نمی\u200cدانم") == "nemidɒːnæm"
+    # Arabic never consults the Persian lexicon (same spelling, other path).
+    assert native_g2p.phonemize("من", "ar") == "min"
+
+
 def test_de_eszett_long_vowel():
     """Vowel before ß is long (Straße/groß); ss keeps it short (wissen)."""
     from zonos_tpu.conditioning import native_g2p
