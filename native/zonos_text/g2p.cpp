@@ -5799,7 +5799,7 @@ const std::map<std::string, const char*>& fa_lexicon() {
       // nouns / formulae
       {"خانه", "xɒːne"}, {"کتاب", "ketɒːb"}, {"آب", "ɒːb"},
       {"نان", "nɒːn"}, {"شهر", "ʃæhr"}, {"کشور", "keʃvær"},
-      {"ایران", "irɒːn"}, {"تهران", "tehrɒːn"}, {"فارسی", "fɒːrsi"},
+      {"ایران", "iːrɒːn"}, {"تهران", "tehrɒːn"}, {"فارسی", "fɒːrsi"},
       {"زبان", "zæbɒːn"}, {"روز", "ruz"}, {"شب", "ʃæb"},
       {"صبح", "sobh"}, {"امروز", "emruz"}, {"دیروز", "diruz"},
       {"فردا", "færdɒː"}, {"سال", "sɒːl"}, {"ماه", "mɒːh"},
