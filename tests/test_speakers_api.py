@@ -109,3 +109,28 @@ def test_unknown_speaker_is_a_400(live_server):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert "unknown speaker" in json.loads(e.read())["error"]
+
+
+def test_openai_compatible_speech_endpoint(live_server):
+    """POST /v1/audio/speech maps the OpenAI TTS request shape onto
+    /generate semantics (input→text, voice→registered speaker, seed)."""
+    req = urllib.request.Request(
+        live_server + "/v1/audio/speech",
+        data=json.dumps({"input": "hi there", "voice": "alloy",
+                         "seed": 3}).encode(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        wav = r.read()
+    assert wav[:4] == b"RIFF"
+    # Unsupported formats are a clean 400, not a silent wav.
+    req = urllib.request.Request(
+        live_server + "/v1/audio/speech",
+        data=json.dumps({"input": "hi", "response_format": "mp3"}).encode(),
+        method="POST",
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

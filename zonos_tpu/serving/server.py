@@ -539,6 +539,41 @@ class Handler(BaseHTTPRequestHandler):
                     self._json(500, {"error": str(e)})
                 except Exception:
                     pass
+        elif self.path == "/v1/audio/speech":
+            # OpenAI-compatible TTS surface: {"input": text, "voice": name,
+            # "model"?: ..., "response_format"?: "wav"} → audio bytes.
+            # Lets existing OpenAI-SDK clients point at this server.
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                mapped = {
+                    "text": str(body.get("input", "")),
+                    "language": body.get("language", "en-us"),
+                }
+                voice = body.get("voice")
+                if voice and voice not in ("alloy", "echo", "fable", "onyx",
+                                           "nova", "shimmer"):
+                    mapped["speaker"] = voice  # registered voice name
+                if body.get("seed") is not None:
+                    mapped["seed"] = int(body["seed"])
+                    mapped["randomize_seed"] = False
+                if body.get("speed") is not None:
+                    # speaking_rate 15 is the neutral default (phonemes/s).
+                    mapped["speaking_rate"] = 15.0 * float(body["speed"])
+                fmt = body.get("response_format", "wav")
+                if fmt != "wav":
+                    self._json(400, {"error": f"unsupported response_format {fmt!r}; this server emits wav"})
+                    return
+                wav_bytes, meta = handle_generate(mapped)
+                self._send(200, "audio/wav", wav_bytes,
+                           {"X-Zonos-Meta": json.dumps(meta)})
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+            except Exception as e:
+                import traceback
+
+                traceback.print_exc()
+                self._json(500, {"error": str(e)})
         elif self.path == "/speakers":
             # Voice upload: {"name": "myvoice", "wav_base64": "..."} →
             # stored under speakers/uploads/, then usable as "speaker": name.
