@@ -558,8 +558,11 @@ class Handler(BaseHTTPRequestHandler):
                     mapped["seed"] = int(body["seed"])
                     mapped["randomize_seed"] = False
                 if body.get("speed") is not None:
-                    # speaking_rate 15 is the neutral default (phonemes/s).
-                    mapped["speaking_rate"] = 15.0 * float(body["speed"])
+                    # speaking_rate 15 is the neutral default (phonemes/s);
+                    # clamp to the conditioner's trained range.
+                    mapped["speaking_rate"] = max(
+                        5.0, min(40.0, 15.0 * float(body["speed"]))
+                    )
                 fmt = body.get("response_format", "wav")
                 if fmt != "wav":
                     self._json(400, {"error": f"unsupported response_format {fmt!r}; this server emits wav"})
