@@ -69,11 +69,39 @@ def test_supported_set():
 
 
 def test_decimals_and_grouping():
+    # Comma is THE decimal separator in most supported locales; period
+    # groups thousands (the reverse of the en convention).
     assert localize_numbers("1,5", "ru") == "один запятая пять"
-    assert localize_numbers("3.14", "de") == "drei Komma eins vier"
-    assert localize_numbers("1,234,567", "es") == (
+    assert localize_numbers("3,14", "de") == "drei Komma eins vier"
+    assert localize_numbers("3,141", "de") == "drei Komma eins vier eins"  # pi, not 3141
+    assert localize_numbers("1.234.567", "es") == (
         "un millón doscientos treinta y cuatro mil quinientos sesenta y siete"
     )
+    # hi/ko/ur/sw keep the en-style separators.
+    assert localize_numbers("3.14", "hi") == "तीन दशमलव एक चार"
+    assert localize_numbers("1,234", "ko") == "천이백삼십사"
+
+
+def test_billions_and_apocopation():
+    assert localize_numbers("3000000000", "ru") == "три миллиарда"
+    assert localize_numbers("3000000000", "de") == "drei Milliarden"
+    assert localize_numbers("2000000000", "vi") == "hai tỷ"
+    assert localize_numbers("5000000000", "ar") == "خمسة مليار"
+    assert localize_numbers("21000", "es") == "veintiún mil"
+    assert localize_numbers("80000", "fr") == "quatre-vingt mille"
+    assert localize_numbers("200000", "fr") == "deux cent mille"
+
+
+def test_fa_latn_stays_english():
+    assert localize_numbers("saal 1404 ast", "fa-latn") is None
+    assert not supported("fa-latn")
+
+
+def test_currency_units_survive_localization():
+    from zonos_tpu.conditioning.text import clean
+
+    (de,) = clean(["Das kostet $5.50"], ["de"])
+    assert "dollars" in de and "fünf" in de
 
 
 def test_eastern_digits():

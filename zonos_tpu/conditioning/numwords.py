@@ -50,6 +50,14 @@ def _es(n: int) -> str:
                 parts.append(tens[t] + (" y " + units[u] if u else ""))
         return " ".join(parts) if parts else ""
 
+    def apocopate(w: str) -> str:
+        # uno/veintiuno → un/veintiún before a masculine noun (mil, millones)
+        if w.endswith("veintiuno"):
+            return w[:-9] + "veintiún"
+        if w.endswith("uno"):
+            return w[:-3] + "un"
+        return w
+
     if n == 0:
         return "cero"
     parts = []
@@ -58,10 +66,10 @@ def _es(n: int) -> str:
         if mill == 1:
             parts.append("un millón")
         else:
-            parts.append(_es(mill) + " millones")
+            parts.append(apocopate(_es(mill)) + " millones")
     th, rest2 = divmod(rest, 1000)
     if th:
-        parts.append("mil" if th == 1 else below1000(th) + " mil")
+        parts.append("mil" if th == 1 else apocopate(below1000(th)) + " mil")
     if rest2:
         parts.append(below1000(rest2))
     return " ".join(parts)
@@ -100,15 +108,24 @@ def _fr(n: int) -> str:
             head = units[h] + (" cents" if r == 0 else " cent")
         return head + (" " + below100(r) if r else "")
 
+    def de_s(w: str) -> str:
+        # quatre-vingts / deux cents drop the -s before a following numeral.
+        if w.endswith("vingts") or w.endswith("cents"):
+            return w[:-1]
+        return w
+
     if n == 0:
         return "zéro"
     parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append("un milliard" if bill == 1 else de_s(_fr(bill)) + " milliards")
     mill, rest = divmod(n, 10**6)
     if mill:
-        parts.append(("un million" if mill == 1 else _fr(mill) + " millions"))
+        parts.append(("un million" if mill == 1 else de_s(_fr(mill)) + " millions"))
     th, rest2 = divmod(rest, 1000)
     if th:
-        parts.append("mille" if th == 1 else below1000(th) + " mille")
+        parts.append("mille" if th == 1 else de_s(below1000(th)) + " mille")
     if rest2:
         parts.append(below1000(rest2))
     return " ".join(parts)
@@ -145,6 +162,9 @@ def _de(n: int) -> str:
     if n == 0:
         return "null"
     parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append("eine Milliarde" if bill == 1 else _de(bill) + " Milliarden")
     mill, rest = divmod(n, 10**6)
     if mill:
         parts.append("eine Million" if mill == 1 else _de(mill) + " Millionen")
@@ -189,6 +209,9 @@ def _it(n: int) -> str:
     if n == 0:
         return "zero"
     parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append("un miliardo" if bill == 1 else _it(bill) + " miliardi")
     mill, rest = divmod(n, 10**6)
     if mill:
         parts.append("un milione" if mill == 1 else _it(mill) + " milioni")
@@ -230,6 +253,9 @@ def _pt(n: int) -> str:
     if n == 0:
         return "zero"
     parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append("um bilhão" if bill == 1 else _pt(bill) + " bilhões")
     mill, rest = divmod(n, 10**6)
     if mill:
         parts.append("um milhão" if mill == 1 else _pt(mill) + " milhões")
@@ -245,7 +271,7 @@ def _pt(n: int) -> str:
 
 
 def _slavic(n, units, teens, tens, hundreds, thousand_forms, million_forms,
-            one_thousand=None, two=None):
+            one_thousand=None, two=None, billion_forms=None):
     """Shared East-Slavic/Polish/Czech shape: thousand/million agree with
     the count (1 / 2-4 / 5+)."""
     def agree(k, forms):
@@ -276,6 +302,11 @@ def _slavic(n, units, teens, tens, hundreds, thousand_forms, million_forms,
     if n == 0:
         return units[0]
     parts = []
+    bill, rest0 = divmod(n, 10**9)
+    if bill and billion_forms:
+        head = below1000(bill) if bill > 1 else ""
+        parts.append((head + " " if head else "") + agree(bill, billion_forms))
+        n = rest0
     mill, rest = divmod(n, 10**6)
     if mill:
         head = below1000(mill) if mill > 1 else ""
@@ -312,6 +343,7 @@ def _ru(n: int) -> str:
         ("миллион", "миллиона", "миллионов"),
         one_thousand="одна",
         two=("одна", "две"),
+        billion_forms=("миллиард", "миллиарда", "миллиардов"),
     )
 
 
@@ -331,6 +363,7 @@ def _uk(n: int) -> str:
         ("мільйон", "мільйони", "мільйонів"),
         one_thousand="одна",
         two=("одна", "дві"),
+        billion_forms=("мільярд", "мільярди", "мільярдів"),
     )
 
 
@@ -349,6 +382,7 @@ def _pl(n: int) -> str:
          "sześćset", "siedemset", "osiemset", "dziewięćset"],
         ("tysiąc", "tysiące", "tysięcy"),
         ("milion", "miliony", "milionów"),
+        billion_forms=("miliard", "miliardy", "miliardów"),
     )
 
 
@@ -365,6 +399,7 @@ def _cs(n: int) -> str:
          "šest set", "sedm set", "osm set", "devět set"],
         ("tisíc", "tisíce", "tisíc"),
         ("milion", "miliony", "milionů"),
+        billion_forms=("miliarda", "miliardy", "miliard"),
     )
 
 
@@ -397,6 +432,9 @@ def _nl(n: int) -> str:
     if n == 0:
         return "nul"
     parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("een" if bill == 1 else _nl(bill)) + " miljard")
     mill, rest = divmod(n, 10**6)
     if mill:
         parts.append("een miljoen" if mill == 1 else _nl(mill) + " miljoen")
@@ -429,6 +467,9 @@ def _tr(n: int) -> str:
     if n == 0:
         return "sıfır"
     parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("bir" if bill == 1 else _tr(bill)) + " milyar")
     mill, rest = divmod(n, 10**6)
     if mill:
         parts.append(("bir" if mill == 1 else _tr(mill)) + " milyon")
@@ -463,6 +504,10 @@ def _sv(n: int) -> str:
     if n == 0:
         return "noll"
     parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("en" if bill == 1 else _sv(bill)) + " miljard" +
+                     ("er" if bill > 1 else ""))
     mill, rest = divmod(n, 10**6)
     if mill:
         parts.append(("en" if mill == 1 else _sv(mill)) + " miljon" +
@@ -502,6 +547,10 @@ def _da(n: int) -> str:
     if n == 0:
         return "nul"
     parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("en" if bill == 1 else _da(bill)) + " milliard" +
+                     ("er" if bill > 1 else ""))
     mill, rest = divmod(n, 10**6)
     if mill:
         parts.append(("en" if mill == 1 else _da(mill)) + " million" +
@@ -537,6 +586,10 @@ def _no(n: int) -> str:
     if n == 0:
         return "null"
     parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("en" if bill == 1 else _no(bill)) + " milliard" +
+                     ("er" if bill > 1 else ""))
     mill, rest = divmod(n, 10**6)
     if mill:
         parts.append(("en" if mill == 1 else _no(mill)) + " million" +
@@ -579,6 +632,9 @@ def _ar(n: int) -> str:
     if n == 0:
         return "صفر"
     parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append("مليار" if bill == 1 else below1000(bill) + " مليار")
     mill, rest = divmod(n, 10**6)
     if mill:
         parts.append("مليون" if mill == 1 else below1000(mill) + " مليون")
@@ -622,6 +678,9 @@ def _fa(n: int) -> str:
     if n == 0:
         return "صفر"
     parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("یک" if bill == 1 else below1000(bill)) + " میلیارد")
     mill, rest = divmod(n, 10**6)
     if mill:
         parts.append(("یک" if mill == 1 else below1000(mill)) + " میلیون")
@@ -662,6 +721,10 @@ def _el(n: int) -> str:
     if n == 0:
         return "μηδέν"
     parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append("ένα δισεκατομμύριο" if bill == 1
+                     else below1000(bill) + " δισεκατομμύρια")
     mill, rest = divmod(n, 10**6)
     if mill:
         parts.append("ένα εκατομμύριο" if mill == 1
@@ -698,6 +761,9 @@ def _fi(n: int) -> str:
     if n == 0:
         return "nolla"
     parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append("miljardi" if bill == 1 else below1000(bill) + " miljardia")
     mill, rest = divmod(n, 10**6)
     if mill:
         parts.append("miljoona" if mill == 1 else below1000(mill) + " miljoonaa")
@@ -739,6 +805,9 @@ def _hu(n: int) -> str:
     if n == 0:
         return "nulla"
     parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("egy" if bill == 1 else below1000(bill)) + "milliárd")
     mill, rest = divmod(n, 10**6)
     if mill:
         parts.append(("egy" if mill == 1 else below1000(mill)) + "millió")
@@ -776,6 +845,9 @@ def _id(n: int) -> str:
     if n == 0:
         return "nol"
     parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("satu" if bill == 1 else below1000(bill)) + " miliar")
     mill, rest = divmod(n, 10**6)
     if mill:
         parts.append(("satu" if mill == 1 else below1000(mill)) + " juta")
@@ -824,6 +896,9 @@ def _vi(n: int) -> str:
     if n == 0:
         return "không"
     parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(below1000(bill) + " tỷ")
     mill, rest = divmod(n, 10**6)
     if mill:
         parts.append(below1000(mill) + " triệu")
@@ -861,6 +936,9 @@ def _ro(n: int) -> str:
     if n == 0:
         return "zero"
     parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append("un miliard" if bill == 1 else below1000(bill) + " miliarde")
     mill, rest = divmod(n, 10**6)
     if mill:
         parts.append("un milion" if mill == 1 else below1000(mill) + " milioane")
@@ -896,6 +974,9 @@ def _sw(n: int) -> str:
     if n == 0:
         return "sifuri"
     parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append("bilioni " + below1000(bill))
     mill, rest = divmod(n, 10**6)
     if mill:
         parts.append("milioni " + below1000(mill))
@@ -1032,25 +1113,35 @@ _DIGIT_TRANS = str.maketrans(
 )
 
 _INT_RE = re.compile(r"\d+")
-_DEC_RE = re.compile(r"(\d+)[.,](\d+)")
-_COMMA_GROUP_RE = re.compile(r"(\d)[,.](\d{3})\b")
+
+# Languages where "." is the decimal separator and "," groups thousands
+# (the en convention); everywhere else in the supported set the roles are
+# swapped, so "3,141" is pi, not three thousand.
+_PERIOD_DECIMAL = {"hi", "ur", "ko", "sw"}
 
 
 def supported(language: str) -> bool:
+    if language.startswith("fa-latn"):
+        return False  # romanized Persian: Arabic-script words would be dropped
     return language.split("-")[0] in _SPELLERS
 
 
 def localize_numbers(text: str, language: str) -> str | None:
     """Replace digit runs with native number words; None if unsupported."""
-    base = language.split("-")[0]
-    entry = _SPELLERS.get(base)
-    if entry is None:
+    if not supported(language):
         return None
-    speller, decimal_word = entry
+    base = language.split("-")[0]
+    speller, decimal_word = _SPELLERS[base]
     text = text.translate(_DIGIT_TRANS)
-    # Thousands grouping (1,234,567 / 1.234.567) collapses first.
-    while _COMMA_GROUP_RE.search(text):
-        text = _COMMA_GROUP_RE.sub(r"\1\2", text)
+    if base in _PERIOD_DECIMAL:
+        group_re = re.compile(r"(\d)[,](\d{3})\b")
+        dec_re = re.compile(r"(\d+)[.](\d+)")
+    else:
+        group_re = re.compile(r"(\d)[.](\d{3})\b")
+        dec_re = re.compile(r"(\d+)[,](\d+)")
+    # Thousands grouping collapses first (separator per locale).
+    while group_re.search(text):
+        text = group_re.sub(r"\1\2", text)
 
     def spell(n: int) -> str:
         if n >= 10**12:  # out of range: digit-by-digit
@@ -1062,6 +1153,6 @@ def localize_numbers(text: str, language: str) -> str | None:
         frac = " ".join(speller(int(d)) for d in m.group(2))
         return f"{whole} {decimal_word} {frac}"
 
-    text = _DEC_RE.sub(dec_sub, text)
+    text = dec_re.sub(dec_sub, text)
     text = _INT_RE.sub(lambda m: spell(int(m.group(0))), text)
     return text

@@ -229,7 +229,12 @@ def clean(texts: list[str], languages: list[str]) -> list[str]:
         elif language[:3] in ("cmn", "yue", "hak") or language[:2] == "zh":
             out.append(text)
         elif not language.startswith("en"):
-            localized = numwords.localize_numbers(text, language)
+            # Currency symbols first (reference behavior, text.py regexes):
+            # "$5.50" → "5.50 dollars" so the unit is spoken; the amount
+            # itself then localizes below.
+            pre = _pounds_re.sub(r"\1 pounds", text)
+            pre = _dollars_re.sub(_expand_dollars, pre)
+            localized = numwords.localize_numbers(pre, language)
             out.append(localized if localized is not None else normalize_numbers(text))
         else:
             out.append(normalize_numbers(text))
