@@ -235,3 +235,49 @@ def test_admin_posts_broadcast_to_all_backends(router_with_two_backends):
     with urllib.request.urlopen(req) as r:
         got = json.loads(r.read())
     assert got.get("backend") in ("one", "two")
+
+
+def test_backend_4xx_relays_without_quarantine():
+    """A backend's 400 must pass through verbatim and NOT quarantine it —
+    one malformed request must never take a healthy backend offline."""
+    class Bad(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            self.rfile.read(n)
+            payload = json.dumps({"error": "unknown speaker"}).encode()
+            self.send_response(400)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Bad)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    u = f"http://127.0.0.1:{srv.server_address[1]}"
+    pool = BackendPool([u], cooldown_s=60.0)
+    rsrv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(pool, timeout_s=10))
+    threading.Thread(target=rsrv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{rsrv.server_address[1]}"
+    try:
+        req = urllib.request.Request(url + "/generate", data=b"{}", method="POST")
+        try:
+            urllib.request.urlopen(req)
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert json.loads(e.read())["error"] == "unknown speaker"
+        assert pool.healthy_urls() == [u]  # NOT quarantined
+        # Broadcast path: same rule — a 4xx answer is "reached", so the
+        # router reports per-backend results with a 200 and no quarantine.
+        req = urllib.request.Request(url + "/lexicon", data=b"{}", method="POST")
+        with urllib.request.urlopen(req) as r:
+            got = json.loads(r.read())
+        assert got["backends_ok"] == 0
+        assert got["results"][0]["error"] == "unknown speaker"
+        assert pool.healthy_urls() == [u]
+    finally:
+        rsrv.shutdown()
+        srv.shutdown()

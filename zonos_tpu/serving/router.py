@@ -182,6 +182,23 @@ def make_handler(pool: BackendPool, timeout_s: float = 600.0):
                         self.end_headers()
                         self.wfile.write(data)
                     ok = True
+            except urllib.error.HTTPError as e:
+                # The backend ANSWERED (4xx client error, 5xx handler error):
+                # relay its response verbatim; this is not a dead backend —
+                # quarantining here would take the fleet down on one bad
+                # request (e.g. an unknown speaker name → 400).
+                data = e.read()
+                try:
+                    self.send_response(e.code)
+                    self.send_header(
+                        "Content-Type", e.headers.get("Content-Type", "application/json")
+                    )
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                except OSError:
+                    pass
+                ok = True
             except (urllib.error.URLError, ConnectionError, TimeoutError, OSError) as e:
                 payload = json.dumps({"error": f"backend {url} failed: {e}"}).encode()
                 try:
@@ -230,7 +247,7 @@ def make_handler(pool: BackendPool, timeout_s: float = 600.0):
                 # stay fleet-consistent.
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length)
-                results, ok = [], 0
+                results, ok, reached = [], 0, 0
                 for u in pool.healthy_urls():
                     try:
                         req = urllib.request.Request(
@@ -240,6 +257,15 @@ def make_handler(pool: BackendPool, timeout_s: float = 600.0):
                         with urllib.request.urlopen(req, timeout=30.0) as r:
                             results.append(json.loads(r.read()))
                             ok += 1
+                            reached += 1
+                    except urllib.error.HTTPError as e:
+                        # Backend answered with an error status (bad
+                        # payload etc.) — healthy, just unhappy.
+                        reached += 1
+                        try:
+                            results.append(json.loads(e.read()))
+                        except Exception:
+                            results.append({"error": f"HTTP {e.code}"})
                     except (urllib.error.URLError, ConnectionError,
                             TimeoutError, OSError) as e:
                         results.append({"error": str(e)})
@@ -247,7 +273,10 @@ def make_handler(pool: BackendPool, timeout_s: float = 600.0):
                 payload = json.dumps(
                     {"backends_ok": ok, "results": results}
                 ).encode()
-                self.send_response(200 if ok else 502)
+                # 502 only when NO backend was even reachable; backends that
+                # answered (incl. 4xx rejections) keep this a 200 with
+                # per-backend results.
+                self.send_response(200 if reached else 502)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(payload)))
                 self.end_headers()
