@@ -146,6 +146,27 @@ def generate_and_save_audio(
     return output_path, wav, sr, rtf
 
 
+def plan_chunks(text: str, params: GenerationParams, cfg_scale: float, min_p: float):
+    """Long-form chunk plan shared by /generate (tts) and /stream: one
+    (chunk, per-chunk params) pair per chunk — seed advances per chunk,
+    token budget re-estimated from the chunk's own length. Single entry for
+    short text."""
+    from zonos_tpu.serving import longform
+
+    if not longform.is_longform(text):
+        return [(text, params)]
+    return [
+        (
+            chunk,
+            prepare_generation_params(
+                chunk, seed=params.seed + i, randomize_seed=False,
+                cfg_scale=cfg_scale, min_p=min_p,
+            ),
+        )
+        for i, chunk in enumerate(longform.chunk_text(text))
+    ]
+
+
 def build_cond_dict(
     model,
     text: str,
@@ -223,12 +244,12 @@ def tts(
 
     if chunk_long and longform.is_longform(text):
         t_start = time.perf_counter_ns()
-        chunks = longform.chunk_text(text)
+        chunks = plan_chunks(text, params, cfg_scale, min_p)
         sr = model.autoencoder.sampling_rate
         gap = np.zeros(int(longform.CHUNK_GAP_S * sr), dtype=np.float32)
         waves: list[np.ndarray] = []
         total_tokens = 0
-        for i, chunk in enumerate(chunks):
+        for i, (chunk, params_i) in enumerate(chunks):
             cond_i = build_cond_dict(
                 model, text=chunk, language=language, speaker=speaker,
                 emotion=emotion, fmax=fmax, pitch_std=pitch_std,
@@ -236,10 +257,6 @@ def tts(
                 ctc_loss=ctc_loss, dnsmos_ovrl=dnsmos_ovrl,
                 speaker_noised=speaker_noised,
                 unconditional_keys=unconditional_keys,
-            )
-            params_i = prepare_generation_params(
-                chunk, seed=params.seed + i, randomize_seed=False,
-                cfg_scale=cfg_scale, min_p=min_p,
             )
             # The audio prefix is a continuation prompt: first chunk only.
             wav_i, n_tok = _generate_wave(

@@ -350,21 +350,19 @@ def handle_stream(body: dict):
     controls = _control_kwargs(body)
     # Long-form requests stream chunk after chunk with a short silence
     # between them — TTFA stays that of the FIRST chunk regardless of the
-    # total text length.
-    chunks = longform.chunk_text(text) if longform.is_longform(text) else [text]
+    # total text length. plan_chunks is the SAME protocol /generate uses
+    # (pipeline.tts), so both surfaces produce identical chunking.
+    from zonos_tpu.serving.pipeline import plan_chunks
+
+    chunks = plan_chunks(text, params, params.cfg_scale, float(body.get("min_p", 0.1)))
 
     with _GEN_SEMAPHORE:
-        for i, chunk in enumerate(chunks):
+        for i, (chunk, params_i) in enumerate(chunks):
             cond_dict = build_cond_dict(model, text=chunk, speaker=speaker, **controls)
             # use_cache: repeated streaming requests with identical
             # conditioning skip the conditioner stack (parity with /generate).
             conditioning = model.prepare_conditioning(
                 cond_dict, cfg_scale=params.cfg_scale, use_cache=True
-            )
-            params_i = prepare_generation_params(
-                chunk, seed=params.seed + i, randomize_seed=False,
-                cfg_scale=params.cfg_scale,
-                min_p=float(body.get("min_p", 0.1)),
             )
             sr_out = model.autoencoder.sampling_rate
             if i:
@@ -504,6 +502,12 @@ class Handler(BaseHTTPRequestHandler):
                 traceback.print_exc()
                 self._json(500, {"error": str(e)})
         elif self.path == "/stream":
+            # headers_sent: once chunked streaming has begun we can no
+            # longer send an HTTP error response — writing one would inject
+            # a raw status line into the PCM body. Mid-stream failures
+            # close the connection WITHOUT the terminal 0-chunk, which
+            # clients see as a truncated (invalid) chunked stream.
+            headers_sent = False
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(length) or b"{}")
@@ -516,6 +520,7 @@ class Handler(BaseHTTPRequestHandler):
                 self.send_header("X-Sample-Rate", str(sr))
                 self.send_header("X-PCM-Format", "s16le-mono")
                 self.end_headers()
+                headers_sent = True
 
                 def write_chunk(data: bytes):
                     self.wfile.write(f"{len(data):X}\r\n".encode())
@@ -527,18 +532,20 @@ class Handler(BaseHTTPRequestHandler):
                     write_chunk(data)
                 self.wfile.write(b"0\r\n\r\n")
             except ValueError as e:
-                try:
-                    self._json(400, {"error": str(e)})
-                except Exception:
-                    pass
+                if not headers_sent:
+                    try:
+                        self._json(400, {"error": str(e)})
+                    except Exception:
+                        pass
             except Exception as e:
                 import traceback
 
                 traceback.print_exc()
-                try:
-                    self._json(500, {"error": str(e)})
-                except Exception:
-                    pass
+                if not headers_sent:
+                    try:
+                        self._json(500, {"error": str(e)})
+                    except Exception:
+                        pass
         elif self.path == "/v1/audio/speech":
             # OpenAI-compatible TTS surface: {"input": text, "voice": name,
             # "model"?: ..., "response_format"?: "wav"} → audio bytes.
