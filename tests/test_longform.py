@@ -113,3 +113,20 @@ def test_stream_longform_yields_all_chunks(tiny_model, monkeypatch):
     for pcm, _sr in S.handle_stream({**body, "text": "Alpha beta gamma."}):
         single += len(pcm) // 2
     assert total > 2 * single
+
+
+def test_longform_continuity_mode(tiny_model, monkeypatch, tmp_path):
+    """ZONOS_LONGFORM_CONTINUITY=1 seeds each chunk with the previous
+    chunk's code tail (trimmed from the output) and drops the silence gap."""
+    import os
+
+    from zonos_tpu.serving.pipeline import tts
+
+    monkeypatch.setattr(longform, "MAX_CHUNK_CHARS", 24)
+    monkeypatch.setenv("ZONOS_LONGFORM_CONTINUITY", "1")
+    text = "Alpha beta gamma. Delta epsilon zeta. Eta theta iota."
+    path, wav, sr, rtf = tts(
+        tiny_model, text=text, randomize_seed=False, seed=7,
+        output_path=str(tmp_path / "cont.wav"),
+    )
+    assert wav.shape[0] > 0 and np.isfinite(wav).all()

@@ -247,8 +247,16 @@ def tts(
         chunks = plan_chunks(text, params, cfg_scale, min_p)
         sr = model.autoencoder.sampling_rate
         gap = np.zeros(int(longform.CHUNK_GAP_S * sr), dtype=np.float32)
+        # Opt-in prosody continuity: feed the previous chunk's last ~0.5 s
+        # of CODES as the next chunk's audio prefix (generate() preserves
+        # the prefix verbatim at the start of its output, so those frames
+        # are trimmed before decode) and skip the silence gap — the model
+        # then continues the voice instead of cold-starting each sentence.
+        continuity = os.environ.get("ZONOS_LONGFORM_CONTINUITY") == "1"
+        tail_frames = 43  # ~0.5 s at 86 frames/s
         waves: list[np.ndarray] = []
         total_tokens = 0
+        prev_tail: np.ndarray | None = None
         for i, (chunk, params_i) in enumerate(chunks):
             cond_i = build_cond_dict(
                 model, text=chunk, language=language, speaker=speaker,
@@ -258,14 +266,30 @@ def tts(
                 speaker_noised=speaker_noised,
                 unconditional_keys=unconditional_keys,
             )
-            # The audio prefix is a continuation prompt: first chunk only.
-            wav_i, n_tok = _generate_wave(
-                model, cond_i, params_i, prefix_codes if i == 0 else None, True
+            # The user-supplied audio prefix seeds the FIRST chunk; later
+            # chunks continue from the previous chunk's tail when enabled.
+            prefix_i = prefix_codes if i == 0 else prev_tail
+            conditioning = model.prepare_conditioning(
+                cond_i, use_cache=True, cfg_scale=params_i.cfg_scale
             )
-            total_tokens += n_tok
-            if waves:
-                waves.append(gap)
-            waves.append(np.asarray(wav_i, dtype=np.float32))
+            codes = model.generate(
+                conditioning,
+                audio_prefix_codes=prefix_i,
+                max_new_tokens=params_i.max_new_tokens,
+                cfg_scale=params_i.cfg_scale,
+                sampling_params=params_i.sampling,
+                seed=params_i.seed,
+            )
+            lp = 0 if (i == 0 or prefix_i is None) else int(prefix_i.shape[-1])
+            new_codes = np.asarray(codes)[..., lp:]
+            total_tokens += int(new_codes.shape[-1])
+            if new_codes.shape[-1] > 0:
+                wav_i = model.autoencoder.decode(new_codes)[0, 0]
+                if waves and not continuity:
+                    waves.append(gap)
+                waves.append(np.asarray(wav_i, dtype=np.float32))
+            if continuity:
+                prev_tail = np.asarray(codes)[..., -min(tail_frames, codes.shape[-1]):]
         wav = np.concatenate(waves)
         if output_path is None:
             output_path = os.path.join(
