@@ -141,3 +141,16 @@ def test_range_and_fuzz():
         for lang in langs:
             out = localize_numbers(str(n), lang)
             assert out and not any(c.isdigit() for c in out), (lang, n, out)
+
+
+def test_ko_native_counter_numerals():
+    """Everyday counters take native-Korean numerals with attributive
+    forms (3개 = 세 개, 20마리 = 스무 마리); >99 and Sino counters (년/월)
+    stay Sino-Korean."""
+    ko = lambda t: localize_numbers(t, "ko")
+    assert ko("사과 3개") == "사과 세 개"
+    assert ko("학생 25명") == "학생 스물다섯 명"
+    assert ko("고양이 20마리") == "고양이 스무 마리"
+    assert ko("신발 2켤레") == "신발 두 켤레"
+    assert ko("책 120권") == "책 백이십권"      # >99: Sino
+    assert ko("2024년") == "이천이십사년"        # Sino counter

@@ -1060,6 +1060,30 @@ def _hi(n: int) -> str:
     return " ".join(parts)
 
 
+# Native-Korean numerals (counter-attributive forms for 1/2/3/4/20):
+# 3개 is 세 개, not the Sino 삼개. Used for counting units up to 99.
+_KO_NATIVE_UNITS = ["", "한", "두", "세", "네", "다섯", "여섯", "일곱",
+                    "여덟", "아홉"]
+_KO_NATIVE_TENS = ["", "열", "스무", "서른", "마흔", "쉰", "예순", "일흔",
+                   "여든", "아흔"]
+# Counters that take native numerals (the common everyday set).
+_KO_NATIVE_COUNTERS_1 = set("개명권살번잔병장시달")
+_KO_NATIVE_COUNTERS_2 = ("마리", "송이", "켤레", "시간", "사람", "그릇")
+
+
+def _ko_native(n: int) -> str | None:
+    """1..99 in native-Korean counting form (한/두/세/네…), else None."""
+    if not 1 <= n <= 99:
+        return None
+    t, u = divmod(n, 10)
+    if t and not u:
+        return _KO_NATIVE_TENS[t]
+    tens = ""
+    if t:
+        tens = "스물" if t == 2 else _KO_NATIVE_TENS[t]
+    return tens + _KO_NATIVE_UNITS[u]
+
+
 def _ko(n: int) -> str:
     """Sino-Korean cardinals (일/이/삼 · 십/백/천 · 만/억)."""
     digits = ["", "일", "이", "삼", "사", "오", "육", "칠", "팔", "구"]
@@ -1154,5 +1178,21 @@ def localize_numbers(text: str, language: str) -> str | None:
         return f"{whole} {decimal_word} {frac}"
 
     text = dec_re.sub(dec_sub, text)
+    if base == "ko":
+        # Counter-aware native numerals: a small count directly before an
+        # everyday counter reads natively (3개 → 세 개); other numbers stay
+        # Sino-Korean.
+        def ko_sub(m: re.Match) -> str:
+            n = int(m.group(0))
+            tail = text[m.end():m.end() + 2]
+            if (tail[:2] in _KO_NATIVE_COUNTERS_2
+                    or (tail[:1] and tail[:1] in _KO_NATIVE_COUNTERS_1)):
+                native = _ko_native(n)
+                if native is not None:
+                    return native + " "
+            return spell(n)
+
+        text = _INT_RE.sub(ko_sub, text)
+        return text
     text = _INT_RE.sub(lambda m: spell(int(m.group(0))), text)
     return text
