@@ -293,6 +293,20 @@ WORDS: dict[str, str] = {
     "自己": "zi4 ji3", "问题": "wen4 ti2", "开始": "kai1 shi3",
     "认识": "ren4 shi5", "高兴": "gao1 xing4", "漂亮": "piao4 liang5",
     "便利店": "bian4 li4 dian4",
+    # polyphone batch 3
+    "了解": "liao3 jie3", "了不起": "liao3 bu5 qi3", "受不了": "shou4 bu5 liao3",
+    "行李": "xing2 li5", "地道": "di4 dao5", "斗争": "dou4 zheng1",
+    "北斗": "bei3 dou3", "冠军": "guan4 jun1", "干燥": "gan1 zao4",
+    "树干": "shu4 gan4", "松散": "song1 san3", "散文": "san3 wen2",
+    "曾经": "ceng2 jing1", "还书": "huan2 shu1", "还款": "huan2 kuan3",
+    "率领": "shuai4 ling3", "效率": "xiao4 lv4", "的士": "di1 shi4",
+    "切换": "qie1 huan4", "朝鲜": "chao2 xian3", "重庆": "chong2 qing4",
+    "朝代": "chao2 dai4", "上朝": "shang4 chao2", "处理": "chu3 li3",
+    "处于": "chu3 yu2", "到处": "dao4 chu4", "好处": "hao3 chu4",
+    "难处": "nan2 chu4", "为难": "wei2 nan2", "灾难": "zai1 nan4",
+    "难民": "nan4 min2", "磨坊": "mo4 fang2", "石磨": "shi2 mo4",
+    "答应": "da1 ying5", "反应": "fan3 ying4", "应用": "ying4 yong4",
+    "空儿": "kong4 er5", "更正": "geng1 zheng4", "半夜三更": "ban4 ye4 san1 geng1",
     # erhua: 儿 is a neutral -r suffix in these, not the full syllable er2
     "这儿": "zhe4 er5", "那儿": "na4 er5", "哪儿": "na3 er5",
     "一点儿": "yi4 dian3 er5", "有点儿": "you3 dian3 er5",
