@@ -130,3 +130,23 @@ def test_longform_continuity_mode(tiny_model, monkeypatch, tmp_path):
         output_path=str(tmp_path / "cont.wav"),
     )
     assert wav.shape[0] > 0 and np.isfinite(wav).all()
+
+
+def test_batcher_bypassed_for_longform(tiny_model, monkeypatch, tmp_path):
+    """Long-form /generate must fall through to the single-request path
+    (which chunks) rather than entering the dynamic batcher."""
+    import zonos_tpu.serving.server as S
+
+    class ExplodingBatcher:
+        def submit(self, *a, **k):
+            raise AssertionError("batcher must not see long-form requests")
+
+    monkeypatch.setattr(longform, "MAX_CHUNK_CHARS", 24)
+    monkeypatch.setattr(S, "load_model_if_needed", lambda *a, **k: tiny_model)
+    monkeypatch.setattr(S, "_get_batcher", lambda m: ExplodingBatcher())
+    wav_bytes, meta = S.handle_generate(
+        {"text": "Alpha beta gamma. Delta epsilon zeta.",
+         "randomize_seed": False, "seed": 7}
+    )
+    assert wav_bytes[:4] == b"RIFF"
+    assert "batched" not in meta
