@@ -51,6 +51,13 @@ CASES = [
     ("ro", 25, "douăzeci și cinci"), ("ro", 100, "o sută"),
     ("sw", 25, "ishirini na tano"),
     ("ur", 25, "پچیس"), ("ur", 100, "ایک سو"),
+    ("bg", 25, "двадесет и пет"), ("bg", 2000, "две хиляди"),
+    ("hr", 25, "dvadeset pet"), ("hr", 2000, "dvije tisuće"),
+    ("sr", 5000, "pet hiljada"), ("sr", 2000, "dve hiljade"),
+    ("sl", 25, "petindvajset"), ("sk", 25, "dvadsať päť"),
+    ("et", 25, "kakskümmend viis"), ("ca", 25, "vint-i-cinc"),
+    ("az", 25, "iyirmi beş"), ("af", 25, "vyf-en-twintig"),
+    ("is", 25, "tuttugu og fimm"),
 ]
 
 
@@ -62,9 +69,10 @@ def test_cardinals(lang, n, words):
 def test_supported_set():
     for lang in ("es", "fr-fr", "de", "ru", "ar", "hi", "ko", "nb"):
         assert supported(lang)
-    for lang in ("el", "fi", "hu", "id", "vi", "ro", "sw", "ur"):
+    for lang in ("el", "fi", "hu", "id", "vi", "ro", "sw", "ur",
+                 "bg", "hr", "sr", "sl", "sk", "et", "ca", "az", "af", "is"):
         assert supported(lang)
-    for lang in ("en-us", "ja", "cmn", "et", "lv"):
+    for lang in ("en-us", "ja", "cmn", "lv", "lt"):
         assert not supported(lang)
 
 
@@ -135,7 +143,8 @@ def test_range_and_fuzz():
     rng = random.Random(0)
     langs = ["es", "fr", "de", "it", "pt", "ru", "uk", "pl", "cs", "tr",
              "nl", "sv", "da", "nb", "ar", "fa", "hi", "ko", "el", "fi",
-             "hu", "id", "vi", "ro", "sw", "ur"]
+             "hu", "id", "vi", "ro", "sw", "ur", "bg", "hr", "sr", "bs",
+             "sl", "sk", "et", "ca", "az", "af", "is"]
     for _ in range(300):
         n = rng.randrange(0, 10**12)  # covers the milliard range (review fix)
         for lang in langs:

@@ -1024,6 +1024,373 @@ def _ur(n: int) -> str:
     return " ".join(parts)
 
 
+def _bg(n: int) -> str:
+    units = ["нула", "едно", "две", "три", "четири", "пет", "шест", "седем",
+             "осем", "девет", "десет", "единадесет", "дванадесет",
+             "тринадесет", "четиринадесет", "петнадесет", "шестнадесет",
+             "седемнадесет", "осемнадесет", "деветнадесет"]
+    tens = ["", "", "двадесет", "тридесет", "четиридесет", "петдесет",
+            "шестдесет", "седемдесет", "осемдесет", "деветдесет"]
+    hundreds = ["", "сто", "двеста", "триста", "четиристотин", "петстотин",
+                "шестстотин", "седемстотин", "осемстотин", "деветстотин"]
+
+    def below1000(k: int) -> str:
+        parts = []
+        h, r = divmod(k, 100)
+        if h:
+            parts.append(hundreds[h])
+        if r:
+            if r < 20:
+                parts.append(("и " if h else "") + units[r] if h and r < 10 else units[r])
+            else:
+                t, u = divmod(r, 10)
+                parts.append(tens[t] + (" и " + units[u] if u else ""))
+        return " ".join(parts)
+
+    if n == 0:
+        return "нула"
+    parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append("милиард" if bill == 1 else below1000(bill) + " милиарда")
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append("милион" if mill == 1 else below1000(mill) + " милиона")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append("хиляда" if th == 1 else below1000(th) + " хиляди")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _sh(n: int, thousand=("tisuća", "tisuće", "tisuća"),
+        million=("milijun", "milijuna", "milijuna"),
+        billion=("milijarda", "milijarde", "milijardi"),
+        two_fem="dvije") -> str:
+    """Croatian/Bosnian/Serbian (Latin) shared speller."""
+    units = ["nula", "jedan", "dva", "tri", "četiri", "pet", "šest",
+             "sedam", "osam", "devet", "deset", "jedanaest", "dvanaest",
+             "trinaest", "četrnaest", "petnaest", "šesnaest", "sedamnaest",
+             "osamnaest", "devetnaest"]
+    tens = ["", "", "dvadeset", "trideset", "četrdeset", "pedeset",
+            "šezdeset", "sedamdeset", "osamdeset", "devedeset"]
+    hundreds = ["", "sto", "dvjesto", "tristo", "četiristo", "petsto",
+                "šesto", "sedamsto", "osamsto", "devetsto"]
+
+    def agree(k, forms):
+        if k % 100 in (11, 12, 13, 14):
+            return forms[2]
+        if k % 10 == 1:
+            return forms[0]
+        if k % 10 in (2, 3, 4):
+            return forms[1]
+        return forms[2]
+
+    def below1000(k: int) -> str:
+        parts = []
+        h, r = divmod(k, 100)
+        if h:
+            parts.append(hundreds[h])
+        if r:
+            if r < 20:
+                parts.append(units[r])
+            else:
+                t, u = divmod(r, 10)
+                parts.append(tens[t] + (" " + units[u] if u else ""))
+        return " ".join(parts)
+
+    if n == 0:
+        return "nula"
+    parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        head = below1000(bill) if bill > 1 else "jedna"
+        parts.append(head + " " + agree(bill, billion))
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        head = below1000(mill) if mill > 1 else "jedan"
+        parts.append(head + " " + agree(mill, million))
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        head = below1000(th) if th > 1 else "jedna"
+        # thousand is feminine: trailing dva → dvije/dve (dvije tisuće)
+        if th % 10 == 2 and th % 100 != 12 and head.endswith("dva"):
+            head = head[:-3] + two_fem
+        parts.append(head + " " + agree(th, thousand))
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _sr(n: int) -> str:
+    return _sh(n, thousand=("hiljada", "hiljade", "hiljada"),
+               million=("milion", "miliona", "miliona"),
+               billion=("milijarda", "milijarde", "milijardi"),
+               two_fem="dve")
+
+
+def _sl(n: int) -> str:
+    units = ["nič", "ena", "dve", "tri", "štiri", "pet", "šest", "sedem",
+             "osem", "devet", "deset", "enajst", "dvanajst", "trinajst",
+             "štirinajst", "petnajst", "šestnajst", "sedemnajst",
+             "osemnajst", "devetnajst"]
+    cunits = ["", "en", "dva", "tri", "štiri", "pet", "šest", "sedem",
+              "osem", "devet"]
+    tens = ["", "", "dvajset", "trideset", "štirideset", "petdeset",
+            "šestdeset", "sedemdeset", "osemdeset", "devetdeset"]
+
+    def below100(k: int) -> str:
+        if k < 20:
+            return units[k]
+        t, u = divmod(k, 10)
+        if not u:
+            return tens[t]
+        return cunits[u] + "in" + tens[t]  # petindvajset
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        out = ""
+        if h:
+            out += ("" if h == 1 else units[h] + " ") + "sto"
+        if r:
+            out += (" " if h else "") + below100(r)
+        return out
+
+    if n == 0:
+        return "nič"
+    parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("ena" if bill == 1 else below1000(bill)) + " milijarda"
+                     if bill == 1 else below1000(bill) + " milijard")
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("en milijon" if mill == 1 else below1000(mill) + " milijonov"))
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("" if th == 1 else below1000(th) + " ") + "tisoč")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _sk(n: int) -> str:
+    return _slavic(
+        n,
+        ["nula", "jeden", "dva", "tri", "štyri", "päť", "šesť", "sedem",
+         "osem", "deväť"],
+        ["desať", "jedenásť", "dvanásť", "trinásť", "štrnásť", "pätnásť",
+         "šestnásť", "sedemnásť", "osemnásť", "devätnásť"],
+        ["", "desať", "dvadsať", "tridsať", "štyridsať", "päťdesiat",
+         "šesťdesiat", "sedemdesiat", "osemdesiat", "deväťdesiat"],
+        ["", "sto", "dvesto", "tristo", "štyristo", "päťsto", "šesťsto",
+         "sedemsto", "osemsto", "deväťsto"],
+        ("tisíc", "tisíce", "tisíc"),
+        ("milión", "milióny", "miliónov"),
+        billion_forms=("miliarda", "miliardy", "miliárd"),
+    )
+
+
+def _et(n: int) -> str:
+    units = ["null", "üks", "kaks", "kolm", "neli", "viis", "kuus",
+             "seitse", "kaheksa", "üheksa", "kümme"]
+
+    def below100(k: int) -> str:
+        if k <= 10:
+            return units[k]
+        if k < 20:
+            return units[k - 10] + "teist"
+        t, u = divmod(k, 10)
+        return units[t] + "kümmend" + (" " + units[u] if u else "")
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        out = ""
+        if h:
+            out += ("" if h == 1 else units[h]) + "sada"
+        if r:
+            out += (" " if h else "") + below100(r)
+        return out
+
+    if n == 0:
+        return "null"
+    parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("" if bill == 1 else below1000(bill) + " ") + "miljard" +
+                     ("it" if bill > 1 else ""))
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("" if mill == 1 else below1000(mill) + " ") + "miljon" +
+                     ("it" if mill > 1 else ""))
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("" if th == 1 else below1000(th) + " ") + "tuhat")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _ca(n: int) -> str:
+    units = ["zero", "un", "dos", "tres", "quatre", "cinc", "sis", "set",
+             "vuit", "nou", "deu", "onze", "dotze", "tretze", "catorze",
+             "quinze", "setze", "disset", "divuit", "dinou"]
+    tens = ["", "", "vint", "trenta", "quaranta", "cinquanta", "seixanta",
+            "setanta", "vuitanta", "noranta"]
+
+    def below100(k: int) -> str:
+        if k < 20:
+            return units[k]
+        t, u = divmod(k, 10)
+        if not u:
+            return tens[t]
+        joiner = "-i-" if t == 2 else "-"  # vint-i-cinc, trenta-dos
+        return tens[t] + joiner + units[u]
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        parts = []
+        if h:
+            parts.append("cent" if h == 1 else units[h] + "-cents")
+        if r:
+            parts.append(below100(r))
+        return " ".join(parts)
+
+    if n == 0:
+        return "zero"
+    parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("mil milions" if bill == 1
+                      else below1000(bill) + " mil milions"))
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append("un milió" if mill == 1 else below1000(mill) + " milions")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append("mil" if th == 1 else below1000(th) + " mil")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _az(n: int) -> str:
+    units = ["sıfır", "bir", "iki", "üç", "dörd", "beş", "altı", "yeddi",
+             "səkkiz", "doqquz"]
+    tens = ["", "on", "iyirmi", "otuz", "qırx", "əlli", "altmış", "yetmiş",
+            "səksən", "doxsan"]
+
+    def below1000(k: int) -> str:
+        parts = []
+        h, r = divmod(k, 100)
+        if h:
+            parts.append(("" if h == 1 else units[h] + " ") + "yüz")
+        t, u = divmod(r, 10)
+        if t:
+            parts.append(tens[t])
+        if u:
+            parts.append(units[u])
+        return " ".join(parts)
+
+    if n == 0:
+        return "sıfır"
+    parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("bir" if bill == 1 else below1000(bill)) + " milyard")
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("bir" if mill == 1 else below1000(mill)) + " milyon")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("" if th == 1 else below1000(th) + " ") + "min")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _af(n: int) -> str:
+    units = ["nul", "een", "twee", "drie", "vier", "vyf", "ses", "sewe",
+             "agt", "nege", "tien", "elf", "twaalf", "dertien", "veertien",
+             "vyftien", "sestien", "sewentien", "agtien", "negentien"]
+    tens = ["", "", "twintig", "dertig", "veertig", "vyftig", "sestig",
+            "sewentig", "tagtig", "negentig"]
+
+    def below100(k: int) -> str:
+        if k < 20:
+            return units[k]
+        t, u = divmod(k, 10)
+        if not u:
+            return tens[t]
+        return units[u] + "-en-" + tens[t]  # vyf-en-twintig
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        out = ""
+        if h:
+            out += ("" if h == 1 else units[h] + " ") + "honderd"
+        if r:
+            out += (" " if h else "") + below100(r)
+        return out
+
+    if n == 0:
+        return "nul"
+    parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("een" if bill == 1 else below1000(bill)) + " miljard")
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("een" if mill == 1 else below1000(mill)) + " miljoen")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("" if th == 1 else below1000(th) + " ") + "duisend")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _is(n: int) -> str:
+    units = ["núll", "einn", "tveir", "þrír", "fjórir", "fimm", "sex",
+             "sjö", "átta", "níu", "tíu", "ellefu", "tólf", "þrettán",
+             "fjórtán", "fimmtán", "sextán", "sautján", "átján", "nítján"]
+    tens = ["", "", "tuttugu", "þrjátíu", "fjörutíu", "fimmtíu", "sextíu",
+            "sjötíu", "áttatíu", "níutíu"]
+
+    def below100(k: int) -> str:
+        if k < 20:
+            return units[k]
+        t, u = divmod(k, 10)
+        return tens[t] + (" og " + units[u] if u else "")
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        parts = []
+        if h:
+            parts.append(("" if h == 1 else units[h] + " ") + "hundrað")
+        if r:
+            parts.append(("og " if h else "") + below100(r))
+        return " ".join(parts)
+
+    if n == 0:
+        return "núll"
+    parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("" if bill == 1 else below1000(bill) + " ") + "milljarður"
+                     if bill == 1 else below1000(bill) + " milljarðar")
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append("milljón" if mill == 1 else below1000(mill) + " milljónir")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("" if th == 1 else below1000(th) + " ") + "þúsund")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
 _HI_0_99 = (
     "शून्य एक दो तीन चार पाँच छह सात आठ नौ दस "
     "ग्यारह बारह तेरह चौदह पंद्रह सोलह सत्रह अठारह उन्नीस बीस "
@@ -1128,6 +1495,10 @@ _SPELLERS = {
     "el": (_el, "κόμμα"), "fi": (_fi, "pilkku"), "hu": (_hu, "egész"),
     "id": (_id, "koma"), "ms": (_id, "perpuluhan"), "vi": (_vi, "phẩy"),
     "ro": (_ro, "virgulă"), "sw": (_sw, "nukta"), "ur": (_ur, "اعشاریہ"),
+    "bg": (_bg, "цяло и"), "hr": (_sh, "zarez"), "bs": (_sr, "zarez"),
+    "sr": (_sr, "zapeta"), "sl": (_sl, "vejica"), "sk": (_sk, "celá"),
+    "et": (_et, "koma"), "ca": (_ca, "coma"), "az": (_az, "vergül"),
+    "af": (_af, "komma"), "is": (_is, "komma"),
 }
 
 # Eastern digit forms normalized to ASCII before matching.
