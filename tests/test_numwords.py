@@ -133,8 +133,8 @@ def test_clean_routes_native():
 def test_unsupported_language_falls_back_to_english():
     from zonos_tpu.conditioning.text import clean
 
-    (et,) = clean(["mul on 25 raamatut"], ["et"])
-    assert "twenty-five" in et
+    (lv,) = clean(["man ir 25 grāmatas"], ["lv"])
+    assert "twenty-five" in lv
 
 
 def test_range_and_fuzz():
