@@ -58,6 +58,9 @@ CASES = [
     ("et", 25, "kakskümmend viis"), ("ca", 25, "vint-i-cinc"),
     ("az", 25, "iyirmi beş"), ("af", 25, "vyf-en-twintig"),
     ("is", 25, "tuttugu og fimm"),
+    ("eo", 125, "cent dudek kvin"), ("eu", 25, "hogeita bost"),
+    ("cy", 25, "dau ddeg pump"), ("mt", 25, "ħamsa u għoxrin"),
+    ("lv", 25, "divdesmit pieci"), ("lt", 2000, "du tūkstančiai"),
 ]
 
 
@@ -72,7 +75,7 @@ def test_supported_set():
     for lang in ("el", "fi", "hu", "id", "vi", "ro", "sw", "ur",
                  "bg", "hr", "sr", "sl", "sk", "et", "ca", "az", "af", "is"):
         assert supported(lang)
-    for lang in ("en-us", "ja", "cmn", "lv", "lt"):
+    for lang in ("en-us", "ja", "cmn", "ga", "ta"):
         assert not supported(lang)
 
 
@@ -133,8 +136,8 @@ def test_clean_routes_native():
 def test_unsupported_language_falls_back_to_english():
     from zonos_tpu.conditioning.text import clean
 
-    (lv,) = clean(["man ir 25 grāmatas"], ["lv"])
-    assert "twenty-five" in lv
+    (ga,) = clean(["tá 25 leabhar agam"], ["ga"])
+    assert "twenty-five" in ga
 
 
 def test_range_and_fuzz():
@@ -144,7 +147,8 @@ def test_range_and_fuzz():
     langs = ["es", "fr", "de", "it", "pt", "ru", "uk", "pl", "cs", "tr",
              "nl", "sv", "da", "nb", "ar", "fa", "hi", "ko", "el", "fi",
              "hu", "id", "vi", "ro", "sw", "ur", "bg", "hr", "sr", "bs",
-             "sl", "sk", "et", "ca", "az", "af", "is"]
+             "sl", "sk", "et", "ca", "az", "af", "is", "eo", "eu", "cy",
+             "mt", "lv", "lt"]
     for _ in range(300):
         n = rng.randrange(0, 10**12)  # covers the milliard range (review fix)
         for lang in langs:

@@ -1391,6 +1391,267 @@ def _is(n: int) -> str:
     return " ".join(parts)
 
 
+def _eo(n: int) -> str:
+    units = ["nul", "unu", "du", "tri", "kvar", "kvin", "ses", "sep",
+             "ok", "naŭ"]
+
+    def below1000(k: int) -> str:
+        parts = []
+        h, r = divmod(k, 100)
+        if h:
+            parts.append(("" if h == 1 else units[h]) + "cent")
+        t, u = divmod(r, 10)
+        if t:
+            parts.append(("" if t == 1 else units[t]) + "dek")
+        if u:
+            parts.append(units[u])
+        return " ".join(parts)
+
+    if n == 0:
+        return "nul"
+    parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("" if bill == 1 else below1000(bill) + " ") + "miliardo" +
+                     ("j" if bill > 1 else ""))
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("" if mill == 1 else below1000(mill) + " ") + "miliono" +
+                     ("j" if mill > 1 else ""))
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("" if th == 1 else below1000(th) + " ") + "mil")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _eu(n: int) -> str:
+    """Basque (vigesimal 20..99)."""
+    units = ["zero", "bat", "bi", "hiru", "lau", "bost", "sei", "zazpi",
+             "zortzi", "bederatzi", "hamar", "hamaika", "hamabi",
+             "hamahiru", "hamalau", "hamabost", "hamasei", "hamazazpi",
+             "hemezortzi", "hemeretzi"]
+    scores = ["", "hogei", "berrogei", "hirurogei", "laurogei"]
+
+    def below100(k: int) -> str:
+        if k < 20:
+            return units[k]
+        v, r = divmod(k, 20)
+        if not r:
+            return scores[v]
+        return scores[v] + "ta " + units[r]  # hogeita bost
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        parts = []
+        if h:
+            parts.append(("" if h == 1 else units[h] + " ") + "ehun")
+        if r:
+            parts.append(("eta " if h else "") + below100(r))
+        return " ".join(parts)
+
+    if n == 0:
+        return "zero"
+    parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(below1000(bill) + " mila milioi")
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("milioi bat" if mill == 1 else below1000(mill) + " milioi"))
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("" if th == 1 else below1000(th) + " ") + "mila")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _cy(n: int) -> str:
+    """Welsh (modern decimal counting forms)."""
+    units = ["dim", "un", "dau", "tri", "pedwar", "pump", "chwech",
+             "saith", "wyth", "naw"]
+    tens = ["", "deg", "dau ddeg", "tri deg", "pedwar deg", "pum deg",
+            "chwe deg", "saith deg", "wyth deg", "naw deg"]
+
+    def below100(k: int) -> str:
+        if k < 10:
+            return units[k]
+        t, u = divmod(k, 10)
+        if t == 1 and not u:
+            return "deg"
+        if t == 1:
+            return "un deg " + units[u]
+        return tens[t] + (" " + units[u] if u else "")
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        parts = []
+        if h:
+            parts.append(("" if h == 1 else units[h] + " ") + "cant")
+        if r:
+            parts.append(below100(r))
+        return " ".join(parts)
+
+    if n == 0:
+        return "dim"
+    parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(below1000(bill) + " biliwn")
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("" if mill == 1 else below1000(mill) + " ") + "miliwn")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("" if th == 1 else below1000(th) + " ") + "mil")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _mt(n: int) -> str:
+    """Maltese (units-before-tens with u)."""
+    units = ["żero", "wieħed", "tnejn", "tlieta", "erbgħa", "ħamsa",
+             "sitta", "sebgħa", "tmienja", "disgħa", "għaxra", "ħdax",
+             "tnax", "tlettax", "erbatax", "ħmistax", "sittax", "sbatax",
+             "tmintax", "dsatax"]
+    tens = ["", "", "għoxrin", "tletin", "erbgħin", "ħamsin", "sittin",
+            "sebgħin", "tmenin", "disgħin"]
+
+    def below100(k: int) -> str:
+        if k < 20:
+            return units[k]
+        t, u = divmod(k, 10)
+        if not u:
+            return tens[t]
+        return units[u] + " u " + tens[t]  # ħamsa u għoxrin
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        parts = []
+        if h:
+            parts.append("mija" if h == 1 else units[h] + " mija")
+        if r:
+            parts.append(("u " if h else "") + below100(r))
+        return " ".join(parts)
+
+    if n == 0:
+        return "żero"
+    parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("" if bill == 1 else below1000(bill) + " ") + "biljun")
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("" if mill == 1 else below1000(mill) + " ") + "miljun")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append("elf" if th == 1 else below1000(th) + " elf")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _lv(n: int) -> str:
+    units = ["nulle", "viens", "divi", "trīs", "četri", "pieci", "seši",
+             "septiņi", "astoņi", "deviņi", "desmit"]
+
+    def below100(k: int) -> str:
+        if k <= 10:
+            return units[k]
+        if k < 20:
+            stems = ["", "vien", "div", "trīs", "četr", "piec", "seš",
+                     "septiņ", "astoņ", "deviņ"]
+            return stems[k - 10] + "padsmit"
+        t, u = divmod(k, 10)
+        stems = ["", "", "div", "trīs", "četr", "piec", "seš", "septiņ",
+                 "astoņ", "deviņ"]
+        return stems[t] + "desmit" + (" " + units[u] if u else "")
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        parts = []
+        if h:
+            parts.append("simts" if h == 1 else units[h] + " simti")
+        if r:
+            parts.append(below100(r))
+        return " ".join(parts)
+
+    if n == 0:
+        return "nulle"
+    parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("miljards" if bill == 1 else below1000(bill) + " miljardi"))
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("miljons" if mill == 1 else below1000(mill) + " miljoni"))
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("tūkstotis" if th == 1 else below1000(th) + " tūkstoši"))
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _lt(n: int) -> str:
+    units = ["nulis", "vienas", "du", "trys", "keturi", "penki", "šeši",
+             "septyni", "aštuoni", "devyni", "dešimt"]
+    teens = ["", "vienuolika", "dvylika", "trylika", "keturiolika",
+             "penkiolika", "šešiolika", "septyniolika", "aštuoniolika",
+             "devyniolika"]
+    tens = ["", "dešimt", "dvidešimt", "trisdešimt", "keturiasdešimt",
+            "penkiasdešimt", "šešiasdešimt", "septyniasdešimt",
+            "aštuoniasdešimt", "devyniasdešimt"]
+
+    def agree(k, forms):
+        if k % 100 in (11, 12, 13, 14, 15, 16, 17, 18, 19):
+            return forms[2]
+        if k % 10 == 1:
+            return forms[0]
+        if k % 10 == 0:
+            return forms[2]
+        return forms[1]
+
+    def below100(k: int) -> str:
+        if k <= 10:
+            return units[k]
+        if k < 20:
+            return teens[k - 10]
+        t, u = divmod(k, 10)
+        return tens[t] + (" " + units[u] if u else "")
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        parts = []
+        if h:
+            parts.append("šimtas" if h == 1 else units[h] + " šimtai")
+        if r:
+            parts.append(below100(r))
+        return " ".join(parts)
+
+    if n == 0:
+        return "nulis"
+    parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(below1000(bill) + " " +
+                     agree(bill, ("milijardas", "milijardai", "milijardų")))
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(below1000(mill) + " " +
+                     agree(mill, ("milijonas", "milijonai", "milijonų")))
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(below1000(th) + " " +
+                     agree(th, ("tūkstantis", "tūkstančiai", "tūkstančių")))
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
 _HI_0_99 = (
     "शून्य एक दो तीन चार पाँच छह सात आठ नौ दस "
     "ग्यारह बारह तेरह चौदह पंद्रह सोलह सत्रह अठारह उन्नीस बीस "
@@ -1499,6 +1760,8 @@ _SPELLERS = {
     "sr": (_sr, "zapeta"), "sl": (_sl, "vejica"), "sk": (_sk, "celá"),
     "et": (_et, "koma"), "ca": (_ca, "coma"), "az": (_az, "vergül"),
     "af": (_af, "komma"), "is": (_is, "komma"),
+    "eo": (_eo, "komo"), "eu": (_eu, "koma"), "cy": (_cy, "pwynt"),
+    "mt": (_mt, "punt"), "lv": (_lv, "komats"), "lt": (_lt, "kablelis"),
 }
 
 # Eastern digit forms normalized to ASCII before matching.
