@@ -61,6 +61,10 @@ CASES = [
     ("eo", 125, "cent dudek kvin"), ("eu", 25, "hogeita bost"),
     ("cy", 25, "dau ddeg pump"), ("mt", 25, "ħamsa u għoxrin"),
     ("lv", 25, "divdesmit pieci"), ("lt", 2000, "du tūkstančiai"),
+    ("ga", 25, "fiche a cúig"), ("hy", 25, "քսանհինգ"),
+    ("ka", 25, "ოცდახუთი"), ("ka", 45, "ორმოცდახუთი"),
+    ("kk", 25, "жиырма бес"), ("ky", 25, "жыйырма беш"),
+    ("tt", 25, "егерме биш"), ("am", 25, "ሃያ አምስት"),
 ]
 
 
@@ -75,7 +79,7 @@ def test_supported_set():
     for lang in ("el", "fi", "hu", "id", "vi", "ro", "sw", "ur",
                  "bg", "hr", "sr", "sl", "sk", "et", "ca", "az", "af", "is"):
         assert supported(lang)
-    for lang in ("en-us", "ja", "cmn", "ga", "ta"):
+    for lang in ("en-us", "ja", "cmn", "ta", "gd"):
         assert not supported(lang)
 
 
@@ -136,8 +140,8 @@ def test_clean_routes_native():
 def test_unsupported_language_falls_back_to_english():
     from zonos_tpu.conditioning.text import clean
 
-    (ga,) = clean(["tá 25 leabhar agam"], ["ga"])
-    assert "twenty-five" in ga
+    (gd,) = clean(["tha 25 leabhar agam"], ["gd"])
+    assert "twenty-five" in gd
 
 
 def test_range_and_fuzz():
@@ -148,7 +152,7 @@ def test_range_and_fuzz():
              "nl", "sv", "da", "nb", "ar", "fa", "hi", "ko", "el", "fi",
              "hu", "id", "vi", "ro", "sw", "ur", "bg", "hr", "sr", "bs",
              "sl", "sk", "et", "ca", "az", "af", "is", "eo", "eu", "cy",
-             "mt", "lv", "lt"]
+             "mt", "lv", "lt", "ga", "hy", "ka", "kk", "ky", "tt", "am"]
     for _ in range(300):
         n = rng.randrange(0, 10**12)  # covers the milliard range (review fix)
         for lang in langs:

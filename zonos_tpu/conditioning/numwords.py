@@ -1652,6 +1652,238 @@ def _lt(n: int) -> str:
     return " ".join(parts)
 
 
+def _ga(n: int) -> str:
+    """Irish (maths-register counting forms)."""
+    units = ["náid", "a haon", "a dó", "a trí", "a ceathair", "a cúig",
+             "a sé", "a seacht", "a hocht", "a naoi"]
+    bare = ["", "haon", "dó", "trí", "ceathair", "cúig", "sé", "seacht",
+            "hocht", "naoi"]
+    tens = ["", "a deich", "fiche", "tríocha", "daichead", "caoga",
+            "seasca", "seachtó", "ochtó", "nócha"]
+
+    def below100(k: int) -> str:
+        if k < 10:
+            return units[k]
+        if k == 10:
+            return "a deich"
+        if k < 20:
+            return "a " + bare[k - 10] + " déag"
+        t, u = divmod(k, 10)
+        return tens[t] + (" a " + bare[u] if u else "")
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        parts = []
+        if h:
+            parts.append("céad" if h == 1 else bare[h] + " chéad")
+        if r:
+            parts.append(below100(r))
+        return " ".join(parts)
+
+    if n == 0:
+        return "náid"
+    parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(below1000(bill) + " billiún")
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("milliún" if mill == 1 else below1000(mill) + " milliún"))
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("míle" if th == 1 else below1000(th) + " míle"))
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _hy(n: int) -> str:
+    units = ["զրո", "մեկ", "երկու", "երեք", "չորս", "հինգ", "վեց", "յոթ",
+             "ութ", "ինը", "տասը"]
+    teen_stems = ["", "տասնմեկ", "տասներկու", "տասներեք", "տասնչորս",
+                  "տասնհինգ", "տասնվեց", "տասնյոթ", "տասնութ", "տասնինը"]
+    tens = ["", "", "քսան", "երեսուն", "քառասուն", "հիսուն", "վաթսուն",
+            "յոթանասուն", "ութսուն", "իննսուն"]
+
+    def below100(k: int) -> str:
+        if k <= 10:
+            return units[k]
+        if k < 20:
+            return teen_stems[k - 10]
+        t, u = divmod(k, 10)
+        return tens[t] + (units[u] if u else "")  # քսանհինգ joined
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        parts = []
+        if h:
+            parts.append(("" if h == 1 else units[h] + " ") + "հարյուր")
+        if r:
+            parts.append(below100(r))
+        return " ".join(parts)
+
+    if n == 0:
+        return "զրո"
+    parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("" if bill == 1 else below1000(bill) + " ") + "միլիարդ")
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("" if mill == 1 else below1000(mill) + " ") + "միլիոն")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("" if th == 1 else below1000(th) + " ") + "հազար")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _ka(n: int) -> str:
+    """Georgian (vigesimal 20..99)."""
+    units = ["ნული", "ერთი", "ორი", "სამი", "ოთხი", "ხუთი", "ექვსი",
+             "შვიდი", "რვა", "ცხრა", "ათი", "თერთმეტი", "თორმეტი",
+             "ცამეტი", "თოთხმეტი", "თხუთმეტი", "თექვსმეტი", "ჩვიდმეტი",
+             "თვრამეტი", "ცხრამეტი"]
+    score_stems = ["", "ოც", "ორმოც", "სამოც", "ოთხმოც"]
+    hundred_stems = ["", "ას", "ორას", "სამას", "ოთხას", "ხუთას", "ექვსას",
+                     "შვიდას", "რვაას", "ცხრაას"]
+
+    def below100(k: int) -> str:
+        if k < 20:
+            return units[k]
+        v, r = divmod(k, 20)
+        if not r:
+            return score_stems[v] + "ი"  # ოცი, ორმოცი
+        return score_stems[v] + "და" + units[r]  # ოცდახუთი
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        if not h:
+            return below100(r)
+        if not r:
+            return hundred_stems[h] + "ი"  # ასი, ორასი
+        return hundred_stems[h] + " " + below100(r)
+
+    if n == 0:
+        return "ნული"
+    parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("" if bill == 1 else below1000(bill) + " ") + "მილიარდი")
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("" if mill == 1 else below1000(mill) + " ") + "მილიონი")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("" if th == 1 else below1000(th) + " ") + "ათასი")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _turkic_cyr(n: int, units, tens, hundred, thousand, zero,
+                million="миллион", billion="миллиард") -> str:
+    def below1000(k: int) -> str:
+        parts = []
+        h, r = divmod(k, 100)
+        if h:
+            parts.append(("" if h == 1 else units[h] + " ") + hundred)
+        t, u = divmod(r, 10)
+        if t:
+            parts.append(tens[t])
+        if u:
+            parts.append(units[u])
+        return " ".join(parts)
+
+    if n == 0:
+        return zero
+    parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("" if bill == 1 else below1000(bill) + " ") + billion)
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("" if mill == 1 else below1000(mill) + " ") + million)
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("" if th == 1 else below1000(th) + " ") + thousand)
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _kk(n: int) -> str:
+    return _turkic_cyr(
+        n,
+        ["", "бір", "екі", "үш", "төрт", "бес", "алты", "жеті", "сегіз",
+         "тоғыз"],
+        ["", "он", "жиырма", "отыз", "қырық", "елу", "алпыс", "жетпіс",
+         "сексен", "тоқсан"],
+        "жүз", "мың", "нөл")
+
+
+def _ky(n: int) -> str:
+    return _turkic_cyr(
+        n,
+        ["", "бир", "эки", "үч", "төрт", "беш", "алты", "жети", "сегиз",
+         "тогуз"],
+        ["", "он", "жыйырма", "отуз", "кырк", "элүү", "алтымыш",
+         "жетимиш", "сексен", "токсон"],
+        "жүз", "миң", "нөл")
+
+
+def _tt(n: int) -> str:
+    return _turkic_cyr(
+        n,
+        ["", "бер", "ике", "өч", "дүрт", "биш", "алты", "җиде", "сигез",
+         "тугыз"],
+        ["", "ун", "егерме", "утыз", "кырык", "илле", "алтмыш", "җитмеш",
+         "сиксән", "туксан"],
+        "йөз", "мең", "ноль")
+
+
+def _am(n: int) -> str:
+    units = ["ዜሮ", "አንድ", "ሁለት", "ሶስት", "አራት", "አምስት", "ስድስት",
+             "ሰባት", "ስምንት", "ዘጠኝ", "አስር"]
+    teens_head = "አስራ "
+    tens = ["", "", "ሃያ", "ሰላሳ", "አርባ", "ሃምሳ", "ስልሳ", "ሰባ", "ሰማንያ",
+            "ዘጠና"]
+
+    def below100(k: int) -> str:
+        if k <= 10:
+            return units[k]
+        if k < 20:
+            return teens_head + units[k - 10]
+        t, u = divmod(k, 10)
+        return tens[t] + (" " + units[u] if u else "")
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        parts = []
+        if h:
+            parts.append(("" if h == 1 else units[h] + " ") + "መቶ")
+        if r:
+            parts.append(below100(r))
+        return " ".join(parts)
+
+    if n == 0:
+        return "ዜሮ"
+    parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("" if bill == 1 else below1000(bill) + " ") + "ቢሊዮን")
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("" if mill == 1 else below1000(mill) + " ") + "ሚሊዮን")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("" if th == 1 else below1000(th) + " ") + "ሺ")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
 _HI_0_99 = (
     "शून्य एक दो तीन चार पाँच छह सात आठ नौ दस "
     "ग्यारह बारह तेरह चौदह पंद्रह सोलह सत्रह अठारह उन्नीस बीस "
@@ -1762,6 +1994,9 @@ _SPELLERS = {
     "af": (_af, "komma"), "is": (_is, "komma"),
     "eo": (_eo, "komo"), "eu": (_eu, "koma"), "cy": (_cy, "pwynt"),
     "mt": (_mt, "punt"), "lv": (_lv, "komats"), "lt": (_lt, "kablelis"),
+    "ga": (_ga, "pointe"), "hy": (_hy, "ստորակետ"), "ka": (_ka, "მძიმე"),
+    "kk": (_kk, "бүтін"), "ky": (_ky, "бүтүн"), "tt": (_tt, "бөтен"),
+    "am": (_am, "ነጥብ"),
 }
 
 # Eastern digit forms normalized to ASCII before matching.
