@@ -65,6 +65,9 @@ CASES = [
     ("ka", 25, "ოცდახუთი"), ("ka", 45, "ორმოცდახუთი"),
     ("kk", 25, "жиырма бес"), ("ky", 25, "жыйырма беш"),
     ("tt", 25, "егерме биш"), ("am", 25, "ሃያ አምስት"),
+    ("sq", 25, "njëzet e pesë"), ("la", 25, "viginti quinque"),
+    ("uz", 25, "yigirma besh"), ("mi", 25, "rua tekau mā rima"),
+    ("jbo", 25, "re mu"), ("ht", 90, "katrevendis"),
 ]
 
 
@@ -152,7 +155,8 @@ def test_range_and_fuzz():
              "nl", "sv", "da", "nb", "ar", "fa", "hi", "ko", "el", "fi",
              "hu", "id", "vi", "ro", "sw", "ur", "bg", "hr", "sr", "bs",
              "sl", "sk", "et", "ca", "az", "af", "is", "eo", "eu", "cy",
-             "mt", "lv", "lt", "ga", "hy", "ka", "kk", "ky", "tt", "am"]
+             "mt", "lv", "lt", "ga", "hy", "ka", "kk", "ky", "tt", "am",
+             "sq", "la", "uz", "mi", "jbo", "ht"]
     for _ in range(300):
         n = rng.randrange(0, 10**12)  # covers the milliard range (review fix)
         for lang in langs:

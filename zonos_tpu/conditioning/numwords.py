@@ -1884,6 +1884,203 @@ def _am(n: int) -> str:
     return " ".join(parts)
 
 
+def _sq(n: int) -> str:
+    units = ["zero", "një", "dy", "tre", "katër", "pesë", "gjashtë",
+             "shtatë", "tetë", "nëntë", "dhjetë"]
+
+    def below100(k: int) -> str:
+        if k <= 10:
+            return units[k]
+        if k < 20:
+            return units[k - 10] + "mbëdhjetë"
+        t, u = divmod(k, 10)
+        tens = ["", "", "njëzet", "tridhjetë", "dyzet", "pesëdhjetë",
+                "gjashtëdhjetë", "shtatëdhjetë", "tetëdhjetë",
+                "nëntëdhjetë"][t]
+        return tens + (" e " + units[u] if u else "")
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        parts = []
+        if h:
+            parts.append(("një" if h == 1 else units[h]) + "qind")
+        if r:
+            parts.append(("e " if h else "") + below100(r))
+        return " ".join(parts)
+
+    if n == 0:
+        return "zero"
+    parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("një" if bill == 1 else below1000(bill)) + " miliard")
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("një" if mill == 1 else below1000(mill)) + " milion")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("një" if th == 1 else below1000(th)) + " mijë")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " e ".join(parts) if len(parts) > 1 else parts[0]
+
+
+def _la(n: int) -> str:
+    units = ["nulla", "unus", "duo", "tres", "quattuor", "quinque", "sex",
+             "septem", "octo", "novem", "decem", "undecim", "duodecim",
+             "tredecim", "quattuordecim", "quindecim", "sedecim",
+             "septendecim", "duodeviginti", "undeviginti"]
+    tens = ["", "", "viginti", "triginta", "quadraginta", "quinquaginta",
+            "sexaginta", "septuaginta", "octoginta", "nonaginta"]
+    hundreds = ["", "centum", "ducenti", "trecenti", "quadringenti",
+                "quingenti", "sescenti", "septingenti", "octingenti",
+                "nongenti"]
+
+    def below1000(k: int) -> str:
+        parts = []
+        h, r = divmod(k, 100)
+        if h:
+            parts.append(hundreds[h])
+        if r:
+            if r < 20:
+                parts.append(units[r])
+            else:
+                t, u = divmod(r, 10)
+                parts.append(tens[t] + (" " + units[u] if u else ""))
+        return " ".join(parts)
+
+    if n == 0:
+        return "nulla"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(below1000(mill) + " milies milia" if mill > 1
+                     else "decies centena milia")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append("mille" if th == 1 else below1000(th) + " milia")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _uz(n: int) -> str:
+    units = ["nol", "bir", "ikki", "uch", "to'rt", "besh", "olti",
+             "yetti", "sakkiz", "to'qqiz"]
+    tens = ["", "o'n", "yigirma", "o'ttiz", "qirq", "ellik", "oltmish",
+            "yetmish", "sakson", "to'qson"]
+
+    def below1000(k: int) -> str:
+        parts = []
+        h, r = divmod(k, 100)
+        if h:
+            parts.append(("" if h == 1 else units[h] + " ") + "yuz")
+        t, u = divmod(r, 10)
+        if t:
+            parts.append(tens[t])
+        if u:
+            parts.append(units[u])
+        return " ".join(parts)
+
+    if n == 0:
+        return "nol"
+    parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("" if bill == 1 else below1000(bill) + " ") + "milliard")
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("" if mill == 1 else below1000(mill) + " ") + "million")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("" if th == 1 else below1000(th) + " ") + "ming")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _mi(n: int) -> str:
+    units = ["kore", "tahi", "rua", "toru", "whā", "rima", "ono", "whitu",
+             "waru", "iwa"]
+
+    def below100(k: int) -> str:
+        if k < 10:
+            return units[k]
+        t, u = divmod(k, 10)
+        head = "tekau" if t == 1 else units[t] + " tekau"
+        return head + (" mā " + units[u] if u else "")
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        parts = []
+        if h:
+            parts.append(("" if h == 1 else units[h] + " ") + "rau")
+        if r:
+            parts.append(("mā " if h and r < 10 else "") + below100(r))
+        return " ".join(parts)
+
+    if n == 0:
+        return "kore"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("" if mill == 1 else below1000(mill) + " ") + "miriona")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("" if th == 1 else below1000(th) + " ") + "mano")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
+def _jbo(n: int) -> str:
+    """Lojban reads numbers digit-by-digit by design."""
+    digits = ["no", "pa", "re", "ci", "vo", "mu", "xa", "ze", "bi", "so"]
+    return " ".join(digits[int(d)] for d in str(n))
+
+
+def _ht(n: int) -> str:
+    units = ["zewo", "en", "de", "twa", "kat", "senk", "sis", "sèt",
+             "uit", "nèf", "dis", "onz", "douz", "trèz", "katòz", "kenz",
+             "sèz", "disèt", "dizuit", "diznèf"]
+
+    def below100(k: int) -> str:
+        if k < 20:
+            return units[k]
+        t, u = divmod(k, 10)
+        if t in (2, 3, 4, 5, 6):
+            name = ["", "", "ven", "trant", "karant", "senkant",
+                    "swasant"][t]
+            return name + (" " + units[u] if u else "")
+        if t == 7:
+            return "swasant " + units[10 + u] if u else "swasanndis"
+        if t == 8:
+            return "katreven" + (" " + units[u] if u else "")
+        return "katreven " + units[10 + u] if u else "katrevendis"
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        parts = []
+        if h:
+            parts.append(("" if h == 1 else units[h] + " ") + "san")
+        if r:
+            parts.append(below100(r))
+        return " ".join(parts)
+
+    if n == 0:
+        return "zewo"
+    parts = []
+    mill, rest = divmod(n, 10**6)
+    if mill:
+        parts.append(("en" if mill == 1 else below1000(mill)) + " milyon")
+    th, rest2 = divmod(rest, 1000)
+    if th:
+        parts.append(("" if th == 1 else below1000(th) + " ") + "mil")
+    if rest2:
+        parts.append(below1000(rest2))
+    return " ".join(parts)
+
+
 _HI_0_99 = (
     "शून्य एक दो तीन चार पाँच छह सात आठ नौ दस "
     "ग्यारह बारह तेरह चौदह पंद्रह सोलह सत्रह अठारह उन्नीस बीस "
@@ -1996,7 +2193,9 @@ _SPELLERS = {
     "mt": (_mt, "punt"), "lv": (_lv, "komats"), "lt": (_lt, "kablelis"),
     "ga": (_ga, "pointe"), "hy": (_hy, "ստորակետ"), "ka": (_ka, "მძიმე"),
     "kk": (_kk, "бүтін"), "ky": (_ky, "бүтүн"), "tt": (_tt, "бөтен"),
-    "am": (_am, "ነጥብ"),
+    "am": (_am, "ነጥብ"), "sq": (_sq, "presje"), "la": (_la, "punctum"),
+    "uz": (_uz, "butun"), "mi": (_mi, "ira"), "jbo": (_jbo, "pi"),
+    "ht": (_ht, "pwen"),
 }
 
 # Eastern digit forms normalized to ASCII before matching.
