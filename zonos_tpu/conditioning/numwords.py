@@ -1952,13 +1952,11 @@ def _la(n: int) -> str:
     if n == 0:
         return "nulla"
     parts = []
-    mill, rest = divmod(n, 10**6)
-    if mill:
-        parts.append(below1000(mill) + " milies milia" if mill > 1
-                     else "decies centena milia")
-    th, rest2 = divmod(rest, 1000)
+    th, rest2 = divmod(n, 1000)
     if th:
-        parts.append("mille" if th == 1 else below1000(th) + " milia")
+        # Recursive milia for large counts (classical Latin has no standard
+        # single word above milia; "duo milia milia" stays readable).
+        parts.append("mille" if th == 1 else _la(th) + " milia")
     if rest2:
         parts.append(below1000(rest2))
     return " ".join(parts)
@@ -2022,6 +2020,9 @@ def _mi(n: int) -> str:
     if n == 0:
         return "kore"
     parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("" if bill == 1 else below1000(bill) + " ") + "piriona")
     mill, rest = divmod(n, 10**6)
     if mill:
         parts.append(("" if mill == 1 else below1000(mill) + " ") + "miriona")
@@ -2070,6 +2071,9 @@ def _ht(n: int) -> str:
     if n == 0:
         return "zewo"
     parts = []
+    bill, n = divmod(n, 10**9)
+    if bill:
+        parts.append(("en" if bill == 1 else below1000(bill)) + " milya")
     mill, rest = divmod(n, 10**6)
     if mill:
         parts.append(("en" if mill == 1 else below1000(mill)) + " milyon")
