@@ -41,6 +41,9 @@ def test_root_serves_webui(live_server):
     html = urllib.request.urlopen(f"{live_server}/").read().decode()
     assert "Zonos-TPU" in html
     assert "/ui_spec" in html and "/generate" in html and "/stream" in html
+    # round-3 panels: voice picker (fed from /speakers) + pronunciation lexicon
+    assert "speakerList" in html and "/speakers" in html
+    assert "/lexicon" in html and "lexSave" in html
 
 
 def test_metrics_endpoint_counts_requests(live_server):
