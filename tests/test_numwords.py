@@ -68,6 +68,8 @@ CASES = [
     ("sq", 25, "njëzet e pesë"), ("la", 25, "viginti quinque"),
     ("uz", 25, "yigirma besh"), ("mi", 25, "rua tekau mā rima"),
     ("jbo", 25, "re mu"), ("ht", 90, "katrevendis"),
+    ("te", 125, "నూట ఇరవై అయిదు"), ("te", 250, "రెండు వందల యాభై"),
+    ("te", 100000, "లక్ష"),
 ]
 
 
@@ -156,7 +158,7 @@ def test_range_and_fuzz():
              "hu", "id", "vi", "ro", "sw", "ur", "bg", "hr", "sr", "bs",
              "sl", "sk", "et", "ca", "az", "af", "is", "eo", "eu", "cy",
              "mt", "lv", "lt", "ga", "hy", "ka", "kk", "ky", "tt", "am",
-             "sq", "la", "uz", "mi", "jbo", "ht"]
+             "sq", "la", "uz", "mi", "jbo", "ht", "te"]
     for _ in range(300):
         n = rng.randrange(0, 10**12)  # covers the milliard range (review fix)
         for lang in langs:

@@ -2085,6 +2085,57 @@ def _ht(n: int) -> str:
     return " ".join(parts)
 
 
+def _te(n: int) -> str:
+    """Telugu (Indian grouping; oblique stem before a continuing number)."""
+    units = ["సున్నా", "ఒకటి", "రెండు", "మూడు", "నాలుగు", "అయిదు",
+             "ఆరు", "ఏడు", "ఎనిమిది", "తొమ్మిది", "పది", "పదకొండు",
+             "పన్నెండు", "పదమూడు", "పద్నాలుగు", "పదిహేను", "పదహారు",
+             "పదిహేడు", "పద్దెనిమిది", "పంతొమ్మిది"]
+    tens = ["", "", "ఇరవై", "ముప్పై", "నలభై", "యాభై", "అరవై", "డెబ్బై",
+            "ఎనభై", "తొంభై"]
+
+    def below100(k: int) -> str:
+        if k < 20:
+            return units[k]
+        t, u = divmod(k, 10)
+        return tens[t] + (" " + units[u] if u else "")
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        parts = []
+        if h:
+            if h == 1:
+                parts.append("వంద" if not r else "నూట")  # nūṭa + continuation
+            else:
+                parts.append(units[h] + (" వందలు" if not r else " వందల"))
+        if r:
+            parts.append(below100(r))
+        return " ".join(parts)
+
+    if n == 0:
+        return "సున్నా"
+    parts = []
+    crore, rest = divmod(n, 10**7)
+    if crore:
+        parts.append(_te(crore) + (" కోట్లు" if not rest else " కోట్ల")
+                     if crore > 1 else ("కోటి" if not rest else "కోటి"))
+    lakh, rest2 = divmod(rest, 10**5)
+    if lakh:
+        if lakh == 1:
+            parts.append("లక్ష")
+        else:
+            parts.append(below100(lakh) + (" లక్షలు" if not rest2 else " లక్షల"))
+    th, rest3 = divmod(rest2, 1000)
+    if th:
+        if th == 1:
+            parts.append("వెయ్యి" if not rest3 else "వెయ్యి")
+        else:
+            parts.append(below100(th) + (" వేలు" if not rest3 else " వేల"))
+    if rest3:
+        parts.append(below1000(rest3))
+    return " ".join(parts)
+
+
 _HI_0_99 = (
     "शून्य एक दो तीन चार पाँच छह सात आठ नौ दस "
     "ग्यारह बारह तेरह चौदह पंद्रह सोलह सत्रह अठारह उन्नीस बीस "
@@ -2199,7 +2250,7 @@ _SPELLERS = {
     "kk": (_kk, "бүтін"), "ky": (_ky, "бүтүн"), "tt": (_tt, "бөтен"),
     "am": (_am, "ነጥብ"), "sq": (_sq, "presje"), "la": (_la, "punctum"),
     "uz": (_uz, "butun"), "mi": (_mi, "ira"), "jbo": (_jbo, "pi"),
-    "ht": (_ht, "pwen"),
+    "ht": (_ht, "pwen"), "te": (_te, "పాయింట్"),
 }
 
 # Eastern digit forms normalized to ASCII before matching.
@@ -2213,7 +2264,7 @@ _INT_RE = re.compile(r"\d+")
 # Languages where "." is the decimal separator and "," groups thousands
 # (the en convention); everywhere else in the supported set the roles are
 # swapped, so "3,141" is pi, not three thousand.
-_PERIOD_DECIMAL = {"hi", "ur", "ko", "sw"}
+_PERIOD_DECIMAL = {"hi", "ur", "ko", "sw", "te"}
 
 
 def supported(language: str) -> bool:
