@@ -47,11 +47,22 @@ def test_root_serves_webui(live_server):
 
 
 def test_metrics_endpoint_counts_requests(live_server):
-    """GET /metrics serves Prometheus text and counts the preceding request."""
+    """GET /metrics serves Prometheus text and counts the preceding request.
+
+    The handler records the observation in a finally-block AFTER writing
+    the response bytes, so the client can see its reply a moment before
+    the counter lands — poll briefly instead of asserting instantly."""
+    import time
+
     urllib.request.urlopen(f"{live_server}/health").read()
-    resp = urllib.request.urlopen(f"{live_server}/metrics")
-    assert resp.headers["Content-Type"].startswith("text/plain")
-    text = resp.read().decode()
+    text = ""
+    for _ in range(20):
+        resp = urllib.request.urlopen(f"{live_server}/metrics")
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        text = resp.read().decode()
+        if 'zonos_requests_total{endpoint="/health",status="200"}' in text:
+            break
+        time.sleep(0.1)
     assert "# TYPE zonos_requests_total counter" in text
     assert 'zonos_requests_total{endpoint="/health",status="200"}' in text
     assert 'zonos_request_seconds_bucket{endpoint="/health",le="+Inf"}' in text
