@@ -70,6 +70,9 @@ CASES = [
     ("jbo", 25, "re mu"), ("ht", 90, "katrevendis"),
     ("te", 125, "నూట ఇరవై అయిదు"), ("te", 250, "రెండు వందల యాభై"),
     ("te", 100000, "లక్ష"),
+    ("ta", 25, "இருபத்தைந்து"), ("ta", 95, "தொண்ணூற்றைந்து"),
+    ("ta", 500, "ஐந்நூறு"), ("ta", 1500, "ஆயிரத்தைந்நூறு"),
+    ("ta", 125, "நூற்றிருபத்தைந்து"),
 ]
 
 
@@ -84,7 +87,7 @@ def test_supported_set():
     for lang in ("el", "fi", "hu", "id", "vi", "ro", "sw", "ur",
                  "bg", "hr", "sr", "sl", "sk", "et", "ca", "az", "af", "is"):
         assert supported(lang)
-    for lang in ("en-us", "ja", "cmn", "ta", "gd"):
+    for lang in ("en-us", "ja", "cmn", "bn", "gd"):
         assert not supported(lang)
 
 
@@ -158,7 +161,7 @@ def test_range_and_fuzz():
              "hu", "id", "vi", "ro", "sw", "ur", "bg", "hr", "sr", "bs",
              "sl", "sk", "et", "ca", "az", "af", "is", "eo", "eu", "cy",
              "mt", "lv", "lt", "ga", "hy", "ka", "kk", "ky", "tt", "am",
-             "sq", "la", "uz", "mi", "jbo", "ht", "te"]
+             "sq", "la", "uz", "mi", "jbo", "ht", "te", "ta"]
     for _ in range(300):
         n = rng.randrange(0, 10**12)  # covers the milliard range (review fix)
         for lang in langs:

@@ -2136,6 +2136,79 @@ def _te(n: int) -> str:
     return " ".join(parts)
 
 
+# Tamil sandhi: a combining stem ends in consonant+ு (e.g. இருபத்து); a
+# following vowel-initial unit merges, the independent vowel becoming a
+# vowel sign on that consonant (இருபத்து + ஐந்து → இருபத்தைந்து).
+_TA_VOWEL_SIGN = {"அ": "", "ஆ": "ா", "இ": "ி", "ஈ": "ீ", "உ": "ு",
+                  "ஊ": "ூ", "எ": "ெ", "ஏ": "ே", "ஐ": "ை", "ஒ": "ொ",
+                  "ஓ": "ோ"}
+
+
+def _ta_join(stem: str, word: str) -> str:
+    if word and word[0] in _TA_VOWEL_SIGN and stem.endswith("ு"):
+        return stem[:-1] + _TA_VOWEL_SIGN[word[0]] + word[1:]
+    return stem + word
+
+
+def _ta(n: int) -> str:
+    """Tamil (Indian grouping; full vowel-sandhi composition)."""
+    units = ["பூஜ்ஜியம்", "ஒன்று", "இரண்டு", "மூன்று", "நான்கு",
+             "ஐந்து", "ஆறு", "ஏழு", "எட்டு", "ஒன்பது", "பத்து",
+             "பதினொன்று", "பன்னிரண்டு", "பதின்மூன்று", "பதினான்கு",
+             "பதினைந்து", "பதினாறு", "பதினேழு", "பதினெட்டு",
+             "பத்தொன்பது"]
+    tens_final = ["", "பத்து", "இருபது", "முப்பது", "நாற்பது", "ஐம்பது",
+                  "அறுபது", "எழுபது", "எண்பது", "தொண்ணூறு"]
+    tens_stem = ["", "", "இருபத்து", "முப்பத்து", "நாற்பத்து", "ஐம்பத்து",
+                 "அறுபத்து", "எழுபத்து", "எண்பத்து", "தொண்ணூற்று"]
+
+    def below100(k: int) -> str:
+        if k < 20:
+            return units[k]
+        t, u = divmod(k, 10)
+        if not u:
+            return tens_final[t]
+        return _ta_join(tens_stem[t], units[u])
+
+    hundreds_final = ["", "நூறு", "இருநூறு", "முந்நூறு", "நானூறு",
+                      "ஐந்நூறு", "அறுநூறு", "எழுநூறு", "எண்ணூறு",
+                      "தொள்ளாயிரம்"]
+    hundreds_stem = ["", "நூற்று", "இருநூற்று", "முந்நூற்று", "நானூற்று",
+                     "ஐந்நூற்று", "அறுநூற்று", "எழுநூற்று", "எண்ணூற்று",
+                     "தொள்ளாயிரத்து"]
+
+    def below1000(k: int) -> str:
+        h, r = divmod(k, 100)
+        if not h:
+            return below100(r)
+        if not r:
+            return hundreds_final[h]
+        return _ta_join(hundreds_stem[h], below100(r))
+
+    if n == 0:
+        return "பூஜ்ஜியம்"
+    parts = []
+    crore, rest = divmod(n, 10**7)
+    if crore:
+        parts.append(("" if crore == 1 else _ta(crore) + " ") + "கோடி")
+    lakh, rest2 = divmod(rest, 10**5)
+    if lakh:
+        parts.append(("" if lakh == 1 else below100(lakh) + " ") + "லட்சம்"
+                     if not (rest2) else
+                     ("" if lakh == 1 else below100(lakh) + " ") + "லட்சத்து")
+    th, rest3 = divmod(rest2, 1000)
+    if th:
+        if not rest3:
+            parts.append("ஆயிரம்" if th == 1 else below1000(th) + " ஆயிரம்")
+        else:
+            head = "ஆயிரத்து" if th == 1 else below1000(th) + " ஆயிரத்து"
+            parts.append(_ta_join(head, below1000(rest3)))
+            return " ".join(parts)
+    if rest3:
+        parts.append(below1000(rest3))
+    return " ".join(parts)
+
+
 _HI_0_99 = (
     "शून्य एक दो तीन चार पाँच छह सात आठ नौ दस "
     "ग्यारह बारह तेरह चौदह पंद्रह सोलह सत्रह अठारह उन्नीस बीस "
@@ -2250,7 +2323,7 @@ _SPELLERS = {
     "kk": (_kk, "бүтін"), "ky": (_ky, "бүтүн"), "tt": (_tt, "бөтен"),
     "am": (_am, "ነጥብ"), "sq": (_sq, "presje"), "la": (_la, "punctum"),
     "uz": (_uz, "butun"), "mi": (_mi, "ira"), "jbo": (_jbo, "pi"),
-    "ht": (_ht, "pwen"), "te": (_te, "పాయింట్"),
+    "ht": (_ht, "pwen"), "te": (_te, "పాయింట్"), "ta": (_ta, "புள்ளி"),
 }
 
 # Eastern digit forms normalized to ASCII before matching.
@@ -2264,7 +2337,7 @@ _INT_RE = re.compile(r"\d+")
 # Languages where "." is the decimal separator and "," groups thousands
 # (the en convention); everywhere else in the supported set the roles are
 # swapped, so "3,141" is pi, not three thousand.
-_PERIOD_DECIMAL = {"hi", "ur", "ko", "sw", "te"}
+_PERIOD_DECIMAL = {"hi", "ur", "ko", "sw", "te", "ta"}
 
 
 def supported(language: str) -> bool:
