@@ -126,7 +126,57 @@ def test_concurrent_streams_coalesce_mixed_lengths(model):
         batcher.close()
 
 
-def test_stream_and_generate_requests_do_not_mix(model):
+def test_stream_closes_at_own_eos_before_batch_ends(model, monkeypatch):
+    """A coalesced /stream request whose sample drains early gets its stream
+    CLOSED (None) while batchmates keep receiving audio, ships exactly
+    lengths*hop samples, and never receives post-EOS junk (advisor r3 #1)."""
+    import zonos_tpu.runtime.streaming as S
+
+    orig = S._make_bias
+
+    def biased(statics):
+        bias = orig(statics)
+        eos = statics.cfg.eos_token_id
+        forced = jnp.full((bias.shape[-1],), -jnp.inf).at[eos].set(0.0)
+        bias = bias.at[0, 0].set(forced)          # sample 0 → immediate EOS
+        bias = bias.at[1:, 0, eos].set(-jnp.inf)  # sample 1 → runs to cap
+        return bias
+
+    monkeypatch.setattr(S, "_make_bias", biased)
+    S._compiled_stream_fns.cache_clear()
+    batcher = DynamicBatcher(model, max_batch=4, window_ms=50)
+    try:
+        reqs = [
+            TTSRequest(text=t, max_new_tokens=32, seed=5, stream=True)
+            for t in ("early stopper", "keeps on talking")
+        ]
+        # Synchronous call (deterministic ordering — no consumer threads).
+        batcher._run_stream_batch(reqs)
+
+        def drain(req):
+            items = []
+            while True:
+                item = req.chunks.get_nowait()
+                if item is None:
+                    return items
+                items.append(item[0])
+
+        got0, got1 = drain(reqs[0]), drain(reqs[1])
+        n0 = sum(p.size for p in got0)
+        n1 = sum(p.size for p in got1)
+        hop = model.autoencoder.config.hop_length
+        # Exact-length contract: each stream ships lengths[i]*hop samples.
+        assert n0 % hop == 0 and n1 % hop == 0
+        assert n1 > n0, "the early-EOS stream must be much shorter"
+        # The early stream received strictly fewer chunks than its batchmate:
+        # it was closed mid-batch, not at batch end.
+        assert len(got0) < len(got1)
+        # And nothing it received is post-EOS junk (its own audio is intact
+        # up to its boundary; junk would have arrived as extra chunks).
+        assert all(np.isfinite(p).all() for p in got0 + got1)
+    finally:
+        batcher.close()
+        S._compiled_stream_fns.cache_clear()
     batcher = DynamicBatcher(model, max_batch=4, window_ms=250)
     try:
         results = {}

@@ -61,5 +61,5 @@ def test_transformer_decode_with_pallas_attn(monkeypatch):
 
 
 def test_vmem_ok_flagship():
-    assert vmem_ok(2, 1152, 4, 128)  # flagship decode
-    assert not vmem_ok(16, 4096, 8, 128)  # too big for a grid-less kernel
+    assert vmem_ok(2, 1152, 4, 128, hq=16)  # flagship decode (16 q heads)
+    assert not vmem_ok(16, 4096, 8, 128, hq=32)  # too big for grid-less

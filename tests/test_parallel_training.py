@@ -194,3 +194,43 @@ def test_gradient_accumulation_matches_full_batch():
     assert np.isclose(l1, l2, rtol=1e-6)
     for a, b_ in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-6)
+
+
+def test_gradient_accumulation_matches_full_batch_uneven_masks():
+    """With UNEVEN valid-token counts across microbatches, accumulation must
+    still equal the full-batch token-weighted loss/update: the weighted-NLL
+    and weight sums accumulate separately and normalize once (advisor r3 #4;
+    per-microbatch mean averaging would skew toward sparse microbatches)."""
+    import numpy as np
+
+    from zonos_tpu.config import tiny_transformer_config
+    from zonos_tpu.models.zonos import Zonos
+    from zonos_tpu.training.train import build_train_step, init_train_state, make_optimizer
+
+    cfg = tiny_transformer_config()
+    model = Zonos.from_config(cfg, seed=0, dtype=jnp.float32)
+    params = {k: model.params[k] for k in ("embeddings", "heads", "backbone")}
+    opt = make_optimizer()
+    rng = np.random.default_rng(2)
+    b, lc, s = 4, 4, 12
+    cond = jnp.asarray(rng.normal(size=(b, lc, cfg.backbone.d_model)).astype(np.float32))
+    codes = jnp.asarray(rng.integers(0, 1024, size=(b, 9, s)).astype(np.int32))
+    # Microbatch 0 (rows 0-1) keeps 2+5 valid positions; microbatch 1 (rows
+    # 2-3) keeps 11+11 — a 3.1× weight imbalance across microbatches.
+    mask = np.zeros((b, s - 1), bool)
+    mask[0, :2] = True
+    mask[1, :5] = True
+    mask[2:, :] = True
+    mask = jnp.asarray(mask)
+
+    def run(accum):
+        state = init_train_state(jax.tree.map(jnp.copy, params), opt)
+        step = jax.jit(build_train_step(cfg, opt, accum_steps=accum))
+        state, loss = step(state, cond, codes, mask)
+        return float(loss), state.params
+
+    l1, p1 = run(1)
+    l2, p2 = run(2)
+    assert np.isclose(l1, l2, rtol=1e-6)
+    for a, b_ in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-6)

@@ -237,6 +237,63 @@ def test_admin_posts_broadcast_to_all_backends(router_with_two_backends):
     assert got.get("backend") in ("one", "two")
 
 
+def test_client_disconnect_does_not_quarantine_backend():
+    """A client aborting a chunked /stream mid-flight breaks the ROUTER's
+    client socket, not the backend. The router must not quarantine the
+    (healthy) backend it was proxying from (advisor r3 finding #2)."""
+    import socket
+    import struct
+
+    served_done = threading.Event()
+
+    class Slow(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            self.rfile.read(n)
+            self.send_response(200)
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            try:
+                for _ in range(500):
+                    chunk = b"x" * 8192
+                    self.wfile.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
+                    self.wfile.flush()
+                    time.sleep(0.005)
+                self.wfile.write(b"0\r\n\r\n")
+            except OSError:
+                pass  # router hung up after ITS client left — expected
+            finally:
+                served_done.set()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Slow)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    u = f"http://127.0.0.1:{srv.server_address[1]}"
+    pool = BackendPool([u], cooldown_s=60.0)
+    rsrv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(pool, timeout_s=30))
+    threading.Thread(target=rsrv.serve_forever, daemon=True).start()
+    try:
+        # Raw client: start the stream, read a little, then RST the socket.
+        s = socket.create_connection(("127.0.0.1", rsrv.server_address[1]))
+        s.sendall(
+            b"POST /stream HTTP/1.1\r\nHost: x\r\nContent-Length: 2\r\n\r\n{}"
+        )
+        s.recv(4096)
+        s.setsockopt(
+            socket.SOL_SOCKET, socket.SO_LINGER, struct.pack("ii", 1, 0)
+        )
+        s.close()
+        # Wait for the proxy handler to notice, then for its finally-release.
+        assert served_done.wait(timeout=30), "backend never saw the hang-up"
+        time.sleep(0.5)
+        assert pool.healthy_urls() == [u], "healthy backend was quarantined"
+    finally:
+        rsrv.shutdown()
+        srv.shutdown()
+
+
 def test_backend_4xx_relays_without_quarantine():
     """A backend's 400 must pass through verbatim and NOT quarantine it —
     one malformed request must never take a healthy backend offline."""

@@ -99,15 +99,16 @@ def test_batched_pcm_streaming_matches_lengths():
     cond = np.asarray(model.prepare_conditioning(cd), np.float32)
 
     chunks, final_lengths = [], None
-    for (pcm, lengths), sr in generate_stream(
+    for (pcm, lengths, final), sr in generate_stream(
         model.params, model.config, cond, autoencoder=auto,
         max_new_tokens=24, batch_size=B, seed=7, dtype=jnp.float32,
         first_chunk_frames=6, chunk_frames=8,
     ):
         assert pcm.ndim == 2 and pcm.shape[0] == B
         assert np.isfinite(pcm).all()
+        assert lengths.shape == (B,) and final.shape == (B,)
         chunks.append(pcm)
-        if lengths is not None:
+        if final.all():
             final_lengths = np.asarray(lengths)
 
     assert len(chunks) >= 2, "streaming should yield multiple chunks"
@@ -117,3 +118,59 @@ def test_batched_pcm_streaming_matches_lengths():
         valid = int(final_lengths[i]) * hop
         # Tail past a sample's own EOS boundary is silence.
         assert np.all(total[i, valid:] == 0.0)
+
+
+def test_divergent_eos_trims_intermediate_chunks(model, monkeypatch):
+    """A sample that drains early must go silent IMMEDIATELY: its `final`
+    flag flips as soon as its own drain completes (not at batch end), every
+    later chunk carries only zeros for it, and the early device-side length
+    equals the host postprocess length (advisor r3 finding #1)."""
+    import zonos_tpu.runtime.streaming as S
+    from zonos_tpu.conditioning.cond_dict import make_cond_dict
+
+    orig = S._make_bias
+
+    def biased(statics):
+        bias = orig(statics)
+        eos = statics.cfg.eos_token_id
+        # Sample 0: the next cb0 token can only be EOS → drains right away.
+        forced = jnp.full((bias.shape[-1],), -jnp.inf).at[eos].set(0.0)
+        bias = bias.at[0, 0].set(forced)
+        # Other samples: EOS forbidden → they run to the token cap.
+        bias = bias.at[1:, 0, eos].set(-jnp.inf)
+        return bias
+
+    monkeypatch.setattr(S, "_make_bias", biased)
+    S._compiled_stream_fns.cache_clear()
+    try:
+        B = 2
+        hop = model.autoencoder.config.hop_length
+        cd = make_cond_dict(text="w", speaker=np.zeros((1, 1, 128), np.float32))
+        cd["espeak"] = (["early stopper", "keeps on talking"], ["en-us"] * B)
+        cond = np.asarray(model.prepare_conditioning(cd), np.float32)
+
+        rows = []
+        for (pcm, lengths, final), _sr in generate_stream(
+            model.params, model.config, cond, autoencoder=model.autoencoder,
+            max_new_tokens=32, batch_size=B, seed=5, dtype=jnp.float32,
+            first_chunk_frames=4, chunk_frames=8,
+        ):
+            rows.append((np.asarray(pcm).copy(), np.asarray(lengths).copy(),
+                         np.asarray(final).copy()))
+
+        finals = np.stack([f for _, _, f in rows])  # [n_chunks, B]
+        # Sample 0 finalizes strictly before the last chunk; sample 1 only at it.
+        first_final_0 = int(np.argmax(finals[:, 0]))
+        assert finals[:, 0].any() and first_final_0 < len(rows) - 1
+        assert not finals[:-1, 1].any() and finals[-1, 1]
+        # Sample 0's early (device-vote) length equals the final host length.
+        early_len = int(rows[first_final_0][1][0])
+        assert early_len == int(rows[-1][1][0])
+        # Once final, sample 0's remaining audio is pure silence, and the
+        # concatenated stream respects both samples' boundaries.
+        total = np.concatenate([p for p, _, _ in rows], axis=1)
+        assert np.all(total[0, early_len * hop:] == 0.0)
+        assert int(rows[-1][1][1]) > early_len  # sample 1 talked much longer
+        assert np.any(total[1, early_len * hop:] != 0.0)
+    finally:
+        S._compiled_stream_fns.cache_clear()

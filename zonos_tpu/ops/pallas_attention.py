@@ -125,17 +125,17 @@ def attn_core_int8(
 
 
 def vmem_ok(
-    b: int, s: int, hkv: int, dh: int, hq: int | None = None,
+    b: int, s: int, hkv: int, dh: int, hq: int,
     budget: int = 12 * 2**20,
 ) -> bool:
     """Whole working set must fit VMEM (grid-less kernel).
 
     Counts every resident buffer: int8 K/V + f32 scales, the bf16 q and f32
     output, and the per-head f32 score/prob intermediates ([b, hq, s] twice —
-    logits and softmax numerator coexist at the peak).
+    logits and softmax numerator coexist at the peak). ``hq`` (query heads)
+    is required: guessing it low would UNDER-count the q/out/score buffers
+    and admit configs that overflow VMEM.
     """
-    if hq is None:
-        hq = hkv  # conservative lower bound if the caller omits query heads
     kv_bytes = 2 * b * s * hkv * dh  # int8 K+V
     scales = 2 * b * s * hkv * 4
     q_out = b * hq * dh * (2 + 4)  # bf16 q + f32 out

@@ -96,6 +96,28 @@ def build_prefill_fn(statics: GenerateStatics):
     return prefill_fn
 
 
+def _eos_trim_lengths(out_raw: jnp.ndarray, offsets: jnp.ndarray, cfg) -> jnp.ndarray:
+    """Device-side trailing-EOS boundary vote, per sample.
+
+    The jnp mirror of runtime/generate.postprocess_codes_batched's host loop
+    (itself the per-sample fix of reference model.py:516-529): valid length is
+    offset - n_q, trimmed to the first position in the last
+    ``min(50, valid // 4)`` frames where ≥ n_q//2 codebook rows are EOS.
+    Computing it on device lets streaming consumers learn a drained sample's
+    exact final length from the per-segment status readback, without waiting
+    for the whole batch to finish.
+    """
+    n_q = cfg.codebook_dimension
+    s = out_raw.shape[-1]
+    valid = jnp.maximum(offsets - n_q, 0)  # [B]
+    votes = (out_raw == cfg.eos_token_id).sum(axis=1) >= (n_q // 2)  # [B, S]
+    pos = jnp.arange(s)[None, :]
+    window = jnp.minimum(50, valid // 4)
+    in_win = (pos >= (valid - window)[:, None]) & (pos < valid[:, None])
+    first = jnp.where(votes & in_win, pos, s).min(axis=1)
+    return jnp.where(first < s, first, valid)
+
+
 def build_segment_fn(statics: GenerateStatics):
     """Decode until min(segment_end, max_steps) or EOS-drain exhaustion."""
     cfg = statics.cfg
@@ -164,10 +186,18 @@ def build_segment_fn(statics: GenerateStatics):
             [c.offset, c.steps_done, all_stopped.astype(jnp.int32)]
         )
         out = revert_delay_pattern(c.delayed_codes)
+        # Per-sample final lengths for samples whose EOS drain has completed
+        # (-1 = still generating). Streaming consumers trim each sample's
+        # chunks at its OWN boundary as soon as it drains instead of shipping
+        # sanitized post-EOS junk until batchmates finish.
+        drained = c.stop_offset >= 0
+        lengths = jnp.where(
+            drained, _eos_trim_lengths(out, c.stop_offset, cfg), -1
+        ).astype(jnp.int32)
         out = jnp.where(out > cfg.eos_token_id, 512, out)
         out = jnp.where(out == cfg.eos_token_id, 0, out)
         out = jnp.clip(out, 0, cfg.eos_token_id - 1)
-        return c, status, out
+        return c, status, out, lengths
 
     return segment_fn
 
@@ -214,11 +244,15 @@ def generate_stream(
     non-streaming path.
 
     batch_size > 1 with an autoencoder enables BATCHED streaming: every
-    yield becomes ((pcm [B, T], lengths), sr) where all samples' chunks are
-    decoded in one codec call; ``lengths`` is None until the final chunk,
-    which zeroes each sample's tail past its own EOS boundary and reports
-    the per-sample total frame lengths (serving consumers trim each stream
-    to ``lengths[i] * hop_length`` samples overall).
+    yield becomes ((pcm [B, T], lengths [B], final [B]), sr) where all
+    samples' chunks are decoded in one codec call. ``lengths[i]`` is sample
+    i's total valid frame count as currently known — exact and final where
+    ``final[i]`` is True (the sample's EOS drain completed, or the whole
+    stream is done), the running global total otherwise. Every chunk zeroes
+    each sample's PCM past its own boundary; consumers should stop reading a
+    sample's chunks once ``final[i]`` (its remaining chunks carry only
+    zeros), and trim each stream to ``lengths[i] * hop_length`` samples
+    overall.
     """
     if isinstance(sampling_params, dict):
         sampling_params = SamplingParams(**sampling_params)
@@ -264,13 +298,13 @@ def generate_stream(
     carry = None
     while True:
         if carry is None:
-            carry, status, device_codes = start(
+            carry, status, device_codes, seg_lengths = start(
                 params, cond_padded, jnp.asarray(delayed_init),
                 jnp.int32(lp + 1), pad_amount, jnp.float32(cfg_scale), key,
                 max_steps, jnp.int32(segment_end),
             )
         else:
-            carry, status, device_codes = segment(
+            carry, status, device_codes, seg_lengths = segment(
                 params, carry, pad_amount, jnp.float32(cfg_scale), max_steps, jnp.int32(segment_end)
             )
         offset, steps, all_stopped = (int(v) for v in np.asarray(status))
@@ -307,20 +341,34 @@ def generate_stream(
             if batch_size == 1:
                 yield np.asarray(wav[0, 0, ctx * hop :]), sr
             else:
-                # Batched PCM mode yields ((pcm [B, T], lengths), sr): the
-                # final chunk zeroes each sample's tail past its OWN EOS
-                # boundary and carries the per-sample total frame lengths
-                # (None until done) so consumers trim each stream exactly.
+                # Batched PCM mode yields ((pcm [B, T], lengths [B],
+                # final [B]), sr) — see the docstring. EVERY chunk zeroes
+                # each sample's PCM past its own currently-known boundary,
+                # so a drained sample never ships post-EOS junk while its
+                # batchmates keep talking.
                 pcm = np.array(wav[:, 0, ctx * hop :])
                 if done:
-                    lengths = np.asarray(lengths_final)
-                    for i in range(batch_size):
-                        valid = max(int(lengths[i]) - emitted_frames, 0) * hop
-                        pcm[i, valid:] = 0.0
-                    yield (pcm, lengths), sr
+                    lengths = np.asarray(lengths_final, np.int64)
+                    final = np.ones((batch_size,), bool)
                 else:
-                    yield (pcm, None), sr
+                    per = np.asarray(seg_lengths)  # [B]; -1 = still going
+                    lengths = np.where(per >= 0, per, total).astype(np.int64)
+                    final = per >= 0
+                for i in range(batch_size):
+                    valid = max(int(lengths[i]) - emitted_frames, 0) * hop
+                    pcm[i, valid:] = 0.0
+                yield (pcm, lengths, final), sr
             emitted_frames = total
+        elif autoencoder is not None and batch_size > 1 and done:
+            # No net new frames this segment (e.g. the trailing-EOS vote
+            # trimmed back into already-emitted audio): still deliver the
+            # final per-sample lengths so consumers can trim exactly.
+            lengths = np.asarray(lengths_final, np.int64)
+            yield (
+                np.zeros((batch_size, 0), np.float32),
+                lengths,
+                np.ones((batch_size,), bool),
+            ), sr
         elif autoencoder is None and (done or total > emitted_frames):
             # Codes mode: always emit the final (EOS-trimmed) codes on done,
             # even when the last segment adds no net de-delayed frames.

@@ -246,21 +246,36 @@ class DynamicBatcher:
             dtype=self.model.dtype, kv_int8=kv_int8,
         ):
             if b == 1:
-                pcm, lengths = np.asarray(item)[None, :], None
+                pcm = np.asarray(item)[None, :]
+                lengths, final = None, None
             else:
-                pcm, lengths = item
+                pcm, lengths, final = item
             for i, req in enumerate(batch):
                 if closed[i]:
                     continue
                 if lengths is None:
                     req.chunks.put((np.asarray(pcm[i]), sr))
                     emitted[i] += int(pcm.shape[1])
-                else:
-                    # Final chunk: ship only this sample's remaining valid
-                    # audio and close its stream.
-                    valid = max(int(lengths[i]) * hop - emitted[i], 0)
-                    if valid:
-                        req.chunks.put((np.asarray(pcm[i])[:valid], sr))
+                    continue
+                # Ship only this sample's remaining valid audio (its own
+                # EOS boundary, known per segment), and close its stream as
+                # soon as its boundary is final — batchmates may keep going.
+                valid = min(max(int(lengths[i]) * hop - emitted[i], 0), int(pcm.shape[1]))
+                if valid:
+                    req.chunks.put((np.asarray(pcm[i])[:valid], sr))
+                    emitted[i] += valid
+                if final[i]:
+                    if emitted[i] != int(lengths[i]) * hop:
+                        # Over-ship is only possible when a final boundary
+                        # retro-trims into an earlier chunk (rare; bounded by
+                        # the trailing-EOS vote window). Audio already shipped
+                        # cannot be retracted — record it instead of crashing.
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "stream %d emitted %d samples, boundary %d",
+                            i, emitted[i], int(lengths[i]) * hop,
+                        )
                     req.chunks.put(None)
                     closed[i] = True
         for i, req in enumerate(batch):

@@ -151,37 +151,53 @@ def make_handler(pool: BackendPool, timeout_s: float = 600.0):
                 self.wfile.write(payload)
                 return
             ok = False
+
+            class _ClientGone(Exception):
+                """Our CLIENT's socket failed mid-response (disconnect,
+                broken pipe). The backend answered fine — attributing this
+                to the backend would quarantine a healthy node on every
+                client abort of a long /stream."""
+
+            def cw(fn, *a):
+                # Client-side write: OSError here means the client hung up.
+                try:
+                    return fn(*a)
+                except OSError as e:
+                    raise _ClientGone from e
+
             try:
                 req = urllib.request.Request(url + self.path, data=body, method=method)
                 for h in ("Content-Type",):
                     if self.headers.get(h):
                         req.add_header(h, self.headers[h])
                 with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-                    self.send_response(resp.status)
+                    cw(self.send_response, resp.status)
                     chunked = resp.headers.get("Transfer-Encoding") == "chunked"
                     for h, v in resp.headers.items():
                         if h.lower() in ("date", "server", "transfer-encoding", "content-length"):
                             continue
-                        self.send_header(h, v)
+                        cw(self.send_header, h, v)
                     if chunked:
                         # Stream through chunk-by-chunk: TTFA adds one hop.
-                        self.send_header("Transfer-Encoding", "chunked")
-                        self.end_headers()
+                        cw(self.send_header, "Transfer-Encoding", "chunked")
+                        cw(self.end_headers)
                         while True:
-                            chunk = resp.read(32768)
+                            chunk = resp.read(32768)  # backend-side read
                             if not chunk:
                                 break
-                            self.wfile.write(f"{len(chunk):x}\r\n".encode())
-                            self.wfile.write(chunk)
-                            self.wfile.write(b"\r\n")
-                            self.wfile.flush()
-                        self.wfile.write(b"0\r\n\r\n")
+                            cw(self.wfile.write, f"{len(chunk):x}\r\n".encode())
+                            cw(self.wfile.write, chunk)
+                            cw(self.wfile.write, b"\r\n")
+                            cw(self.wfile.flush)
+                        cw(self.wfile.write, b"0\r\n\r\n")
                     else:
-                        data = resp.read()
-                        self.send_header("Content-Length", str(len(data)))
-                        self.end_headers()
-                        self.wfile.write(data)
+                        data = resp.read()  # backend-side read
+                        cw(self.send_header, "Content-Length", str(len(data)))
+                        cw(self.end_headers)
+                        cw(self.wfile.write, data)
                     ok = True
+            except _ClientGone:
+                ok = True  # backend healthy; the requester went away
             except urllib.error.HTTPError as e:
                 # The backend ANSWERED (4xx client error, 5xx handler error):
                 # relay its response verbatim; this is not a dead backend —

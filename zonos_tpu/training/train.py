@@ -44,14 +44,19 @@ def init_train_state(params: dict, optimizer: optax.GradientTransformation) -> T
     return TrainState(params=params, opt_state=optimizer.init(params), step=jnp.int32(0))
 
 
-def loss_fn(
+def loss_terms(
     params: dict,
     cfg: ZonosConfig,
     cond_emb: jnp.ndarray,  # [B, Lc, D]
     delayed_codes: jnp.ndarray,  # [B, n_q, S] delay-patterned targets
     loss_mask: jnp.ndarray,  # [B, S-1] True where the next-frame target is real
-) -> jnp.ndarray:
-    """Mean per-token cross-entropy over all codebooks."""
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Weighted-NLL sum and mask-weight sum (normalize = token-weighted mean).
+
+    Kept un-normalized so gradient accumulation can sum both terms across
+    microbatches and divide ONCE — averaging per-microbatch means would skew
+    toward microbatches with fewer valid tokens.
+    """
     n_q = cfg.codebook_dimension
     inputs = delayed_codes[..., :-1]
     targets = delayed_codes[..., 1:]  # predict frame t+1 from ≤ t
@@ -74,7 +79,13 @@ def loss_fn(
     # Delay-pattern MASK tokens and out-of-head-range ids are not targets.
     valid = (targets < logits.shape[-1]).astype(nll.dtype)
     w = mask * valid
-    return jnp.sum(nll * w) / jnp.clip(jnp.sum(w) * 1.0, min=1.0)
+    return jnp.sum(nll * w), jnp.sum(w)
+
+
+def loss_fn(params, cfg, cond_emb, delayed_codes, loss_mask) -> jnp.ndarray:
+    """Mean per-token cross-entropy over all codebooks."""
+    nll_sum, w_sum = loss_terms(params, cfg, cond_emb, delayed_codes, loss_mask)
+    return nll_sum / jnp.clip(w_sum, min=1.0)
 
 
 def build_train_step(cfg: ZonosConfig, optimizer: optax.GradientTransformation,
@@ -83,9 +94,11 @@ def build_train_step(cfg: ZonosConfig, optimizer: optax.GradientTransformation,
 
     ``accum_steps > 1`` enables gradient accumulation: the leading batch axis
     is split into that many microbatches scanned sequentially (lax.scan, so
-    one compiled body), gradients averaged before the single optimizer
-    update. Combined with ZONOS_REMAT=1 this is the standard TPU recipe for
-    training at batch sizes whose activations exceed HBM.
+    one compiled body). The weighted-NLL sum and the mask-weight sum are
+    accumulated separately and normalized ONCE at the end, so the result
+    equals the full-batch token-weighted loss/gradient even when valid-token
+    counts differ across microbatches. Combined with ZONOS_REMAT=1 this is
+    the standard TPU recipe for batch sizes whose activations exceed HBM.
     """
 
     def train_step(state: TrainState, cond_emb, delayed_codes, loss_mask):
@@ -99,16 +112,23 @@ def build_train_step(cfg: ZonosConfig, optimizer: optax.GradientTransformation,
 
             micro = (split(cond_emb), split(delayed_codes), split(loss_mask))
 
+            def terms(params, *mb):
+                nll_sum, w_sum = loss_terms(params, cfg, *mb)
+                return nll_sum, w_sum
+
             def body(carry, mb):
-                acc_loss, acc_grads = carry
-                l, g = jax.value_and_grad(loss_fn)(state.params, cfg, *mb)
-                return (acc_loss + l, jax.tree.map(jnp.add, acc_grads, g)), None
+                acc_nll, acc_w, acc_grads = carry
+                (nll, w), g = jax.value_and_grad(terms, has_aux=True)(state.params, *mb)
+                return (acc_nll + nll, acc_w + w, jax.tree.map(jnp.add, acc_grads, g)), None
 
             zero_grads = jax.tree.map(jnp.zeros_like, state.params)
-            (loss, grads), _ = jax.lax.scan(body, (jnp.float32(0.0), zero_grads), micro)
-            inv = 1.0 / accum_steps
-            loss = loss * inv
-            grads = jax.tree.map(lambda g: g * inv, grads)
+            (nll_sum, w_sum, grads), _ = jax.lax.scan(
+                body, (jnp.float32(0.0), jnp.float32(0.0), zero_grads), micro
+            )
+            # grad(Σ nll·w / W) = Σ grad(nll·w) / W: w is param-independent.
+            denom = jnp.clip(w_sum, min=1.0)
+            loss = nll_sum / denom
+            grads = jax.tree.map(lambda g: g / denom, grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
