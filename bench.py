@@ -1,24 +1,33 @@
-"""Benchmark: full TTS pipeline real-time factor on one TPU chip.
+"""Benchmark: the full headline perf story on one TPU chip, one JSON line.
 
 Replicates the reference's headline measurement — audio seconds produced per
 wall-clock second for one generation request (reference README.md:131 reports
 ~2x on an RTX 4090; per-request RTF logging at SkyrimNet-Zonos.py:174) — on
 the Zonos-v0.1-transformer architecture at full scale (random bf16 weights;
-RTF depends on shapes, not values).
+RTF depends on shapes, not values), and carries the rest of the serving story
+in the same line (recipe anchor: /root/reference/test_zonos.py:526,547-566):
 
-Measures, after a compile warmup:
-  * the jitted prefill + decode loop for a fixed 10 s of audio (860 frames,
-    EOS disabled so the loop runs to length), and
-  * the jitted DAC decode of the resulting codes to 44.1 kHz PCM,
-end to end including host↔device transfers, matching what a server request
-pays.
+  * ``value``:   transformer e2e RTF, 10 s request incl. DAC (primary)
+  * ``extra.rtf_e2e_hybrid_10s``:   same request on the hybrid backbone
+  * ``extra.ttfa_p50_ms``:          streaming time-to-first-audio, p50
+  * ``extra.rtf_aggregate_batch8``: 8 coalesced streams, aggregate RTF
+  * ``extra.decode_ms_per_frame``:  decode-loop cost per frame
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+
+Robustness: backend init is probed in a subprocess with timeout + backoff
+first (the axon tunnel can hang ``jax.devices()`` indefinitely — round-3
+outage), and each secondary metric degrades to null on failure or when the
+time budget (ZONOS_BENCH_BUDGET_S, default 2400 s) runs out, so a flap
+yields a partial result instead of rc=1.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -28,50 +37,111 @@ SECONDS = 10.0
 FRAMES_PER_SEC = 86  # reference app_constants.py:7
 
 
+def _probe_backend(attempts: int = 3, probe_timeout: float = 300.0) -> bool:
+    """Init the backend in a CHILD with a timeout, retrying with backoff.
+
+    jax.devices() over the axon tunnel can hang forever when the tunnel is
+    down; a hung child is killable, a hung import in THIS process is not.
+    """
+    delay = 20.0
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+            sys.stderr.write(
+                f"# backend probe rc={r.returncode}: "
+                f"{r.stderr.decode(errors='replace')[-300:]}\n"
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"# backend probe timed out ({probe_timeout:.0f}s)\n")
+        if i < attempts - 1:
+            time.sleep(delay)
+            delay *= 2
+    return False
+
+
 def main() -> None:
+    t_wall0 = time.monotonic()
+    budget_s = float(os.environ.get("ZONOS_BENCH_BUDGET_S", 2400))
+    dense = os.environ.get("ZONOS_BENCH_DENSE") == "1"
+    tiny = os.environ.get("ZONOS_BENCH_PRESET") == "tiny"  # CPU smoke mode
+
+    def left() -> float:
+        return budget_s - (time.monotonic() - t_wall0)
+
+    if not tiny and not _probe_backend():
+        print(json.dumps({
+            "metric": "rtf_e2e_transformer_10s_1chip", "value": None,
+            "unit": "x_realtime", "vs_baseline": None,
+            "extra": {"error": "backend init failed after retries"},
+        }))
+        sys.exit(1)
+
     import jax
     import jax.numpy as jnp
+
+    if tiny:
+        jax.config.update("jax_platforms", "cpu")
 
     from zonos_tpu.utils.compile_cache import enable as enable_compile_cache
 
     enable_compile_cache()
 
-    from zonos_tpu.codec.dac import DACAutoencoder
-    from zonos_tpu.config import zonos_v01_transformer_config
+    from zonos_tpu.codec.dac import DACAutoencoder, DACConfig, init_dac_params
+    from zonos_tpu.config import (
+        tiny_hybrid_config,
+        tiny_transformer_config,
+        zonos_v01_hybrid_config,
+        zonos_v01_transformer_config,
+    )
     from zonos_tpu.models.zonos import Zonos
     from zonos_tpu.ops.sampling import SamplingParams
+    from zonos_tpu.runtime import generate as G
+    from zonos_tpu.runtime.streaming import generate_stream
 
-    import os
-
-    cfg = zonos_v01_transformer_config()
-    model = Zonos.from_config(cfg, seed=0, dtype=jnp.bfloat16)
-    if os.environ.get("ZONOS_BENCH_DENSE") != "1":
+    dtype = jnp.float32 if tiny else jnp.bfloat16
+    cfg = tiny_transformer_config() if tiny else zonos_v01_transformer_config()
+    model = Zonos.from_config(cfg, seed=0, dtype=dtype)
+    if not dense:
         # Serving default: weight-only int8 decode (1.6x faster on the
         # HBM-bound loop; logit correlation vs dense > 0.995, tests/test_quant.py).
         model = model.quantize()
-    ae = DACAutoencoder(dtype=jnp.bfloat16)
+    if tiny:
+        dcfg = DACConfig(
+            encoder_hidden_size=8, downsampling_ratios=(2, 4),
+            decoder_hidden_size=32, upsampling_ratios=(4, 2), n_codebooks=9,
+            codebook_size=1024, codebook_dim=4, hidden_size=24,
+        )
+        ae = DACAutoencoder(
+            params=init_dac_params(jax.random.key(0), dcfg), cfg=dcfg,
+            dtype=dtype, frame_bucket=8,
+        )
+    else:
+        ae = DACAutoencoder(dtype=dtype)
 
-    max_new = int(SECONDS * FRAMES_PER_SEC)
+    max_new = 24 if tiny else int(SECONDS * FRAMES_PER_SEC)
     rng = np.random.default_rng(0)
     lc = 80  # typical conditioning prefix length (phonemes + controls)
-    cond = rng.normal(size=(2, lc, cfg.backbone.d_model)).astype(np.float32) * 0.05
+    d = cfg.backbone.d_model
+    cond = rng.normal(size=(2, lc, d)).astype(np.float32) * 0.05
+    kv_int8 = not dense
+    sampling = SamplingParams(min_p=0.1)
 
-    from zonos_tpu.runtime import generate as G
-
-    kv_int8 = os.environ.get("ZONOS_BENCH_DENSE") != "1"
-
-    def run(seed):
+    def run(seed, batch_size=1, c=cond):
         return G.generate(
-            model.params, cfg, cond, max_new_tokens=max_new, cfg_scale=2.0,
-            sampling_params=SamplingParams(min_p=0.1), seed=seed,
-            dtype=jnp.bfloat16, forbid_eos=True, kv_int8=kv_int8,
+            model.params, cfg, c, max_new_tokens=max_new, cfg_scale=2.0,
+            batch_size=batch_size, sampling_params=sampling, seed=seed,
+            dtype=dtype, forbid_eos=True, kv_int8=kv_int8,
         )
 
-    # Warmup (compile) — generation + DAC decode.
-    codes = run(1)
+    # ---- primary: transformer e2e RTF (10 s request incl. DAC) ----
+    codes = run(1)  # warmup (compile)
     wav = ae.decode(codes)
 
-    # Timed runs.
     n_runs = 3
     t0 = time.perf_counter()
     for i in range(n_runs):
@@ -84,14 +154,95 @@ def main() -> None:
     t_dac = (time.perf_counter() - t0) / n_runs
 
     audio_sec = codes.shape[-1] / FRAMES_PER_SEC
+    rtf = audio_sec / (t_gen + t_dac)
+    extra = {
+        "decode_ms_per_frame": round(t_gen / codes.shape[-1] * 1e3, 3),
+        "ttfa_p50_ms": None,
+        "rtf_aggregate_batch8": None,
+        "rtf_e2e_hybrid_10s": None,
+    }
     if os.environ.get("ZONOS_BENCH_COMPONENTS") == "1":
         print(f"# t_gen={t_gen:.3f}s t_dac={t_dac:.3f}s audio={audio_sec:.2f}s")
-    rtf = audio_sec / (t_gen + t_dac)
+
+    # ---- TTFA p50 (streaming, first_chunk=12) ----
+    if left() > 300 or tiny:
+        try:
+            def first_audio(seed):
+                t0 = time.perf_counter()
+                gen = generate_stream(
+                    model.params, cfg, cond, autoencoder=ae,
+                    max_new_tokens=max_new, cfg_scale=2.0,
+                    sampling_params=sampling, seed=seed,
+                    first_chunk_frames=12, chunk_frames=86, dtype=dtype,
+                    forbid_eos=True, kv_int8=kv_int8,
+                )
+                next(gen)
+                dt = time.perf_counter() - t0
+                gen.close()
+                return dt
+
+            first_audio(1)  # compile
+            ts = sorted(first_audio(2 + i) for i in range(3))
+            extra["ttfa_p50_ms"] = round(ts[1] * 1e3, 1)
+        except Exception as e:  # degrade, don't fail the whole artifact
+            sys.stderr.write(f"# ttfa bench failed: {e}\n")
+
+    # ---- batch-8 aggregate RTF (serving throughput configuration) ----
+    if left() > 420 or tiny:
+        try:
+            B = 8
+            cond8 = rng.normal(size=(2 * B, lc, d)).astype(np.float32) * 0.05
+            run(1, batch_size=B, c=cond8)  # compile
+            t0 = time.perf_counter()
+            codes8 = run(2, batch_size=B, c=cond8)
+            wav8 = ae.decode(codes8)
+            jax.block_until_ready(wav8)
+            t8 = time.perf_counter() - t0
+            extra["rtf_aggregate_batch8"] = round(
+                B * codes8.shape[-1] / FRAMES_PER_SEC / t8, 3
+            )
+        except Exception as e:
+            sys.stderr.write(f"# batch8 bench failed: {e}\n")
+
+    # ---- hybrid e2e RTF (same 10 s request, Mamba2 hybrid backbone) ----
+    if left() > 600 or tiny:
+        try:
+            hcfg = tiny_hybrid_config() if tiny else zonos_v01_hybrid_config()
+            hmodel = Zonos.from_config(hcfg, seed=0, dtype=dtype)
+            if not dense:
+                hmodel = hmodel.quantize()
+            hcond = rng.normal(size=(2, lc, hcfg.backbone.d_model)).astype(np.float32) * 0.05
+
+            def hrun(seed):
+                return G.generate(
+                    hmodel.params, hcfg, hcond, max_new_tokens=max_new,
+                    cfg_scale=2.0, sampling_params=sampling, seed=seed,
+                    dtype=dtype, forbid_eos=True, kv_int8=kv_int8,
+                )
+
+            hcodes = hrun(1)  # compile
+            hwav = ae.decode(hcodes)
+            t0 = time.perf_counter()
+            n_h = 2
+            for i in range(n_h):
+                hcodes = hrun(2 + i)
+            t_hgen = (time.perf_counter() - t0) / n_h
+            t0 = time.perf_counter()
+            hwav = ae.decode(hcodes)
+            jax.block_until_ready(hwav)
+            t_hdac = time.perf_counter() - t0
+            extra["rtf_e2e_hybrid_10s"] = round(
+                hcodes.shape[-1] / FRAMES_PER_SEC / (t_hgen + t_hdac), 3
+            )
+        except Exception as e:
+            sys.stderr.write(f"# hybrid bench failed: {e}\n")
+
     result = {
         "metric": "rtf_e2e_transformer_10s_1chip",
         "value": round(rtf, 3),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / BASELINE_RTF, 3),
+        "extra": extra,
     }
     print(json.dumps(result))
 

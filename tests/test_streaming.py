@@ -120,6 +120,85 @@ def test_batched_pcm_streaming_matches_lengths():
         assert np.all(total[i, valid:] == 0.0)
 
 
+def test_generate_audio_pipelined_matches_sequential(model, cond):
+    """generate_audio (DAC pipelined behind the decode loop, depth-2 segment
+    dispatch) must match generate() + autoencoder.decode() at the same seed:
+    identical tokens and per-sample lengths, PCM equal to numerical
+    precision (XLA conv reduction order varies with input shape; the
+    shape-independent parts must be exactly equal)."""
+    from zonos_tpu.runtime.streaming import generate_audio
+
+    codes, lengths = G.generate(
+        model.params, model.config, cond, max_new_tokens=160, cfg_scale=2.0,
+        sampling_params={"min_p": 0.1}, seed=11, dtype=jnp.float32,
+        return_lengths=True,
+    )
+    ref = model.autoencoder.decode(codes)[:, 0]  # [B, Lmax*hop]
+
+    wav, plengths = generate_audio(
+        model.params, model.config, cond, autoencoder=model.autoencoder,
+        max_new_tokens=160, cfg_scale=2.0, sampling_params={"min_p": 0.1},
+        seed=11, dtype=jnp.float32, chunk_frames=32,
+    )
+    np.testing.assert_array_equal(np.asarray(plengths), np.asarray(lengths))
+    assert wav.shape == ref.shape
+    np.testing.assert_allclose(wav, ref, rtol=0, atol=1e-9)
+    # The bulk of the PCM (everything but conv-shape-sensitive edges) is
+    # exactly equal.
+    assert (wav == ref).mean() > 0.9
+
+
+def test_generate_audio_batched_divergent_eos_matches_sequential(model, monkeypatch):
+    """Batched pipelined generate with one sample draining early: per-sample
+    EOS masking of settled spans must reproduce the sequential path's zeroed
+    tails (exact lengths; PCM to numerical precision)."""
+    import zonos_tpu.runtime.streaming as S
+    from zonos_tpu.conditioning.cond_dict import make_cond_dict
+    from zonos_tpu.runtime.streaming import generate_audio
+
+    orig = S._make_bias
+
+    def biased(statics):
+        bias = orig(statics)
+        eos = statics.cfg.eos_token_id
+        forced = jnp.full((bias.shape[-1],), -jnp.inf).at[eos].set(0.0)
+        bias = bias.at[0, 0].set(forced)
+        bias = bias.at[1:, 0, eos].set(-jnp.inf)
+        return bias
+
+    monkeypatch.setattr(S, "_make_bias", biased)
+    # generate() composes the same (biased) segment builder: clear BOTH jit
+    # caches so the bias can't leak into other tests sharing these statics.
+    S._compiled_stream_fns.cache_clear()
+    G._compiled_generate.cache_clear()
+    try:
+        B = 2
+        cd = make_cond_dict(text="w", speaker=np.zeros((1, 1, 128), np.float32))
+        cd["espeak"] = (["stops early", "keeps going on and on"], ["en-us"] * B)
+        cond = np.asarray(model.prepare_conditioning(cd), np.float32)
+
+        codes, lengths = G.generate(
+            model.params, model.config, cond, max_new_tokens=160,
+            batch_size=B, cfg_scale=2.0, sampling_params={"min_p": 0.1},
+            seed=5, dtype=jnp.float32, return_lengths=True,
+        )
+        ref = model.autoencoder.decode(codes)[:, 0]
+
+        wav, plengths = generate_audio(
+            model.params, model.config, cond, autoencoder=model.autoencoder,
+            max_new_tokens=160, batch_size=B, cfg_scale=2.0,
+            sampling_params={"min_p": 0.1}, seed=5, dtype=jnp.float32,
+            chunk_frames=32,
+        )
+        assert int(plengths[0]) < int(plengths[1])  # genuinely divergent
+        np.testing.assert_array_equal(np.asarray(plengths), np.asarray(lengths))
+        np.testing.assert_allclose(wav, ref, rtol=0, atol=1e-9)
+        assert (wav == ref).mean() > 0.9
+    finally:
+        S._compiled_stream_fns.cache_clear()
+        G._compiled_generate.cache_clear()
+
+
 def test_divergent_eos_trims_intermediate_chunks(model, monkeypatch):
     """A sample that drains early must go silent IMMEDIATELY: its `final`
     flag flips as soon as its own drain completes (not at batch end), every

@@ -491,6 +491,20 @@ class DACAutoencoder:
         wav = np.asarray(wav)[:, : t * self.config.hop_length]
         return wav[:, None, :]
 
+    def decode_device(self, codes: jax.Array) -> jax.Array:
+        """decode() that KEEPS the PCM on device: [B, n_q, T] → [B, T*512].
+
+        The pipelined request path (runtime/streaming.generate_audio) decodes
+        settled code spans while the decode loop is still running; pieces
+        must stay device-resident so the host doesn't force a readback sync
+        per piece — everything comes back in one transfer at the end.
+        """
+        t = codes.shape[-1]
+        t_pad = _bucket(t, self.frame_bucket)
+        padded = jnp.pad(codes.astype(jnp.int32), [(0, 0), (0, 0), (0, t_pad - t)])
+        wav = self._decode_jit(self.params["quantizer"], self.params["decoder"], padded)
+        return wav[:, : t * self.config.hop_length]
+
     def decode_to_int16(self, codes: np.ndarray) -> np.ndarray:
         """Decode and clamp to int16 PCM, shape [T, 1] (autoencoder.py:142-170)."""
         wav = self.decode(codes)[:, 0]

@@ -310,6 +310,42 @@ class Zonos:
             result = np.zeros((batch_size, self.config.codebook_dimension, 0), np.int32)
         return result
 
+    def generate_audio(
+        self,
+        prefix_conditioning,
+        audio_prefix_codes=None,
+        max_new_tokens: int = 86 * 30,
+        cfg_scale: float = 2.0,
+        batch_size: int = 1,
+        sampling_params=None,
+        seed: int | jax.Array | None = None,
+        kv_int8: bool | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Full request → (wav [B, Lmax*hop] float32, lengths [B] int64).
+
+        The serving PCM path: DAC decoding of settled code spans is
+        pipelined behind the decode loop (runtime/streaming.generate_audio):
+        same tokens/lengths as ``generate()`` + ``autoencoder.decode()`` at
+        the same seed, PCM equal to numerical precision, without the
+        sequential decode→codec latency the reference pays
+        (audio_generation_pipeline.py:138-170)."""
+        from zonos_tpu.runtime.streaming import generate_audio
+
+        return generate_audio(
+            self.params,
+            self.config,
+            prefix_conditioning,
+            autoencoder=self.autoencoder,
+            audio_prefix_codes=audio_prefix_codes,
+            max_new_tokens=max_new_tokens,
+            cfg_scale=cfg_scale,
+            batch_size=batch_size,
+            sampling_params=sampling_params,
+            seed=seed,
+            dtype=self.dtype,
+            kv_int8=self.default_kv_int8 if kv_int8 is None else kv_int8,
+        )
+
     def stream(
         self,
         prefix_conditioning,

@@ -192,7 +192,7 @@ def build_generate_fn(statics: GenerateStatics):
         key: jax.Array,
     ):
         carry = prefill(params, cond_emb, delayed_init, prefix_frames, pad_amount, cfg_scale, key)
-        final, _status, _codes, _lengths = segment(
+        final, _status, _codes = segment(
             params, carry, pad_amount, cfg_scale, max_steps,
             segment_end=jnp.int32(2**30),
         )

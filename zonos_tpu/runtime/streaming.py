@@ -178,26 +178,28 @@ def build_segment_fn(statics: GenerateStatics):
 
         c = jax.lax.while_loop(cond_fn, body_fn, carry)
 
-        # Device-side status + sanitized de-delayed codes: the host reads one
-        # tiny status array and slices chunks on device — critical when
-        # device round-trips are expensive (remote-TPU serving).
+        # Device-side status + sanitized de-delayed codes: the host reads ONE
+        # tiny status vector per segment and slices chunks on device —
+        # critical when device round-trips are expensive (remote-TPU serving).
+        # Layout: [offset, steps_done, all_stopped, lengths[B], drained[B]].
+        # ``lengths`` is each sample's trailing-EOS-voted valid length
+        # computed ON DEVICE (the jnp mirror of postprocess_codes_batched):
+        # final where ``drained``; at loop end it is final for every sample,
+        # so PCM consumers never need the big delayed-codes readback.
         all_stopped = jnp.all(c.remaining_steps <= 0)
-        status = jnp.stack(
-            [c.offset, c.steps_done, all_stopped.astype(jnp.int32)]
-        )
         out = revert_delay_pattern(c.delayed_codes)
-        # Per-sample final lengths for samples whose EOS drain has completed
-        # (-1 = still generating). Streaming consumers trim each sample's
-        # chunks at its OWN boundary as soon as it drains instead of shipping
-        # sanitized post-EOS junk until batchmates finish.
         drained = c.stop_offset >= 0
-        lengths = jnp.where(
-            drained, _eos_trim_lengths(out, c.stop_offset, cfg), -1
-        ).astype(jnp.int32)
+        offsets = jnp.where(drained, c.stop_offset, c.offset)
+        lengths = _eos_trim_lengths(out, offsets, cfg).astype(jnp.int32)
+        status = jnp.concatenate([
+            jnp.stack([c.offset, c.steps_done, all_stopped.astype(jnp.int32)]),
+            lengths,
+            drained.astype(jnp.int32),
+        ])
         out = jnp.where(out > cfg.eos_token_id, 512, out)
         out = jnp.where(out == cfg.eos_token_id, 0, out)
         out = jnp.clip(out, 0, cfg.eos_token_id - 1)
-        return c, status, out, lengths
+        return c, status, out
 
     return segment_fn
 
@@ -298,16 +300,19 @@ def generate_stream(
     carry = None
     while True:
         if carry is None:
-            carry, status, device_codes, seg_lengths = start(
+            carry, status, device_codes = start(
                 params, cond_padded, jnp.asarray(delayed_init),
                 jnp.int32(lp + 1), pad_amount, jnp.float32(cfg_scale), key,
                 max_steps, jnp.int32(segment_end),
             )
         else:
-            carry, status, device_codes, seg_lengths = segment(
+            carry, status, device_codes = segment(
                 params, carry, pad_amount, jnp.float32(cfg_scale), max_steps, jnp.int32(segment_end)
             )
-        offset, steps, all_stopped = (int(v) for v in np.asarray(status))
+        sv = np.asarray(status)  # ONE tiny readback per segment
+        offset, steps, all_stopped = (int(v) for v in sv[:3])
+        seg_lengths = sv[3 : 3 + batch_size].astype(np.int64)
+        seg_drained = sv[3 + batch_size :].astype(bool)
         done = offset >= statics.delayed_len or steps >= int(max_steps) or bool(all_stopped)
 
         if on_progress is not None and not done:
@@ -315,15 +320,22 @@ def generate_stream(
                 done = True  # abort requested: emit what exists and stop
 
         if done:
-            # Trailing-EOS boundary search needs host logic; one final readback.
-            # Per-sample offsets: a drained sample ends at its own stop_offset
-            # (see runtime/generate.generate for the offset conventions).
-            stop_off = np.asarray(carry.stop_offset)
-            offsets = np.where(stop_off >= 0, stop_off, offset)
-            out_codes, lengths_final = postprocess_codes_batched(
-                np.asarray(carry.delayed_codes), offsets, cfg
-            )
-            total = out_codes.shape[-1]
+            if autoencoder is not None:
+                # PCM mode: per-sample lengths come from the device-side
+                # trailing-EOS vote in the status vector — no big
+                # delayed-codes readback needed.
+                out_codes, lengths_final = None, seg_lengths
+                total = int(lengths_final.max(initial=0))
+            else:
+                # Codes mode returns the actual sanitized codes: one final
+                # host readback + the host postprocess (kept as the oracle
+                # for the device vote — tests compare the two).
+                stop_off = np.asarray(carry.stop_offset)
+                offsets = np.where(stop_off >= 0, stop_off, offset)
+                out_codes, lengths_final = postprocess_codes_batched(
+                    np.asarray(carry.delayed_codes), offsets, cfg
+                )
+                total = out_codes.shape[-1]
         else:
             out_codes, lengths_final = None, None
             total = max(offset - n_q, 0)  # complete de-delayed frames so far
@@ -351,9 +363,8 @@ def generate_stream(
                     lengths = np.asarray(lengths_final, np.int64)
                     final = np.ones((batch_size,), bool)
                 else:
-                    per = np.asarray(seg_lengths)  # [B]; -1 = still going
-                    lengths = np.where(per >= 0, per, total).astype(np.int64)
-                    final = per >= 0
+                    lengths = np.where(seg_drained, seg_lengths, total).astype(np.int64)
+                    final = seg_drained
                 for i in range(batch_size):
                     valid = max(int(lengths[i]) - emitted_frames, 0) * hop
                     pcm[i, valid:] = 0.0
@@ -378,3 +389,190 @@ def generate_stream(
         if done:
             return
         segment_end = steps + chunk_frames
+
+
+# The DAC decoder's receptive field, measured empirically on the flagship
+# geometry (upsampling 8/8/4/2, kernel-7 res units at dilations 1/3/9):
+# bit-exact interior reconstruction needs ≥ 20 frames of context per side.
+_DAC_RF_FRAMES = 24
+# Right margin before a span is "settled": a piece [a, b) reads codes up to
+# b + RF, and no frame it reads may later change — neither by generation
+# (frames ≤ total are written) nor by a future EOS boundary retro-masking
+# them (a boundary discovered later lies ≥ total - 50: n_q drain steps plus
+# the trailing-EOS vote window). Margin ≥ 50 + RF; 96 leaves headroom.
+_SETTLE_MARGIN = 96
+
+
+def generate_audio(
+    params: dict,
+    cfg: ZonosConfig,
+    prefix_conditioning: np.ndarray,  # [2B, Lc, D]
+    autoencoder,
+    audio_prefix_codes: np.ndarray | None = None,
+    max_new_tokens: int = 86 * 30,
+    cfg_scale: float = 2.0,
+    batch_size: int = 1,
+    sampling_params: SamplingParams | dict | None = None,
+    seed: int | jax.Array | None = None,
+    chunk_frames: int = 256,
+    prefill_bucket: int = 64,
+    audio_bucket: int = 512,
+    dtype=jnp.bfloat16,
+    forbid_eos: bool = False,
+    kv_int8: bool = False,
+):
+    """Full-request generate → PCM with the DAC pipelined behind the decode
+    loop. Returns (wav [B, Lmax*hop] float32, lengths [B] int64).
+
+    The reference's request shape is strictly sequential — decode everything,
+    then run the autoencoder (audio_generation_pipeline.py:138-170). Here the
+    decode loop runs in segments under a DEPTH-2 dispatch pipeline (segment
+    N+1 is enqueued before segment N's status is read, so the device never
+    idles between segments), and every settled span of codes is handed to the
+    DAC as soon as no future frame can affect its samples; all PCM pieces
+    stay on device and come back in one transfer. On a remote TPU this hides
+    every DAC dispatch round-trip plus the big delayed-codes readback / host
+    postprocess / re-upload of the sequential path.
+
+    Output equivalence vs ``generate()`` + ``autoencoder.decode()`` at the
+    same seed: the token stream and per-sample lengths are IDENTICAL (same
+    jitted loop, same device EOS vote), and the PCM matches to numerical
+    precision — each span is decoded with left/right context covering the
+    DAC receptive field, each sample's codes are zero-masked past its own
+    device-voted EOS boundary (exactly what the host postprocess does), and
+    the final span ends at the stream end with a bucket-aligned start so its
+    padded tail matches the sequential decode's. The only deviation is XLA's
+    convolution reduction order varying with input shape (≤1e-12 absolute
+    observed on f32; tests/test_streaming.py pins it).
+    """
+    if isinstance(sampling_params, dict):
+        sampling_params = SamplingParams(**sampling_params)
+    sampling_params = sampling_params or SamplingParams(min_p=0.1)
+    assert cfg_scale != 1.0
+
+    n_q = cfg.codebook_dimension
+    lp = 0 if audio_prefix_codes is None else int(audio_prefix_codes.shape[2])
+    lc = int(prefix_conditioning.shape[1])
+    t0 = lc + lp + 1
+    prefill_len = _bucket(t0, prefill_bucket)
+    delayed_len = _bucket(lp + max_new_tokens + n_q, audio_bucket)
+    cache_len = _bucket(prefill_len + (delayed_len - (lp + 1)) + 1, 128)
+
+    statics = GenerateStatics(
+        cfg=cfg, sampling=sampling_params, prefill_len=prefill_len,
+        delayed_len=delayed_len, cache_len=cache_len, batch_size=batch_size,
+        forbid_eos=forbid_eos, kv_int8=kv_int8,
+    )
+    start, segment = _compiled_stream_fns(statics)
+
+    codes = np.full((batch_size, n_q, delayed_len - n_q), UNKNOWN_TOKEN, np.int32)
+    if audio_prefix_codes is not None:
+        codes[..., :lp] = np.asarray(audio_prefix_codes, np.int32)
+    delayed_init = apply_delay_pattern_np(codes, cfg.masked_token_id)
+
+    pad = prefill_len - t0
+    from zonos_tpu.runtime.generate import pad_conditioning
+
+    cond_padded = pad_conditioning(prefix_conditioning, pad, dtype)
+    pad_amount = jnp.full((2 * batch_size,), pad, jnp.int32)
+
+    if seed is None:
+        seed = np.random.randint(0, 2**31 - 1)
+    key = seed if isinstance(seed, jax.Array) else jax.random.key(int(seed))
+
+    max_steps = jnp.int32(max_new_tokens + n_q - 2)
+    hop = autoencoder.config.hop_length
+    bucket = max(int(getattr(autoencoder, "frame_bucket", 1) or 1), 1)
+    # Piece starts must land on DAC-bucket multiples so the FINAL piece's
+    # padded tail matches the sequential decode's padding byte-for-byte.
+    piece_frames = _bucket(max(chunk_frames, _DAC_RF_FRAMES * 2), bucket)
+
+    big = jnp.iinfo(jnp.int32).max
+
+    def dac_piece(device_codes, a: int, b: int, bounds, final: bool):
+        """DAC-decode output frames [a, b) from sanitized device codes,
+        masking each sample past its own (currently known) EOS boundary.
+
+        Interior pieces read _DAC_RF_FRAMES of context on BOTH sides so the
+        kept samples are bit-identical to a full decode. The FINAL piece must
+        end exactly at the stream end (its bucket-padded tail is then
+        identical to the sequential decode's) and its left edge is aligned
+        down to a DAC-bucket multiple so the pad LENGTH matches too.
+        """
+        if final:
+            lo = max(((a - _DAC_RF_FRAMES) // bucket) * bucket, 0)
+            hi = b
+        else:
+            lo = max(a - _DAC_RF_FRAMES, 0)
+            hi = min(b + _DAC_RF_FRAMES, int(device_codes.shape[2]))
+        piece = jax.lax.dynamic_slice_in_dim(device_codes, lo, hi - lo, axis=2)
+        fidx = lo + jnp.arange(hi - lo)
+        piece = jnp.where(
+            fidx[None, None, :] < bounds[:, None, None], piece, 0
+        )
+        pcm = autoencoder.decode_device(piece)  # [B, (hi-lo)*hop], on device
+        return pcm[:, (a - lo) * hop : (b - lo) * hop]
+
+    pieces: list[jax.Array] = []  # device PCM, in frame order
+    next_start = 0  # first output frame not yet handed to the DAC
+
+    seg_end = chunk_frames
+    carry, status, device_codes = start(
+        params, cond_padded, jnp.asarray(delayed_init), jnp.int32(lp + 1),
+        pad_amount, jnp.float32(cfg_scale), key, max_steps, jnp.int32(seg_end),
+    )
+    lengths = None
+    while True:
+        # Depth-2 pipeline: enqueue the NEXT segment before blocking on this
+        # one's status. If this segment turns out to be the last, the extra
+        # segment is a no-op (its while_loop condition fails immediately).
+        seg_end += chunk_frames
+        carry, status_next, codes_next = segment(
+            params, carry, pad_amount, jnp.float32(cfg_scale), max_steps,
+            jnp.int32(seg_end),
+        )
+        sv = np.asarray(status)  # blocks on the PREVIOUS segment only
+        offset, steps, all_stopped = (int(v) for v in sv[:3])
+        seg_lengths = sv[3 : 3 + batch_size].astype(np.int64)
+        seg_drained = sv[3 + batch_size :].astype(bool)
+        done = (
+            offset >= statics.delayed_len
+            or steps >= int(max_steps)
+            or bool(all_stopped)
+        )
+        # Each sample's codes are masked past its own boundary once known;
+        # _SETTLE_MARGIN guarantees no already-decoded piece can be affected
+        # by a boundary that becomes known later.
+        bounds = jnp.asarray(
+            np.where(seg_drained, seg_lengths, big), jnp.int32
+        )
+        if done:
+            lengths = seg_lengths
+            final_total = int(lengths.max(initial=0))
+            while next_start < final_total:
+                b_end = min(next_start + piece_frames, final_total)
+                pieces.append(
+                    dac_piece(
+                        device_codes, next_start, b_end,
+                        jnp.asarray(lengths, jnp.int32),
+                        final=(b_end == final_total),
+                    )
+                )
+                next_start = b_end
+            break
+        settled = max(offset - n_q - _SETTLE_MARGIN, 0)
+        while settled - next_start >= piece_frames:
+            pieces.append(
+                dac_piece(
+                    device_codes, next_start, next_start + piece_frames,
+                    bounds, final=False,
+                )
+            )
+            next_start += piece_frames
+        status, device_codes = status_next, codes_next
+
+    if not pieces:
+        wav = np.zeros((batch_size, 0), np.float32)
+    else:
+        wav = np.asarray(jnp.concatenate(pieces, axis=1))  # ONE readback
+    return wav, lengths

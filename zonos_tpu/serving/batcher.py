@@ -199,7 +199,9 @@ class DynamicBatcher:
         # Adaptive KV dtype: int8 KV below the measured crossover, bf16 above
         # (None = model default, which is int8 for quantized serving models).
         kv_int8 = False if b > self.KV8_MAX_BATCH else None
-        codes, lengths = self.model.generate(
+        # Pipelined generate+DAC (same tokens/lengths as generate()+decode();
+        # the codec runs on settled spans while the decode loop continues).
+        wavs, lengths = self.model.generate_audio(
             conditioning,
             max_new_tokens=max_new,
             cfg_scale=first.cfg_scale,
@@ -207,15 +209,13 @@ class DynamicBatcher:
             sampling_params=first.sampling,
             seed=first.seed,
             kv_int8=kv_int8,
-            return_lengths=True,
         )
-        wavs = self.model.autoencoder.decode(codes)  # [B, 1, T]
         sr = self.model.autoencoder.sampling_rate
         hop = self.model.autoencoder.config.hop_length
         for i, req in enumerate(batch):
             # Each request gets only ITS OWN valid frames: a short utterance
             # batched with a long one must not ship the long one's tail.
-            req._result = (np.asarray(wavs[i, 0])[: int(lengths[i]) * hop], sr)
+            req._result = (np.asarray(wavs[i])[: int(lengths[i]) * hop], sr)
             req._event.set()
 
     def _run_stream_batch(self, batch: list[TTSRequest]):

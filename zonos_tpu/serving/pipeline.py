@@ -98,11 +98,18 @@ def setup_prefix_audio(prefix_audio_path: str | None, autoencoder, use_cache: bo
 
 
 def _generate_wave(model, cond_dict, params, audio_prefix_codes, use_cond_cache):
-    """conditioning → generate → DAC decode; returns (wav [T], n_tokens)."""
+    """conditioning → pipelined generate+DAC; returns (wav [T], n_tokens).
+
+    Uses model.generate_audio: the DAC runs on settled code spans while the
+    decode loop is still going (same tokens/lengths as generate() + decode(),
+    PCM to numerical precision; see runtime/streaming.generate_audio),
+    beating the reference's sequential decode→autoencoder request shape
+    (audio_generation_pipeline.py:138-170).
+    """
     conditioning = model.prepare_conditioning(
         cond_dict, use_cache=use_cond_cache, cfg_scale=params.cfg_scale
     )
-    codes = model.generate(
+    wav, lengths = model.generate_audio(
         conditioning,
         audio_prefix_codes=audio_prefix_codes,
         max_new_tokens=params.max_new_tokens,
@@ -110,7 +117,7 @@ def _generate_wave(model, cond_dict, params, audio_prefix_codes, use_cond_cache)
         sampling_params=params.sampling,
         seed=params.seed,
     )
-    return model.autoencoder.decode(codes)[0, 0], int(codes.shape[-1])
+    return wav[0], int(lengths[0])
 
 
 def generate_and_save_audio(
