@@ -177,6 +177,9 @@ def test_stream_closes_at_own_eos_before_batch_ends(model, monkeypatch):
     finally:
         batcher.close()
         S._compiled_stream_fns.cache_clear()
+
+
+def test_stream_and_generate_requests_do_not_mix(model):
     batcher = DynamicBatcher(model, max_batch=4, window_ms=250)
     try:
         results = {}

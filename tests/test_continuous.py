@@ -1,0 +1,144 @@
+"""Continuous-batching runtime: joining an in-flight decode is exact.
+
+With deterministic (greedy) sampling, a request that JOINS a running batch
+mid-decode must produce exactly the tokens of a solo run: this pins the
+per-slot RoPE position offsets, the dead-span attention mask, and the cache
+row scatter (runtime/continuous.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zonos_tpu.conditioning.cond_dict import make_cond_dict
+from zonos_tpu.config import tiny_transformer_config
+from zonos_tpu.models.zonos import Zonos
+from zonos_tpu.ops.delay_pattern import apply_delay_pattern_np
+from zonos_tpu.ops.sampling import SamplingParams
+from zonos_tpu.runtime import generate as G
+from zonos_tpu.runtime.continuous import compiled_continuous_fns
+from zonos_tpu.runtime.generate import UNKNOWN_TOKEN, GenerateStatics, _bucket, pad_conditioning
+
+GREEDY = SamplingParams(top_k=1, min_p=0.0, repetition_penalty=1.0)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return Zonos.from_config(tiny_transformer_config(), seed=0, dtype=jnp.float32)
+
+
+def _cond_for(model, texts):
+    cd = make_cond_dict(text="w", speaker=np.zeros((1, 1, 128), np.float32))
+    cd["espeak"] = (list(texts), ["en-us"] * len(texts))
+    return np.asarray(model.prepare_conditioning(cd), np.float32)
+
+
+def _statics(cfg, lc, max_new, batch_size, kv_int8=False):
+    n_q = cfg.codebook_dimension
+    t0 = lc + 1
+    prefill_len = _bucket(t0, 64)
+    delayed_len = _bucket(max_new + n_q, 512)
+    cache_len = _bucket(prefill_len + (delayed_len - 1) + 1, 128)
+    return GenerateStatics(
+        cfg=cfg, sampling=GREEDY, prefill_len=prefill_len,
+        delayed_len=delayed_len, cache_len=cache_len, batch_size=batch_size,
+        kv_int8=kv_int8,
+    )
+
+
+@pytest.mark.parametrize("kv_int8", [False, True])
+def test_joined_request_matches_solo_greedy(model, kv_int8):
+    cfg = model.config
+    n_q = cfg.codebook_dimension
+    max_new = 48
+
+    cond_a = _cond_for(model, ["request a speaks first"])
+    cond_b = _cond_for(model, ["request b arrives later"])
+    # Different texts → different conditioning lengths; both bucket to the
+    # same prefill length, each slot keeping its OWN left-pad.
+    lc_a, lc_b = cond_a.shape[1], cond_b.shape[1]
+    lc = max(lc_a, lc_b)
+
+    # --- solo reference run for request B (same statics family) ---
+    solo = G.generate(
+        model.params, cfg, cond_b, max_new_tokens=max_new, cfg_scale=2.0,
+        sampling_params=GREEDY, seed=1, dtype=jnp.float32, kv_int8=kv_int8,
+    )
+
+    # --- continuous batch: A + dummy slot; B joins mid-decode ---
+    statics = _statics(cfg, lc, max_new, batch_size=2, kv_int8=kv_int8)
+    start, segment, prefill_b1, join, kill = compiled_continuous_fns(statics)
+    P, S = statics.prefill_len, statics.delayed_len
+
+    def delayed_init(batch):
+        codes = np.full((batch, n_q, S - n_q), UNKNOWN_TOKEN, np.int32)
+        return jnp.asarray(apply_delay_pattern_np(codes, cfg.masked_token_id))
+
+    # Batch prefill: rows [A, dummy]; dummy gets A's conditioning (it is
+    # killed right after and never contributes).
+    cond_batch = np.concatenate([
+        np.stack([cond_a[0], cond_a[0]]),   # cond rows
+        np.stack([cond_a[1], cond_a[1]]),   # uncond rows
+    ])
+    pad_a, pad_b = P - (lc_a + 1), P - (lc_b + 1)
+    pad_amount = jnp.full((4,), pad_a, jnp.int32)
+    pos_offset = jnp.zeros((4,), jnp.int32)
+    gap_len = jnp.zeros((4,), jnp.int32)
+    max_steps = jnp.int32(max_new + n_q - 2)
+
+    carry, status, _codes = start(
+        model.params, pad_conditioning(cond_batch, pad_a, jnp.float32),
+        delayed_init(2), jnp.int32(1), pad_amount, jnp.float32(2.0),
+        jax.random.key(0), max_steps, jnp.int32(0),  # segment_end=0: prefill only
+    )
+    carry = kill(carry, jnp.int32(1))  # slot 1 is a dummy until B joins
+
+    # Let A decode some steps alone.
+    join_at = 11
+    carry, status, _codes = segment(
+        model.params, carry, pad_amount, jnp.float32(2.0), max_steps,
+        jnp.int32(join_at), pos_offset, gap_len,
+    )
+    sv = np.asarray(status)
+    offset, steps = int(sv[0]), int(sv[1])
+    assert steps == join_at
+
+    # B's own prefill at batch size 1 (same compiled statics family).
+    c1 = prefill_b1(
+        model.params, pad_conditioning(cond_b, pad_b, jnp.float32),
+        delayed_init(1), jnp.int32(1), jnp.full((2,), pad_b, jnp.int32),
+        jnp.float32(2.0), jax.random.key(1),
+    )
+    shift = (offset - 1) - 1  # B's prefill frame (column lp+1=1) → offset-1
+    carry, pos_offset, gap_len, pad_amount = join(
+        carry, c1, jnp.int32(1), jnp.int32(shift),
+        pos_offset, gap_len, pad_amount, jnp.full((2,), pad_b, jnp.int32),
+    )
+    # B needs max_new + n_q - 2 steps of its own from join_step on.
+    max_steps = jnp.int32(steps + max_new + n_q - 2)
+
+    while True:
+        carry, status, _codes = segment(
+            model.params, carry, pad_amount, jnp.float32(2.0), max_steps,
+            jnp.int32(1 << 30), pos_offset, gap_len,
+        )
+        sv = np.asarray(status)
+        if int(sv[0]) >= S or int(sv[1]) >= int(max_steps) or bool(sv[2]):
+            break
+
+    # Unroll B's delayed row back to solo coordinates and postprocess with
+    # ITS own end offset.
+    delayed_b = np.asarray(carry.delayed_codes)[1]
+    stop_b = int(np.asarray(carry.stop_offset)[1])
+    end = stop_b if stop_b >= 0 else int(sv[0])
+    row = np.roll(delayed_b, -shift, axis=-1)
+    out_b = G.postprocess_codes_batched(
+        row[None], np.asarray([end - shift]), cfg
+    )[0]
+
+    assert out_b.shape == solo.shape, (out_b.shape, solo.shape)
+    np.testing.assert_array_equal(out_b, solo)
+    # A kept generating across the join (its slot was never disturbed).
+    assert int(np.asarray(carry.stop_offset)[0]) != 0

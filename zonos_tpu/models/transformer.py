@@ -256,6 +256,9 @@ def transformer_forward(
     write_start: jnp.ndarray,  # scalar int32 cache slot for x[:, 0]
     pad_amount: jnp.ndarray,  # [B] invalid leading cache slots
     attend_len: int,  # static: number of cache slots visible (>= write_start+S)
+    pos_offset: jnp.ndarray | None = None,  # [B] logical-position offsets
+    gap_len: jnp.ndarray | None = None,  # [B] dead cache span after prefill
+    gap_start: int = 0,  # static: where the dead span begins (prefill_len)
 ) -> tuple[jnp.ndarray, KVCache | None]:
     """Run all layers over x, updating the cache. Works for prefill and decode.
 
@@ -263,16 +266,31 @@ def transformer_forward(
     For decode call with S=1, write_start=t, attend_len=allocated span.
     With cache=None (training) attention runs cache-free over x itself.
 
+    Continuous batching (decode only): a request that joined an in-flight
+    batch at step j re-prefilled its slot at cache positions [0, prefill_len)
+    and decodes on from physical position prefill_len + j. Its RoPE must
+    rotate at LOGICAL positions (physical - j) so the relative distance to
+    its own prefill is seamless, and [prefill_len, prefill_len + j) is a
+    dead span its attention must skip: ``pos_offset``/``gap_len`` carry j
+    per sample (zeros for original slots; the gap start is attend_len's
+    prefill boundary, passed via the mask below).
+
     Returns (normed hidden states [B, S, D], updated cache).
     """
     b, s, _ = x.shape
-    positions = write_start + jnp.arange(s)
+    if pos_offset is None:
+        positions = write_start + jnp.arange(s)  # [S] — shared by the batch
+    else:
+        positions = write_start + jnp.arange(s)[None, :] - pos_offset[:, None]
     freqs = rope_rows(positions, cfg.head_dim)
 
     if s > 1:
         mask = causal_prefix_mask(s, pad_amount)  # [B, S, S]; attend_len == s
     else:
-        mask = decode_mask(attend_len, pad_amount, write_start)  # [B, 1, attend_len]
+        mask = decode_mask(
+            attend_len, pad_amount, write_start,
+            gap_start=gap_start, gap_len=gap_len,
+        )  # [B, 1, attend_len]
 
     if cache is None:
         def body_nc(xc, layer_p):
@@ -305,7 +323,10 @@ def transformer_forward(
         vsl = jax.lax.dynamic_index_in_dim(vs_c, li, 0, keepdims=False) if quantized else None
         xc, kl, vl, ksl, vsl = _attn_block(
             layer_p, cfg, xc, freqs, kl, vl, ksl, vsl, write_start, mask, attend_len,
-            pad_amount=pad_amount,
+            # The opt-in Pallas kernel masks from pad_amount/write_index only
+            # — it cannot express per-sample cache gaps. Route gap batches
+            # through the mask-based XLA path.
+            pad_amount=None if gap_len is not None else pad_amount,
         )
         k_c = jax.lax.dynamic_update_index_in_dim(k_c, kl, li, 0)
         v_c = jax.lax.dynamic_update_index_in_dim(v_c, vl, li, 0)

@@ -131,19 +131,33 @@ def decode_mask(
     cache_len: int,
     pad_amount: jnp.ndarray,
     write_index: jnp.ndarray,
+    gap_start: int | None = None,
+    gap_len: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """KV-validity mask for single-token decode against a static cache.
 
     Valid cache slots are [pad_amount, write_index] (the current token's K/V
     has just been written at ``write_index``).
 
+    Continuous batching (serving/continuous.py): a request that JOINED an
+    in-flight batch re-prefilled its slot's cache rows at positions
+    [0, prefill_len) while the batch had already decoded ``gap_len`` steps —
+    its cache has a dead span [gap_start, gap_start + gap_len) that must
+    never be attended to (it holds zeros from the fresh prefill scatter).
+
     Args:
         cache_len: static allocated cache length.
         pad_amount: int array [B].
         write_index: scalar int — slot where the current token was written.
+        gap_start: static int — start of the per-sample dead span
+            (the prefill length); None = no gaps.
+        gap_len: int array [B] — dead-span length per sample (0 = none).
 
     Returns:
         bool [B, 1, cache_len].
     """
     cols = jnp.arange(cache_len)[None, None, :]
-    return (cols >= pad_amount[:, None, None]) & (cols <= write_index)
+    m = (cols >= pad_amount[:, None, None]) & (cols <= write_index)
+    if gap_len is not None:
+        m &= ~((cols >= gap_start) & (cols < gap_start + gap_len[:, None, None]))
+    return m

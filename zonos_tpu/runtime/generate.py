@@ -140,6 +140,8 @@ def _decode_logits(
     write_index: jnp.ndarray,
     pad_amount: jnp.ndarray,  # [2B]
     cfg_scale: jnp.ndarray,
+    pos_offset: jnp.ndarray | None = None,  # [2B] joined-slot step offsets
+    gap_len: jnp.ndarray | None = None,  # [2B] dead cache span per slot
 ):
     """One backbone step with CFG batch doubling → guided logits [B, n_q, Vh]."""
     cfg = statics.cfg
@@ -148,6 +150,7 @@ def _decode_logits(
     h, cache = backbone_forward(
         params["backbone"], cfg.backbone, x, cache,
         write_start=write_index, pad_amount=pad_amount, attend_len=statics.cache_len,
+        pos_offset=pos_offset, gap_len=gap_len, gap_start=statics.prefill_len,
     )
     logits = apply_heads(params["heads"], h, cfg.codebook_dimension)[:, :, 0]  # [2B, n_q, Vh]
     cond, uncond = jnp.split(logits, 2, axis=0)

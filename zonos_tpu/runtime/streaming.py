@@ -125,7 +125,8 @@ def build_segment_fn(statics: GenerateStatics):
     window = min(statics.sampling.repetition_penalty_window, MAX_REP_WINDOW)
     use_rep = statics.sampling.repetition_penalty != 1.0 and window > 0
 
-    def segment_fn(params, carry: DecodeCarry, pad_amount, cfg_scale, max_steps, segment_end):
+    def segment_fn(params, carry: DecodeCarry, pad_amount, cfg_scale, max_steps, segment_end,
+                   pos_offset=None, gap_len=None):
         bias = _make_bias(statics)
         b = statics.batch_size
 
@@ -141,7 +142,10 @@ def build_segment_fn(statics: GenerateStatics):
             key, subkey = jax.random.split(c.key)
             input_frame = jax.lax.dynamic_slice(c.delayed_codes, (0, 0, c.offset - 1), (b, n_q, 1))
             write_index = statics.prefill_len + c.steps_done
-            logits, cache = _decode_logits(params, statics, input_frame, c.cache, write_index, pad_amount, cfg_scale)
+            logits, cache = _decode_logits(
+                params, statics, input_frame, c.cache, write_index, pad_amount,
+                cfg_scale, pos_offset=pos_offset, gap_len=gap_len,
+            )
             logits = logits + bias
 
             if use_rep:
