@@ -93,7 +93,7 @@ def test_joined_request_matches_solo_greedy(model, kv_int8):
         delayed_init(2), jnp.int32(1), pad_amount, jnp.float32(2.0),
         jax.random.key(0), max_steps, jnp.int32(0),  # segment_end=0: prefill only
     )
-    carry = kill(carry, jnp.int32(1))  # slot 1 is a dummy until B joins
+    carry = kill(carry, jnp.int32(1), jnp.int32(0))  # slot 1: dummy until B joins
 
     # Let A decode some steps alone.
     join_at = 11

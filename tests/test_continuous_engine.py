@@ -1,0 +1,153 @@
+"""Continuous serving engine: joins, slot recycling, streaming contracts."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zonos_tpu.codec import dac as D
+from zonos_tpu.config import tiny_transformer_config
+from zonos_tpu.models.zonos import Zonos
+from zonos_tpu.serving.batcher import TTSRequest
+from zonos_tpu.serving.continuous import ContinuousEngine
+
+
+@pytest.fixture(scope="module")
+def model():
+    m = Zonos.from_config(tiny_transformer_config(), seed=0, dtype=jnp.float32)
+    cfg = D.DACConfig(
+        encoder_hidden_size=8, downsampling_ratios=(2, 4), decoder_hidden_size=32,
+        upsampling_ratios=(4, 2), n_codebooks=9, codebook_size=1024, codebook_dim=4,
+        hidden_size=24,
+    )
+    m._autoencoder = D.DACAutoencoder(
+        params=D.init_dac_params(jax.random.key(0), cfg), cfg=cfg,
+        dtype=jnp.float32, frame_bucket=8,
+    )
+    return m
+
+
+def _engine(model, **kw):
+    kw.setdefault("slots", 2)
+    kw.setdefault("prefill_len", 64)
+    kw.setdefault("max_new_cap", 200)
+    kw.setdefault("segment_frames", 16)
+    kw.setdefault("first_chunk_frames", 8)
+    return ContinuousEngine(model, **kw)
+
+
+def test_concurrent_submits_coalesce_one_epoch(model):
+    eng = _engine(model, window_ms=300)
+    try:
+        results = {}
+
+        def go(i):
+            results[i] = eng.submit(TTSRequest(text=f"request {i}", max_new_tokens=24, seed=i))
+
+        threads = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+
+        assert set(results) == {0, 1}
+        hop = model.autoencoder.config.hop_length
+        for wav, sr in results.values():
+            assert sr == 44100
+            assert wav.ndim == 1 and wav.shape[0] > 0
+            assert wav.shape[0] % hop == 0
+            # Budget cap: exactly max_new frames unless EOS came first.
+            assert wav.shape[0] <= 24 * hop
+            assert np.isfinite(wav).all()
+        assert eng.stats["requests"] == 2
+        assert eng.stats["epochs"] == 1  # both coalesced into one epoch
+        assert eng.stats["joins"] == 2
+    finally:
+        eng.close()
+
+
+def test_mid_epoch_join_and_slot_recycle(model):
+    """One slot, two requests: the second request cannot fit until the first
+    finishes — the engine recycles the freed slot WITHIN the same epoch (no
+    restart) and the late request still completes."""
+    eng = _engine(model, slots=1, window_ms=30)
+    try:
+        results = {}
+
+        def go(i, delay, tokens):
+            time.sleep(delay)
+            results[i] = eng.submit(
+                TTSRequest(text=f"req {i}", max_new_tokens=tokens, seed=i)
+            )
+
+        threads = [
+            threading.Thread(target=go, args=(0, 0.0, 64)),
+            threading.Thread(target=go, args=(1, 0.3, 24)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+
+        assert set(results) == {0, 1}
+        for wav, _sr in results.values():
+            assert wav.shape[0] > 0 and np.isfinite(wav).all()
+        assert eng.stats["requests"] == 2
+        # The second request joined the running epoch into the recycled slot.
+        assert eng.stats["epochs"] == 1
+        assert eng.stats["slot_recycles"] >= 1
+        assert eng.stats["mid_epoch_joins"] >= 1
+    finally:
+        eng.close()
+
+
+def test_stream_chunks_arrive_incrementally(model):
+    eng = _engine(model, window_ms=20)
+    try:
+        req = TTSRequest(text="stream through the engine", max_new_tokens=48, seed=3)
+        chunks = list(eng.submit_stream(req))
+        assert len(chunks) >= 2, "expected multiple chunks"
+        total = np.concatenate([c[0] for c in chunks])
+        hop = model.autoencoder.config.hop_length
+        assert total.shape[0] % hop == 0
+        assert total.shape[0] <= 48 * hop
+        assert np.isfinite(total).all()
+    finally:
+        eng.close()
+
+
+def test_oversized_request_rejected(model):
+    eng = _engine(model, max_new_cap=100)  # delayed_len buckets to 512
+    try:
+        with pytest.raises(ValueError, match="exceeds engine capacity"):
+            eng.submit(TTSRequest(text="too long", max_new_tokens=10_000, seed=0))
+    finally:
+        eng.close()
+
+
+def test_different_sampling_groups_run_in_separate_epochs(model):
+    eng = _engine(model, window_ms=150)
+    try:
+        results = {}
+
+        def go(i, cfg_scale):
+            results[i] = eng.submit(
+                TTSRequest(text=f"g{i}", max_new_tokens=16, seed=1, cfg_scale=cfg_scale)
+            )
+
+        threads = [
+            threading.Thread(target=go, args=(0, 2.0)),
+            threading.Thread(target=go, args=(1, 3.0)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert set(results) == {0, 1}
+        assert eng.stats["epochs"] == 2  # incompatible keys → serial epochs
+    finally:
+        eng.close()

@@ -108,21 +108,22 @@ def build_join_fn(statics: GenerateStatics):
 
 
 def build_kill_fn(statics: GenerateStatics):
-    """jit(carry, slot) → carry with the slot marked drained (length 0).
+    """jit(carry, slot, stop_at) → carry with the slot marked drained.
 
-    Used to seed partially-filled batches: dummy slots are drained from the
-    start (the decode loop's per-slot masks make them write-only staircase
-    noise) and become join targets under load.
+    ``stop_at`` becomes the slot's stop_offset: 0 for dummy slots (device
+    EOS vote → length 0), the current offset for a token-budget cap (vote →
+    offset − n_q, the solo exhaustion rule). Used to seed partially-filled
+    batches with join targets and to retire slots whose budget ran out.
     """
 
-    def kill_fn(bc: DecodeCarry, slot):
+    def kill_fn(bc: DecodeCarry, slot, stop_at):
         return DecodeCarry(
             delayed_codes=bc.delayed_codes,
             offset=bc.offset,
             cache=bc.cache,
             stopping=_set1(bc.stopping, slot, True),
             remaining_steps=_set1(bc.remaining_steps, slot, 0),
-            stop_offset=_set1(bc.stop_offset, slot, 0),
+            stop_offset=_set1(bc.stop_offset, slot, stop_at),
             steps_done=bc.steps_done,
             key=bc.key,
         )

@@ -1,0 +1,401 @@
+"""Continuous serving engine: requests join/leave one long-lived batched decode.
+
+The round-3 DynamicBatcher coalesced requests only at batch FORMATION: a
+request arriving mid-decode waited for the whole batch, and early-EOS slots
+idled until the batch finished (measured ~20% aggregate throughput left on
+the table, NOTES.md round-2 batcher table). This engine holds a fixed-shape
+batch of ``slots`` decode lanes and changes membership BETWEEN segments:
+
+* every request (including the first) enters by ``join`` — a batch-size-1
+  prefill scattered into a free slot (runtime/continuous.py), so the
+  compiled segment never changes shape;
+* a slot is freed the moment its request's EOS drain completes (its stream
+  closes immediately; the batcher equivalent shipped silence until batch
+  end) or its token budget is reached (host ``kill`` at the boundary);
+* queued requests are admitted at every segment boundary while capacity
+  remains (the global delayed-frame timeline is finite; when it fills, the
+  epoch drains and a fresh one starts).
+
+Sampling params and cfg_scale are compile-relevant / batch-wide: the engine
+serves one (sampling, cfg_scale) group at a time and re-statics between
+epochs — the lru-cached jits make group switches cheap after first compile.
+
+Within-epoch randomness: the batch draws from one PRNG stream, so a
+request's tokens depend on its co-residents (the DynamicBatcher had the
+same property; fixed-seed reproducibility needs the solo no_batch path).
+A joiner's own FIRST frame is sampled in its private prefill with its own
+seed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zonos_tpu.ops.delay_pattern import apply_delay_pattern_np
+from zonos_tpu.runtime.continuous import compiled_continuous_fns
+from zonos_tpu.runtime.generate import (
+    UNKNOWN_TOKEN,
+    GenerateStatics,
+    _bucket,
+    pad_conditioning,
+)
+from zonos_tpu.serving.batcher import TTSRequest
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class _Slot:
+    req: TTSRequest | None = None
+    base: int = 0        # global de-delayed frame where this request's audio starts
+    need: int = 0        # global steps_done at which its token budget runs out
+    emitted: int = 0     # PCM samples shipped so far
+    active: bool = False
+
+
+class ContinuousEngine:
+    """Slot-based continuous batcher around a (transformer) Zonos model."""
+
+    def __init__(
+        self,
+        model,
+        slots: int = 8,
+        prefill_len: int = 256,
+        max_new_cap: int = 86 * 30,
+        segment_frames: int = 64,
+        first_chunk_frames: int = 16,
+        dac_context_frames: int = 16,
+        window_ms: float = 30.0,
+    ):
+        assert not model.config.backbone.is_hybrid, (
+            "continuous joins are transformer-only; use DynamicBatcher for hybrids"
+        )
+        self.model = model
+        self.slots = slots
+        n_q = model.config.codebook_dimension
+        self.prefill_len = _bucket(prefill_len, 64)
+        self.delayed_len = _bucket(max_new_cap + n_q, 512)
+        self.cache_len = _bucket(self.prefill_len + (self.delayed_len - 1) + 1, 128)
+        self.segment_frames = segment_frames
+        self.first_chunk_frames = first_chunk_frames
+        self.dac_context_frames = dac_context_frames
+        self.window_s = window_ms / 1000.0
+        self._queue: "queue.Queue[TTSRequest]" = queue.Queue()
+        self._stop = threading.Event()
+        self.stats = {
+            "requests": 0, "epochs": 0, "joins": 0, "mid_epoch_joins": 0,
+            "slot_recycles": 0,
+        }
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    # Public API (mirrors DynamicBatcher)
+    # ------------------------------------------------------------------
+
+    def submit(self, request: TTSRequest, timeout: float = 600.0):
+        """Blocking submit: returns (wav [T] float32, sample_rate)."""
+        request.stream = False
+        self._queue.put(request)
+        deadline = time.monotonic() + timeout
+        pieces = []
+        sr = self.model.autoencoder.sampling_rate
+        while True:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise TimeoutError("TTS request timed out")
+            item = request.chunks.get(timeout=remaining)
+            if item is None:
+                if request._error is not None:
+                    raise request._error
+                wav = (
+                    np.concatenate(pieces)
+                    if pieces else np.zeros((0,), np.float32)
+                )
+                return wav, sr
+            pieces.append(item[0])
+
+    def submit_stream(self, request: TTSRequest, timeout: float = 600.0):
+        """Streaming submit: yields (pcm [T] float32, sample_rate) chunks."""
+        request.stream = True
+        self._queue.put(request)
+        while True:
+            item = request.chunks.get(timeout=timeout)
+            if item is None:
+                if request._error is not None:
+                    raise request._error
+                return
+            yield item
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=10)
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _epoch_key(req: TTSRequest) -> tuple:
+        # no_batch requests get a private epoch (fixed-seed reproducibility
+        # needs a solo batch — same escape hatch as DynamicBatcher).
+        solo = id(req) if req.no_batch else None
+        return (req.sampling, req.cfg_scale, solo)
+
+    def _statics(self, req: TTSRequest) -> GenerateStatics:
+        return GenerateStatics(
+            cfg=self.model.config,
+            sampling=req.sampling,
+            prefill_len=self.prefill_len,
+            delayed_len=self.delayed_len,
+            cache_len=self.cache_len,
+            batch_size=self.slots,
+            kv_int8=bool(self.model.default_kv_int8),
+        )
+
+    def _prep(self, req: TTSRequest):
+        """Host-side conditioning prep → (cond [2, Lc, D], pad) or None if
+        the request cannot fit this engine's prefill bucket."""
+        from zonos_tpu.serving.batcher import DynamicBatcher
+
+        cond_dict = DynamicBatcher._batched_cond_dict(
+            _SingleView(self.model), [req]
+        )
+        cond = np.asarray(
+            self.model.prepare_conditioning(cond_dict, cfg_scale=req.cfg_scale),
+            np.float32,
+        )
+        t0 = cond.shape[1] + 1
+        if t0 > self.prefill_len:
+            return None
+        return cond, self.prefill_len - t0
+
+    def _worker(self):
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
+                self._run_epoch(first)
+            except Exception as e:  # pragma: no cover - defensive
+                logger.exception("continuous epoch failed")
+                # _run_epoch errors out every request it knows about; `first`
+                # may or may not be among them — closing twice is harmless
+                # (consumers stop at the first None).
+                first._error = e
+                first.chunks.put(None)
+
+    # ------------------------------------------------------------------
+
+    def _run_epoch(self, first: TTSRequest):
+        """One batch lifetime: all-dummy start → joins/leaves → drain."""
+        model = self.model
+        cfg = model.config
+        n_q = cfg.codebook_dimension
+        ae = model.autoencoder
+        hop = ae.config.hop_length
+        sr = ae.sampling_rate
+        key = self._epoch_key(first)
+        statics = self._statics(first)
+        start, segment, prefill_b1, join, kill = compiled_continuous_fns(statics)
+        self.stats["epochs"] += 1
+        from zonos_tpu.serving import metrics
+
+        B, P, S = self.slots, self.prefill_len, self.delayed_len
+        d = cfg.backbone.d_model
+
+        # All-dummy start: zero conditioning, every slot killed; requests
+        # only ever enter through join (uniform path).
+        zero_cond = jnp.zeros((2 * B, P, d), model.dtype)
+        delayed0 = apply_delay_pattern_np(
+            np.full((B, n_q, S - n_q), UNKNOWN_TOKEN, np.int32), cfg.masked_token_id
+        )
+        pad_amount = jnp.full((2 * B,), P - 1, jnp.int32)
+        pos_offset = jnp.zeros((2 * B,), jnp.int32)
+        gap_len = jnp.zeros((2 * B,), jnp.int32)
+        carry, status, _ = start(
+            model.params, zero_cond, jnp.asarray(delayed0), jnp.int32(1),
+            pad_amount, jnp.float32(first.cfg_scale),
+            jax.random.key(int(first.seed) & 0x7FFFFFFF), jnp.int32(0),
+            jnp.int32(0),
+        )
+        for i in range(B):
+            carry = kill(carry, jnp.int32(i), jnp.int32(0))
+
+        slot_states = [_Slot() for _ in range(B)]
+        pending: list[TTSRequest] = [first]
+        emitted_global = 0
+        offset, steps = int(np.asarray(status)[0]), 0
+        just_joined = False
+
+        def free_slots():
+            return [i for i, s in enumerate(slot_states) if not s.active]
+
+        def admit():
+            nonlocal carry, pos_offset, gap_len, pad_amount, just_joined
+            # Pull compatible queued requests (non-blocking beyond the
+            # coalescing window on an empty batch).
+            deadline = time.monotonic() + (
+                self.window_s if not any(s.active for s in slot_states) else 0.0
+            )
+            while True:
+                try:
+                    timeout = max(deadline - time.monotonic(), 0.0)
+                    req = self._queue.get(timeout=timeout) if timeout else self._queue.get_nowait()
+                    pending.append(req)
+                except queue.Empty:
+                    break
+            admitted = False
+            keep: list[TTSRequest] = []
+            for req in pending:
+                if req.max_new_tokens + n_q + 3 > S:
+                    req._error = ValueError(
+                        f"max_new_tokens {req.max_new_tokens} exceeds engine "
+                        f"capacity {S - n_q - 3}"
+                    )
+                    req.chunks.put(None)
+                    continue
+                free = free_slots()
+                if not free or self._epoch_key(req) != key:
+                    keep.append(req)
+                    continue
+                cap_need = offset + req.max_new_tokens + n_q + 1
+                if cap_need > S:
+                    # Timeline nearly full: serve it next epoch.
+                    keep.append(req)
+                    continue
+                prep = self._prep(req)
+                if prep is None:
+                    req._error = ValueError(
+                        f"conditioning too long for engine prefill bucket {P}"
+                    )
+                    req.chunks.put(None)
+                    continue
+                cond, pad = prep
+                slot = free[0]
+                c1 = prefill_b1(
+                    model.params, pad_conditioning(cond, pad, model.dtype),
+                    jnp.asarray(delayed0[:1]), jnp.int32(1),
+                    jnp.full((2,), pad, jnp.int32), jnp.float32(req.cfg_scale),
+                    jax.random.key(int(req.seed) & 0x7FFFFFFF),
+                )
+                shift = (offset - 1) - 1
+                carry, pos_offset, gap_len, pad_amount = join(
+                    carry, c1, jnp.int32(slot), jnp.int32(shift),
+                    pos_offset, gap_len, pad_amount,
+                    jnp.full((2,), pad, jnp.int32),
+                )
+                st = slot_states[slot]
+                if st.req is not None:
+                    self.stats["slot_recycles"] += 1
+                slot_states[slot] = _Slot(
+                    req=req, base=shift, emitted=0, active=True,
+                    need=steps + req.max_new_tokens + n_q - 2,
+                )
+                self.stats["requests"] += 1
+                self.stats["joins"] += 1
+                if steps > 0:
+                    self.stats["mid_epoch_joins"] += 1
+                admitted = True
+            pending[:] = keep
+            if admitted:
+                just_joined = True
+                metrics.observe_batch(sum(s.active for s in slot_states))
+
+        try:
+            admit()
+            while any(s.active for s in slot_states):
+                max_steps = max(s.need for s in slot_states if s.active)
+                seg = self.first_chunk_frames if just_joined else self.segment_frames
+                just_joined = False
+                carry, status, device_codes = segment(
+                    model.params, carry, pad_amount, jnp.float32(first.cfg_scale),
+                    jnp.int32(max_steps), jnp.int32(steps + seg),
+                    pos_offset, gap_len,
+                )
+                sv = np.asarray(status)
+                offset, steps = int(sv[0]), int(sv[1])
+                lengths = sv[3 : 3 + B].astype(np.int64)
+                drained = sv[3 + B :].astype(bool)
+
+                total = max(offset - n_q, 0)
+                if total > emitted_global:
+                    ctx = min(self.dac_context_frames, emitted_global)
+                    take = min(total, int(device_codes.shape[2]))
+                    chunk_codes = jax.lax.dynamic_slice_in_dim(
+                        device_codes, emitted_global - ctx,
+                        take - (emitted_global - ctx), axis=2,
+                    )
+                    pcm = np.asarray(ae.decode(chunk_codes))[:, 0, ctx * hop:]
+                    for i, st in enumerate(slot_states):
+                        if not st.active:
+                            continue
+                        # A slot never ships past its OWN token budget
+                        # (global offset = 2 + steps, so its frame cap is
+                        # need + 2 - n_q = base + max_new) even when a
+                        # batchmate keeps the loop running past it.
+                        cap = st.need + 2 - n_q
+                        bound = int(lengths[i]) if drained[i] else min(total, cap)
+                        lo = max(st.base, emitted_global)
+                        hi = min(bound, total)
+                        if hi > lo:
+                            piece = pcm[i, (lo - emitted_global) * hop:(hi - emitted_global) * hop]
+                            st.req.chunks.put((piece, sr))
+                            st.emitted += piece.shape[0]
+                    emitted_global = total
+
+                # Retire slots: EOS drained, or token budget exhausted.
+                for i, st in enumerate(slot_states):
+                    if not st.active:
+                        continue
+                    if drained[i]:
+                        expect = max(int(lengths[i]) - st.base, 0) * hop
+                        if st.emitted != expect:
+                            logger.warning(
+                                "slot %d emitted %d samples, boundary %d",
+                                i, st.emitted, expect,
+                            )
+                        st.req.chunks.put(None)
+                        st.active = False
+                    elif steps >= st.need:
+                        # Token budget exhausted: cap at the exhaustion rule.
+                        # stop_at = need + 2 makes the device vote report
+                        # exactly base + max_new frames (solo-equivalent cap)
+                        # even if the segment overshot its boundary; the
+                        # chunk above already shipped up to that cap.
+                        carry = kill(carry, jnp.int32(i), jnp.int32(st.need + 2))
+                        st.req.chunks.put(None)
+                        st.active = False
+
+                admit()
+        except Exception as e:
+            for st in slot_states:
+                if st.active and st.req is not None:
+                    st.req._error = e
+                    st.req.chunks.put(None)
+                    st.active = False
+            for req in pending:
+                req._error = e
+                req.chunks.put(None)
+            pending.clear()
+            raise
+
+        # Epoch over: anything still pending (wrong key / out of capacity)
+        # seeds the next epoch.
+        for req in pending:
+            self._queue.put(req)
+
+
+class _SingleView:
+    """Minimal shim so DynamicBatcher._batched_cond_dict can be reused for a
+    single request (it only touches .model.conditioner_names)."""
+
+    def __init__(self, model):
+        self.model = model

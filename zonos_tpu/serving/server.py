@@ -85,14 +85,34 @@ def _get_batcher(model):
     global _BATCHER
     with _BATCHER_LOCK:
         if _BATCHER is None:
-            from zonos_tpu.serving.batcher import DynamicBatcher
-
             max_batch = int(
                 os.environ.get("ZONOS_MAX_BATCH", 0)
                 or _APP_CONFIG.get("ZONOS_MAX_BATCH", 0)
                 or 8
             )
-            _BATCHER = DynamicBatcher(model, max_batch=max_batch, window_ms=30)
+            continuous = (
+                os.environ.get("ZONOS_CONTINUOUS", "1") == "1"
+                and not model.config.backbone.is_hybrid
+            )
+            if continuous:
+                # Continuous batching: requests join/leave one long-lived
+                # batched decode at segment boundaries (serving/continuous.py)
+                # — early-EOS slots recycle instead of idling. Transformer
+                # only; ZONOS_CONTINUOUS=0 reverts to form-then-run batches.
+                from zonos_tpu.serving.continuous import ContinuousEngine
+
+                cap = int(
+                    os.environ.get("ZONOS_ENGINE_MAX_NEW", 0)
+                    or _APP_CONFIG.get("ZONOS_ENGINE_MAX_NEW", 0)
+                    or 86 * 30
+                )
+                _BATCHER = ContinuousEngine(
+                    model, slots=max_batch, max_new_cap=cap, window_ms=30
+                )
+            else:
+                from zonos_tpu.serving.batcher import DynamicBatcher
+
+                _BATCHER = DynamicBatcher(model, max_batch=max_batch, window_ms=30)
         return _BATCHER
 
 
