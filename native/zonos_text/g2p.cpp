@@ -5556,7 +5556,7 @@ const std::map<std::string, const char*>& ar_lexicon() {
       {"جدا", "ˈdʒiddan"}, {"هنا", "ˈhunaː"}, {"هناك", "huˈnaːka"},
       // time
       {"الآن", "ʔalˈʔaːna"}, {"اليوم", "ʔalˈjawm"}, {"غدا", "ˈɣadan"},
-      {"أمس", "ʔams"}, {"سنة", "ˈsana"}, {"يوم", "jawm"},
+      {"أمس", "ʔams"}, {"سوف", "ˈsawfa"}, {"سنة", "ˈsana"}, {"يوم", "jawm"},
       {"أيام", "ʔajˈjaːm"}, {"ليلة", "ˈlajla"}, {"صباح", "sˤaˈbaːħ"},
       {"مساء", "maˈsaːʔ"}, {"وقت", "waqt"},
       // people / things
@@ -5755,6 +5755,238 @@ std::string ar_article_prefix(const char* ipa) {
   return "\xCA\x94\x61l";
 }
 
+// --- Arabic morphological vocalization (pattern guesser) ---------------------
+// Written MSA omits short vowels; beyond the vocalized lexicon the old
+// fallback filled every cluster with /a/ via generic epenthesis. Arabic
+// morphology is templatic: the consonant skeleton's SHAPE plus a small set
+// of affix letters (م/ت/ا/است/أ + imperfect ي/ت/ن) identifies the vowel
+// pattern with useful accuracy — maCCaC place nouns, CaːCiC participles,
+// CiCaːC/CuCuːC/CaCiːC nouns, taCCiːC / iCtiCaːC / inCiCaːC / istiCCaːC
+// masdars, muCaCCiC-family participles, broken plurals maCaːCiC/CuCaCaːʔ,
+// imperfect verbs, and the nisba feminine -iyya. A matched pattern yields
+// fully vocalized, stress-marked IPA; unmatched words keep the epenthesis
+// fallback. (The reference delegates ar entirely to espeak-ng —
+// reference zonos/conditioning.py:525-536.)
+
+// Classify one codepoint for pattern matching: C = consonant (ipa filled),
+// A = alif (aː), W = waw, Y = ya, T = ta marbuta, Q = alif-hamza.
+static bool ar_cls(unsigned cp, char* cls, std::string* ipa) {
+  switch (cp) {
+    case 0x0627: case 0x0622: case 0x0649: *cls = 'A'; return true;
+    case 0x0648: *cls = 'W'; return true;
+    case 0x064A: case 0x06CC: *cls = 'Y'; return true;
+    case 0x0629: *cls = 'T'; return true;
+    case 0x0623: case 0x0625: *cls = 'Q'; return true;
+    case 0x0621: case 0x0624: case 0x0626:
+      *cls = 'C'; *ipa = "ʔ"; return true;
+  }
+  static const PACfg kArC{2};
+  std::vector<PAPhone> tmp;
+  tmp.push_back({"a", true});  // fake preceding vowel: و/ي decode as glides
+  if (!pa_letter(cp, kArC, &tmp, false)) return false;
+  if (tmp.size() != 2 || tmp[1].vowel) return false;
+  *cls = 'C'; *ipa = tmp[1].ipa;
+  return true;
+}
+
+static bool ar_morph(const std::vector<unsigned>& cps, std::string* out) {
+  size_t n = cps.size();
+  if (n < 3 || n > 7) return false;
+  std::string sig;
+  std::vector<std::string> c;  // consonant IPA, in order
+  for (size_t i = 0; i < n; ++i) {
+    char cl = 0; std::string ipa;
+    if (!ar_cls(cps[i], &cl, &ipa)) return false;
+    if (cl == 'T' && i + 1 != n) return false;  // ta marbuta is final-only
+    if (cl == 'Q' && i != 0) return false;      // mid-word hamza seats: bail
+    if (i == 0 && (cl == 'W' || cl == 'Y')) {   // word-initial و/ي are glides
+      ipa = (cl == 'W') ? "w" : "j";
+      cl = 'C';
+    }
+    sig += cl;
+    if (cl == 'C') c.push_back(ipa);
+  }
+  unsigned p0 = cps[0];
+  bool m0 = p0 == 0x0645, t0 = p0 == 0x062A;
+  bool impf = p0 == 0x064A || p0 == 0x062A || p0 == 0x0646;
+  const char* vp = (p0 == 0x064A) ? "ja" : (p0 == 0x062A) ? "ta" : "na";
+
+  // Nisba feminine ‑iyya (حكومية → ħukuːmˈijja): vocalize the stem, then
+  // suffix — only when the stem itself matches a pattern.
+  if (n >= 6 && sig.compare(n - 2, 2, "YT") == 0) {
+    std::vector<unsigned> stem(cps.begin(), cps.end() - 2);
+    std::string s2;
+    if (ar_morph(stem, &s2)) {
+      std::string flat;  // stress moves to the suffix
+      for (size_t i = 0; i < s2.size();) {
+        if (s2.compare(i, 2, "\xCB\x88") == 0) { i += 2; continue; }
+        flat += s2[i++];
+      }
+      *out += flat; *out += "ˈijja";
+      return true;
+    }
+  }
+
+  auto put = [&](std::initializer_list<const char*> parts) {
+    for (const char* p : parts) *out += p;
+    return true;
+  };
+  const char* S = "ˈ";  // primary stress, before the syllable onset
+
+  // --- derived-form masdars -------------------------------------------------
+  if (sig == "ACCCCAC" && cps[1] == 0x0633 && cps[2] == 0x062A)  // استCCاC
+    return put({"isti", c[2].c_str(), S, c[3].c_str(), "aː", c[4].c_str()});
+  if (sig == "ACCCAC" && cps[1] == 0x0646)                        // انCCاC
+    return put({"in", c[1].c_str(), "i", S, c[2].c_str(), "aː", c[3].c_str()});
+  if (sig == "ACCCAC" && cps[2] == 0x062A)                        // اCتCاC
+    return put({"i", c[0].c_str(), "ti", S, c[2].c_str(), "aː", c[3].c_str()});
+  if (sig == "ACCCC" && cps[2] == 0x062A)                         // اCتCC verb
+    return put({S, "i", c[0].c_str(), "ta", c[2].c_str(), "a", c[3].c_str()});
+  if (sig == "ACCAC")                                             // اCCاC
+    return put({"ʔi", c[0].c_str(), S, c[1].c_str(), "aː", c[2].c_str()});
+  if (sig == "QCCAC")                                             // أ/إ + CCاC
+    return put({(p0 == 0x0625) ? "ʔi" : "ʔa", c[0].c_str(), S,
+                c[1].c_str(), "aː", c[2].c_str()});
+  if (sig == "QCCC")                                              // أCCC elative
+    return put({S, (p0 == 0x0625) ? "ʔi" : "ʔa", c[0].c_str(), c[1].c_str(),
+                "a", c[2].c_str()});
+
+  // --- م-prefixed nominals ---------------------------------------------------
+  if (m0 && sig == "CCCC")                                        // مCCC place
+    return put({S, "ma", c[1].c_str(), c[2].c_str(), "a", c[3].c_str()});
+  if (m0 && sig == "CCCCT")                                       // مCCCة
+    return put({S, "ma", c[1].c_str(), c[2].c_str(), "a", c[3].c_str(), "a"});
+  if (m0 && sig == "CCCWC")                                       // مCCوC passive pt
+    return put({"ma", c[1].c_str(), S, c[2].c_str(), "uː", c[3].c_str()});
+  if (m0 && sig == "CCACC")                                       // مCاCC plural
+    return put({"ma", S, c[1].c_str(), "aː", c[2].c_str(), "i", c[3].c_str()});
+  if (m0 && sig == "CCCAC")                                       // مCCاC tool
+    return put({"mi", c[1].c_str(), S, c[2].c_str(), "aː", c[3].c_str()});
+  if (m0 && sig == "CCCYC")                                       // مCCيC
+    return put({"mi", c[1].c_str(), S, c[2].c_str(), "iː", c[3].c_str()});
+  if (m0 && sig == "CCACCT")                                      // مCاCCة form-III masdar
+    return put({"mu", S, c[1].c_str(), "aː", c[2].c_str(), "a", c[3].c_str(), "a"});
+  if (m0 && sig == "CCCCC" && cps[1] == 0x062A)                   // متCCC participle
+    return put({"muta", S, c[2].c_str(), "a", c[3].c_str(), "i", c[4].c_str()});
+  if (m0 && sig == "CCCCYC")                                      // مCCCيC participle pl.
+    return put({"mu", c[1].c_str(), "a", c[2].c_str(), "i", S,
+                c[3].c_str(), "iː", c[4].c_str()});
+
+  // --- ت-prefixed masdars / imperfect verbs ----------------------------------
+  if (t0 && sig == "CCCYC")                                       // تCCيC form-II masdar
+    return put({"ta", c[1].c_str(), S, c[2].c_str(), "iː", c[3].c_str()});
+  if (impf && sig == "CCCC")                                      // يCCC imperfect
+    return put({S, vp, c[1].c_str(), c[2].c_str(), "i", c[3].c_str()});
+  if (impf && sig == "CCCCC" && cps[2] == 0x062A)                 // يCتCC form VIII
+    return put({S, vp, c[1].c_str(), "ta", c[3].c_str(), "i", c[4].c_str()});
+  if (impf && sig == "CCACC")                                     // يCاCC form III (uCaːCiC)
+    return put({(p0 == 0x064A) ? "ju" : (p0 == 0x062A) ? "tu" : "nu", S,
+                c[1].c_str(), "aː", c[2].c_str(), "i", c[3].c_str()});
+
+  // --- bare-skeleton nominal patterns ----------------------------------------
+  if (sig == "CACC")                                              // CاCC participle
+    return put({S, c[0].c_str(), "aː", c[1].c_str(), "i", c[2].c_str()});
+  if (sig == "CACCT")                                             // CاCCة
+    return put({S, c[0].c_str(), "aː", c[1].c_str(), "i", c[2].c_str(), "a"});
+  if (sig == "CCAC")                                              // CCاC noun
+    return put({c[0].c_str(), "i", S, c[1].c_str(), "aː", c[2].c_str()});
+  if (sig == "CCWC")                                              // CCوC plural
+    return put({c[0].c_str(), "u", S, c[1].c_str(), "uː", c[2].c_str()});
+  if (sig == "CCYC")                                              // CCيC adjective
+    return put({c[0].c_str(), "a", S, c[1].c_str(), "iː", c[2].c_str()});
+  if (sig == "CCACT")                                             // CCاCة
+    return put({c[0].c_str(), "i", S, c[1].c_str(), "aː", c[2].c_str(), "a"});
+  if (sig == "CCWCT")                                             // CCوCة
+    return put({c[0].c_str(), "u", S, c[1].c_str(), "uː", c[2].c_str(), "a"});
+  if (sig == "CCYCT")                                             // CCيCة
+    return put({c[0].c_str(), "a", S, c[1].c_str(), "iː", c[2].c_str(), "a"});
+  if (sig == "CCAYT")                                             // CCاية
+    return put({c[0].c_str(), "i", S, c[1].c_str(), "aː", "ja"});
+  if (sig == "CCCAC")                                             // CCCاC broken pl.
+    return put({c[0].c_str(), "u", c[1].c_str(), "a", S, c[2].c_str(), "aː",
+                c[3].c_str()});
+  if (sig == "CCCY")                                              // CCCي masc. nisba
+    return put({S, c[0].c_str(), "a", c[1].c_str(), c[2].c_str(), "ij"});
+  if (sig == "CCC")                                               // CCC default CaCaC
+    return put({S, c[0].c_str(), "a", c[1].c_str(), "a", c[2].c_str()});
+  if (sig == "CCCT")                                              // CCCة
+    return put({S, c[0].c_str(), "a", c[1].c_str(), c[2].c_str(), "a"});
+  if (sig == "CCCC")                                              // CCCC quadriliteral
+    return put({S, c[0].c_str(), "a", c[1].c_str(), c[2].c_str(), "a",
+                c[3].c_str()});
+  return false;
+}
+
+static std::vector<unsigned> ar_decode_cps(const std::string& s) {
+  std::vector<unsigned> cps;
+  for (size_t i = 0; i < s.size();) {
+    unsigned char ch = s[i];
+    unsigned cp = ch; size_t len = 1;
+    if ((ch >> 5) == 0x6 && i + 1 < s.size()) {
+      cp = ((ch & 0x1F) << 6) | (s[i + 1] & 0x3F); len = 2;
+    } else if ((ch >> 4) == 0xE && i + 2 < s.size()) {
+      cp = ((ch & 0x0F) << 12) | ((s[i + 1] & 0x3F) << 6) | (s[i + 2] & 0x3F);
+      len = 3;
+    } else if ((ch >> 3) == 0x1E) { len = 4; cp = 0; }
+    cps.push_back(cp);
+    i += len;
+  }
+  return cps;
+}
+
+// Morph guess with the same clitic stripping the lexicon gets:
+// exact → ال → و(+ال) → ب/ل/ف(+ال) → لل.
+static bool ar_morph_word(const std::string& raw, std::string* pre,
+                          std::string* out) {
+  std::vector<unsigned> cps = ar_decode_cps(raw);
+  auto resolve = [&](const std::vector<unsigned>& key) -> bool {
+    if (ar_morph(key, out)) return true;
+    if (key.size() > 4 && key[0] == 0x0627 && key[1] == 0x0644) {
+      std::vector<unsigned> rest(key.begin() + 2, key.end());
+      std::string stem;
+      if (ar_morph(rest, &stem)) {
+        std::string art = ar_article_prefix(stem.c_str());
+        if (!pre->empty() && art.compare(0, 3, "\xCA\x94\x61") == 0)
+          art = art.substr(3);  // hamzat wasl elides after a clitic vowel
+        *pre += art;
+        *out = stem;
+        return true;
+      }
+    }
+    return false;
+  };
+  if (resolve(cps)) return true;
+  if (cps.size() > 3 && cps[0] == 0x0648) {  // و "and"
+    *pre = "wa";
+    std::vector<unsigned> rest(cps.begin() + 1, cps.end());
+    if (resolve(rest)) return true;
+    pre->clear();
+  }
+  if (cps.size() > 4 && cps[0] == 0x0644 && cps[1] == 0x0644) {  // لل = li+al
+    std::vector<unsigned> rest(cps.begin() + 2, cps.end());
+    std::string stem;
+    if (ar_morph(rest, &stem)) {
+      std::string art = ar_article_prefix(stem.c_str());
+      if (art.compare(0, 3, "\xCA\x94\x61") == 0) art = art.substr(3);
+      *pre = std::string("li") + art;
+      *out = stem;
+      return true;
+    }
+  }
+  if (cps.size() > 3) {  // bi-/li-/fa- proclitics
+    static const struct { unsigned cp; const char* ipa; } kCl[] = {
+        {0x0628, "bi"}, {0x0644, "li"}, {0x0641, "fa"}};
+    for (const auto& cl : kCl) {
+      if (cps[0] != cl.cp) continue;
+      *pre = cl.ipa;
+      std::vector<unsigned> rest(cps.begin() + 1, cps.end());
+      if (resolve(rest)) return true;
+      pre->clear();
+    }
+  }
+  return false;
+}
+
 // Vocalized lexicon for Persian. Written Persian omits short vowels the
 // same way Arabic does; the epenthesis guesser fills æ everywhere, which is
 // wrong for o/e-vowelled high-frequency words (شما = shomā not shæmā).
@@ -5902,8 +6134,22 @@ const char* phonemize_text_perso_arabic(const char* utf8_text, const PACfg& cfg)
           }
         }
       }
-      if (lex) { result += pre; result += lex; }
-      else pa_word(word, cfg, &result);
+      bool emitted = false;
+      if (!lex && cfg.lang == 2 && !harakat) {
+        // Morphological vocalization layer: unlexiconed MSA words whose
+        // skeleton matches a templatic pattern get real short vowels +
+        // stress instead of uniform epenthesis (ar_morph above).
+        std::string mpre, m;
+        if (ar_morph_word(raw, &mpre, &m)) {
+          result += mpre;
+          result += m;
+          emitted = true;
+        }
+      }
+      if (!emitted) {
+        if (lex) { result += pre; result += lex; }
+        else pa_word(word, cfg, &result);
+      }
       word.clear();
     }
     raw.clear();
