@@ -37,7 +37,7 @@ from zonos_tpu.ops.mamba2 import (
 )
 from zonos_tpu.ops.norms import layer_norm, rms_norm
 from zonos_tpu.ops.quant import qeinsum
-from zonos_tpu.ops.rope import apply_rope, rope_rows
+from zonos_tpu.ops.rope import apply_rope_neox, rope_rows
 
 
 @functools.lru_cache(maxsize=32)
@@ -183,10 +183,14 @@ def _attn_mixer(
 
     rdim = _rotary_dim(cfg)
     if rdim > 0:
+        # mamba-ssm's MHA rotates with flash-attn's DEFAULT non-interleaved
+        # (NeoX half-split) layout — different from the transformer
+        # backbone's paired-dims rotary (_torch.py). Pinned by
+        # tests/test_hybrid_reference_oracle.py.
         positions = write_start + jnp.arange(s)
         freqs = rope_rows(positions, rdim)
-        q = q.at[..., :rdim].set(apply_rope(q[..., :rdim], freqs))
-        k = k.at[..., :rdim].set(apply_rope(k[..., :rdim], freqs))
+        q = q.at[..., :rdim].set(apply_rope_neox(q[..., :rdim], freqs))
+        k = k.at[..., :rdim].set(apply_rope_neox(k[..., :rdim], freqs))
 
     if k_cache is None:
         # Cache-free full-sequence path (training).

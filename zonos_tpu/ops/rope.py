@@ -47,6 +47,30 @@ def apply_rope(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(b, s, h, dh).astype(x.dtype)
 
 
+def apply_rope_neox(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
+    """Apply RoPE with the HALF-SPLIT (NeoX / flash-attn interleaved=False)
+    convention: rotate (x[..., :r/2], x[..., r/2:r]) as pairs.
+
+    This is what mamba-ssm's MHA uses (it builds flash-attn's
+    RotaryEmbedding with the default ``interleaved=False``), so the HYBRID
+    backbone's attention layers must rotate this way; the transformer
+    backbone keeps the paired-dims convention of the reference's own
+    _torch.py rotary (see tests/test_hybrid_reference_oracle.py and
+    tests/test_backbone_parity.py, which pin each against its oracle).
+
+    Args:
+        x: [B, S, H, r] (exactly the rotary span).
+        freqs: [S, r//2, 2] cos/sin rows (same table as apply_rope).
+    """
+    b, s, h, r = x.shape
+    xf = x.astype(jnp.float32)
+    x1, x2 = xf[..., : r // 2], xf[..., r // 2 :]
+    fc = freqs[None, :, None, :, 0]
+    fs = freqs[None, :, None, :, 1]
+    out = jnp.concatenate([x1 * fc - x2 * fs, x2 * fc + x1 * fs], axis=-1)
+    return out.astype(x.dtype)
+
+
 def rope_rows(positions: jnp.ndarray, n_elem: int, base: float = 10000.0) -> jnp.ndarray:
     """Compute cos/sin rows for arbitrary integer positions without a table.
 
