@@ -284,7 +284,14 @@ def transformer_forward(
         positions = write_start + jnp.arange(s)[None, :] - pos_offset[:, None]
     freqs = rope_rows(positions, cfg.head_dim)
 
-    if s > 1:
+    if s > 1 and cache is not None and attend_len != s:
+        # Multi-token decode (speculative verify, runtime/speculative.py):
+        # a short span of s new tokens attends the whole cache; row r sees
+        # [pad, write_start + r].
+        cols = jnp.arange(attend_len)[None, None, :]
+        rows = jnp.arange(s)[None, :, None]
+        mask = (cols >= pad_amount[:, None, None]) & (cols <= write_start + rows)
+    elif s > 1:
         mask = causal_prefix_mask(s, pad_amount)  # [B, S, S]; attend_len == s
     else:
         mask = decode_mask(
