@@ -151,3 +151,34 @@ def test_different_sampling_groups_run_in_separate_epochs(model):
         assert eng.stats["epochs"] == 2  # incompatible keys → serial epochs
     finally:
         eng.close()
+
+
+def test_submit_timeout_raises_timeouterror(model):
+    """A wedged engine (worker stopped) must surface TimeoutError — not the
+    internal queue.Empty — from both submit paths."""
+    eng = _engine(model)
+    eng.close()  # nothing will ever serve the queue
+    with pytest.raises(TimeoutError):
+        eng.submit(TTSRequest(text="never served", max_new_tokens=16), timeout=0.3)
+    with pytest.raises(TimeoutError):
+        list(eng.submit_stream(TTSRequest(text="never served", max_new_tokens=16), timeout=0.3))
+
+
+def test_worker_does_not_poison_finished_first(model, monkeypatch):
+    """An epoch failure AFTER its seed request already completed must not
+    retroactively error that request (its consumer may not have drained the
+    queue yet)."""
+
+    def boom(self, first):
+        self._finish(first)  # first completes successfully...
+        raise RuntimeError("late epoch failure")  # ...then the epoch dies
+
+    monkeypatch.setattr(ContinuousEngine, "_run_epoch", boom)
+    eng = _engine(model)
+    try:
+        req = TTSRequest(text="done before the blast", max_new_tokens=16)
+        wav, sr = eng.submit(req, timeout=30)
+        assert req._error is None
+        assert wav.shape == (0,)  # finished with no audio queued by the stub
+    finally:
+        eng.close()

@@ -86,3 +86,19 @@ def test_rep_penalty_rejected(model, cond):
             sampling_params=SamplingParams(min_p=0.1),  # default rep=3.0
             seed=1, dtype=jnp.float32,
         )
+
+
+def test_bucket_boundary_matches_sequential(model, cond):
+    """max_new_tokens + n_q an EXACT audio-bucket multiple: the loop bound is
+    offset < delayed_len (same as sequential) with the 2-frame write gated
+    per-pass, so the final frame is still produced (regression: the old
+    `offset < delayed_len - 1` condition returned 1-2 fewer frames here)."""
+    n_q = model.config.codebook_dimension
+    kw = dict(
+        max_new_tokens=64 - n_q, cfg_scale=2.0, sampling_params=GREEDY,
+        seed=11, dtype=jnp.float32, forbid_eos=True, audio_bucket=64,
+    )
+    seq = G.generate(model.params, model.config, cond, **kw)
+    spec = generate_speculative(model.params, model.config, cond, **kw)
+    assert spec.shape[-1] == seq.shape[-1]
+    np.testing.assert_array_equal(spec, seq)

@@ -139,8 +139,12 @@ def build_spec_generate_fn(statics: GenerateStatics):
         )
 
         def cond_fn(c: SpecCarry):
+            # Same bound as the sequential loop (offset < delayed_len) so
+            # the last frame is still produced when max_new_tokens + n_q is
+            # an exact audio-bucket multiple; the 2-frame write is gated
+            # per-pass in body_fn instead (accept needs offset+1 in range).
             return (
-                (c.offset < statics.delayed_len - 1)
+                (c.offset < statics.delayed_len)
                 & (c.steps_done < max_steps)
                 & jnp.any(c.remaining_steps > 0)
             )
@@ -165,7 +169,13 @@ def build_spec_generate_fn(statics: GenerateStatics):
             guided = unc + (cnd - unc) * cfg_scale + bias[:, :, None, :]
 
             f = sample_from_logits(k1, guided[:, :, 0], statics.sampling)
-            accept = jnp.all(f == c.draft) & ~c.stopping[0]
+            # The second frame needs offset+1 < delayed_len; at the final
+            # position a pass degrades to single-frame (verify only).
+            accept = (
+                jnp.all(f == c.draft)
+                & ~c.stopping[0]
+                & (c.offset < statics.delayed_len - 1)
+            )
             f2 = sample_from_logits(k2, guided[:, :, 1], statics.sampling)
 
             st = {

@@ -69,6 +69,10 @@ class TTSRequest:
     # filled by the batcher
     _event: threading.Event = dataclasses.field(default_factory=threading.Event)
     _result: Any = None
+    # Set once a terminal None (success OR error) has been queued; guards
+    # against a later epoch failure retroactively poisoning a request that
+    # already completed (its consumer may not have drained the queue yet).
+    _finished: bool = False
     _error: Exception | None = None
     chunks: "queue.Queue[tuple | None]" = dataclasses.field(default_factory=queue.Queue)
 
@@ -123,7 +127,10 @@ class DynamicBatcher:
         request.stream = True
         self._queue.put(request)
         while True:
-            item = request.chunks.get(timeout=timeout)
+            try:
+                item = request.chunks.get(timeout=timeout)
+            except queue.Empty:
+                raise TimeoutError("TTS stream request timed out") from None
             if item is None:
                 if request._error is not None:
                     raise request._error

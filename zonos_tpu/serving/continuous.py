@@ -112,7 +112,10 @@ class ContinuousEngine:
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 raise TimeoutError("TTS request timed out")
-            item = request.chunks.get(timeout=remaining)
+            try:
+                item = request.chunks.get(timeout=remaining)
+            except queue.Empty:
+                raise TimeoutError("TTS request timed out") from None
             if item is None:
                 if request._error is not None:
                     raise request._error
@@ -128,7 +131,10 @@ class ContinuousEngine:
         request.stream = True
         self._queue.put(request)
         while True:
-            item = request.chunks.get(timeout=timeout)
+            try:
+                item = request.chunks.get(timeout=timeout)
+            except queue.Empty:
+                raise TimeoutError("TTS stream request timed out") from None
             if item is None:
                 if request._error is not None:
                     raise request._error
@@ -140,6 +146,14 @@ class ContinuousEngine:
         self._thread.join(timeout=10)
 
     # ------------------------------------------------------------------
+
+    @staticmethod
+    def _finish(req: TTSRequest, error: Exception | None = None):
+        """Queue a request's terminal None exactly once (success or error)."""
+        if error is not None:
+            req._error = error
+        req._finished = True
+        req.chunks.put(None)
 
     @staticmethod
     def _epoch_key(req: TTSRequest) -> tuple:
@@ -186,11 +200,12 @@ class ContinuousEngine:
                 self._run_epoch(first)
             except Exception as e:  # pragma: no cover - defensive
                 logger.exception("continuous epoch failed")
-                # _run_epoch errors out every request it knows about; `first`
-                # may or may not be among them — closing twice is harmless
-                # (consumers stop at the first None).
-                first._error = e
-                first.chunks.put(None)
+                # _run_epoch errors out every request it knows about. Only
+                # poison `first` if IT never reached a terminal state — it
+                # may have completed successfully earlier in the epoch, and
+                # its consumer might not have drained the queue yet.
+                if not first._finished:
+                    self._finish(first, error=e)
 
     # ------------------------------------------------------------------
 
@@ -231,6 +246,7 @@ class ContinuousEngine:
 
         slot_states = [_Slot() for _ in range(B)]
         pending: list[TTSRequest] = [first]
+        ready: list[tuple[TTSRequest, object, int]] = []  # (req, c1, pad)
         emitted_global = 0
         offset, steps = int(np.asarray(status)[0]), 0
         just_joined = False
@@ -238,10 +254,13 @@ class ContinuousEngine:
         def free_slots():
             return [i for i, s in enumerate(slot_states) if not s.active]
 
-        def admit():
-            nonlocal carry, pos_offset, gap_len, pad_amount, just_joined
-            # Pull compatible queued requests (non-blocking beyond the
-            # coalescing window on an empty batch).
+        def harvest():
+            """Admission phase 1 — everything that does NOT need the exact
+            segment-boundary offset: drain the queue, run the host-side
+            conditioning prep (G2P etc.) and dispatch the batch-size-1
+            prefill. Called while a decode segment is still in flight, so
+            this work overlaps device time instead of stalling every active
+            stream at each join."""
             deadline = time.monotonic() + (
                 self.window_s if not any(s.active for s in slot_states) else 0.0
             )
@@ -252,40 +271,47 @@ class ContinuousEngine:
                     pending.append(req)
                 except queue.Empty:
                     break
-            admitted = False
             keep: list[TTSRequest] = []
             for req in pending:
                 if req.max_new_tokens + n_q + 3 > S:
-                    req._error = ValueError(
+                    self._finish(req, error=ValueError(
                         f"max_new_tokens {req.max_new_tokens} exceeds engine "
                         f"capacity {S - n_q - 3}"
-                    )
-                    req.chunks.put(None)
+                    ))
                     continue
-                free = free_slots()
-                if not free or self._epoch_key(req) != key:
-                    keep.append(req)
-                    continue
-                cap_need = offset + req.max_new_tokens + n_q + 1
-                if cap_need > S:
-                    # Timeline nearly full: serve it next epoch.
+                if self._epoch_key(req) != key or len(ready) >= B:
                     keep.append(req)
                     continue
                 prep = self._prep(req)
                 if prep is None:
-                    req._error = ValueError(
+                    self._finish(req, error=ValueError(
                         f"conditioning too long for engine prefill bucket {P}"
-                    )
-                    req.chunks.put(None)
+                    ))
                     continue
                 cond, pad = prep
-                slot = free[0]
                 c1 = prefill_b1(
                     model.params, pad_conditioning(cond, pad, model.dtype),
                     jnp.asarray(delayed0[:1]), jnp.int32(1),
                     jnp.full((2,), pad, jnp.int32), jnp.float32(req.cfg_scale),
                     jax.random.key(int(req.seed) & 0x7FFFFFFF),
                 )
+                ready.append((req, c1, pad))
+            pending[:] = keep
+
+        def commit():
+            """Admission phase 2 — needs the exact boundary state: scatter
+            each prepared request into a free slot if the timeline fits."""
+            nonlocal carry, pos_offset, gap_len, pad_amount, just_joined
+            admitted = False
+            keep: list[tuple[TTSRequest, object, int]] = []
+            for req, c1, pad in ready:
+                free = free_slots()
+                cap_need = offset + req.max_new_tokens + n_q + 1
+                if not free or cap_need > S:
+                    # No slot, or timeline nearly full: next boundary/epoch.
+                    keep.append((req, c1, pad))
+                    continue
+                slot = free[0]
                 shift = (offset - 1) - 1
                 carry, pos_offset, gap_len, pad_amount = join(
                     carry, c1, jnp.int32(slot), jnp.int32(shift),
@@ -304,13 +330,15 @@ class ContinuousEngine:
                 if steps > 0:
                     self.stats["mid_epoch_joins"] += 1
                 admitted = True
-            pending[:] = keep
+            ready[:] = keep
             if admitted:
                 just_joined = True
                 metrics.observe_batch(sum(s.active for s in slot_states))
 
+        big = np.iinfo(np.int32).max
         try:
-            admit()
+            harvest()
+            commit()
             while any(s.active for s in slot_states):
                 max_steps = max(s.need for s in slot_states if s.active)
                 seg = self.first_chunk_frames if just_joined else self.segment_frames
@@ -320,6 +348,10 @@ class ContinuousEngine:
                     jnp.int32(max_steps), jnp.int32(steps + seg),
                     pos_offset, gap_len,
                 )
+                # Overlap admission host work (queue drain, G2P prep,
+                # prefill dispatch) with the in-flight segment…
+                harvest()
+                # …then block on the segment's status readback.
                 sv = np.asarray(status)
                 offset, steps = int(sv[0]), int(sv[1])
                 lengths = sv[3 : 3 + B].astype(np.int64)
@@ -328,10 +360,30 @@ class ContinuousEngine:
                 total = max(offset - n_q, 0)
                 if total > emitted_global:
                     ctx = min(self.dac_context_frames, emitted_global)
+                    lo_frame = emitted_global - ctx
                     take = min(total, int(device_codes.shape[2]))
                     chunk_codes = jax.lax.dynamic_slice_in_dim(
-                        device_codes, emitted_global - ctx,
-                        take - (emitted_global - ctx), axis=2,
+                        device_codes, lo_frame, take - lo_frame, axis=2,
+                    )
+                    # Mask each slot's codes outside its OWN audio span
+                    # before the codec sees them: positions before a
+                    # joiner's base hold its rolled prefill row's sanitized
+                    # filler (not audio), and positions past a drained
+                    # slot's boundary hold sanitized post-EOS codes. Zeroing
+                    # both gives every joined stream the same conv context a
+                    # solo stream gets at its edges (cf. generate_audio's
+                    # bounds masking above).
+                    fidx = lo_frame + jnp.arange(take - lo_frame)
+                    starts = jnp.asarray(
+                        [st.base for st in slot_states], jnp.int32
+                    )
+                    bnds = jnp.asarray(
+                        np.where(drained, lengths, big), jnp.int32
+                    )
+                    chunk_codes = jnp.where(
+                        (fidx[None, None, :] < starts[:, None, None])
+                        | (fidx[None, None, :] >= bnds[:, None, None]),
+                        0, chunk_codes,
                     )
                     pcm = np.asarray(ae.decode(chunk_codes))[:, 0, ctx * hop:]
                     for i, st in enumerate(slot_states):
@@ -346,7 +398,19 @@ class ContinuousEngine:
                         lo = max(st.base, emitted_global)
                         hi = min(bound, total)
                         if hi > lo:
-                            piece = pcm[i, (lo - emitted_global) * hop:(hi - emitted_global) * hop]
+                            if st.emitted == 0 and st.base > lo_frame:
+                                # A mid-epoch joiner's FIRST piece: decode it
+                                # solo from its own base so the codec sees
+                                # exactly what a solo stream's start sees —
+                                # the batched chunk would feed this row's
+                                # pre-base positions (masked filler, not
+                                # audio) as conv left-context.
+                                solo = jax.lax.dynamic_slice(
+                                    device_codes, (i, 0, lo), (1, n_q, hi - lo)
+                                )
+                                piece = np.asarray(ae.decode(solo))[0, 0, : (hi - lo) * hop]
+                            else:
+                                piece = pcm[i, (lo - emitted_global) * hop:(hi - emitted_global) * hop]
                             st.req.chunks.put((piece, sr))
                             st.emitted += piece.shape[0]
                     emitted_global = total
@@ -362,7 +426,7 @@ class ContinuousEngine:
                                 "slot %d emitted %d samples, boundary %d",
                                 i, st.emitted, expect,
                             )
-                        st.req.chunks.put(None)
+                        self._finish(st.req)
                         st.active = False
                     elif steps >= st.need:
                         # Token budget exhausted: cap at the exhaustion rule.
@@ -371,24 +435,27 @@ class ContinuousEngine:
                         # even if the segment overshot its boundary; the
                         # chunk above already shipped up to that cap.
                         carry = kill(carry, jnp.int32(i), jnp.int32(st.need + 2))
-                        st.req.chunks.put(None)
+                        self._finish(st.req)
                         st.active = False
 
-                admit()
+                commit()
         except Exception as e:
             for st in slot_states:
                 if st.active and st.req is not None:
-                    st.req._error = e
-                    st.req.chunks.put(None)
+                    self._finish(st.req, error=e)
                     st.active = False
+            for req, _c1, _pad in ready:
+                self._finish(req, error=e)
+            ready.clear()
             for req in pending:
-                req._error = e
-                req.chunks.put(None)
+                self._finish(req, error=e)
             pending.clear()
             raise
 
-        # Epoch over: anything still pending (wrong key / out of capacity)
-        # seeds the next epoch.
+        # Epoch over: anything still pending or prepared-but-unjoined
+        # (wrong key / out of capacity) seeds the next epoch.
+        for req, _c1, _pad in ready:
+            self._queue.put(req)
         for req in pending:
             self._queue.put(req)
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import logging
 import struct
 import threading
 import wave
@@ -73,18 +74,31 @@ def _wav_bytes(wav: np.ndarray, sr: int) -> bytes:
 
 
 _BATCHER = None
+_BATCHER_MODEL = None  # the model the live batcher/engine is bound to
 _BATCHER_LOCK = threading.Lock()
 
 
 def _get_batcher(model):
-    """Lazy dynamic batcher (opt-in: ZONOS_BATCHING=1 or config flag)."""
+    """Lazy dynamic batcher (opt-in: ZONOS_BATCHING=1 or config flag).
+
+    Bound to ``model``: a model switch (model_manager reload-on-switch)
+    closes the old engine and builds one for the new model — a batcher kept
+    from the previous model would synthesize with the wrong weights/config.
+    """
     import os
 
     if not (os.environ.get("ZONOS_BATCHING") == "1" or _APP_CONFIG.get("ZONOS_BATCHING")):
         return None
-    global _BATCHER
+    global _BATCHER, _BATCHER_MODEL
     with _BATCHER_LOCK:
+        if _BATCHER is not None and _BATCHER_MODEL is not model:
+            try:
+                _BATCHER.close()
+            except Exception:  # pragma: no cover - defensive
+                logging.getLogger(__name__).exception("closing stale batcher failed")
+            _BATCHER = None
         if _BATCHER is None:
+            _BATCHER_MODEL = model
             max_batch = int(
                 os.environ.get("ZONOS_MAX_BATCH", 0)
                 or _APP_CONFIG.get("ZONOS_MAX_BATCH", 0)
