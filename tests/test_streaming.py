@@ -148,6 +148,29 @@ def test_generate_audio_pipelined_matches_sequential(model, cond):
     assert (wav == ref).mean() > 0.9
 
 
+def test_generate_audio_single_segment_matches_sequential(model, cond):
+    """chunk_frames ≥ max_new — the auto shape chunk_frames=None picks on a
+    high-latency link (one segment, all DAC pieces after the loop): same
+    lengths and PCM contract as the fine-segmented shape."""
+    from zonos_tpu.runtime.streaming import generate_audio
+
+    codes, lengths = G.generate(
+        model.params, model.config, cond, max_new_tokens=160, cfg_scale=2.0,
+        sampling_params={"min_p": 0.1}, seed=11, dtype=jnp.float32,
+        return_lengths=True,
+    )
+    ref = model.autoencoder.decode(codes)[:, 0]
+
+    wav, plengths = generate_audio(
+        model.params, model.config, cond, autoencoder=model.autoencoder,
+        max_new_tokens=160, cfg_scale=2.0, sampling_params={"min_p": 0.1},
+        seed=11, dtype=jnp.float32, chunk_frames=160 + 16,
+    )
+    np.testing.assert_array_equal(np.asarray(plengths), np.asarray(lengths))
+    assert wav.shape == ref.shape
+    np.testing.assert_allclose(wav, ref, rtol=0, atol=1e-9)
+
+
 def test_generate_audio_batched_divergent_eos_matches_sequential(model, monkeypatch):
     """Batched pipelined generate with one sample draining early: per-sample
     EOS masking of settled spans must reproduce the sequential path's zeroed

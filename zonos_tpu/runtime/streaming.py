@@ -17,6 +17,8 @@ effects at chunk boundaries.
 from __future__ import annotations
 
 import functools
+import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -395,6 +397,27 @@ def generate_stream(
         segment_end = steps + chunk_frames
 
 
+_LINK_RT_MS: float | None = None
+
+
+def _link_roundtrip_ms() -> float:
+    """Measured dispatch+readback round-trip to the backend, cached.
+
+    Distinguishes a local TPU-VM (~0.2 ms) from a remote/tunneled device
+    (~30 ms) so latency-sensitive loop shapes can adapt. One tiny jitted
+    add + readback, timed after a warmup dispatch.
+    """
+    global _LINK_RT_MS
+    if _LINK_RT_MS is None:
+        one = jnp.ones((4,), jnp.float32)
+        np.asarray(one + 1)  # warm (compile + first dispatch)
+        t0 = time.perf_counter()
+        for _ in range(4):
+            np.asarray(one + 1)
+        _LINK_RT_MS = (time.perf_counter() - t0) / 4 * 1e3
+    return _LINK_RT_MS
+
+
 # The DAC decoder's receptive field, measured empirically on the flagship
 # geometry (upsampling 8/8/4/2, kernel-7 res units at dilations 1/3/9):
 # bit-exact interior reconstruction needs ≥ 20 frames of context per side.
@@ -418,7 +441,7 @@ def generate_audio(
     batch_size: int = 1,
     sampling_params: SamplingParams | dict | None = None,
     seed: int | jax.Array | None = None,
-    chunk_frames: int = 256,
+    chunk_frames: int | None = None,
     prefill_bucket: int = 64,
     audio_bucket: int = 512,
     dtype=jnp.bfloat16,
@@ -427,6 +450,17 @@ def generate_audio(
 ):
     """Full-request generate → PCM with the DAC pipelined behind the decode
     loop. Returns (wav [B, Lmax*hop] float32, lengths [B] int64).
+
+    ``chunk_frames=None`` adapts the segmenting to the measured backend link
+    latency: fine segments (256 frames) on a local device, where overlapping
+    the DAC with the decode loop is free; ONE coarse segment on a
+    high-latency link (remote/tunneled TPU, ≥5 ms/round-trip), where each
+    extra segment costs a status readback + DAC dispatch round-trip that
+    exceeds the device time it hides (measured: 10 s request at 256-frame
+    segments is ~0.18 s SLOWER than sequential over a ~30 ms tunnel, while
+    the single-segment shape still beats sequential by skipping the codes
+    readback + host postprocess; tools/bench_pipelined.py). Override with
+    ZONOS_PIPE_CHUNK_FRAMES.
 
     The reference's request shape is strictly sequential — decode everything,
     then run the autoencoder (audio_generation_pipeline.py:138-170). Here the
@@ -453,6 +487,15 @@ def generate_audio(
         sampling_params = SamplingParams(**sampling_params)
     sampling_params = sampling_params or SamplingParams(min_p=0.1)
     assert cfg_scale != 1.0
+
+    if chunk_frames is None:
+        env = os.environ.get("ZONOS_PIPE_CHUNK_FRAMES")
+        if env:
+            chunk_frames = int(env)
+        elif _link_roundtrip_ms() < 5.0:
+            chunk_frames = 256
+        else:
+            chunk_frames = max_new_tokens + 16  # one segment end-to-end
 
     n_q = cfg.codebook_dimension
     lp = 0 if audio_prefix_codes is None else int(audio_prefix_codes.shape[2])
