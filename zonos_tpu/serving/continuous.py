@@ -447,8 +447,14 @@ class ContinuousEngine:
             for req, _c1, _pad in ready:
                 self._finish(req, error=e)
             ready.clear()
+            # Requests still in `pending` never entered this epoch — the
+            # wrong-key ones are innocent bystanders; only same-key requests
+            # (which would have joined this epoch's batch) share its failure.
             for req in pending:
-                self._finish(req, error=e)
+                if self._epoch_key(req) == key:
+                    self._finish(req, error=e)
+                else:
+                    self._queue.put(req)
             pending.clear()
             raise
 
