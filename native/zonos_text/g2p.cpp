@@ -4706,122 +4706,215 @@ const char* phonemize_text_si(const char* utf8_text) {
 }
 
 // --- Burmese / Shan (Myanmar script) -----------------------------------------
-// Abugida with inherent a, medial signs (ja/ra/wa/ha), and the asat (်)
-// that turns a consonant into a coda: final stops all reduce to the glottal
-// stop in Burmese and final nasals nasalize (emitted as n). Tone marks are
-// dropped (no tone letters in the model symbol table, as for Vietnamese).
-// Shan shares the block (plus letters U+1075+ folded to close values).
+// Abugida with inherent a, medial signs (ja/ra/wa/ha) and the asat (\u1039\u103a)
+// that turns a consonant into a coda. Burmese RHYMES are joint functions of
+// the vowel-sign combination AND the coda: the same killed letter yields
+// different vowels under different signs (MLC romanization -> IPA:
+// -\u1000\u103a \u025bʔ, -\u1005\u103a \u026aʔ, -\u1010\u103a/-\u1015\u103a aʔ, -\u102d\u1010\u103a eiʔ, -\u102f\u1010\u103a ouʔ,
+// -\u1031\u102c\u1000\u103a auʔ, -\u102d\u102f\u1000\u103a aiʔ; nasals -\u1004\u103a in, -\u1014\u103a/-\u1019\u103a an,
+// -\u102d\u1014\u103a ein, -\u102f\u1014\u103a oun, -\u1031\u102c\u1004\u103a aun, -\u102d\u102f\u1004\u103a ain), and the sign
+// combos \u1031+\u102c / \u102d+\u102f read \u0254\u02d0 / o\u02d0 as units, not letter-by-letter.
+// Final stops all neutralize to the glottal stop; final nasals to a
+// placeless nasal (emitted n). Tone marks are dropped (no tone letters in
+// the model symbol table, as for Vietnamese). Shan shares the block with
+// its own letters (U+1022, U+1075-1081), vowel signs (U+1083-1086) and the
+// -\u1082\u103a a\u026f rhyme; \u101e reads s (not \u03b8) in Shan.
 
-std::string my_cons(unsigned int cp) {
+std::string my_cons(unsigned int cp, bool shan) {
   switch (cp) {
-    case 0x1000: return "k";  case 0x1001: return "kʰ";
-    case 0x1002: case 0x1003: return "ɡ";
-    case 0x1004: return "ŋ";
-    case 0x1005: return "s";  case 0x1006: return "sʰ";
+    case 0x1000: return "k";  case 0x1001: return "k\u02b0";
+    case 0x1002: case 0x1003: return "\u0261";
+    case 0x1004: return "\u014b";
+    case 0x1005: return "s";  case 0x1006: return "s\u02b0";
     case 0x1007: case 0x1008: return "z";
-    case 0x1009: case 0x100A: return "ɲ";
-    case 0x100B: return "t";  case 0x100C: return "tʰ";
+    case 0x1009: case 0x100A: return "\u0272";
+    case 0x100B: return "t";  case 0x100C: return "t\u02b0";
     case 0x100D: case 0x100E: return "d";
     case 0x100F: return "n";
-    case 0x1010: return "t";  case 0x1011: return "tʰ";
+    case 0x1010: return "t";  case 0x1011: return "t\u02b0";
     case 0x1012: case 0x1013: return "d";
     case 0x1014: return "n";
-    case 0x1015: return "p";  case 0x1016: return "pʰ";
+    case 0x1015: return "p";  case 0x1016: return "p\u02b0";
     case 0x1017: case 0x1018: return "b";
     case 0x1019: return "m";
     case 0x101A: return "j";
-    case 0x101B: return "j";   // ရ reads j in Burmese
+    case 0x101B: return shan ? "r" : "j";   // \u101b reads j in Burmese, r in Shan
     case 0x101C: return "l";
     case 0x101D: return "w";
-    case 0x101E: return "θ";
+    case 0x101E: return shan ? "s" : "\u03b8";
     case 0x101F: return "h";
     case 0x1020: return "l";
-    case 0x1021: return "ʔ";
-    // Shan letters (approximate to the nearest Burmese values)
-    case 0x1075: return "k";  case 0x1076: return "kʰ"; case 0x1078: return "tʃ";
-    case 0x107A: return "ɲ";  case 0x107C: return "tʰ"; case 0x107D: return "pʰ";
-    case 0x107E: return "f";  case 0x1080: return "θ";  case 0x1081: return "h";
+    case 0x1021: return "\u0294";
+    case 0x103F: return "s";                // \u103f great sa
+    // Shan letters
+    case 0x1022: return "\u0294";          // \u1022 Shan a
+    case 0x1075: return "k";  case 0x1076: return "k\u02b0";
+    case 0x1077: return "\u0261";
+    case 0x1078: return "ts"; case 0x1079: return "z";
+    case 0x107A: return "\u0272";
+    case 0x107B: return "d";  case 0x107C: return "n";
+    case 0x107D: return "p\u02b0";
+    case 0x107E: return "f";  case 0x107F: return "b";
+    case 0x1080: return "t\u02b0";
+    case 0x1081: return "h";
   }
   return "";
 }
 
-const char* phonemize_text_my(const char* utf8_text) {
+// Vowel-sign bits collected per syllable.
+enum {
+  MY_AA = 1, MY_I = 2, MY_II = 4, MY_U = 8, MY_UU = 16, MY_E = 32,
+  MY_AI = 64, MY_ANU = 128, MY_SHE = 256, MY_SHY = 512,
+};
+
+const char* phonemize_text_my(const char* utf8_text, bool shan) {
   if (!utf8_text) return nullptr;
   std::string text(utf8_text);
   std::string result;
-  std::string cur;        // current consonant (+medials), vowel undecided
-  std::string vow;        // explicit vowel signs collected for this syllable
+  std::string onset;      // consonant + medial glides, vowel undecided
   bool have_cons = false;
-  auto flush_syllable = [&](bool killed, bool nasal_coda) {
-    if (!have_cons && vow.empty()) return;
-    result += cur;
-    if (killed) {
-      // asat: this consonant is a coda — nasals → n, stops → ʔ
-      // (cur already appended; replace its sound instead)
-      result.resize(result.size() - cur.size());
-      if (nasal_coda) result += "n";
-      else result += "ʔ";
-    } else {
-      result += vow.empty() ? "a" : vow;
-    }
-    cur.clear(); vow.clear(); have_cons = false;
-  };
-  size_t nbytes = text.size();
-  for (size_t i = 0; i < nbytes;) {
-    unsigned char c = text[i];
-    unsigned int cp = 0; size_t len = 1;
-    if (c < 0x80) { cp = c; }
-    else if ((c >> 5) == 0x6 && i + 1 < nbytes) {
-      cp = ((c & 0x1F) << 6) | (text[i+1] & 0x3F); len = 2;
-    } else if ((c >> 4) == 0xE && i + 2 < nbytes) {
-      cp = ((c & 0x0F) << 12) | ((text[i+1] & 0x3F) << 6) | (text[i+2] & 0x3F); len = 3;
-    } else if ((c >> 3) == 0x1E && i + 3 < nbytes) { len = 4; }
-    std::string cons = my_cons(cp);
-    if (!cons.empty()) {
-      // Peek: is this consonant followed by asat (coda)?
-      unsigned int nxt = 0;
-      if (i + len + 2 < nbytes) {
-        unsigned char d = text[i + len];
-        if ((d >> 4) == 0xE)
-          nxt = ((d & 0x0F) << 12) | ((text[i+len+1] & 0x3F) << 6) | (text[i+len+2] & 0x3F);
+  bool med_w = false;     // medial wa seen (merges into -\u1010\u103a/-\u1014\u103a rhymes)
+  unsigned v = 0;         // vowel-sign bits
+
+  // Emit the pending syllable. coda_cp = 0 for an open syllable, otherwise
+  // the codepoint of the asat-killed consonant (0x1036 anusvara arrives as
+  // a pseudo m-coda).
+  auto emit = [&](unsigned coda_cp) {
+    if (!have_cons && !v && !coda_cp) { onset.clear(); med_w = false; return; }
+    bool i = v & (MY_I | MY_II), u = v & (MY_U | MY_UU);
+    bool e = v & MY_E, aa = v & MY_AA;
+    if ((v & MY_ANU) && !coda_cp) coda_cp = 0x1019;  // \u1036 = nasal coda
+    std::string rhyme;
+    bool merge_w = false;  // rhyme absorbed the medial wa
+    if (coda_cp == 0x101A || coda_cp == 0x100A) {
+      rhyme = "\u025b";                        // -\u101a\u103a / -\u100a\u103a
+    } else if (coda_cp == 0x1009) {
+      rhyme = "in";                             // -\u1009\u103a
+    } else if (coda_cp) {
+      bool nasal = coda_cp == 0x1004 || coda_cp == 0x100F || coda_cp == 0x1014 ||
+                   coda_cp == 0x1019 || coda_cp == 0x107A || coda_cp == 0x107C;
+      if (nasal) {
+        if (e && aa) rhyme = "aun";
+        else if (i && u) rhyme = "ain";
+        else if (i) rhyme = "ein";
+        else if (u) rhyme = "oun";
+        else if (v & MY_SHE) rhyme = "\u025bn";
+        else if (aa) rhyme = "a\u02d0n";       // Shan -\u1083\u107c\u103a
+        else if (med_w && coda_cp != 0x1004) { rhyme = "un"; merge_w = true; }
+        else rhyme = (coda_cp == 0x1004) ? "in" : "an";
+      } else {
+        if (e && aa) rhyme = "au\u0294";
+        else if (i && u) rhyme = "ai\u0294";
+        else if (i) rhyme = "ei\u0294";
+        else if (u) rhyme = "ou\u0294";
+        else if (med_w && (coda_cp >= 0x1010 && coda_cp <= 0x1018)) {
+          rhyme = "u\u0294"; merge_w = true;   // -\u103d\u1010\u103a/-\u103d\u1015\u103a
+        } else if (coda_cp >= 0x1000 && coda_cp <= 0x1003) rhyme = "\u025b\u0294";
+        else if (coda_cp >= 0x1005 && coda_cp <= 0x1008) rhyme = "\u026a\u0294";
+        else rhyme = "a\u0294";
       }
+    } else {
+      if (e && aa) rhyme = "\u0254\u02d0";    // \u1031\u102c
+      else if (i && u) rhyme = "o\u02d0";      // \u102d\u102f
+      else if (v & MY_SHY) rhyme = "ai";        // Shan \u1086
+      else if (v & MY_SHE) rhyme = "\u025b";   // Shan \u1085
+      else if (v & MY_II) rhyme = "i\u02d0";
+      else if (i) rhyme = "i";
+      else if (v & MY_UU) rhyme = "u\u02d0";
+      else if (u) rhyme = "u";
+      else if (e) rhyme = "e\u02d0";
+      else if (v & MY_AI) rhyme = "\u025b\u02d0";
+      else if (aa) rhyme = "a\u02d0";
+      else if (have_cons) rhyme = "a";
+    }
+    if (merge_w && !onset.empty() && onset.back() == 'w')
+      onset.pop_back();
+    result += onset;
+    result += rhyme;
+    onset.clear(); have_cons = false; med_w = false; v = 0;
+  };
+
+  size_t nbytes = text.size();
+  auto decode_at = [&](size_t pos, size_t& len) -> unsigned int {
+    unsigned char c = text[pos];
+    len = 1;
+    if (c < 0x80) return c;
+    if ((c >> 5) == 0x6 && pos + 1 < nbytes) {
+      len = 2;
+      return ((c & 0x1F) << 6) | (text[pos + 1] & 0x3F);
+    }
+    if ((c >> 4) == 0xE && pos + 2 < nbytes) {
+      len = 3;
+      return ((c & 0x0F) << 12) | ((text[pos + 1] & 0x3F) << 6) |
+             (text[pos + 2] & 0x3F);
+    }
+    if ((c >> 3) == 0x1E && pos + 3 < nbytes) { len = 4; return 0; }
+    return 0;
+  };
+
+  for (size_t i = 0; i < nbytes;) {
+    size_t len = 1;
+    unsigned int cp = decode_at(i, len);
+    std::string cons = my_cons(cp, shan);
+    if (!cons.empty()) {
+      // Peek: is this consonant killed by asat (a coda)?
+      size_t nlen = 1;
+      unsigned int nxt = (i + len < nbytes) ? decode_at(i + len, nlen) : 0;
       if (nxt == 0x103A) {
-        // coda: close the open syllable with this consonant as final
-        bool nasal = (cons == "ŋ" || cons == "n" || cons == "m" || cons == "ɲ");
-        if (have_cons || !vow.empty()) {
-          // attach coda to the pending syllable
-          result += cur;
-          result += vow.empty() ? "a" : vow;
-          cur.clear(); vow.clear(); have_cons = false;
-          result += nasal ? "n" : "ʔ";
+        if (have_cons || v) {
+          emit(cp);               // coda of the pending syllable
+        } else {
+          onset = cons;           // degenerate: killed letter with no base
+          have_cons = true;
+          emit(0);
         }
-        i += len + 3;  // consonant + asat
+        i += len + nlen;
         continue;
       }
-      flush_syllable(false, false);
-      cur = cons;
+      emit(0);
+      onset = cons;
       have_cons = true;
       i += len;
       continue;
     }
     switch (cp) {
-      case 0x103B: case 0x103C: cur += "j"; i += len; continue;  // medial ja/ra
-      case 0x103D: cur += "w"; i += len; continue;               // medial wa
-      case 0x103E: cur += "h"; i += len; continue;               // medial ha
-      case 0x102B: case 0x102C: vow += "aː"; i += len; continue;
-      case 0x102D: vow += "i"; i += len; continue;
-      case 0x102E: vow += "iː"; i += len; continue;
-      case 0x102F: vow += "u"; i += len; continue;
-      case 0x1030: vow += "uː"; i += len; continue;
-      case 0x1031: vow += "eː"; i += len; continue;
-      case 0x1032: vow += "ɛː"; i += len; continue;
-      case 0x1036: vow += "an"; i += len; continue;  // anusvara: nasal
+      case 0x103B: case 0x103C: onset += "j"; i += len; continue;  // medial ja/ra
+      case 0x103D: case 0x1082: onset += "w"; med_w = true; i += len; continue;
+      case 0x103E: onset += "h"; i += len; continue;               // medial ha
+      case 0x102B: case 0x102C: case 0x1083: v |= MY_AA; i += len; continue;
+      case 0x102D: v |= MY_I;  i += len; continue;
+      case 0x102E: v |= MY_II; i += len; continue;
+      case 0x102F: v |= MY_U;  i += len; continue;
+      case 0x1030: v |= MY_UU; i += len; continue;
+      case 0x1031: case 0x1084: v |= MY_E; i += len; continue;
+      case 0x1032: v |= MY_AI; i += len; continue;
+      case 0x1085: v |= MY_SHE; i += len; continue;
+      case 0x1086: v |= MY_SHY; i += len; continue;
+      case 0x1036: v |= MY_ANU; i += len; continue;  // anusvara: nasal
+      case 0x103A:
+        // Standalone asat after a sign: -\u1031\u102c\u103a stays \u0254\u02d0 (just
+        // consume); Shan -\u1082\u103a is the a\u026f rhyme.
+        if (med_w && !v) {
+          if (!onset.empty() && onset.back() == 'w') onset.pop_back();
+          result += onset; result += "a\u026f";
+          onset.clear(); have_cons = false; med_w = false; v = 0;
+        }
+        i += len; continue;
       case 0x1037: case 0x1038: i += len; continue;  // tone marks: dropped
-      case 0x1039: i += len; continue;               // stacker (kill, rare)
-      case 0x104A: flush_syllable(false, false); result += ','; i += len; continue;
-      case 0x104B: flush_syllable(false, false); result += '.'; i += len; continue;
+      case 0x1039: i += len; continue;               // stacker (kinzi join)
+      case 0x1087: case 0x1088: case 0x1089: case 0x108A: case 0x108B:
+      case 0x108C: case 0x108D: i += len; continue;  // Shan tone marks
+      // Independent vowels: their own syllables.
+      case 0x1023: emit(0); result += "\u0294i";  i += len; continue;
+      case 0x1024: emit(0); result += "\u0294i\u02d0"; i += len; continue;
+      case 0x1025: emit(0); result += "\u0294u";  i += len; continue;
+      case 0x1026: emit(0); result += "\u0294u\u02d0"; i += len; continue;
+      case 0x1027: emit(0); result += "\u0294e\u02d0"; i += len; continue;
+      case 0x1029: case 0x102A: emit(0); result += "\u0294\u0254\u02d0"; i += len; continue;
+      case 0x104A: emit(0); result += ','; i += len; continue;
+      case 0x104B: emit(0); result += '.'; i += len; continue;
     }
-    flush_syllable(false, false);
+    emit(0);
     if (cp < 128 && cp && strchr(";:,.!?()\"- ", static_cast<int>(cp))) {
       char pc = static_cast<char>(cp);
       if (!(pc == ' ' && !result.empty() && result.back() == ' '))
@@ -4829,7 +4922,7 @@ const char* phonemize_text_my(const char* utf8_text) {
     }
     i += len;
   }
-  flush_syllable(false, false);
+  emit(0);
   char* buf = static_cast<char*>(malloc(result.size() + 1));
   memcpy(buf, result.c_str(), result.size() + 1);
   return buf;
@@ -7166,7 +7259,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
 
 extern "C" {
 
-int ztx_version() { return 19; }
+int ztx_version() { return 20; }
 
 // Phonemize UTF-8 text in the given language ("en", "en-us", "es", ...).
 // Returns nullptr for unsupported languages (caller falls back). Returned
@@ -7371,7 +7464,7 @@ const char* ztx_phonemize_lang(const char* utf8_text, const char* lang) {
   if (strncmp(lang, "gd", 2) == 0) return phonemize_text_goidelic(utf8_text, true);
   if (strncmp(lang, "si", 2) == 0) return phonemize_text_si(utf8_text);
   if (strncmp(lang, "my", 2) == 0 || strncmp(lang, "shn", 3) == 0)
-    return phonemize_text_my(utf8_text);
+    return phonemize_text_my(utf8_text, strncmp(lang, "shn", 3) == 0);
   if (strncmp(lang, "fa-latn", 7) == 0) return phonemize_text_falatn(utf8_text);
   if (strncmp(lang, "fa", 2) == 0) {
     static const PACfg kFa = {0};
