@@ -168,6 +168,7 @@ def main() -> None:
             model.params, cfg, cond, autoencoder=ae, max_new_tokens=max_new,
             cfg_scale=2.0, batch_size=1, sampling_params=sampling, seed=seed,
             dtype=dtype, forbid_eos=True, kv_int8=kv_int8,
+            pcm_int16=not dense,  # serving default: device-quantized PCM
         )
         return wav_p, lengths
 

@@ -171,6 +171,26 @@ def test_generate_audio_single_segment_matches_sequential(model, cond):
     np.testing.assert_allclose(wav, ref, rtol=0, atol=1e-9)
 
 
+def test_generate_audio_pcm_int16_matches_host_quantization(model, cond):
+    """pcm_int16=True quantizes on device; must equal the float32 path put
+    through the exact host-side wav conversion (clip*32767, truncate)."""
+    from zonos_tpu.runtime.streaming import generate_audio
+
+    kw = dict(
+        autoencoder=model.autoencoder, max_new_tokens=64, cfg_scale=2.0,
+        sampling_params={"min_p": 0.1}, seed=5, dtype=jnp.float32,
+        chunk_frames=24,
+    )
+    wav_f, lengths_f = generate_audio(model.params, model.config, cond, **kw)
+    wav_i, lengths_i = generate_audio(
+        model.params, model.config, cond, pcm_int16=True, **kw
+    )
+    assert wav_i.dtype == np.int16
+    np.testing.assert_array_equal(np.asarray(lengths_i), np.asarray(lengths_f))
+    expect = np.clip(wav_f * 32767.0, -32767.0, 32767.0).astype(np.int16)
+    np.testing.assert_array_equal(wav_i, expect)
+
+
 def test_generate_audio_batched_divergent_eos_matches_sequential(model, monkeypatch):
     """Batched pipelined generate with one sample draining early: per-sample
     EOS masking of settled spans must reproduce the sequential path's zeroed

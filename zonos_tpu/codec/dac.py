@@ -426,12 +426,22 @@ class DACAutoencoder:
             params = self._try_load_pretrained() or init_dac_params(jax.random.key(0), cfg)
         self.params = params
 
-        @functools.partial(jax.jit, static_argnums=())
-        def _decode(qp, dp, codes):
+        def _decode_impl(qp, dp, codes):
             z = quantizer_from_codes(qp, codes, dtype=dtype)
             return decoder_forward(dp, z.astype(dtype), cfg.upsampling_ratios).astype(jnp.float32)
 
-        self._decode_jit = _decode
+        self._decode_jit = jax.jit(_decode_impl)
+
+        # int16 PCM INSIDE the jit: the serving path ships 16-bit wavs, so
+        # quantizing on device halves the PCM readback bytes (the tunnel
+        # transfer is a measurable slice of e2e at batch>1) and skips the
+        # host-side clip/astype on the 1-core host. Same clip+truncate
+        # semantics as audio/io.write_wav.
+        def _decode_i16_impl(qp, dp, codes):
+            w = _decode_impl(qp, dp, codes)
+            return jnp.clip(w * 32767.0, -32767.0, 32767.0).astype(jnp.int16)
+
+        self._decode_i16_jit = jax.jit(_decode_i16_impl)
 
         @functools.partial(jax.jit, static_argnums=())
         def _encode(ep, qp, wav):
@@ -491,18 +501,22 @@ class DACAutoencoder:
         wav = np.asarray(wav)[:, : t * self.config.hop_length]
         return wav[:, None, :]
 
-    def decode_device(self, codes: jax.Array) -> jax.Array:
+    def decode_device(self, codes: jax.Array, to_int16: bool = False) -> jax.Array:
         """decode() that KEEPS the PCM on device: [B, n_q, T] → [B, T*512].
 
         The pipelined request path (runtime/streaming.generate_audio) decodes
         settled code spans while the decode loop is still running; pieces
         must stay device-resident so the host doesn't force a readback sync
         per piece — everything comes back in one transfer at the end.
+
+        ``to_int16`` quantizes to 16-bit PCM on device (the wav-file payload
+        format), halving the readback bytes.
         """
         t = codes.shape[-1]
         t_pad = _bucket(t, self.frame_bucket)
         padded = jnp.pad(codes.astype(jnp.int32), [(0, 0), (0, 0), (0, t_pad - t)])
-        wav = self._decode_jit(self.params["quantizer"], self.params["decoder"], padded)
+        fn = self._decode_i16_jit if to_int16 else self._decode_jit
+        wav = fn(self.params["quantizer"], self.params["decoder"], padded)
         return wav[:, : t * self.config.hop_length]
 
     def decode_to_int16(self, codes: np.ndarray) -> np.ndarray:

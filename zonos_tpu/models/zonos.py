@@ -320,8 +320,11 @@ class Zonos:
         sampling_params=None,
         seed: int | jax.Array | None = None,
         kv_int8: bool | None = None,
+        pcm_int16: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Full request → (wav [B, Lmax*hop] float32, lengths [B] int64).
+        """Full request → (wav [B, Lmax*hop] float32, lengths [B] int64);
+        ``pcm_int16`` returns int16 PCM quantized on device instead (halved
+        readback — the wav-file payload format).
 
         The serving PCM path: DAC decoding of settled code spans is
         pipelined behind the decode loop (runtime/streaming.generate_audio):
@@ -344,6 +347,7 @@ class Zonos:
             seed=seed,
             dtype=self.dtype,
             kv_int8=self.default_kv_int8 if kv_int8 is None else kv_int8,
+            pcm_int16=pcm_int16,
         )
 
     def stream(

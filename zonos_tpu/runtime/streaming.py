@@ -447,9 +447,12 @@ def generate_audio(
     dtype=jnp.bfloat16,
     forbid_eos: bool = False,
     kv_int8: bool = False,
+    pcm_int16: bool = False,
 ):
     """Full-request generate → PCM with the DAC pipelined behind the decode
-    loop. Returns (wav [B, Lmax*hop] float32, lengths [B] int64).
+    loop. Returns (wav [B, Lmax*hop] float32, lengths [B] int64); with
+    ``pcm_int16`` the wav comes back already quantized to int16 (the wav-file
+    payload format — halves the device→host transfer).
 
     ``chunk_frames=None`` adapts the segmenting to the measured backend link
     latency: fine segments (256 frames) on a local device, where overlapping
@@ -557,7 +560,7 @@ def generate_audio(
         piece = jnp.where(
             fidx[None, None, :] < bounds[:, None, None], piece, 0
         )
-        pcm = autoencoder.decode_device(piece)  # [B, (hi-lo)*hop], on device
+        pcm = autoencoder.decode_device(piece, to_int16=pcm_int16)  # on device
         return pcm[:, (a - lo) * hop : (b - lo) * hop]
 
     pieces: list[jax.Array] = []  # device PCM, in frame order
@@ -619,7 +622,7 @@ def generate_audio(
         status, device_codes = status_next, codes_next
 
     if not pieces:
-        wav = np.zeros((batch_size, 0), np.float32)
+        wav = np.zeros((batch_size, 0), np.int16 if pcm_int16 else np.float32)
     else:
         wav = np.asarray(jnp.concatenate(pieces, axis=1))  # ONE readback
     return wav, lengths

@@ -116,6 +116,10 @@ def _generate_wave(model, cond_dict, params, audio_prefix_codes, use_cond_cache)
         cfg_scale=params.cfg_scale,
         sampling_params=params.sampling,
         seed=params.seed,
+        # The request's terminal format is a 16-bit wav; quantizing on
+        # device halves the PCM readback (ZONOS_PCM_INT16=0 reverts to
+        # float32 readback + host-side quantization).
+        pcm_int16=os.environ.get("ZONOS_PCM_INT16", "1") != "0",
     )
     return wav[0], int(lengths[0])
 

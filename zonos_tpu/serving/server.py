@@ -63,7 +63,10 @@ def _silence_wav(ms: int = 100, sr: int = 44100) -> bytes:
 
 
 def _wav_bytes(wav: np.ndarray, sr: int) -> bytes:
-    pcm = np.clip(wav * 32767.0, -32767.0, 32767.0).astype("<i2")
+    if wav.dtype == np.int16:  # already device-quantized PCM
+        pcm = wav.astype("<i2", copy=False)
+    else:
+        pcm = np.clip(wav * 32767.0, -32767.0, 32767.0).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
