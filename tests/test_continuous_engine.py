@@ -182,3 +182,34 @@ def test_worker_does_not_poison_finished_first(model, monkeypatch):
         assert wav.shape == (0,)  # finished with no audio queued by the stub
     finally:
         eng.close()
+
+
+def test_chunk_shipping_compiles_are_bounded(model):
+    """PCM shipping must reuse TWO static-shape jits (quantum + solo) no
+    matter how joins/EOS stagger spans — a per-span eager decode compiles a
+    fresh XLA program per novel length, which over a remote-TPU link costs
+    more than the decode itself (measured 1.1x aggregate vs 22x raw)."""
+    eng = _engine(model, slots=2, window_ms=100)
+    try:
+        results = {}
+
+        def go(i, delay):
+            time.sleep(delay)
+            # staggered arrivals + differing lengths → varied spans/joins
+            results[i] = eng.submit(
+                TTSRequest(text=f"req {i}", max_new_tokens=24 + 8 * i, seed=i)
+            )
+
+        threads = [
+            threading.Thread(target=go, args=(i, 0.3 * i)) for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert set(results) == {0, 1, 2, 3}
+        assert eng.stats["mid_epoch_joins"] >= 1  # the stagger did stagger
+        assert eng._quantum_pcm._cache_size() <= 1
+        assert eng._solo_pcm._cache_size() <= 1
+    finally:
+        eng.close()

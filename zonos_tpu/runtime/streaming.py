@@ -351,20 +351,34 @@ def generate_stream(
             take = min(total, int(device_codes.shape[2]))
             # Slice the chunk on device; DAC decode consumes it without a
             # host round-trip (only the PCM comes back). Batched streams
-            # decode all samples' chunks in ONE codec call.
+            # decode all samples' chunks in ONE codec call. The slice LENGTH
+            # is bucketed (shapes key the eager-op compile cache, and the
+            # final chunk's raw span varies with the EOS position — an
+            # unbounded compile set, seconds per novel length on a remote
+            # link); the overshoot is masked to 0, identical to the zero pad
+            # autoencoder.decode applies past the chunk anyway.
+            lo = emitted_frames - ctx
+            n = take - lo
+            S_codes = int(device_codes.shape[2])
+            bucket = max(int(getattr(autoencoder, "frame_bucket", 1) or 1), 1)
+            n_pad = min(_bucket(n, bucket), S_codes - lo)
             chunk_codes = jax.lax.dynamic_slice_in_dim(
-                device_codes, emitted_frames - ctx, take - (emitted_frames - ctx), axis=2
+                device_codes, lo, n_pad, axis=2
             )
-            wav = autoencoder.decode(chunk_codes)  # [B, 1, T]
+            if n_pad > n:
+                chunk_codes = jnp.where(
+                    jnp.arange(n_pad)[None, None, :] >= n, 0, chunk_codes
+                )
+            wav = autoencoder.decode(chunk_codes)  # [B, 1, n_pad*hop]
             if batch_size == 1:
-                yield np.asarray(wav[0, 0, ctx * hop :]), sr
+                yield np.asarray(wav[0, 0, ctx * hop : n * hop]), sr
             else:
                 # Batched PCM mode yields ((pcm [B, T], lengths [B],
                 # final [B]), sr) — see the docstring. EVERY chunk zeroes
                 # each sample's PCM past its own currently-known boundary,
                 # so a drained sample never ships post-EOS junk while its
                 # batchmates keep talking.
-                pcm = np.array(wav[:, 0, ctx * hop :])
+                pcm = np.array(wav[:, 0, ctx * hop : n * hop])
                 if done:
                     lengths = np.asarray(lengths_final, np.int64)
                     final = np.ones((batch_size,), bool)
@@ -551,7 +565,13 @@ def generate_audio(
         """
         if final:
             lo = max(((a - _DAC_RF_FRAMES) // bucket) * bucket, 0)
-            hi = b
+            # Window size bucketed, NOT b - lo: the eager slice/mask ops
+            # compile per distinct shape, and request lengths are arbitrary —
+            # an unbounded compile set (seconds each over a remote link).
+            # The overshoot past b is masked to 0 below (fidx >= bounds;
+            # b == max(lengths)), which is byte-identical to the zero pad
+            # the sequential ae.decode() applies there.
+            hi = min(lo + _bucket(b - lo, bucket), int(device_codes.shape[2]))
         else:
             lo = max(a - _DAC_RF_FRAMES, 0)
             hi = min(b + _DAC_RF_FRAMES, int(device_codes.shape[2]))
