@@ -66,7 +66,9 @@ def main():
     else:
         from zonos_tpu.serving.continuous import ContinuousEngine
 
-        cap = max(max_new + 86, 860)
+        # Serving-sized timeline (server.py uses 86*30): a small cap forces
+        # an epoch drain+restart every ~cap frames, idling late slots.
+        cap = max(max_new + 86, 86 * 30)
         batcher = ContinuousEngine(
             model, slots=args.requests, max_new_cap=cap, window_ms=50,
         )

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import queue
 import threading
 import time
@@ -380,23 +381,40 @@ class ContinuousEngine:
                 metrics.observe_batch(sum(s.active for s in slot_states))
 
         big = np.iinfo(np.int32).max
+        import time as _time
+        trace = os.environ.get("ZONOS_ENGINE_TRACE") == "1"
         try:
             harvest()
             commit()
             while any(s.active for s in slot_states):
+                t0 = _time.perf_counter()
                 max_steps = max(s.need for s in slot_states if s.active)
-                seg = self.first_chunk_frames if just_joined else self.segment_frames
+                # A short first segment buys the joiner fast first audio, but
+                # every 16-frame segment pays the same fixed dispatch/readback
+                # cost as a 64-frame one. Under sustained load joins happen at
+                # almost every boundary (measured: aggregate 1.25x with the
+                # unconditional shrink vs device-bound full segments), so
+                # shrink only when nobody else is waiting on throughput.
+                quiet = self._queue.empty() and not pending and not ready
+                seg = (
+                    self.first_chunk_frames
+                    if just_joined and quiet
+                    else self.segment_frames
+                )
                 just_joined = False
                 carry, status, device_codes = segment(
                     model.params, carry, pad_amount, jnp.float32(first.cfg_scale),
                     jnp.int32(max_steps), jnp.int32(steps + seg),
                     pos_offset, gap_len,
                 )
+                t1 = _time.perf_counter()
                 # Overlap admission host work (queue drain, G2P prep,
                 # prefill dispatch) with the in-flight segment…
                 harvest()
+                t2 = _time.perf_counter()
                 # …then block on the segment's status readback.
                 sv = np.asarray(status)
+                t3 = _time.perf_counter()
                 offset, steps = int(sv[0]), int(sv[1])
                 lengths = sv[3 : 3 + B].astype(np.int64)
                 drained = sv[3 + B :].astype(bool)
@@ -491,6 +509,7 @@ class ContinuousEngine:
                     piece = np.asarray(pcm_dev)[(base - lo0) * hop_:(hi - lo0) * hop_]
                     st.req.chunks.put((piece, sr))
                     st.emitted += piece.shape[0]
+                t4 = _time.perf_counter()
 
                 # Retire slots: EOS drained, or token budget exhausted.
                 for i, st in enumerate(slot_states):
@@ -516,6 +535,15 @@ class ContinuousEngine:
                         st.active = False
 
                 commit()
+                if trace:
+                    t5 = _time.perf_counter()
+                    logger.warning(
+                        "seg=%d steps=%d active=%d quanta=%d dispatch=%.3f "
+                        "harvest=%.3f readback=%.3f ship=%.3f commit=%.3f",
+                        seg, steps, sum(s.active for s in slot_states),
+                        len(quanta), t1 - t0, t2 - t1, t3 - t2, t4 - t3,
+                        t5 - t4,
+                    )
         except Exception as e:
             for st in slot_states:
                 if st.active and st.req is not None:
