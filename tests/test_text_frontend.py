@@ -121,3 +121,24 @@ class TestKanaFallback:
     def test_phonemize_ja_route(self):
         out = phonemize(["こんにちは"], ["ja"])[0]
         assert "ɲ" in out  # went through kana transliteration, not passthrough
+
+
+def test_tokenize_phonemes_pad_bucket():
+    """Serving sets PAD_BUCKET so every text length maps to a small shape
+    set (compiles key on shapes); default 1 keeps reference-exact lengths."""
+    from zonos_tpu.conditioning import text as T
+
+    old = T.PAD_BUCKET
+    try:
+        T.PAD_BUCKET = 8
+        padded, lengths = T.tokenize_phonemes(["a", "abcde", "yz"])
+        assert len(padded[0]) % 8 == 0
+        assert all(len(p) == len(padded[0]) for p in padded)
+        # true lengths are preserved; pad is PAD_ID on the LEFT
+        for p, n in zip(padded, lengths):
+            assert p[: len(p) - n] == [T.PAD_ID] * (len(p) - n)
+        T.PAD_BUCKET = 1
+        padded1, lengths1 = T.tokenize_phonemes(["abcde"])
+        assert len(padded1[0]) == lengths1[0]  # reference-exact, no pad
+    finally:
+        T.PAD_BUCKET = old

@@ -54,6 +54,10 @@ def main():
     from zonos_tpu.models.zonos import Zonos
     from zonos_tpu.serving.batcher import DynamicBatcher, TTSRequest
 
+    from zonos_tpu.conditioning import text as _text
+
+    _text.PAD_BUCKET = 32  # serving config (server.py sets the same)
+
     cfg = tiny_transformer_config() if args.tiny else zonos_v01_transformer_config()
     dtype = jnp.float32 if args.tiny else jnp.bfloat16
     model = Zonos.from_config(cfg, seed=0, dtype=dtype)

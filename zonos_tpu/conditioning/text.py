@@ -264,13 +264,26 @@ def get_symbol_ids(text: str) -> list[int]:
     return [_symbol_to_id.get(s, UNK_ID) for s in text]
 
 
+# Serving sets this to a bucket (e.g. 32) so the phoneme sequence length —
+# and with it every conditioner/prefill shape — is drawn from a small set:
+# an eager/jit compile is keyed on shapes, and over a remote-TPU link each
+# novel text length otherwise costs seconds of XLA compiles (measured 13-19 s
+# admission stalls in the continuous engine under mixed-text load). Padding
+# with attended PAD_ID embeddings is exactly what the reference does to every
+# batched text (conditioning.py:248-253); the library default (1) keeps
+# single-request output byte-identical to the reference's unpadded call.
+PAD_BUCKET = 1
+
+
 def tokenize_phonemes(phonemes: list[str]) -> tuple[list[list[int]], list[int]]:
-    """BOS + ids + EOS per string, left-padded with PAD to the batch max.
+    """BOS + ids + EOS per string, left-padded with PAD to the batch max
+    (rounded up to PAD_BUCKET).
 
     Returns (padded id lists, true lengths). Reference conditioning.py:248-253.
     """
     ids = [[BOS_ID, *get_symbol_ids(p), EOS_ID] for p in phonemes]
     lengths = [len(x) for x in ids]
-    longest = max(lengths)
+    bucket = max(int(PAD_BUCKET), 1)
+    longest = -(-max(lengths) // bucket) * bucket
     padded = [[PAD_ID] * (longest - len(x)) + x for x in ids]
     return padded, lengths

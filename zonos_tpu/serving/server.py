@@ -682,6 +682,17 @@ def main(argv=None):
 
     enable_compile_cache()
 
+    # Bucket phoneme lengths server-wide: compiles key on SHAPES, so each
+    # novel text length otherwise costs fresh conditioner/prefill XLA
+    # compiles (seconds over a remote-TPU link; measured 13-19 s admission
+    # stalls in the continuous engine under mixed-text load). Left-padding
+    # with attended PAD_ID embeddings is exactly how the reference treats
+    # every batched text (conditioning.py:248-253). ZONOS_PHONEME_BUCKET=1
+    # reverts to reference-exact unpadded lengths.
+    from zonos_tpu.conditioning import text as _text
+
+    _text.PAD_BUCKET = int(os.environ.get("ZONOS_PHONEME_BUCKET", "32"))
+
     parser = argparse.ArgumentParser(description="Zonos-TPU TTS server")
     parser.add_argument("--server", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=7860)
