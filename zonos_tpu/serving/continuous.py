@@ -226,11 +226,12 @@ class ContinuousEngine:
         cond_dict = DynamicBatcher._batched_cond_dict(
             _SingleView(self.model), [req]
         )
-        cond = np.asarray(
-            self.model.prepare_conditioning(cond_dict, cfg_scale=req.cfg_scale),
-            np.float32,
-        )
-        t0 = cond.shape[1] + 1
+        # Stays a DEVICE array: the shape is known without a readback, and
+        # pad_conditioning + the b1 prefill chain on-device — a blocking
+        # np.asarray here queued behind the in-flight segment (measured
+        # 1-3 s admission blips).
+        cond = self.model.prepare_conditioning(cond_dict, cfg_scale=req.cfg_scale)
+        t0 = int(cond.shape[1]) + 1
         if t0 > self.prefill_len:
             return None
         return cond, self.prefill_len - t0
