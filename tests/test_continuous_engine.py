@@ -184,6 +184,63 @@ def test_worker_does_not_poison_finished_first(model, monkeypatch):
         eng.close()
 
 
+def test_kv_roll_and_attend_ladder_under_staggered_load(model, caplog):
+    """Force KV compaction + attend-rung switching in the live engine: small
+    roll quantum and a fine attend ladder, staggered arrivals so later
+    requests join with a dead gap that rolls out. Every request must still
+    get its full budget-capped, finite PCM, with zero emitted/boundary
+    mismatches from the engine's device-vote check."""
+    import logging
+
+    caplog.set_level(logging.WARNING, logger="zonos_tpu.serving.continuous")
+    eng = _engine(model, slots=2, window_ms=50, max_new_cap=400)
+    eng.roll_quantum = 8
+    eng.attend_quantum = 64
+    try:
+        results = {}
+
+        def go(i, delay, tokens):
+            time.sleep(delay)
+            results[i] = eng.submit(
+                TTSRequest(text=f"req {i}", max_new_tokens=tokens, seed=i)
+            )
+
+        threads = [
+            threading.Thread(target=go, args=(i, 0.4 * i, 48 + 16 * (i % 3)))
+            for i in range(5)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+
+        assert set(results) == set(range(5))
+        hop = model.autoencoder.config.hop_length
+        for i, (wav, _sr) in results.items():
+            assert wav.shape[0] > 0 and np.isfinite(wav).all()
+            assert wav.shape[0] % hop == 0
+            assert wav.shape[0] <= (48 + 16 * (i % 3)) * hop
+        assert eng.stats["mid_epoch_joins"] >= 1
+        assert eng.stats["rolls"] >= 1, "compaction never triggered"
+        mismatches = [r for r in caplog.records if "emitted" in r.getMessage()]
+        assert not mismatches, [r.getMessage() for r in mismatches]
+    finally:
+        eng.close()
+
+
+def test_depth1_engine_still_serves(model, monkeypatch):
+    """ZONOS_ENGINE_DEPTH=1 (synchronous boundaries) is the debugging
+    escape hatch — it must produce the same structural results."""
+    monkeypatch.setenv("ZONOS_ENGINE_DEPTH", "1")
+    eng = _engine(model, window_ms=50)
+    assert eng.depth == 1
+    try:
+        wav, sr = eng.submit(TTSRequest(text="depth one", max_new_tokens=24, seed=7))
+        assert wav.shape[0] > 0 and np.isfinite(wav).all()
+    finally:
+        eng.close()
+
+
 def test_chunk_shipping_compiles_are_bounded(model):
     """PCM shipping must reuse TWO static-shape jits (quantum + solo) no
     matter how joins/EOS stagger spans — a per-span eager decode compiles a

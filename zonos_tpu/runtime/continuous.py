@@ -59,21 +59,26 @@ def _set1(arr: jnp.ndarray, idx, value) -> jnp.ndarray:
 
 
 def build_join_fn(statics: GenerateStatics):
-    """jit(batch_carry, carry1, slot, shift, pos_offset, gap_len, pad, new_pad)
+    """jit(batch_carry, carry1, slot, pos_offset, gap_len, pad, new_pad)
     → (batch_carry', pos_offset', gap_len', pad').
 
     ``carry1`` is the joiner's batch-size-1 prefill carry (same prefill_len /
-    cache_len statics). ``shift`` rolls its delayed row so the prefill-written
-    frame lands at the batch's offset−1 (the next step's input). The slot's
-    CFG rows (slot, B+slot) get the fresh cache rows, position offset and
-    gap length = the batch's current steps_done, and the joiner's own
-    prefill left-pad.
+    cache_len statics). Its delayed row is rolled ON DEVICE by
+    ``bc.offset − c1.offset`` so the prefill-written frame lands at the
+    batch's offset−1 (the next step's input) — computed from the carry, not
+    passed by the host, so joins can be dispatched while earlier segments
+    are still in flight (the host learns the boundary offset only at the
+    next status readback; serving/continuous.py derives the joiner's audio
+    base from that). The slot's CFG rows (slot, B+slot) get the fresh cache
+    rows, position offset and gap length = the batch's current steps_done,
+    and the joiner's own prefill left-pad.
     """
     b = statics.batch_size
 
-    def join_fn(bc: DecodeCarry, c1: DecodeCarry, slot, shift,
+    def join_fn(bc: DecodeCarry, c1: DecodeCarry, slot,
                 pos_offset, gap_len, pad_amount, new_pad):
         join_step = bc.steps_done
+        shift = bc.offset - c1.offset
         cache, c1c = bc.cache, c1.cache
         assert isinstance(cache, KVCache), "continuous joins are transformer-only"
         k = _scatter_rows(cache.k, c1c.k, slot, b)
@@ -131,6 +136,62 @@ def build_kill_fn(statics: GenerateStatics):
     return kill_fn
 
 
+def build_roll_fn(statics: GenerateStatics):
+    """jit(carry, m, pos_offset, gap_len) → (carry', pos_offset', gap_len').
+
+    KV timeline compaction: shifts the decode region of every cache row —
+    positions [prefill_len, cache_len) — left by ``m`` slots, so the live
+    entries stay inside a small attention window no matter how long the
+    batch has been running. Sound whenever ``m`` ≤ every ACTIVE slot's
+    gap_len (the rolled-out span is each active slot's dead gap, never
+    attended) and ``m`` ≤ steps_done. Device-step bookkeeping shifts with
+    it: steps_done/pos_offset/gap_len all drop by m, so RoPE logical
+    positions (write_start − pos_offset) and the dead-span mask
+    [prefill_len, prefill_len + gap_len) are unchanged for every active
+    slot. The delayed-codes frame timeline (offset, stop_offset) is NOT
+    rolled — audio bookkeeping stays global.
+
+    Cost: one read+write of the cache (~ms of HBM traffic); the payoff is
+    every subsequent decode step reading ``attend_len`` instead of
+    ``cache_len`` KV slots (the round-4 engine's dominant cost, NOTES.md).
+    The wrapped-around garbage the roll leaves at the tail sits at
+    positions > the new write_index, which decode_mask always excludes.
+    """
+    p = statics.prefill_len
+
+    def roll_fn(bc: DecodeCarry, m, pos_offset, gap_len):
+        cache = bc.cache
+        assert isinstance(cache, KVCache), "KV roll is transformer-only"
+
+        def roll_tail(x, axis):
+            head = jax.lax.slice_in_dim(x, 0, p, axis=axis)
+            tail = jax.lax.slice_in_dim(x, p, x.shape[axis], axis=axis)
+            return jnp.concatenate([head, jnp.roll(tail, -m, axis=axis)], axis=axis)
+
+        if cache.k_scale is not None:
+            # Head-major int8 layout: positions on axis 3 of [L, 2B, Hkv, S, Dh]
+            # and [L, 2B, Hkv, S].
+            cache = KVCache(
+                k=roll_tail(cache.k, 3), v=roll_tail(cache.v, 3),
+                k_scale=roll_tail(cache.k_scale, 3), v_scale=roll_tail(cache.v_scale, 3),
+            )
+        else:
+            cache = KVCache(k=roll_tail(cache.k, 2), v=roll_tail(cache.v, 2))
+        carry = DecodeCarry(
+            delayed_codes=bc.delayed_codes,
+            offset=bc.offset,
+            cache=cache,
+            stopping=bc.stopping,
+            remaining_steps=bc.remaining_steps,
+            stop_offset=bc.stop_offset,
+            steps_done=bc.steps_done - m,
+            key=bc.key,
+        )
+        return carry, pos_offset - m, jnp.maximum(gap_len - m, 0)
+
+    return roll_fn
+
+
 @functools.lru_cache(maxsize=8)
 def compiled_continuous_fns(statics: GenerateStatics):
     """(start, segment, prefill_b1, join, kill) for a continuous batch.
@@ -148,3 +209,25 @@ def compiled_continuous_fns(statics: GenerateStatics):
     join = jax.jit(build_join_fn(statics), donate_argnums=(0,))
     kill = jax.jit(build_kill_fn(statics), donate_argnums=(0,))
     return start, segment, prefill_b1, join, kill
+
+
+@functools.lru_cache(maxsize=8)
+def compiled_roll_fn(statics: GenerateStatics):
+    return jax.jit(build_roll_fn(statics), donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=64)
+def compiled_segment_attend(statics: GenerateStatics, attend_len: int):
+    """Decode segment attending only the first ``attend_len`` cache slots.
+
+    One compiled variant per ladder rung; the carry (full cache_len
+    allocation) is shared across rungs, so switching rungs between segments
+    costs nothing at runtime. ``attend_len == cache_len`` reuses the main
+    compiled segment (no duplicate compile).
+    """
+    from zonos_tpu.runtime.streaming import build_segment_fn
+
+    if attend_len >= statics.cache_len:
+        return compiled_continuous_fns(statics)[1]
+    seg = build_segment_fn(dataclasses.replace(statics, attend_len=attend_len))
+    return jax.jit(seg, donate_argnums=(1,))

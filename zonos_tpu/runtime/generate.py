@@ -130,6 +130,15 @@ class GenerateStatics:
     forbid_eos: bool = False
     # int8 KV cache (halves the per-step KV byte stream; transformer only).
     kv_int8: bool = False
+    # Decode attention window: number of leading cache slots the decode step
+    # attends over (None = the whole cache). The continuous engine compacts
+    # its KV timeline (runtime/continuous.build_roll_fn) so live entries stay
+    # within a small window, then decodes with the smallest ladder rung that
+    # covers them — the per-step KV read scales with this, not with the
+    # 30 s-capacity cache allocation (the round-4 engine paid ~2.9x the KV
+    # bytes of a solo request by always attending cache_len, NOTES.md).
+    # Must satisfy write_index < attend_len at every decode step.
+    attend_len: int | None = None
 
 
 def _decode_logits(
@@ -149,7 +158,8 @@ def _decode_logits(
     x = jnp.concatenate([x, x], axis=0)  # [2B, 1, D]
     h, cache = backbone_forward(
         params["backbone"], cfg.backbone, x, cache,
-        write_start=write_index, pad_amount=pad_amount, attend_len=statics.cache_len,
+        write_start=write_index, pad_amount=pad_amount,
+        attend_len=statics.attend_len or statics.cache_len,
         pos_offset=pos_offset, gap_len=gap_len, gap_start=statics.prefill_len,
     )
     logits = apply_heads(params["heads"], h, cfg.codebook_dimension)[:, :, 0]  # [2B, n_q, Vh]

