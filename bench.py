@@ -16,6 +16,10 @@ in the same line (recipe anchor: /root/reference/test_zonos.py:526,547-566):
   * ``extra.rtf_e2e_hybrid_10s``:   same request on the hybrid backbone
   * ``extra.ttfa_p50_ms``:          streaming time-to-first-audio, p50
   * ``extra.rtf_aggregate_batch8``: 8 coalesced streams, aggregate RTF
+  * ``extra.rtf_engine_sustained``: ContinuousEngine (the serving default,
+                 ZONOS_CONTINUOUS=1) under sustained staggered load —
+                 24 x 5 s requests, 0.25 s apart, 8 slots (the
+                 tools/bench_batcher.py --sustained workload)
   * ``extra.decode_ms_per_frame``:  decode-loop cost per frame
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
@@ -190,6 +194,7 @@ def main() -> None:
         "decode_ms_per_frame": round(t_gen / codes.shape[-1] * 1e3, 3),
         "ttfa_p50_ms": None,
         "rtf_aggregate_batch8": None,
+        "rtf_engine_sustained": None,
         "rtf_e2e_hybrid_10s": None,
     }
     if os.environ.get("ZONOS_BENCH_COMPONENTS") == "1":
@@ -238,6 +243,63 @@ def main() -> None:
             )
         except Exception as e:
             sys.stderr.write(f"# batch8 bench failed: {e}\n")
+
+    # ---- continuous-engine sustained aggregate (the serving default) ----
+    # The workload of tools/bench_batcher.py --sustained: 24 x 5 s requests
+    # arriving 0.25 s apart into an 8-slot ContinuousEngine with the
+    # serving-sized (30 s cap) timeline — later requests JOIN the running
+    # batch. This is THE number the serving stack delivers under load
+    # (VERDICT r4 Weak #2: it must live in the driver artifact).
+    if left() > 480 or tiny:
+        eng = None
+        try:
+            import threading
+
+            from zonos_tpu.conditioning import text as _text
+            from zonos_tpu.serving.batcher import TTSRequest
+            from zonos_tpu.serving.continuous import ContinuousEngine
+
+            _text.PAD_BUCKET = 32  # serving config (server.py sets the same)
+            model._autoencoder = ae
+            eng = ContinuousEngine(model, slots=8, window_ms=50)
+            max_new_e = 24 if tiny else int(5.0 * FRAMES_PER_SEC)
+            sr = ae.sampling_rate
+
+            def mk(i):
+                return TTSRequest(
+                    text=f"benchmark request number {i}, a sentence of moderate length.",
+                    max_new_tokens=max_new_e, seed=1,
+                )
+
+            def run_load(n, interval, store):
+                def sub(i):
+                    time.sleep(i * interval)
+                    store[i] = eng.submit(mk(i), timeout=1800)
+
+                ths = [threading.Thread(target=sub, args=(i,)) for i in range(n)]
+                t0 = time.perf_counter()
+                for t in ths:
+                    t.start()
+                for t in ths:
+                    t.join()
+                return time.perf_counter() - t0
+
+            # Warmup: a concurrent burst (compiles joins + batched decode +
+            # DAC quanta + the attend-ladder rungs), then a short staggered
+            # stream (compiles anything only the steady state touches).
+            run_load(8, 0.0, {})
+            run_load(4 if tiny else 12, 0.2, {})
+            res: dict = {}
+            n_sus = 6 if tiny else 24
+            dt = run_load(n_sus, 0.25, res)
+            audio_s = sum(w.shape[0] / sr for w, _ in res.values())
+            extra["rtf_engine_sustained"] = round(audio_s / dt, 3)
+            sys.stderr.write(f"# engine stats: {eng.stats}\n")
+        except Exception as e:
+            sys.stderr.write(f"# engine sustained bench failed: {e}\n")
+        finally:
+            if eng is not None:
+                eng.close()
 
     # ---- hybrid e2e RTF (same 10 s request, Mamba2 hybrid backbone) ----
     if left() > 600 or tiny:
