@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from zonos_tpu.conditioning.cond_dict import make_cond_dict
-from zonos_tpu.config import tiny_transformer_config
+from zonos_tpu.config import tiny_hybrid_config, tiny_transformer_config
 from zonos_tpu.models.zonos import Zonos
 from zonos_tpu.ops.delay_pattern import apply_delay_pattern_np
 from zonos_tpu.ops.sampling import SamplingParams
@@ -27,6 +27,11 @@ GREEDY = SamplingParams(top_k=1, min_p=0.0, repetition_penalty=1.0)
 @pytest.fixture(scope="module")
 def model():
     return Zonos.from_config(tiny_transformer_config(), seed=0, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def hybrid_model():
+    return Zonos.from_config(tiny_hybrid_config(), seed=0, dtype=jnp.float32)
 
 
 def _cond_for(model, texts):
@@ -231,6 +236,115 @@ def test_joined_request_matches_solo_after_kv_roll(model, kv_int8):
 
     # Finish B through a rung that is SMALLER than the cache: live window
     # after the roll is P + (need_g - rolled) < 192 < cache_len.
+    attend = P + 128
+    assert attend < statics.cache_len
+    assert P + (need_g - rolled) < attend
+    seg_small = compiled_segment_attend(statics, attend)
+    while True:
+        carry, status, _codes = seg_small(
+            model.params, carry, pad_amount, jnp.float32(2.0),
+            jnp.int32(need_g - rolled), big, pos_offset, gap_len,
+        )
+        sv = np.asarray(status)
+        if int(sv[1]) >= need_g - rolled or bool(sv[2]):
+            break
+
+    delayed_b = np.asarray(carry.delayed_codes)[1]
+    stop_b = int(np.asarray(carry.stop_offset)[1])
+    end = stop_b if stop_b >= 0 else int(sv[0])
+    row = np.roll(delayed_b, -shift, axis=-1)
+    out_b = G.postprocess_codes_batched(
+        row[None], np.asarray([end - shift]), cfg
+    )[0]
+
+    assert out_b.shape == solo.shape, (out_b.shape, solo.shape)
+    np.testing.assert_array_equal(out_b, solo)
+
+
+@pytest.mark.parametrize("kv_int8", [False, True])
+def test_hybrid_joined_request_matches_solo_greedy(hybrid_model, kv_int8):
+    """Hybrid continuous batching: Mamba conv/SSD states join by plain row
+    scatter (recurrent state has no positions); the interleaved attention
+    layer reuses the transformer's pos_offset/gap_len machinery and the KV
+    roll. A joined+rolled hybrid request reproduces its solo greedy tokens
+    exactly."""
+    from zonos_tpu.runtime.continuous import (
+        compiled_roll_fn, compiled_segment_attend,
+    )
+
+    model = hybrid_model
+    cfg = model.config
+    n_q = cfg.codebook_dimension
+    max_new = 48
+
+    cond_a = _cond_for(model, ["request a speaks first"])
+    cond_b = _cond_for(model, ["request b arrives later"])
+    lc_a, lc_b = cond_a.shape[1], cond_b.shape[1]
+    lc = max(lc_a, lc_b)
+
+    solo = G.generate(
+        model.params, cfg, cond_b, max_new_tokens=max_new, cfg_scale=2.0,
+        sampling_params=GREEDY, seed=1, dtype=jnp.float32, kv_int8=kv_int8,
+    )
+
+    statics = _statics(cfg, lc, max_new, batch_size=2, kv_int8=kv_int8)
+    start, segment, prefill_b1, join, kill = compiled_continuous_fns(statics)
+    roll = compiled_roll_fn(statics)
+    P, S = statics.prefill_len, statics.delayed_len
+
+    def delayed_init(batch):
+        codes = np.full((batch, n_q, S - n_q), UNKNOWN_TOKEN, np.int32)
+        return jnp.asarray(apply_delay_pattern_np(codes, cfg.masked_token_id))
+
+    cond_batch = np.concatenate([
+        np.stack([cond_a[0], cond_a[0]]),
+        np.stack([cond_a[1], cond_a[1]]),
+    ])
+    pad_a, pad_b = P - (lc_a + 1), P - (lc_b + 1)
+    pad_amount = jnp.full((4,), pad_a, jnp.int32)
+    pos_offset = jnp.zeros((4,), jnp.int32)
+    gap_len = jnp.zeros((4,), jnp.int32)
+    big = jnp.int32(1 << 30)
+
+    carry, status, _codes = start(
+        model.params, pad_conditioning(cond_batch, pad_a, jnp.float32),
+        delayed_init(2), jnp.int32(1), pad_amount, jnp.float32(2.0),
+        jax.random.key(0), big, jnp.int32(0),
+    )
+    carry = kill(carry, jnp.int32(1), jnp.int32(0))
+
+    # A decodes 40 steps, then finishes.
+    carry, status, _codes = segment(
+        model.params, carry, pad_amount, jnp.float32(2.0), big,
+        jnp.int32(40), pos_offset, gap_len,
+    )
+    sv = np.asarray(status)
+    offset, steps = int(sv[0]), int(sv[1])
+    assert steps == 40
+    carry = kill(carry, jnp.int32(0), jnp.int32(offset))
+
+    # B joins with gap 40.
+    c1 = prefill_b1(
+        model.params, pad_conditioning(cond_b, pad_b, jnp.float32),
+        delayed_init(1), jnp.int32(1), jnp.full((2,), pad_b, jnp.int32),
+        jnp.float32(2.0), jax.random.key(1),
+    )
+    shift = (offset - 1) - 1
+    carry, pos_offset, gap_len, pad_amount = join(
+        carry, c1, jnp.int32(1),
+        pos_offset, gap_len, pad_amount, jnp.full((2,), pad_b, jnp.int32),
+    )
+    need_g = steps + max_new + n_q - 2
+
+    # A few steps post-join, then compact the hybrid's attention KV.
+    carry, status, _codes = segment(
+        model.params, carry, pad_amount, jnp.float32(2.0), big,
+        jnp.int32(48), pos_offset, gap_len,
+    )
+    rolled = 32
+    carry, pos_offset, gap_len = roll(carry, jnp.int32(rolled), pos_offset, gap_len)
+    assert int(np.asarray(gap_len)[1]) == 40 - rolled
+
     attend = P + 128
     assert attend < statics.cache_len
     assert P + (need_g - rolled) < attend

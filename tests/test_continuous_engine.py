@@ -16,18 +16,22 @@ from zonos_tpu.serving.batcher import TTSRequest
 from zonos_tpu.serving.continuous import ContinuousEngine
 
 
-@pytest.fixture(scope="module")
-def model():
-    m = Zonos.from_config(tiny_transformer_config(), seed=0, dtype=jnp.float32)
+def _tiny_dac():
     cfg = D.DACConfig(
         encoder_hidden_size=8, downsampling_ratios=(2, 4), decoder_hidden_size=32,
         upsampling_ratios=(4, 2), n_codebooks=9, codebook_size=1024, codebook_dim=4,
         hidden_size=24,
     )
-    m._autoencoder = D.DACAutoencoder(
+    return D.DACAutoencoder(
         params=D.init_dac_params(jax.random.key(0), cfg), cfg=cfg,
         dtype=jnp.float32, frame_bucket=8,
     )
+
+
+@pytest.fixture(scope="module")
+def model():
+    m = Zonos.from_config(tiny_transformer_config(), seed=0, dtype=jnp.float32)
+    m._autoencoder = _tiny_dac()
     return m
 
 
@@ -224,6 +228,44 @@ def test_kv_roll_and_attend_ladder_under_staggered_load(model, caplog):
         assert eng.stats["rolls"] >= 1, "compaction never triggered"
         mismatches = [r for r in caplog.records if "emitted" in r.getMessage()]
         assert not mismatches, [r.getMessage() for r in mismatches]
+    finally:
+        eng.close()
+
+
+def test_hybrid_engine_serves_staggered_load():
+    """The engine accepts HYBRID models: Mamba states join by row scatter,
+    the interleaved attention layer uses pos_offset/gap_len + KV roll.
+    Staggered arrivals force mid-epoch joins and compaction."""
+    from zonos_tpu.config import tiny_hybrid_config
+
+    m = Zonos.from_config(tiny_hybrid_config(), seed=0, dtype=jnp.float32)
+    m._autoencoder = _tiny_dac()
+    eng = _engine(m, slots=2, window_ms=50, max_new_cap=300)
+    eng.roll_quantum = 8
+    try:
+        results = {}
+
+        def go(i, delay):
+            time.sleep(delay)
+            results[i] = eng.submit(
+                TTSRequest(text=f"hybrid req {i}", max_new_tokens=32, seed=i)
+            )
+
+        threads = [
+            threading.Thread(target=go, args=(i, 0.5 * i)) for i in range(3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+
+        assert set(results) == {0, 1, 2}
+        hop = m.autoencoder.config.hop_length
+        for wav, _sr in results.values():
+            assert wav.shape[0] > 0 and np.isfinite(wav).all()
+            assert wav.shape[0] <= 32 * hop
+        assert eng.stats["mid_epoch_joins"] >= 1
+        assert eng.stats["rolls"] >= 1
     finally:
         eng.close()
 

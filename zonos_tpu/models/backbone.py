@@ -31,12 +31,12 @@ def backbone_forward(params, cfg: BackboneConfig, x, cache, write_start, pad_amo
     """(x [B,S,D], cache) → (normed hidden [B,S,D], cache'). S>1 ⇒ prefill.
 
     pos_offset/gap_len/gap_start support continuous-batching slot joins
-    (transformer backbone only — see transformer_forward)."""
+    (both backbones — see transformer_forward / hybrid_forward)."""
     if cfg.is_hybrid:
-        assert pos_offset is None and gap_len is None, (
-            "continuous-batching joins are transformer-only"
+        return hybrid_forward(
+            params, cfg, x, cache, write_start, pad_amount, attend_len,
+            pos_offset=pos_offset, gap_len=gap_len, gap_start=gap_start,
         )
-        return hybrid_forward(params, cfg, x, cache, write_start, pad_amount, attend_len)
     return transformer_forward(
         params, cfg, x, cache, write_start, pad_amount, attend_len,
         pos_offset=pos_offset, gap_len=gap_len, gap_start=gap_start,

@@ -168,6 +168,7 @@ def _attn_mixer(
     write_start: jnp.ndarray,
     mask: jnp.ndarray,
     attend_len: int,
+    pos_offset: jnp.ndarray | None = None,  # [B] joined-slot step offsets
 ):
     from zonos_tpu.models.transformer import _kv_quantize
 
@@ -186,8 +187,12 @@ def _attn_mixer(
         # mamba-ssm's MHA rotates with flash-attn's DEFAULT non-interleaved
         # (NeoX half-split) layout — different from the transformer
         # backbone's paired-dims rotary (_torch.py). Pinned by
-        # tests/test_hybrid_reference_oracle.py.
-        positions = write_start + jnp.arange(s)
+        # tests/test_hybrid_reference_oracle.py. A joined slot rotates at
+        # LOGICAL positions (physical − pos_offset), same as the transformer.
+        if pos_offset is None:
+            positions = write_start + jnp.arange(s)
+        else:
+            positions = write_start + jnp.arange(s)[None, :] - pos_offset[:, None]
         freqs = rope_rows(positions, rdim)
         q = q.at[..., :rdim].set(apply_rope_neox(q[..., :rdim], freqs))
         k = k.at[..., :rdim].set(apply_rope_neox(k[..., :rdim], freqs))
@@ -251,11 +256,21 @@ def hybrid_forward(
     write_start: jnp.ndarray,
     pad_amount: jnp.ndarray,  # [B]
     attend_len: int,
+    pos_offset: jnp.ndarray | None = None,  # [B] logical-position offsets
+    gap_len: jnp.ndarray | None = None,  # [B] dead cache span after prefill
+    gap_start: int = 0,  # static: where the dead span begins (prefill_len)
 ) -> tuple[jnp.ndarray, HybridCache | None]:
     """Run all hybrid layers; S > 1 = prefill, S == 1 = decode step.
 
     With cache=None (training) attention runs cache-free and Mamba states
     start from zeros and are discarded.
+
+    Continuous batching (decode only): Mamba layers are recurrent — a
+    joined slot's conv/SSD states are simply scattered in (no positions to
+    fix up; runtime/continuous.build_join_fn). Only the interleaved
+    attention layers need the transformer's machinery: RoPE at logical
+    positions (physical − pos_offset) and the dead cache span
+    [gap_start, gap_start + gap_len) masked out.
     """
     b, s, _ = x.shape
     prefill = s > 1
@@ -263,7 +278,10 @@ def hybrid_forward(
         attn_mask = causal_prefix_mask(s, pad_amount)
         seq_mask = jnp.arange(s)[None, :] >= pad_amount[:, None]
     else:
-        attn_mask = decode_mask(attend_len, pad_amount, write_start)
+        attn_mask = decode_mask(
+            attend_len, pad_amount, write_start,
+            gap_start=gap_start, gap_len=gap_len,
+        )
         seq_mask = None
 
     if cache is None:
@@ -293,6 +311,7 @@ def hybrid_forward(
             out, kv_k[gi], kv_v[gi], kv_ks[gi], kv_vs[gi] = _attn_mixer(
                 group_p["mixer"], cfg, h, kv_k[gi], kv_v[gi], kv_ks[gi], kv_vs[gi],
                 write_start, attn_mask, attend_len,
+                pos_offset=None if prefill else pos_offset,
             )
             x = x + out
             if group_p.get("mlp") is not None:

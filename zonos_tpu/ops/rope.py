@@ -60,13 +60,19 @@ def apply_rope_neox(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
 
     Args:
         x: [B, S, H, r] (exactly the rotary span).
-        freqs: [S, r//2, 2] cos/sin rows (same table as apply_rope).
+        freqs: [S, r//2, 2] or [B, S, r//2, 2] cos/sin rows (same table as
+            apply_rope; the batched form carries per-sample position offsets
+            for continuous-batching slot joins).
     """
     b, s, h, r = x.shape
     xf = x.astype(jnp.float32)
     x1, x2 = xf[..., : r // 2], xf[..., r // 2 :]
-    fc = freqs[None, :, None, :, 0]
-    fs = freqs[None, :, None, :, 1]
+    if freqs.ndim == 3:
+        fc = freqs[None, :, None, :, 0]
+        fs = freqs[None, :, None, :, 1]
+    else:  # [B, S, r//2, 2]
+        fc = freqs[:, :, None, :, 0]
+        fs = freqs[:, :, None, :, 1]
     out = jnp.concatenate([x1 * fc - x2 * fs, x2 * fc + x1 * fs], axis=-1)
     return out.astype(x.dtype)
 

@@ -8,7 +8,9 @@ TPU-native continuous-batching primitive — static shapes throughout, so the
 same compiled segment keeps running while membership changes:
 
 * the batched decode runs with per-slot ``pos_offset``/``gap_len`` arrays
-  (models/transformer.transformer_forward): a slot can host a request whose
+  (models/transformer.transformer_forward; models/hybrid.hybrid_forward for
+  the hybrid's interleaved attention layers — its Mamba conv/SSD states are
+  recurrent and join by plain row scatter): a slot can host a request whose
   prefill was written at cache positions [0, P) while the batch is already
   at step j — RoPE rotates at logical positions (physical − j) and the dead
   span [P, P + j) is masked out of its attention;
@@ -80,14 +82,43 @@ def build_join_fn(statics: GenerateStatics):
         join_step = bc.steps_done
         shift = bc.offset - c1.offset
         cache, c1c = bc.cache, c1.cache
-        assert isinstance(cache, KVCache), "continuous joins are transformer-only"
-        k = _scatter_rows(cache.k, c1c.k, slot, b)
-        v = _scatter_rows(cache.v, c1c.v, slot, b)
-        if cache.k_scale is not None:
-            ks = _scatter_rows(cache.k_scale, c1c.k_scale, slot, b)
-            vs = _scatter_rows(cache.v_scale, c1c.v_scale, slot, b)
+        if isinstance(cache, KVCache):
+            k = _scatter_rows(cache.k, c1c.k, slot, b)
+            v = _scatter_rows(cache.v, c1c.v, slot, b)
+            if cache.k_scale is not None:
+                ks = _scatter_rows(cache.k_scale, c1c.k_scale, slot, b)
+                vs = _scatter_rows(cache.v_scale, c1c.v_scale, slot, b)
+            else:
+                ks = vs = None
+            new_cache = KVCache(k=k, v=v, k_scale=ks, v_scale=vs)
         else:
-            ks = vs = None
+            # HybridCache: attention groups' KV rows scatter like the
+            # transformer's (batch axis 0); Mamba conv/SSD states are
+            # recurrent — a plain row scatter IS the join (batch axis 1
+            # under the run axis), no position fix-up exists or is needed.
+            from zonos_tpu.models.hybrid import HybridCache
+
+            def scat_b0(dst, src):
+                dst = jax.lax.dynamic_update_index_in_dim(dst, src[0], slot, 0)
+                return jax.lax.dynamic_update_index_in_dim(dst, src[1], slot + b, 0)
+
+            def scat_b1(dst, src):
+                dst = jax.lax.dynamic_update_index_in_dim(dst, src[:, 0], slot, 1)
+                return jax.lax.dynamic_update_index_in_dim(dst, src[:, 1], slot + b, 1)
+
+            def scat_all(dsts, srcs, f):
+                return tuple(
+                    None if d is None else f(d, s) for d, s in zip(dsts, srcs)
+                )
+
+            new_cache = HybridCache(
+                kv_k=scat_all(cache.kv_k, c1c.kv_k, scat_b0),
+                kv_v=scat_all(cache.kv_v, c1c.kv_v, scat_b0),
+                kv_ks=scat_all(cache.kv_ks, c1c.kv_ks, scat_b0),
+                kv_vs=scat_all(cache.kv_vs, c1c.kv_vs, scat_b0),
+                conv=scat_all(cache.conv, c1c.conv, scat_b1),
+                ssm=scat_all(cache.ssm, c1c.ssm, scat_b1),
+            )
 
         row = jnp.roll(c1.delayed_codes[0], shift, axis=-1)
         delayed = jax.lax.dynamic_update_index_in_dim(bc.delayed_codes, row, slot, 0)
@@ -95,7 +126,7 @@ def build_join_fn(statics: GenerateStatics):
         carry = DecodeCarry(
             delayed_codes=delayed,
             offset=bc.offset,
-            cache=KVCache(k=k, v=v, k_scale=ks, v_scale=vs),
+            cache=new_cache,
             stopping=_set1(bc.stopping, slot, False),
             remaining_steps=_set1(bc.remaining_steps, slot, statics.delayed_len),
             stop_offset=_set1(bc.stop_offset, slot, -1),
@@ -161,22 +192,41 @@ def build_roll_fn(statics: GenerateStatics):
 
     def roll_fn(bc: DecodeCarry, m, pos_offset, gap_len):
         cache = bc.cache
-        assert isinstance(cache, KVCache), "KV roll is transformer-only"
 
         def roll_tail(x, axis):
             head = jax.lax.slice_in_dim(x, 0, p, axis=axis)
             tail = jax.lax.slice_in_dim(x, p, x.shape[axis], axis=axis)
             return jnp.concatenate([head, jnp.roll(tail, -m, axis=axis)], axis=axis)
 
-        if cache.k_scale is not None:
-            # Head-major int8 layout: positions on axis 3 of [L, 2B, Hkv, S, Dh]
-            # and [L, 2B, Hkv, S].
-            cache = KVCache(
-                k=roll_tail(cache.k, 3), v=roll_tail(cache.v, 3),
-                k_scale=roll_tail(cache.k_scale, 3), v_scale=roll_tail(cache.v_scale, 3),
-            )
+        if isinstance(cache, KVCache):
+            if cache.k_scale is not None:
+                # Head-major int8 layout: positions on axis 3 of
+                # [L, 2B, Hkv, S, Dh] and [L, 2B, Hkv, S].
+                cache = KVCache(
+                    k=roll_tail(cache.k, 3), v=roll_tail(cache.v, 3),
+                    k_scale=roll_tail(cache.k_scale, 3), v_scale=roll_tail(cache.v_scale, 3),
+                )
+            else:
+                cache = KVCache(k=roll_tail(cache.k, 2), v=roll_tail(cache.v, 2))
         else:
-            cache = KVCache(k=roll_tail(cache.k, 2), v=roll_tail(cache.v, 2))
+            # HybridCache: only the attention groups' KV timelines roll;
+            # Mamba conv/SSD states are position-free recurrent state.
+            from zonos_tpu.models.hybrid import HybridCache
+
+            int8 = any(s is not None for s in cache.kv_ks)
+            kv_axis = 2 if int8 else 1  # [2B,Hkv,S,Dh] vs [2B,S,Hkv,Dh]
+
+            def roll_all(xs, axis):
+                return tuple(None if x is None else roll_tail(x, axis) for x in xs)
+
+            cache = HybridCache(
+                kv_k=roll_all(cache.kv_k, kv_axis),
+                kv_v=roll_all(cache.kv_v, kv_axis),
+                kv_ks=roll_all(cache.kv_ks, 2),
+                kv_vs=roll_all(cache.kv_vs, 2),
+                conv=cache.conv,
+                ssm=cache.ssm,
+            )
         carry = DecodeCarry(
             delayed_codes=bc.delayed_codes,
             offset=bc.offset,

@@ -113,9 +113,6 @@ class ContinuousEngine:
         dac_context_frames: int = 16,
         window_ms: float = 30.0,
     ):
-        assert not model.config.backbone.is_hybrid, (
-            "continuous joins are transformer-only; use DynamicBatcher for hybrids"
-        )
         self.model = model
         self.slots = slots
         n_q = model.config.codebook_dimension

@@ -107,15 +107,13 @@ def _get_batcher(model):
                 or _APP_CONFIG.get("ZONOS_MAX_BATCH", 0)
                 or 8
             )
-            continuous = (
-                os.environ.get("ZONOS_CONTINUOUS", "1") == "1"
-                and not model.config.backbone.is_hybrid
-            )
+            continuous = os.environ.get("ZONOS_CONTINUOUS", "1") == "1"
             if continuous:
                 # Continuous batching: requests join/leave one long-lived
                 # batched decode at segment boundaries (serving/continuous.py)
-                # — early-EOS slots recycle instead of idling. Transformer
-                # only; ZONOS_CONTINUOUS=0 reverts to form-then-run batches.
+                # — early-EOS slots recycle instead of idling. Both backbones
+                # (hybrid Mamba states join by row scatter);
+                # ZONOS_CONTINUOUS=0 reverts to form-then-run batches.
                 from zonos_tpu.serving.continuous import ContinuousEngine
 
                 cap = int(
