@@ -117,8 +117,19 @@ def gumbel_sample(key: jax.Array, probs: jnp.ndarray) -> jnp.ndarray:
 
     argmax(probs / Exp(1)) ~ Categorical(probs) — same trick as the reference
     multinomial fast path (sampling.py:28-30).
+
+    ``key`` may be a single key (one draw over the whole tensor) or a [B]
+    key vector matching ``probs``'s leading axis — then row i's noise comes
+    ONLY from key i, so a sample's tokens are independent of its batch
+    co-residents, its slot index, and the batch size (per-slot PRNG streams:
+    a fixed-seed request reproduces identically solo vs joined).
     """
-    q = jax.random.exponential(key, probs.shape, dtype=jnp.float32)
+    if key.ndim == 1:
+        q = jax.vmap(
+            lambda k: jax.random.exponential(k, probs.shape[1:], dtype=jnp.float32)
+        )(key)
+    else:
+        q = jax.random.exponential(key, probs.shape, dtype=jnp.float32)
     return jnp.argmax(probs / q, axis=-1)
 
 

@@ -131,7 +131,11 @@ def build_join_fn(statics: GenerateStatics):
             remaining_steps=_set1(bc.remaining_steps, slot, statics.delayed_len),
             stop_offset=_set1(bc.stop_offset, slot, -1),
             steps_done=bc.steps_done,
-            key=bc.key,
+            # The joiner's OWN PRNG chain (request-seeded in its b1 prefill)
+            # takes over the lane: from here each global step advances it
+            # exactly as the solo run's own step would — fixed-seed sampled
+            # output is identical solo vs joined.
+            key=jax.lax.dynamic_update_index_in_dim(bc.key, c1.key[0], slot, 0),
         )
         pos_offset = _set1(_set1(pos_offset, slot, join_step), slot + b, join_step)
         gap_len = _set1(_set1(gap_len, slot, join_step), slot + b, join_step)

@@ -112,6 +112,9 @@ class DecodeCarry:
     # length under batching (the reference is B=1-only here, model.py:502-529).
     stop_offset: jnp.ndarray
     steps_done: jnp.ndarray  # scalar int32
+    # [B] per-slot PRNG chains (one typed key per sample row): row i's noise
+    # comes only from chain i, so a request's tokens are independent of its
+    # co-residents / slot index / batch size (see streaming.build_prefill_fn).
     key: jax.Array
 
 
@@ -223,6 +226,31 @@ def _write_frame(delayed: jnp.ndarray, offset: jnp.ndarray, next_token: jnp.ndar
     return jax.lax.dynamic_update_slice(delayed, new, (0, 0, offset))
 
 
+def seed_to_key(seed, batch_size: int) -> jax.Array:
+    """Resolve a user ``seed`` into the PRNG key the jitted runtime expects.
+
+    * int (or None → random): ONE scalar key; the prefill folds in each
+      row's index, so batched rows draw distinct streams.
+    * sequence/array of ``batch_size`` ints: a [B] key vector with one
+      PER-REQUEST key per row — row i's chain is exactly the one a solo
+      batch-1 run seeded with ``seed[i]`` uses (fold_in(key, 0)), so a
+      batched request reproduces its solo stream bit-for-bit (the serving
+      batchers use this; a request's stream never depends on batch-mates).
+    * a jax key array (scalar or [B]): passed through.
+    """
+    if seed is None:
+        seed = np.random.randint(0, 2**31 - 1)
+    if isinstance(seed, jax.Array) and jnp.issubdtype(seed.dtype, jax.dtypes.prng_key):
+        return seed
+    if isinstance(seed, (list, tuple, np.ndarray)):
+        arr = np.asarray(seed, np.uint32)
+        assert arr.shape == (batch_size,), (arr.shape, batch_size)
+        return jax.vmap(
+            lambda s: jax.random.fold_in(jax.random.key(s), 0)
+        )(jnp.asarray(arr))
+    return jax.random.key(int(seed))
+
+
 def pad_conditioning(prefix_conditioning, pad: int, dtype) -> jnp.ndarray:
     """Left-pad [2B, Lc, D] conditioning to the prefill bucket.
 
@@ -314,9 +342,7 @@ def generate(
     cond_padded = pad_conditioning(prefix_conditioning, pad, dtype)
     pad_amount = np.full((2 * batch_size,), pad, np.int32)
 
-    if seed is None:
-        seed = np.random.randint(0, 2**31 - 1)
-    key = seed if isinstance(seed, jax.Array) else jax.random.key(int(seed))
+    key = seed_to_key(seed, batch_size)
 
     fn = _compiled_generate(statics)
     delayed_out, offset, remaining, stop_offset = fn(

@@ -150,7 +150,10 @@ def build_spec_generate_fn(statics: GenerateStatics):
             )
 
         def body_fn(c: SpecCarry) -> SpecCarry:
-            key, k1, k2 = jax.random.split(c.key, 3)
+            # DecodeCarry.key is a [B]=[1] per-slot chain vector; this loop
+            # is single-stream, so advance the one chain (two draws/pass).
+            key, k1, k2 = jax.random.split(c.key[0], 3)
+            key = key[None]
             x0 = jax.lax.dynamic_slice(
                 c.delayed_codes, (0, 0, c.offset - 1), (1, n_q, 1)
             )

@@ -40,6 +40,7 @@ from zonos_tpu.runtime.generate import (
     apply_heads,
     embed_codes,
     postprocess_codes_batched,
+    seed_to_key,
 )
 
 
@@ -80,7 +81,19 @@ def build_prefill_fn(statics: GenerateStatics):
         c0, u0 = jnp.split(logits0, 2, axis=0)
         logits0 = u0 + (c0 - u0) * cfg_scale
 
-        key0, key_loop = jax.random.split(key)
+        # Per-slot PRNG streams: every sample row gets its OWN key chain,
+        # derived from the request key (scalar key → fold_in per row; a [B]
+        # key vector → one per-request key per row). Each chain advances
+        # once per decode step, and gumbel_sample draws row i's noise only
+        # from chain i — so a request's tokens depend on nothing but its
+        # seed and its own frame index: identical solo, batched at any size,
+        # or joined mid-decode into any slot (continuous serving).
+        if key.ndim == 1:
+            row_keys = key
+        else:
+            row_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(b))
+        pair = jax.vmap(jax.random.split)(row_keys)  # [B, 2]
+        key0, key_loop = pair[:, 0], pair[:, 1]
         next_token = sample_from_logits(key0, logits0, statics.sampling)
         delayed = _write_frame(delayed_init, prefix_frames, next_token)
 
@@ -141,7 +154,8 @@ def build_segment_fn(statics: GenerateStatics):
             )
 
         def body_fn(c: DecodeCarry) -> DecodeCarry:
-            key, subkey = jax.random.split(c.key)
+            pair = jax.vmap(jax.random.split)(c.key)  # per-slot chains [B, 2]
+            key, subkey = pair[:, 1], pair[:, 0]
             input_frame = jax.lax.dynamic_slice(c.delayed_codes, (0, 0, c.offset - 1), (b, n_q, 1))
             write_index = statics.prefill_len + c.steps_done
             logits, cache = _decode_logits(
@@ -293,9 +307,7 @@ def generate_stream(
     cond_padded = pad_conditioning(prefix_conditioning, pad, dtype)
     pad_amount = jnp.full((2 * batch_size,), pad, jnp.int32)
 
-    if seed is None:
-        seed = np.random.randint(0, 2**31 - 1)
-    key = seed if isinstance(seed, jax.Array) else jax.random.key(int(seed))
+    key = seed_to_key(seed, batch_size)
 
     max_steps = jnp.int32(max_new_tokens + n_q - 2)
     hop = autoencoder.config.hop_length if autoencoder is not None else 512
@@ -540,9 +552,7 @@ def generate_audio(
     cond_padded = pad_conditioning(prefix_conditioning, pad, dtype)
     pad_amount = jnp.full((2 * batch_size,), pad, jnp.int32)
 
-    if seed is None:
-        seed = np.random.randint(0, 2**31 - 1)
-    key = seed if isinstance(seed, jax.Array) else jax.random.key(int(seed))
+    key = seed_to_key(seed, batch_size)
 
     max_steps = jnp.int32(max_new_tokens + n_q - 2)
     hop = autoencoder.config.hop_length

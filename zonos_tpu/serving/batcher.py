@@ -17,10 +17,11 @@ Note: batched requests share the group's generation length ceiling; EOS
 still stops per sample inside the loop, and each sample's audio is trimmed
 at its own trailing-silence boundary by the codec output length.
 
-Determinism caveat (inherent to dynamic batching): a request's sampled
-tokens depend on its batch position and co-requests (one PRNG key drives the
-whole batch draw, and the group uses the first request's seed). Fixed-seed
-reproducibility requires batching disabled — the default single-request path.
+Determinism: every batch row carries its OWN request-seeded PRNG chain
+(runtime/generate.seed_to_key vector form + per-slot chains in the decode
+loop), so a request's sampled tokens are independent of batch position and
+co-requests — a fixed-seed request reproduces its solo stream exactly.
+``no_batch`` remains as a pure isolation escape hatch.
 """
 
 from __future__ import annotations
@@ -57,9 +58,8 @@ class TTSRequest:
     cfg_scale: float = 2.0
     sampling: SamplingParams = dataclasses.field(default_factory=lambda: SamplingParams(min_p=0.1))
     unconditional_keys: frozenset = frozenset({"vqscore_8", "dnsmos_ovrl"})
-    # Escape hatch: never coalesce this request with others. Needed for
-    # fixed-seed reproducibility — a batch draws from one PRNG stream, so a
-    # request's tokens depend on its co-requests (see module docstring).
+    # Escape hatch: never coalesce this request with others (pure isolation;
+    # per-row PRNG chains already make fixed-seed output batch-independent).
     no_batch: bool = False
     # Streaming request: the batcher runs the chunked decode and feeds this
     # request's per-sample PCM chunks through ``chunks`` (None sentinel =
@@ -214,7 +214,10 @@ class DynamicBatcher:
             cfg_scale=first.cfg_scale,
             batch_size=b,
             sampling_params=first.sampling,
-            seed=first.seed,
+            # Per-request seeds: each row's PRNG chain is its own request's,
+            # so a batched request reproduces its solo stream exactly
+            # (runtime/generate.seed_to_key vector form).
+            seed=[int(r.seed) & 0x7FFFFFFF for r in batch],
             kv_int8=kv_int8,
         )
         sr = self.model.autoencoder.sampling_rate
@@ -249,7 +252,8 @@ class DynamicBatcher:
             self.model.params, self.model.config, np.asarray(conditioning),
             autoencoder=self.model.autoencoder,
             max_new_tokens=max_new, cfg_scale=first.cfg_scale, batch_size=b,
-            sampling_params=first.sampling, seed=first.seed,
+            sampling_params=first.sampling,
+            seed=[int(r.seed) & 0x7FFFFFFF for r in batch],
             dtype=self.model.dtype, kv_int8=kv_int8,
         ):
             if b == 1:

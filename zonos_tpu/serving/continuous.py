@@ -45,11 +45,13 @@ Sampling params and cfg_scale are compile-relevant / batch-wide: the engine
 serves one (sampling, cfg_scale) group at a time and re-statics between
 epochs — the lru-cached jits make group switches cheap after first compile.
 
-Within-epoch randomness: the batch draws from one PRNG stream, so a
-request's tokens depend on its co-residents (the DynamicBatcher had the
-same property; fixed-seed reproducibility needs the solo no_batch path).
-A joiner's own FIRST frame is sampled in its private prefill with its own
-seed.
+Within-epoch randomness: every slot carries its OWN PRNG chain, seeded
+from its request's seed in the batch-size-1 prefill and scattered in by
+the join (runtime/streaming.build_prefill_fn per-slot keys). A fixed-seed
+request therefore reproduces its solo tokens identically — greedy or
+sampled — regardless of slot index, co-residents, or join timing
+(tests/test_continuous.py). ``no_batch`` remains purely an isolation
+escape hatch, not a reproducibility requirement.
 """
 
 from __future__ import annotations
