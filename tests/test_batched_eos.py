@@ -137,8 +137,11 @@ def test_batcher_per_request_durations(eos_model):
         results = {}
 
         def submit(i):
+            # Distinct seeds → distinct stochastic EOS times; the repeated
+            # seed-13 pair must coincide exactly (per-request PRNG chains
+            # make a row's stream independent of its batch-mates).
             req = TTSRequest(
-                text=f"req {i}", max_new_tokens=40, seed=13,
+                text="same text", max_new_tokens=40, seed=13 if i == 3 else 13 + i,
                 sampling=SamplingParams(min_p=0.0, temperature=1.0),
             )
             results[i] = batcher.submit(req)
@@ -151,11 +154,12 @@ def test_batcher_per_request_durations(eos_model):
 
         assert len(results) == 4
         assert batcher.stats["batches"] < 4  # they did coalesce
-        durations = [wav.shape[0] for wav, _sr in results.values()]
-        # Per-request trimming: stochastic per-row EOS → distinct durations,
+        durations = {i: wav.shape[0] for i, (wav, _sr) in results.items()}
+        # Per-request trimming: per-seed stochastic EOS → distinct durations,
         # each a whole number of codec frames.
-        assert len(set(durations)) >= 2, durations
-        for d in durations:
+        assert len(set(durations.values())) >= 2, durations
+        assert durations[0] == durations[3], durations  # same seed, same length
+        for d in durations.values():
             assert d % hop == 0
     finally:
         batcher.close()

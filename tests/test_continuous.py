@@ -465,6 +465,126 @@ def test_joined_request_matches_solo_sampled(model):
     assert out_b.shape == solo.shape, (out_b.shape, solo.shape)
 
 
+def test_heterogeneous_sampling_join_matches_solo(model):
+    """Mixed sampling groups in ONE batch: slot A runs min-p + rep-penalty at
+    cfg 2.0 while slot B (joined mid-decode) runs top-p/temperature 0.8 with
+    penalty OFF at cfg 3.0 — under runtime per-slot sampling params, BOTH
+    reproduce their solo static-path tokens exactly (VERDICT r4 Weak #5)."""
+    from zonos_tpu.ops.sampling import RuntimeSamplingParams
+    from zonos_tpu.runtime.continuous import compiled_set_sampling_row
+
+    cfg = model.config
+    n_q = cfg.codebook_dimension
+    max_new = 40
+    params_a = SamplingParams(min_p=0.1)  # penalty 3.0 / window 2
+    params_b = SamplingParams(top_p=0.9, temperature=0.8, repetition_penalty=1.0)
+    cfg_a, cfg_b = 2.0, 3.0
+
+    cond_a = _cond_for(model, ["request a speaks first"])
+    cond_b = _cond_for(model, ["request b arrives later"])
+    lc_a, lc_b = cond_a.shape[1], cond_b.shape[1]
+    lc = max(lc_a, lc_b)
+
+    solo_a = G.generate(
+        model.params, cfg, cond_a, max_new_tokens=max_new, cfg_scale=cfg_a,
+        sampling_params=params_a, seed=[42], batch_size=1, dtype=jnp.float32,
+        kv_int8=True,
+    )
+    solo_b = G.generate(
+        model.params, cfg, cond_b, max_new_tokens=max_new, cfg_scale=cfg_b,
+        sampling_params=params_b, seed=1, dtype=jnp.float32, kv_int8=True,
+    )
+
+    statics = GenerateStatics(
+        cfg=cfg,
+        # Only the STRUCTURAL parts are compile-relevant (engine epoch key).
+        sampling=SamplingParams(top_k=0, repetition_penalty_window=2),
+        prefill_len=_bucket(lc + 1, 64),
+        delayed_len=_bucket(max_new + n_q, 512),
+        cache_len=_bucket(_bucket(lc + 1, 64) + _bucket(max_new + n_q, 512), 128),
+        batch_size=2, kv_int8=True, runtime_sampling=True,
+    )
+    start, segment, prefill_b1, join, kill = compiled_continuous_fns(statics)
+    set_row = compiled_set_sampling_row()
+    P, S = statics.prefill_len, statics.delayed_len
+
+    def delayed_init(batch):
+        codes = np.full((batch, n_q, S - n_q), UNKNOWN_TOKEN, np.int32)
+        return jnp.asarray(apply_delay_pattern_np(codes, cfg.masked_token_id))
+
+    cond_batch = np.concatenate([
+        np.stack([cond_a[0], cond_a[0]]),
+        np.stack([cond_a[1], cond_a[1]]),
+    ])
+    pad_a, pad_b = P - (lc_a + 1), P - (lc_b + 1)
+    pad_amount = jnp.full((4,), pad_a, jnp.int32)
+    pos_offset = jnp.zeros((4,), jnp.int32)
+    gap_len = jnp.zeros((4,), jnp.int32)
+    big = jnp.int32(1 << 30)
+    rt = RuntimeSamplingParams.from_static(params_a, 2)
+    cfg_vec = jnp.full((2,), cfg_a, jnp.float32)
+
+    carry, status, _codes = start(
+        model.params, pad_conditioning(cond_batch, pad_a, jnp.float32),
+        delayed_init(2), jnp.int32(1), pad_amount, cfg_vec,
+        jax.random.key(42), big, jnp.int32(0), rt_params=rt,
+    )
+    carry = kill(carry, jnp.int32(1), jnp.int32(0))
+
+    carry, status, _codes = segment(
+        model.params, carry, pad_amount, cfg_vec, big,
+        jnp.int32(13), pos_offset, gap_len, rt,
+    )
+    sv = np.asarray(status)
+    offset, steps = int(sv[0]), int(sv[1])
+
+    c1 = prefill_b1(
+        model.params, pad_conditioning(cond_b, pad_b, jnp.float32),
+        delayed_init(1), jnp.int32(1), jnp.full((2,), pad_b, jnp.int32),
+        jnp.float32(cfg_b), jax.random.key(1),  # SAME seed as B's solo run
+        rt_params=RuntimeSamplingParams.from_static(params_b, 1),
+    )
+    shift = (offset - 1) - 1
+    carry, pos_offset, gap_len, pad_amount = join(
+        carry, c1, jnp.int32(1),
+        pos_offset, gap_len, pad_amount, jnp.full((2,), pad_b, jnp.int32),
+    )
+    rt, cfg_vec = set_row(
+        rt, cfg_vec, jnp.int32(1),
+        RuntimeSamplingParams.from_static(params_b, 1), jnp.float32(cfg_b),
+    )
+    need = jnp.int32(steps + max_new + n_q - 2)
+
+    while True:
+        carry, status, _codes = segment(
+            model.params, carry, pad_amount, cfg_vec, need,
+            big, pos_offset, gap_len, rt,
+        )
+        sv = np.asarray(status)
+        if int(sv[0]) >= S or int(sv[1]) >= int(need) or bool(sv[2]):
+            break
+
+    delayed = np.asarray(carry.delayed_codes)
+    stops = np.asarray(carry.stop_offset)
+
+    # Slot B: unroll to solo coordinates, postprocess with its own end.
+    end_b = int(stops[1]) if stops[1] >= 0 else int(sv[0])
+    row_b = np.roll(delayed[1], -shift, axis=-1)
+    out_b = G.postprocess_codes_batched(row_b[None], np.asarray([end_b - shift]), cfg)[0]
+    L = min(out_b.shape[-1], solo_b.shape[-1])
+    np.testing.assert_array_equal(out_b[..., :L], solo_b[..., :L])
+    assert out_b.shape == solo_b.shape
+
+    # Slot A ran under ITS params the whole time, undisturbed by B's join or
+    # B's different sampler/cfg.
+    end_a = int(stops[0]) if stops[0] >= 0 else int(sv[0])
+    out_a = G.postprocess_codes_batched(
+        delayed[0][None], np.asarray([min(end_a, max_new + n_q)]), cfg
+    )[0]
+    La = min(out_a.shape[-1], solo_a.shape[-1], max_new)
+    np.testing.assert_array_equal(out_a[..., :La], solo_a[..., :La])
+
+
 def test_per_request_seed_vector_matches_solo(model):
     """generate(seed=[s0, s1]) gives each batch row the stream of a solo run
     with its own seed — batched rows are decoupled from batch size/row index."""

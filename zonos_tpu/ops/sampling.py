@@ -6,9 +6,20 @@ identical filtering semantics. All transforms operate on the last axis
 the same construction the reference uses (sampling.py:28-30), driven by an
 explicit ``jax.random`` key so the whole decode loop stays inside one jit.
 
-Sampling hyper-parameters are Python floats (static under jit): changing them
-recompiles the decode step, which is the TPU-idiomatic trade for a branch-free
-inner loop.
+Sampling hyper-parameters come in two flavors:
+
+* ``SamplingParams`` — Python floats, static under jit: changing them
+  recompiles the decode step, the TPU-idiomatic trade for a branch-free
+  inner loop. Solo / per-group-batched paths use this.
+* ``RuntimeSamplingParams`` — per-row [B] DEVICE arrays, traced under jit:
+  the continuous serving engine batches requests with *different* sampling
+  configs into one epoch (reference sampling.py:166-231 takes them as
+  per-call runtime values too). Every filter runs unconditionally and is
+  selected per row with ``where`` — row i's tokens are BIT-IDENTICAL to the
+  static path with its params (parity-tested), because a disabled filter's
+  branch is discarded by the select, not approximated by an identity
+  parameter value. Only ``top_k`` (a shape-affecting k) and the
+  repetition-penalty *window* (sizes the context gather) stay static.
 """
 
 from __future__ import annotations
@@ -17,6 +28,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 
 @dataclasses.dataclass(frozen=True)
@@ -32,6 +44,32 @@ class SamplingParams:
     quad: float = 0.0
     repetition_penalty: float = 3.0
     repetition_penalty_window: int = 2
+
+
+@struct.dataclass
+class RuntimeSamplingParams:
+    """Per-row runtime sampling parameters: each field is a [B] f32 array.
+
+    ``top_k`` and the repetition window are NOT here — they are static
+    (compile-relevant) and passed separately to sample_from_logits_runtime.
+    """
+
+    temperature: jnp.ndarray
+    top_p: jnp.ndarray
+    min_p: jnp.ndarray
+    linear: jnp.ndarray
+    conf: jnp.ndarray
+    quad: jnp.ndarray
+    repetition_penalty: jnp.ndarray
+
+    @staticmethod
+    def from_static(p: SamplingParams, b: int = 1) -> "RuntimeSamplingParams":
+        f = lambda v: jnp.full((b,), v, jnp.float32)  # noqa: E731
+        return RuntimeSamplingParams(
+            temperature=f(p.temperature), top_p=f(p.top_p), min_p=f(p.min_p),
+            linear=f(p.linear), conf=f(p.conf), quad=f(p.quad),
+            repetition_penalty=f(p.repetition_penalty),
+        )
 
 
 def apply_unified(probs: jnp.ndarray, linear: float, conf: float, quad: float) -> jnp.ndarray:
@@ -175,3 +213,56 @@ def sample_from_logits(
             probs = apply_min_p(probs, params.min_p)
         return gumbel_sample(key, probs).astype(jnp.int32)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def sample_from_logits_runtime(
+    key: jax.Array,
+    logits: jnp.ndarray,
+    rt: RuntimeSamplingParams,
+    *,
+    top_k: int = 0,
+    generated_tokens: jnp.ndarray | None = None,
+    generated_valid_len: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Per-row runtime-parameter mirror of sample_from_logits.
+
+    ``logits`` is [B, ...] with vocab last; every ``rt`` field is [B]. Each
+    filter computes unconditionally (uniform cost — one sort + cumsum per
+    step, cheap next to the backbone) and a per-row ``where`` selects the
+    filtered or the untouched distribution, so a row whose parameter
+    disables a filter gets bits identical to the static path's skip. The
+    repetition penalty needs no gate: penalty == 1.0 gives factors == 1.0
+    and multiply/divide by exactly 1.0 is an IEEE identity. ``top_k`` stays
+    a static int (shape-affecting); the repetition window is baked into the
+    ``generated_tokens`` slice by the caller.
+
+    Greedy rows (temperature <= 0) take argmax of the (penalized) logits —
+    the static path's exact branch — while their PRNG chain advances the
+    same way as everyone else's (the chain is stepped by the caller's loop,
+    not by the draw).
+    """
+    nd = logits.ndim
+
+    def bc(v):  # [B] -> [B, 1, ...] broadcast against logits
+        return v.reshape(v.shape + (1,) * (nd - 1))
+
+    if generated_tokens is not None:
+        logits = apply_repetition_penalty(
+            logits, generated_tokens, bc(rt.repetition_penalty),
+            generated_tokens.shape[-1], valid_len=generated_valid_len,
+        )
+
+    t = bc(rt.temperature)
+    probs = jax.nn.softmax(logits / jnp.where(t > 0, t, 1.0), axis=-1)
+    probs = jnp.where(
+        bc(rt.linear) > 0,
+        apply_unified(probs, bc(rt.linear), bc(rt.conf), bc(rt.quad)),
+        probs,
+    )
+    probs = jnp.where(bc(rt.top_p) > 0, apply_top_p(probs, bc(rt.top_p)), probs)
+    if top_k > 0:
+        probs = apply_top_k(probs, top_k)
+    probs = jnp.where(bc(rt.min_p) > 0, apply_min_p(probs, bc(rt.min_p)), probs)
+    sampled = gumbel_sample(key, probs)
+    greedy = (rt.temperature <= 0).reshape((-1,) + (1,) * (nd - 2))
+    return jnp.where(greedy, jnp.argmax(logits, axis=-1), sampled).astype(jnp.int32)

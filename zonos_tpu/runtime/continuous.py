@@ -246,6 +246,33 @@ def build_roll_fn(statics: GenerateStatics):
     return roll_fn
 
 
+def build_set_sampling_row_fn():
+    """jit(rt [B]-pytree, cfg_vec [B], slot, new_rt [1]-pytree, new_cfg)
+    → (rt', cfg_vec') with row ``slot`` replaced.
+
+    Mixed-sampling-group serving: the engine keeps per-slot runtime sampling
+    params + cfg scales on device and rewrites a joiner's row here (the rest
+    of the join is build_join_fn; sampling rows live OUTSIDE the carry so
+    solo/batched paths don't pay for them).
+    """
+
+    def set_row(rt, cfg_vec, slot, new_rt, new_cfg):
+        rt2 = jax.tree_util.tree_map(
+            lambda a, v: jax.lax.dynamic_update_index_in_dim(a, v[0], slot, 0),
+            rt, new_rt,
+        )
+        return rt2, _set1(cfg_vec, slot, new_cfg)
+
+    return set_row
+
+
+@functools.lru_cache(maxsize=1)
+def compiled_set_sampling_row():
+    # No donation: the previous rows may still be inputs of an in-flight
+    # depth-2 segment; the arrays are [B]-tiny anyway.
+    return jax.jit(build_set_sampling_row_fn())
+
+
 @functools.lru_cache(maxsize=8)
 def compiled_continuous_fns(statics: GenerateStatics):
     """(start, segment, prefill_b1, join, kill) for a continuous batch.

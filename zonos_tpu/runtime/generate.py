@@ -142,6 +142,14 @@ class GenerateStatics:
     # bytes of a solo request by always attending cache_len, NOTES.md).
     # Must satisfy write_index < attend_len at every decode step.
     attend_len: int | None = None
+    # Runtime per-row sampling: the prefill/segment take a
+    # RuntimeSamplingParams pytree of [B] arrays and sample each row with
+    # ITS OWN temperature/top_p/min_p/unified/repetition-penalty values
+    # (bit-identical to the static path per row — ops/sampling.py). The
+    # continuous engine uses this to serve heterogeneous sampling groups in
+    # one epoch; ``sampling`` then contributes only its STATIC parts
+    # (top_k, repetition_penalty_window) plus forbid_eos to the compile.
+    runtime_sampling: bool = False
 
 
 def _decode_logits(
@@ -167,6 +175,9 @@ def _decode_logits(
     )
     logits = apply_heads(params["heads"], h, cfg.codebook_dimension)[:, :, 0]  # [2B, n_q, Vh]
     cond, uncond = jnp.split(logits, 2, axis=0)
+    # cfg_scale: scalar (whole batch) or [B] (per-row — mixed-cfg serving).
+    if jnp.ndim(cfg_scale) == 1:
+        cfg_scale = cfg_scale.reshape((-1, 1, 1))
     return uncond + (cond - uncond) * cfg_scale, cache
 
 

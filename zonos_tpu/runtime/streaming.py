@@ -27,7 +27,11 @@ import numpy as np
 from zonos_tpu.config import ZonosConfig
 from zonos_tpu.models.backbone import backbone_forward, create_cache
 from zonos_tpu.ops.delay_pattern import apply_delay_pattern_np, revert_delay_pattern
-from zonos_tpu.ops.sampling import SamplingParams, sample_from_logits
+from zonos_tpu.ops.sampling import (
+    SamplingParams,
+    sample_from_logits,
+    sample_from_logits_runtime,
+)
 from zonos_tpu.runtime.generate import (
     MAX_REP_WINDOW,
     UNKNOWN_TOKEN,
@@ -60,7 +64,8 @@ def build_prefill_fn(statics: GenerateStatics):
     cfg = statics.cfg
     n_q = cfg.codebook_dimension
 
-    def prefill_fn(params, cond_emb, delayed_init, prefix_frames, pad_amount, cfg_scale, key):
+    def prefill_fn(params, cond_emb, delayed_init, prefix_frames, pad_amount, cfg_scale, key,
+                   rt_params=None):
         b = statics.batch_size
         lc_pad = cond_emb.shape[1]
         n_prefix = statics.prefill_len - lc_pad
@@ -79,7 +84,10 @@ def build_prefill_fn(statics: GenerateStatics):
         )
         logits0 = apply_heads(params["heads"], h[:, -1:, :], n_q)[:, :, 0]
         c0, u0 = jnp.split(logits0, 2, axis=0)
-        logits0 = u0 + (c0 - u0) * cfg_scale
+        scale0 = (
+            cfg_scale.reshape((-1, 1, 1)) if jnp.ndim(cfg_scale) == 1 else cfg_scale
+        )
+        logits0 = u0 + (c0 - u0) * scale0
 
         # Per-slot PRNG streams: every sample row gets its OWN key chain,
         # derived from the request key (scalar key → fold_in per row; a [B]
@@ -94,7 +102,12 @@ def build_prefill_fn(statics: GenerateStatics):
             row_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(b))
         pair = jax.vmap(jax.random.split)(row_keys)  # [B, 2]
         key0, key_loop = pair[:, 0], pair[:, 1]
-        next_token = sample_from_logits(key0, logits0, statics.sampling)
+        if statics.runtime_sampling:
+            next_token = sample_from_logits_runtime(
+                key0, logits0, rt_params, top_k=statics.sampling.top_k,
+            )
+        else:
+            next_token = sample_from_logits(key0, logits0, statics.sampling)
         delayed = _write_frame(delayed_init, prefix_frames, next_token)
 
         return DecodeCarry(
@@ -138,10 +151,15 @@ def build_segment_fn(statics: GenerateStatics):
     cfg = statics.cfg
     n_q = cfg.codebook_dimension
     window = min(statics.sampling.repetition_penalty_window, MAX_REP_WINDOW)
-    use_rep = statics.sampling.repetition_penalty != 1.0 and window > 0
+    # Runtime-sampling mode: the penalty VALUE is per-row runtime (1.0 rows
+    # get an exact identity), so the context gather is gated on the static
+    # window alone.
+    use_rep = window > 0 and (
+        statics.runtime_sampling or statics.sampling.repetition_penalty != 1.0
+    )
 
     def segment_fn(params, carry: DecodeCarry, pad_amount, cfg_scale, max_steps, segment_end,
-                   pos_offset=None, gap_len=None):
+                   pos_offset=None, gap_len=None, rt_params=None):
         bias = _make_bias(statics)
         b = statics.batch_size
 
@@ -164,8 +182,15 @@ def build_segment_fn(statics: GenerateStatics):
             )
             logits = logits + bias
 
+            ctx = valid = None
             if use_rep:
                 ctx, valid = _context_slice(c.delayed_codes, c.offset, window)
+            if statics.runtime_sampling:
+                next_token = sample_from_logits_runtime(
+                    subkey, logits, rt_params, top_k=statics.sampling.top_k,
+                    generated_tokens=ctx, generated_valid_len=valid,
+                )
+            elif use_rep:
                 next_token = sample_from_logits(
                     subkey, logits, statics.sampling,
                     generated_tokens=ctx, generated_valid_len=valid,
@@ -229,10 +254,13 @@ def _compiled_stream_fns(statics: GenerateStatics):
     prefill = build_prefill_fn(statics)
     segment = build_segment_fn(statics)
 
-    def start_fn(params, cond_emb, delayed_init, prefix_frames, pad_amount, cfg_scale, key, max_steps, segment_end):
+    def start_fn(params, cond_emb, delayed_init, prefix_frames, pad_amount, cfg_scale, key, max_steps, segment_end,
+                 rt_params=None):
         # Prefill + first decode segment fused: one dispatch to first audio.
-        carry = prefill(params, cond_emb, delayed_init, prefix_frames, pad_amount, cfg_scale, key)
-        return segment(params, carry, pad_amount, cfg_scale, max_steps, segment_end)
+        carry = prefill(params, cond_emb, delayed_init, prefix_frames, pad_amount, cfg_scale, key,
+                        rt_params=rt_params)
+        return segment(params, carry, pad_amount, cfg_scale, max_steps, segment_end,
+                       rt_params=rt_params)
 
     return jax.jit(start_fn), jax.jit(segment, donate_argnums=(1,))
 

@@ -41,9 +41,16 @@ Round-5 throughput work (the round-4 engine sustained 4.34x aggregate vs
   arrives (``_Slot.confirmed``). Depth is ZONOS_ENGINE_DEPTH (default 2;
   1 restores synchronous boundaries for debugging).
 
-Sampling params and cfg_scale are compile-relevant / batch-wide: the engine
-serves one (sampling, cfg_scale) group at a time and re-statics between
-epochs — the lru-cached jits make group switches cheap after first compile.
+Mixed sampling groups: sampling params and cfg_scale are RUNTIME per-slot
+values (ops/sampling.RuntimeSamplingParams + a [B] cfg vector, scattered at
+joins) — one epoch serves requests with different temperature / top-p /
+min-p / unified / repetition-penalty / cfg_scale side by side, each row
+sampled bit-identically to its static-path solo run. Only the structural
+params remain compile-relevant and partition epochs: ``top_k`` (a
+shape-affecting k) and the repetition-penalty window (sizes the context
+gather; requests with penalty == 1.0 are window-agnostic and map to the
+default). The reference takes all of these as per-call runtime values
+(zonos/sampling.py:166-231); this keeps that API under batched serving.
 
 Within-epoch randomness: every slot carries its OWN PRNG chain, seeded
 from its request's seed in the batch-size-1 prefill and scattered in by
@@ -68,12 +75,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from zonos_tpu.ops.delay_pattern import apply_delay_pattern_np
+from zonos_tpu.ops.sampling import RuntimeSamplingParams, SamplingParams
 from zonos_tpu.runtime.continuous import (
     compiled_continuous_fns,
     compiled_roll_fn,
     compiled_segment_attend,
+    compiled_set_sampling_row,
 )
 from zonos_tpu.runtime.generate import (
+    MAX_REP_WINDOW,
     UNKNOWN_TOKEN,
     GenerateStatics,
     _bucket,
@@ -243,20 +253,31 @@ class ContinuousEngine:
 
     @staticmethod
     def _epoch_key(req: TTSRequest) -> tuple:
-        # no_batch requests get a private epoch (fixed-seed reproducibility
-        # needs a solo batch — same escape hatch as DynamicBatcher).
+        # Only STRUCTURAL sampling params partition epochs; everything else
+        # (temperature/top_p/min_p/unified/penalty value/cfg_scale) is a
+        # runtime per-slot value. A request with penalty == 1.0 never reads
+        # its window (the runtime penalty is an exact identity), so it maps
+        # to the default window and shares the common epoch. no_batch
+        # requests get a private epoch (pure isolation escape hatch).
         solo = id(req) if req.no_batch else None
-        return (req.sampling, req.cfg_scale, solo)
+        sp = req.sampling
+        if sp.repetition_penalty == 1.0:
+            window = SamplingParams().repetition_penalty_window
+        else:
+            window = min(sp.repetition_penalty_window, MAX_REP_WINDOW)
+        return (sp.top_k, window, solo)
 
     def _statics(self, req: TTSRequest) -> GenerateStatics:
+        top_k, window, _solo = self._epoch_key(req)
         return GenerateStatics(
             cfg=self.model.config,
-            sampling=req.sampling,
+            sampling=SamplingParams(top_k=top_k, repetition_penalty_window=window),
             prefill_len=self.prefill_len,
             delayed_len=self.delayed_len,
             cache_len=self.cache_len,
             batch_size=self.slots,
             kv_int8=bool(self.model.default_kv_int8),
+            runtime_sampling=True,
         )
 
     def _prep(self, req: TTSRequest):
@@ -316,6 +337,7 @@ class ContinuousEngine:
         statics = self._statics(first)
         start, _segment, prefill_b1, join, kill = compiled_continuous_fns(statics)
         roll = compiled_roll_fn(statics)
+        set_row = compiled_set_sampling_row()
         self.stats["epochs"] += 1
         from zonos_tpu.serving import metrics
 
@@ -331,18 +353,23 @@ class ContinuousEngine:
         pad_amount = jnp.full((2 * B,), P - 1, jnp.int32)
         pos_offset = jnp.zeros((2 * B,), jnp.int32)
         gap_len = jnp.zeros((2 * B,), jnp.int32)
+        # Per-slot runtime sampling params + cfg scales (joiners overwrite
+        # their row; dummy rows sample under `first`'s params into killed
+        # lanes, where nothing ships).
+        rt_dev = RuntimeSamplingParams.from_static(first.sampling, B)
+        cfg_vec = jnp.full((B,), first.cfg_scale, jnp.float32)
         carry, status, _ = start(
             model.params, zero_cond, jnp.asarray(delayed0), jnp.int32(1),
-            pad_amount, jnp.float32(first.cfg_scale),
+            pad_amount, cfg_vec,
             jax.random.key(int(first.seed) & 0x7FFFFFFF), jnp.int32(0),
-            jnp.int32(0),
+            jnp.int32(0), rt_params=rt_dev,
         )
         for i in range(B):
             carry = kill(carry, jnp.int32(i), jnp.int32(0))
 
         slot_states = [_Slot() for _ in range(B)]
         pending: list[TTSRequest] = [first]
-        ready: list[tuple[TTSRequest, object, int]] = []  # (req, c1, pad)
+        ready: list[tuple] = []  # (req, c1, pad, rt1) — rt1 = the joiner's [1]-row params
         emitted_global = 0
         # Confirmed (last-read-status) global coordinates. ``rolled`` is the
         # cumulative KV compaction: device steps = global steps − rolled.
@@ -392,13 +419,15 @@ class ContinuousEngine:
                     ))
                     continue
                 cond, pad = prep
+                rt1 = RuntimeSamplingParams.from_static(req.sampling, 1)
                 c1 = prefill_b1(
                     model.params, pad_conditioning(cond, pad, model.dtype),
                     jnp.asarray(delayed0[:1]), jnp.int32(1),
                     jnp.full((2,), pad, jnp.int32), jnp.float32(req.cfg_scale),
                     jax.random.key(int(req.seed) & 0x7FFFFFFF),
+                    rt_params=rt1,
                 )
-                ready.append((req, c1, pad))
+                ready.append((req, c1, pad, rt1))
             pending[:] = keep
 
         def mutate():
@@ -407,6 +436,7 @@ class ContinuousEngine:
             with depth>1 the host has not read that segment's status yet, so
             every decision here uses only confirmed state + safe bounds."""
             nonlocal carry, pos_offset, gap_len, pad_amount, just_joined, rolled
+            nonlocal rt_dev, cfg_vec
 
             # KV roll: the span [P, P + m) is dead for every active slot when
             # m ≤ each one's join step (joins only ever happen at or after
@@ -425,8 +455,8 @@ class ContinuousEngine:
                     self.stats["rolled_steps"] += m
 
             admitted = False
-            keep: list[tuple[TTSRequest, object, int]] = []
-            for req, c1, pad in ready:
+            keep: list[tuple] = []
+            for req, c1, pad, rt1 in ready:
                 free = free_slots()
                 # Capacity: the join executes at a boundary offset the host
                 # has not read yet; bound it by confirmed offset + frames
@@ -435,13 +465,17 @@ class ContinuousEngine:
                 cap_need = offset_ub + req.max_new_tokens + n_q + 1
                 if not free or cap_need > S:
                     # No slot, or timeline nearly full: next boundary/epoch.
-                    keep.append((req, c1, pad))
+                    keep.append((req, c1, pad, rt1))
                     continue
                 slot = free[0]
                 carry, pos_offset, gap_len, pad_amount = join(
                     carry, c1, jnp.int32(slot),
                     pos_offset, gap_len, pad_amount,
                     jnp.full((2,), pad, jnp.int32),
+                )
+                rt_dev, cfg_vec = set_row(
+                    rt_dev, cfg_vec, jnp.int32(slot), rt1,
+                    jnp.float32(req.cfg_scale),
                 )
                 st = slot_states[slot]
                 if st.req is not None:
@@ -500,9 +534,9 @@ class ContinuousEngine:
             rung = self._attend_rung(segend_g - rolled)
             segment = compiled_segment_attend(statics, rung)
             carry_out, st_dev, codes_dev = segment(
-                model.params, carry, pad_amount, jnp.float32(first.cfg_scale),
+                model.params, carry, pad_amount, cfg_vec,
                 jnp.int32(max_need - rolled), jnp.int32(segend_g - rolled),
-                pos_offset, gap_len,
+                pos_offset, gap_len, rt_dev,
             )
             carry = carry_out
             pipeline.append((st_dev, codes_dev, rolled, [], seg, rung))
@@ -722,7 +756,7 @@ class ContinuousEngine:
                 if st.active and st.req is not None:
                     self._finish(st.req, error=e)
                     st.active = False
-            for req, _c1, _pad in ready:
+            for req, _c1, _pad, _rt1 in ready:
                 self._finish(req, error=e)
             ready.clear()
             # Requests still in `pending` never entered this epoch — the
@@ -738,7 +772,7 @@ class ContinuousEngine:
 
         # Epoch over: anything still pending or prepared-but-unjoined
         # (wrong key / out of capacity) seeds the next epoch.
-        for req, _c1, _pad in ready:
+        for req, _c1, _pad, _rt1 in ready:
             self._queue.put(req)
         for req in pending:
             self._queue.put(req)
