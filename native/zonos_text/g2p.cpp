@@ -4764,7 +4764,7 @@ std::string my_cons(unsigned int cp, bool shan) {
 // Vowel-sign bits collected per syllable.
 enum {
   MY_AA = 1, MY_I = 2, MY_II = 4, MY_U = 8, MY_UU = 16, MY_E = 32,
-  MY_AI = 64, MY_ANU = 128, MY_SHE = 256, MY_SHY = 512,
+  MY_AI = 64, MY_ANU = 128, MY_SHE = 256, MY_SHY = 512, MY_AW = 1024,
 };
 
 const char* phonemize_text_my(const char* utf8_text, bool shan) {
@@ -4784,6 +4784,61 @@ const char* phonemize_text_my(const char* utf8_text, bool shan) {
     bool i = v & (MY_I | MY_II), u = v & (MY_U | MY_UU);
     bool e = v & MY_E, aa = v & MY_AA;
     if ((v & MY_ANU) && !coda_cp) coda_cp = 0x1019;  // \u1036 = nasal coda
+    if (shan) {
+      // Shan is a Tai language under the Myanmar script: unlike Burmese it
+      // keeps PLACE in final consonants (m n \u014b p t k + w/j offglides)
+      // and has no diphthongizing rhyme fusion \u2014 vowel quality comes from
+      // the signs alone (externally validated on Tai cognates: \u1075\u102d\u107c\u103a kin
+      // 'eat', \u107c\u1019\u103a\u1089 nam 'water', \u1019\u102d\u1030\u1004\u103a\u1038 m\u0264\u014b 'country', \u1075\u1030\u107c\u103a\u1038 kon
+      // 'person', \u1019\u102d\u102f\u101d\u103a\u1038 m\u026f 'hand', \u1081\u102d\u1030\u107c\u103a\u1038 h\u0264n 'house').
+      //   \u102d\u102f/\u102d\u1030 = \u0264 (closed);  \u102d\u102f\u101d\u103a = \u026f,  \u102d\u1030\u101d\u103a = \u0264 (the \u101d\u103a is vowel
+      //   spelling, absorbed);  \u1030 = o before a coda (incl. \u1030\u101d\u103a), u open;
+      //   \u103d = \u0254 (a VOWEL in Shan, not the Burmese medial wa).
+      std::string vowel;
+      bool w_coda = coda_cp == 0x101D;
+      if (e && aa) { vowel = "\u0254\u02d0"; }
+      else if (i && u) {
+        if (w_coda && (v & MY_U)) { vowel = "\u026f"; coda_cp = 0; }
+        else if (w_coda) { vowel = "\u0264"; coda_cp = 0; }
+        else vowel = "\u0264";
+      }
+      else if (v & MY_SHE) vowel = "\u025b";
+      else if (v & MY_AI) vowel = "\u025b";
+      else if (v & MY_II) vowel = "i\u02d0";
+      else if (i) vowel = "i";
+      else if (v & MY_UU) {
+        if (w_coda) { vowel = "o"; coda_cp = 0; }
+        else vowel = coda_cp ? "o" : "u";
+      }
+      else if (u) vowel = "u";
+      else if (e) vowel = "e";
+      else if (v & MY_AW) vowel = "\u0254";
+      else if (aa) vowel = "a\u02d0";
+      else if (have_cons || coda_cp || (v & MY_SHY)) vowel = "a";
+      // \u1086: /ai/ alone, an /i/ offglide after another vowel (\u101c\u103d\u1086 l\u0254i,
+      // \u1076\u1062\u1086 k\u02b0a\u02d0i).
+      if (v & MY_SHY) vowel = (vowel == "a") ? "ai" : vowel + "i";
+      std::string coda;
+      switch (coda_cp) {
+        case 0: break;
+        case 0x1004: coda = "\u014b"; break;
+        case 0x1019: coda = "m"; break;
+        case 0x1014: case 0x100F: case 0x107C:
+        case 0x1009: case 0x100A: case 0x107A: coda = "n"; break;
+        case 0x1000: case 0x1001: case 0x1002: case 0x1003:
+        case 0x1075: case 0x1076: case 0x1077: coda = "k"; break;
+        case 0x1015: case 0x1016: case 0x1017: case 0x1018:
+        case 0x107D: case 0x107F: coda = "p"; break;
+        case 0x101A: coda = "i"; break;            // -\u101a\u103a offglide
+        case 0x101D: coda = "w"; break;            // -\u101d\u103a offglide (\u1001\u101d\u103a k\u02b0aw)
+        default: coda = "t"; break;                // t-row / s-row / loans
+      }
+      result += onset;
+      result += vowel;
+      result += coda;
+      onset.clear(); have_cons = false; med_w = false; v = 0;
+      return;
+    }
     std::string rhyme;
     bool merge_w = false;  // rhyme absorbed the medial wa
     if (coda_cp == 0x101A || coda_cp == 0x100A) {
@@ -4879,14 +4934,20 @@ const char* phonemize_text_my(const char* utf8_text, bool shan) {
     }
     switch (cp) {
       case 0x103B: case 0x103C: onset += "j"; i += len; continue;  // medial ja/ra
-      case 0x103D: case 0x1082: onset += "w"; med_w = true; i += len; continue;
+      case 0x103D:
+        // Burmese: medial wa. Shan: the VOWEL ɔ (မွၵ်ႇ mɔk 'flower').
+        if (shan) { v |= MY_AW; } else { onset += "w"; med_w = true; }
+        i += len; continue;
+      case 0x1082: onset += "w"; med_w = true; i += len; continue;
       case 0x103E: onset += "h"; i += len; continue;               // medial ha
       case 0x102B: case 0x102C: case 0x1083: v |= MY_AA; i += len; continue;
+      case 0x1062: v |= MY_AA; i += len; continue;  // ၢ Shan aa (ဝၢၼ်ႈ waːn)
       case 0x102D: v |= MY_I;  i += len; continue;
       case 0x102E: v |= MY_II; i += len; continue;
       case 0x102F: v |= MY_U;  i += len; continue;
       case 0x1030: v |= MY_UU; i += len; continue;
       case 0x1031: case 0x1084: v |= MY_E; i += len; continue;
+      case 0x1035: v |= MY_E; i += len; continue;  // ဵ Shan E (ႁဵၼ်း hen)
       case 0x1032: v |= MY_AI; i += len; continue;
       case 0x1085: v |= MY_SHE; i += len; continue;
       case 0x1086: v |= MY_SHY; i += len; continue;
@@ -5457,6 +5518,8 @@ bool pa_letter(unsigned int cp, const PACfg& cfg, std::vector<PAPhone>* word,
   bool fa = cfg.lang == 0, ur = cfg.lang == 1, ar = cfg.lang == 2;
   switch (cp) {
     case 0x0621: case 0x0654: word->push_back({"ʔ", false}); return true;  // hamza
+    case 0x0624: case 0x0626:  // hamza seated on waw/ya: the glottal stop
+      word->push_back({"ʔ", false}); return true;
     case 0x0622:  // alef madda آ
       word->push_back({fa ? "ɒː" : "aː", true}); return true;
     case 0x0623: case 0x0625:  // alef with hamza above/below
@@ -5713,6 +5776,11 @@ const std::map<std::string, const char*>& ar_lexicon() {
       {"ثمانون", "θamaːˈnuːn"}, {"تسعون", "tisˈʕuːn"},
       {"عشر", "ˈʕaʃar"}, {"ألفان", "ʔalˈfaːn"}, {"آلاف", "ʔaːˈlaːf"},
       {"مئتان", "miʔaˈtaːn"},
+      // hundreds compounds (numwords.py emits these single-word forms)
+      {"ثلاثمئة", "θalaːθuˈmiʔa"}, {"أربعمئة", "ʔarbaʕuˈmiʔa"},
+      {"خمسمئة", "xamsuˈmiʔa"}, {"ستمئة", "sittuˈmiʔa"},
+      {"سبعمئة", "sabʕuˈmiʔa"}, {"ثمانمئة", "θamaːnuˈmiʔa"},
+      {"تسعمئة", "tisʕuˈmiʔa"},
       // family / people / professions
       {"أب", "ʔab"}, {"أم", "ʔumm"}, {"ابن", "ibn"}, {"ابنة", "ˈibna"},
       {"أخ", "ʔax"}, {"أخت", "ʔuxt"}, {"جد", "dʒadd"}, {"جدة", "ˈdʒadda"},
@@ -5733,6 +5801,9 @@ const std::map<std::string, const char*>& ar_lexicon() {
       {"زهرة", "ˈzahra"}, {"حديقة", "ħaˈdiːqa"}, {"هواء", "haˈwaːʔ"},
       {"نار", "naːr"}, {"مطر", "ˈmatˤar"}, {"ثلج", "θaldʒ"},
       {"ريح", "riːħ"}, {"طقس", "tˤaqs"}, {"عالم", "ˈʕaːlam"},
+      {"ضوء", "dˤawʔ"}, {"نبات", "naˈbaːt"}, {"نباتات", "nabaːˈtaːt"},
+      {"مناخ", "muˈnaːx"}, {"يؤثر", "juˈʔaθθir"}, {"تؤثر", "tuˈʔaθθir"},
+      {"ينمو", "ˈjanmuː"}, {"تنمو", "ˈtanmuː"},
       {"طبيعة", "tˤaˈbiːʕa"}, {"صحراء", "sˤaħˈraːʔ"}, {"غابة", "ˈɣaːba"},
       // animals
       {"قط", "qitˤtˤ"}, {"كلب", "kalb"}, {"حصان", "ħiˈsˤaːn"},
@@ -7259,7 +7330,7 @@ const char* phonemize_text(const char* utf8_text, Lang lang) {
 
 extern "C" {
 
-int ztx_version() { return 20; }
+int ztx_version() { return 21; }
 
 // Phonemize UTF-8 text in the given language ("en", "en-us", "es", ...).
 // Returns nullptr for unsupported languages (caller falls back). Returned

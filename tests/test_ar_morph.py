@@ -76,5 +76,7 @@ def test_vocalization_coverage_on_held_out_paragraph():
     )
     words = par.replace(".", " ").split()
     ipas = phonemize(words, ["ar"] * len(words))
-    frac = sum("ˈ" in i for i in ipas) / len(words)
+    from tests.test_g2p_adversarial import _ar_covered
+
+    frac = sum(_ar_covered(i) for i in ipas) / len(words)
     assert frac >= 0.85, f"vocalized fraction regressed: {frac:.2f}"

@@ -35,7 +35,7 @@ _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
 
-_ABI_VERSION = 20  # bump when g2p.cpp's C ABI or tables change materially
+_ABI_VERSION = 21  # bump when g2p.cpp's C ABI or tables change materially
 
 _SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native", "zonos_text")
 # Versioned filename: dlopen caches handles by path within a process, so an
