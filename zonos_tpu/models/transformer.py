@@ -182,8 +182,22 @@ def _attn_block(
     mask: jnp.ndarray,  # [B, S, Sk] bool over the attended cache span
     attend_len: int,  # static length of cache span attended to
     pad_amount: jnp.ndarray | None = None,  # [B] int32 (decode kernel path)
+    li: jnp.ndarray | None = None,  # layer index: cache args are STACKED [L, ...]
 ):
-    """Shared attention sub-block for prefill (S>1) and decode (S=1)."""
+    """Shared attention sub-block for prefill (S>1) and decode (S=1).
+
+    With ``li`` given, the cache arguments are the full layer-stacked arrays
+    and this block touches ONLY layer li's slice: a one-slot (or S-slot)
+    dynamic_update_slice write and an attend_len-window dynamic_slice read.
+    The alternative — extracting layer li's whole cache, updating it, and
+    writing it back (the pre-round-5 scan body) — materialized two full
+    copies of the per-layer cache per layer per step, so the decode cost
+    scaled with the cache ALLOCATION, not the attended window: measured
+    10.4 ms/frame at the engine's 3328-slot serving cache vs 4.3 ms/frame
+    at a 1280-slot solo cache, with the attend-rung ladder (768 vs 3328)
+    moving it < 1 ms. Slicing only the window restores allocation-free
+    decode cost and makes the engine's compaction ladder actually pay.
+    """
     b, s, d = x.shape
     hq, hkv, dh = cfg.attn_cfg.num_heads, cfg.attn_cfg.num_heads_kv, cfg.head_dim
 
@@ -208,18 +222,45 @@ def _attn_block(
         # int8 cache is HEAD-MAJOR [B, Hkv, Smax, Dh] (see KVCache): the new
         # entries transpose at write (tiny: S = current chunk) so the hot
         # read side streams contiguous per-head slabs.
-        k_cache_l = jax.lax.dynamic_update_slice(
-            k_cache_l, jnp.swapaxes(kq, 1, 2), (0, 0, write_start, 0)
-        )
-        v_cache_l = jax.lax.dynamic_update_slice(
-            v_cache_l, jnp.swapaxes(vq, 1, 2), (0, 0, write_start, 0)
-        )
-        ks_l = jax.lax.dynamic_update_slice(ks_l, jnp.swapaxes(ks, 1, 2), (0, 0, write_start))
-        vs_l = jax.lax.dynamic_update_slice(vs_l, jnp.swapaxes(vs, 1, 2), (0, 0, write_start))
-        k_att = jax.lax.dynamic_slice_in_dim(k_cache_l, 0, attend_len, axis=2)
-        ks_att = jax.lax.dynamic_slice_in_dim(ks_l, 0, attend_len, axis=2)
-        v_att = jax.lax.dynamic_slice_in_dim(v_cache_l, 0, attend_len, axis=2)
-        vs_att = jax.lax.dynamic_slice_in_dim(vs_l, 0, attend_len, axis=2)
+        if li is not None:
+            k_cache_l = jax.lax.dynamic_update_slice(
+                k_cache_l, jnp.swapaxes(kq, 1, 2)[None], (li, 0, 0, write_start, 0)
+            )
+            v_cache_l = jax.lax.dynamic_update_slice(
+                v_cache_l, jnp.swapaxes(vq, 1, 2)[None], (li, 0, 0, write_start, 0)
+            )
+            ks_l = jax.lax.dynamic_update_slice(
+                ks_l, jnp.swapaxes(ks, 1, 2)[None], (li, 0, 0, write_start)
+            )
+            vs_l = jax.lax.dynamic_update_slice(
+                vs_l, jnp.swapaxes(vs, 1, 2)[None], (li, 0, 0, write_start)
+            )
+            zero = jnp.int32(0)
+            k_att = jax.lax.dynamic_slice(
+                k_cache_l, (li, zero, zero, zero, zero), (1, b, hkv, attend_len, dh)
+            )[0]
+            ks_att = jax.lax.dynamic_slice(
+                ks_l, (li, zero, zero, zero), (1, b, hkv, attend_len)
+            )[0]
+            v_att = jax.lax.dynamic_slice(
+                v_cache_l, (li, zero, zero, zero, zero), (1, b, hkv, attend_len, dh)
+            )[0]
+            vs_att = jax.lax.dynamic_slice(
+                vs_l, (li, zero, zero, zero), (1, b, hkv, attend_len)
+            )[0]
+        else:
+            k_cache_l = jax.lax.dynamic_update_slice(
+                k_cache_l, jnp.swapaxes(kq, 1, 2), (0, 0, write_start, 0)
+            )
+            v_cache_l = jax.lax.dynamic_update_slice(
+                v_cache_l, jnp.swapaxes(vq, 1, 2), (0, 0, write_start, 0)
+            )
+            ks_l = jax.lax.dynamic_update_slice(ks_l, jnp.swapaxes(ks, 1, 2), (0, 0, write_start))
+            vs_l = jax.lax.dynamic_update_slice(vs_l, jnp.swapaxes(vs, 1, 2), (0, 0, write_start))
+            k_att = jax.lax.dynamic_slice_in_dim(k_cache_l, 0, attend_len, axis=2)
+            ks_att = jax.lax.dynamic_slice_in_dim(ks_l, 0, attend_len, axis=2)
+            v_att = jax.lax.dynamic_slice_in_dim(v_cache_l, 0, attend_len, axis=2)
+            vs_att = jax.lax.dynamic_slice_in_dim(vs_l, 0, attend_len, axis=2)
         if _pallas_attn_ok(s, pad_amount, b, attend_len, hkv, dh, q.shape[2]):
             from zonos_tpu.ops.pallas_attention import attn_core_int8
 
@@ -229,6 +270,21 @@ def _attn_block(
             )
         else:
             att = gqa_attention_quantized(q, k_att, ks_att, v_att, vs_att, mask)
+    elif li is not None:
+        k_cache_l = jax.lax.dynamic_update_slice(
+            k_cache_l, k[None], (li, 0, write_start, 0, 0)
+        )
+        v_cache_l = jax.lax.dynamic_update_slice(
+            v_cache_l, v[None], (li, 0, write_start, 0, 0)
+        )
+        zero = jnp.int32(0)
+        k_all = jax.lax.dynamic_slice(
+            k_cache_l, (li, zero, zero, zero, zero), (1, b, attend_len, hkv, dh)
+        )[0]
+        v_all = jax.lax.dynamic_slice(
+            v_cache_l, (li, zero, zero, zero, zero), (1, b, attend_len, hkv, dh)
+        )[0]
+        att = gqa_attention(q, k_all, v_all, mask)
     else:
         k_cache_l = jax.lax.dynamic_update_slice(k_cache_l, k, (0, write_start, 0, 0))
         v_cache_l = jax.lax.dynamic_update_slice(v_cache_l, v, (0, write_start, 0, 0))
@@ -314,32 +370,24 @@ def transformer_forward(
         xo = layer_norm(xo, params["norm_f"]["scale"], params["norm_f"]["bias"], cfg.norm_epsilon)
         return xo, None
 
-    # The cache arrays ride the scan CARRY and each layer updates its slice in
-    # place at index li (XLA folds the dynamic-update-slices into in-place
-    # writes on the buffer threaded through the decode while_loop). Emitting
-    # them as stacked scan outputs instead forces a restack of the full
-    # [L, B, S, H, D] cache every step — the same regression the hybrid's
-    # Mamba states had (models/hybrid.py body, ~0.6 ms/frame at flagship).
-    quantized = cache.k_scale is not None
-
+    # The cache arrays ride the scan CARRY as the full stacked [L, ...]
+    # buffers and each layer touches ONLY its slice: a one-slot
+    # dynamic_update_slice write at (li, ..., write_start) and an
+    # attend_len-window dynamic_slice read (see _attn_block's li mode).
+    # Never extract/write back a layer's whole cache — XLA materializes
+    # those as full per-layer copies, making the decode step scale with the
+    # cache ALLOCATION instead of the attended window (measured 10.4 vs
+    # 4.3 ms/frame at the engine's 3328-slot serving cache).
     def body(carry, layer_p):
         xc, k_c, v_c, ks_c, vs_c, li = carry
-        kl = jax.lax.dynamic_index_in_dim(k_c, li, 0, keepdims=False)
-        vl = jax.lax.dynamic_index_in_dim(v_c, li, 0, keepdims=False)
-        ksl = jax.lax.dynamic_index_in_dim(ks_c, li, 0, keepdims=False) if quantized else None
-        vsl = jax.lax.dynamic_index_in_dim(vs_c, li, 0, keepdims=False) if quantized else None
-        xc, kl, vl, ksl, vsl = _attn_block(
-            layer_p, cfg, xc, freqs, kl, vl, ksl, vsl, write_start, mask, attend_len,
+        xc, k_c, v_c, ks_c, vs_c = _attn_block(
+            layer_p, cfg, xc, freqs, k_c, v_c, ks_c, vs_c, write_start, mask, attend_len,
             # The opt-in Pallas kernel masks from pad_amount/write_index only
             # — it cannot express per-sample cache gaps. Route gap batches
             # through the mask-based XLA path.
             pad_amount=None if gap_len is not None else pad_amount,
+            li=li,
         )
-        k_c = jax.lax.dynamic_update_index_in_dim(k_c, kl, li, 0)
-        v_c = jax.lax.dynamic_update_index_in_dim(v_c, vl, li, 0)
-        if quantized:
-            ks_c = jax.lax.dynamic_update_index_in_dim(ks_c, ksl, li, 0)
-            vs_c = jax.lax.dynamic_update_index_in_dim(vs_c, vsl, li, 0)
         return (xc, k_c, v_c, ks_c, vs_c, li + 1), None
 
     init = (x, cache.k, cache.v, cache.k_scale, cache.v_scale, jnp.int32(0))

@@ -254,12 +254,26 @@ def sample_from_logits_runtime(
 
     t = bc(rt.temperature)
     probs = jax.nn.softmax(logits / jnp.where(t > 0, t, 1.0), axis=-1)
-    probs = jnp.where(
-        bc(rt.linear) > 0,
-        apply_unified(probs, bc(rt.linear), bc(rt.conf), bc(rt.quad)),
+    # The two EXPENSIVE filters (unified: log/entropy/softmax; top-p: a full
+    # vocab sort + cumsum) gate behind lax.cond on "any row uses it" — the
+    # common homogeneous epoch (nobody asked for top-p) pays nothing per
+    # step, and when taken the branch computes the identical where-selected
+    # ops, so bit-exactness per row is preserved either way.
+    probs = jax.lax.cond(
+        jnp.any(rt.linear > 0),
+        lambda p: jnp.where(
+            bc(rt.linear) > 0,
+            apply_unified(p, bc(rt.linear), bc(rt.conf), bc(rt.quad)), p,
+        ),
+        lambda p: p,
         probs,
     )
-    probs = jnp.where(bc(rt.top_p) > 0, apply_top_p(probs, bc(rt.top_p)), probs)
+    probs = jax.lax.cond(
+        jnp.any(rt.top_p > 0),
+        lambda p: jnp.where(bc(rt.top_p) > 0, apply_top_p(p, bc(rt.top_p)), p),
+        lambda p: p,
+        probs,
+    )
     if top_k > 0:
         probs = apply_top_k(probs, top_k)
     probs = jnp.where(bc(rt.min_p) > 0, apply_min_p(probs, bc(rt.min_p)), probs)
