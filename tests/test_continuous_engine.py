@@ -214,7 +214,7 @@ def test_worker_does_not_poison_finished_first(model, monkeypatch):
     retroactively error that request (its consumer may not have drained the
     queue yet)."""
 
-    def boom(self, first):
+    def boom(self, first, first_prep=None):
         self._finish(first)  # first completes successfully...
         raise RuntimeError("late epoch failure")  # ...then the epoch dies
 

@@ -377,7 +377,10 @@ def handle_stream(body: dict):
             no_batch=bool(body.get("no_batch", False)),
         )
         for wav, sr in batcher.submit_stream(req):
-            pcm = np.clip(wav * 32767.0, -32767.0, 32767.0).astype("<i2")
+            if wav.dtype == np.int16:  # engine ships device-quantized PCM
+                pcm = wav.astype("<i2", copy=False)
+            else:
+                pcm = np.clip(wav * 32767.0, -32767.0, 32767.0).astype("<i2")
             yield pcm.tobytes(), sr
         return
 
