@@ -311,6 +311,44 @@ def test_hybrid_engine_serves_staggered_load():
         eng.close()
 
 
+def test_frame_roll_extends_epoch_past_timeline_capacity(model):
+    """Delayed-FRAME compaction: total work exceeding the delayed-timeline
+    allocation keeps serving in place — the shipped head of the timeline is
+    reclaimed so late joiners keep fitting — and every request still gets
+    its exact solo-oracle sample count across the roll."""
+    eng = _engine(model, slots=2, window_ms=50, max_new_cap=600,  # S = 1024
+                  segment_frames=16, first_chunk_frames=8)
+    eng.roll_quantum = 16
+    eng.frame_quantum = 128
+    eng.frame_margin = 200  # still ≥ the saturation point of the trim window
+    try:
+        spec = dict(text="frame roll oracle", max_new_tokens=220, seed=21)
+        wav0, _ = eng.submit(TTSRequest(**spec))
+        oracle = wav0.shape[0]
+        assert oracle > 0
+
+        results = {}
+
+        def go(i, delay):
+            time.sleep(delay)
+            results[i] = eng.submit(TTSRequest(**spec))
+
+        # 6 × 220 frames ≫ the 1024-frame timeline: impossible in one epoch
+        # without reclaiming shipped frames.
+        threads = [threading.Thread(target=go, args=(i, 0.2 * i)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+
+        assert set(results) == set(range(6))
+        for wav, _sr in results.values():
+            assert wav.shape[0] == oracle
+        assert eng.stats["rolled_frames"] > 0, "frame compaction never triggered"
+    finally:
+        eng.close()
+
+
 def test_fuzz_random_schedules_vs_solo_oracle(model, caplog):
     """Adversarial-load fuzz: ≥50 randomized schedules (random request mix,
     arrival jitter, mixed sampling groups, no_batch isolates, abandoned

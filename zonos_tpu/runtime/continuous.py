@@ -194,7 +194,7 @@ def build_roll_fn(statics: GenerateStatics):
     """
     p = statics.prefill_len
 
-    def roll_fn(bc: DecodeCarry, m, pos_offset, gap_len):
+    def roll_fn(bc: DecodeCarry, m, pos_offset, gap_len, r=None):
         cache = bc.cache
 
         def roll_tail(x, axis):
@@ -231,13 +231,38 @@ def build_roll_fn(statics: GenerateStatics):
                 conv=cache.conv,
                 ssm=cache.ssm,
             )
+        delayed = bc.delayed_codes
+        offset = bc.offset
+        stop_offset = bc.stop_offset
+        if r is not None:
+            # Delayed-FRAME timeline compaction: discard the first r frames
+            # of the audio timeline (already shipped + outside every live
+            # slot's DAC context and repetition window — the engine
+            # guarantees r ≤ emitted − dac_context and r ≤ offset − 512).
+            # Without this the finite delayed_len caps an epoch's lifetime:
+            # once offset nears the 30 s allocation, joiners stop fitting,
+            # occupancy decays and the epoch restarts (measured active=5-7
+            # of 8 slots under sustained load). Offsets shift with the
+            # roll; the host keeps GLOBAL frame coordinates by adding its
+            # per-dispatch rolled-frames snapshot. The vacated tail is
+            # reset to UNKNOWN so future _write_frame calls (which preserve
+            # non-UNKNOWN slots — the audio-prefix rule) treat it as empty.
+            from zonos_tpu.runtime.generate import UNKNOWN_TOKEN
+
+            delayed = jnp.roll(delayed, -r, axis=-1)
+            pos = jnp.arange(delayed.shape[-1])
+            delayed = jnp.where(
+                pos[None, None, :] >= offset - r, UNKNOWN_TOKEN, delayed
+            )
+            offset = offset - r
+            stop_offset = jnp.where(stop_offset >= 0, stop_offset - r, stop_offset)
         carry = DecodeCarry(
-            delayed_codes=bc.delayed_codes,
-            offset=bc.offset,
+            delayed_codes=delayed,
+            offset=offset,
             cache=cache,
             stopping=bc.stopping,
             remaining_steps=bc.remaining_steps,
-            stop_offset=bc.stop_offset,
+            stop_offset=stop_offset,
             steps_done=bc.steps_done - m,
             key=bc.key,
         )

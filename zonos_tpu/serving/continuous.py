@@ -145,13 +145,20 @@ class ContinuousEngine:
         self.depth = max(int(os.environ.get("ZONOS_ENGINE_DEPTH", "2")), 1)
         self.roll_quantum = int(os.environ.get("ZONOS_ENGINE_ROLL_QUANTUM", "64"))
         self.attend_quantum = int(os.environ.get("ZONOS_ENGINE_ATTEND_QUANTUM", "512"))
+        # Delayed-frame compaction: cadence + how many frames must remain
+        # behind the write offset (default 512 preserves the device
+        # EOS-trim window size — min(50, valid//4) saturates at valid ≥ 200
+        # — and dwarfs the ≤100-frame repetition window; tests shrink it).
+        self.frame_quantum = int(os.environ.get("ZONOS_ENGINE_FRAME_QUANTUM", "512"))
+        self.frame_margin = 512
         if os.environ.get("ZONOS_ENGINE_ROLL", "1") != "1":
             self.roll_quantum = BIG  # compaction disabled (A/B escape hatch)
+            self.frame_quantum = BIG
         self._queue: "queue.Queue[TTSRequest]" = queue.Queue()
         self._stop = threading.Event()
         self.stats = {
             "requests": 0, "epochs": 0, "joins": 0, "mid_epoch_joins": 0,
-            "slot_recycles": 0, "rolls": 0, "rolled_steps": 0,
+            "slot_recycles": 0, "rolls": 0, "rolled_steps": 0, "rolled_frames": 0,
         }
 
         # PCM ships in FIXED-size quanta through these two jits — every
@@ -475,6 +482,7 @@ class ContinuousEngine:
         # cumulative KV compaction: device steps = global steps − rolled.
         offset, steps_g = int(np.asarray(status)[0]), 0
         rolled = 0
+        frolled = 0  # cumulative delayed-FRAME compaction (global = device + frolled)
         segend_g = 0  # global segment_end of the most recently dispatched segment
         # In-flight dispatched-but-unread segments:
         # (status, codes, rolled_at_dispatch, confirm_slots) — confirm_slots
@@ -528,23 +536,40 @@ class ContinuousEngine:
             with depth>1 the host has not read that segment's status yet, so
             every decision here uses only confirmed state + safe bounds."""
             nonlocal carry, pos_offset, gap_len, pad_amount, just_joined, rolled
-            nonlocal rt_dev, cfg_vec
+            nonlocal rt_dev, cfg_vec, frolled
 
             # KV roll: the span [P, P + m) is dead for every active slot when
             # m ≤ each one's join step (joins only ever happen at or after
             # the confirmed step at their dispatch, so join_lb is a safe
             # lower bound for not-yet-confirmed joiners). m ≤ confirmed
             # steps keeps the roll inside the written region.
+            #
+            # Delayed-FRAME roll: the first r frames of the audio timeline
+            # are discardable once shipped and outside every consumer's
+            # reach — r ≤ emitted − dac_context (quantum decode left
+            # context), r ≤ offset − 512 (covers the ≤100-frame repetition
+            # window AND keeps the device EOS-trim search window at its
+            # solo size). Without it the finite delayed_len caps epoch
+            # lifetime: offset hits the 30 s allocation, admission stalls,
+            # occupancy decays, and the epoch restarts.
             active = [st for st in slot_states if st.active]
             if active and self.roll_quantum < BIG:
                 m = min(min(st.join_lb for st in active), steps_g) - rolled
-                if m >= self.roll_quantum:
+                r = min(
+                    emitted_global - self.dac_context_frames,
+                    offset - self.frame_margin,
+                ) - frolled
+                r = max(r, 0)
+                if m >= self.roll_quantum or r >= self.frame_quantum:
                     carry, pos_offset, gap_len = roll(
-                        carry, jnp.int32(m), pos_offset, gap_len
+                        carry, jnp.int32(max(m, 0)), pos_offset, gap_len,
+                        jnp.int32(r),
                     )
-                    rolled += m
+                    rolled += max(m, 0)
+                    frolled += r
                     self.stats["rolls"] += 1
-                    self.stats["rolled_steps"] += m
+                    self.stats["rolled_steps"] += max(m, 0)
+                    self.stats["rolled_frames"] += r
 
             admitted = False
             keep: list[tuple] = []
@@ -552,9 +577,11 @@ class ContinuousEngine:
                 free = free_slots()
                 # Capacity: the join executes at a boundary offset the host
                 # has not read yet; bound it by confirmed offset + frames
-                # already dispatched beyond the confirmed step.
+                # already dispatched beyond the confirmed step. Capacity is
+                # judged in DEVICE frame coordinates — the frame roll keeps
+                # reclaiming the shipped head of the timeline.
                 offset_ub = offset + max(segend_g - steps_g, 0)
-                cap_need = offset_ub + req.max_new_tokens + n_q + 1
+                cap_need = (offset_ub - frolled) + req.max_new_tokens + n_q + 1
                 if not free or cap_need > S:
                     # No slot, or timeline nearly full: next boundary/epoch.
                     keep.append((req, c1, pad, rt1, prep))
@@ -579,7 +606,7 @@ class ContinuousEngine:
                 if pipeline:
                     # Boundary state arrives with the last dispatched
                     # segment's status; defer base/need until then.
-                    pipeline[-1][3].append(slot)
+                    pipeline[-1][4].append(slot)
                 else:
                     new.confirmed = True
                     new.base = offset - 2
@@ -598,7 +625,10 @@ class ContinuousEngine:
         def dispatch():
             """Queue the next decode segment (smallest covering attend rung)."""
             nonlocal carry, segend_g, just_joined
-            quiet = self._queue.empty() and not pending and not ready
+            quiet = (
+                self._queue.empty() and self._prepped.empty()
+                and not pending and not ready
+            )
             # A short first segment buys the joiner fast first audio, but
             # every 16-frame segment pays the same fixed dispatch/readback
             # cost as a 64-frame one. Under sustained load joins happen at
@@ -631,7 +661,7 @@ class ContinuousEngine:
                 pos_offset, gap_len, rt_dev,
             )
             carry = carry_out
-            pipeline.append((st_dev, codes_dev, rolled, [], seg, rung))
+            pipeline.append((st_dev, codes_dev, rolled, frolled, [], seg, rung))
 
         trace = os.environ.get("ZONOS_ENGINE_TRACE") == "1"
 
@@ -639,7 +669,7 @@ class ContinuousEngine:
             """Read the oldest in-flight segment's status; ship PCM; retire
             slots; confirm joiners whose boundary this status reveals."""
             nonlocal offset, steps_g, emitted_global, carry, stall
-            status_dev, device_codes, rolled_snap, confirm_slots, seg, rung = (
+            status_dev, device_codes, rolled_snap, frolled_snap, confirm_slots, seg, rung = (
                 pipeline.pop(0)
             )
             t0 = time.perf_counter()
@@ -647,14 +677,18 @@ class ContinuousEngine:
             # dispatch) with the in-flight segments…
             harvest()
             t1 = time.perf_counter()
-            # …then block on the segment's status readback.
+            # …then block on the segment's status readback. Every frame
+            # quantity the device reports is in its ROLLED coordinates; the
+            # per-dispatch frolled snapshot converts to the host's GLOBAL
+            # frame timeline (the step analogue is rolled_snap).
             sv = np.asarray(status_dev)
             t2 = time.perf_counter()
-            new_offset, steps_dev = int(sv[0]), int(sv[1])
+            new_offset = int(sv[0]) + frolled_snap
+            steps_dev = int(sv[1])
             progressed = new_offset > offset
             offset = new_offset
             steps_g = steps_dev + rolled_snap
-            lengths = sv[3 : 3 + B].astype(np.int64)
+            lengths = sv[3 : 3 + B].astype(np.int64) + frolled_snap
             drained = sv[3 + B :].astype(bool)
 
             total = max(offset - n_q, 0)
@@ -667,14 +701,17 @@ class ContinuousEngine:
             # provably past `total` — audio settles only after n_q more
             # steps than the join boundary).
             starts_np = np.asarray(
-                [st.base if st.confirmed else BIG for st in slot_states],
+                [st.base - frolled_snap if st.confirmed else BIG
+                 for st in slot_states],
                 np.int32,
             )
             drained_live = np.asarray([
                 bool(drained[i]) and st.active and st.confirmed
                 for i, st in enumerate(slot_states)
             ])
-            bnds_np = np.where(drained_live, lengths, BIG).astype(np.int32)
+            bnds_np = np.where(
+                drained_live, lengths - frolled_snap, BIG
+            ).astype(np.int32)
 
             def slot_bound(i, st):
                 # A slot never ships past its OWN token budget (global
@@ -697,9 +734,9 @@ class ContinuousEngine:
             W = self.segment_frames
             WQ = self._quantum_frames
             S_codes = int(device_codes.shape[2])
-            total32 = np.int32(min(total, S_codes))
+            total32 = np.int32(min(total - frolled_snap, S_codes))
 
-            quanta = []  # (qlo, qhi, lo0, device pcm) — dispatched, unread
+            quanta = []  # (qlo, qhi, lo0 GLOBAL, device pcm) — dispatched, unread
             q = emitted_global
             while True:
                 if total - q >= W:
@@ -708,11 +745,14 @@ class ContinuousEngine:
                     qhi = min(flush_to, total)
                 else:
                     break
-                lo0 = min(max(q - self.dac_context_frames, 0), S_codes - WQ)
-                pcm = self._quantum_pcm(
-                    device_codes, np.int32(lo0), total32, starts_np, bnds_np
+                lo0_dev = min(
+                    max(q - self.dac_context_frames - frolled_snap, 0),
+                    S_codes - WQ,
                 )
-                quanta.append((q, qhi, lo0, pcm))
+                pcm = self._quantum_pcm(
+                    device_codes, np.int32(lo0_dev), total32, starts_np, bnds_np
+                )
+                quanta.append((q, qhi, lo0_dev + frolled_snap, pcm))
                 q = qhi
 
             # A mid-epoch joiner's FIRST piece: decode its opening
@@ -730,12 +770,12 @@ class ContinuousEngine:
                     continue
                 if hi - st.base < F and not (drained_live[i] or hi == bound):
                     continue  # wait until a full F (or the stream's end)
-                lo0 = min(st.base, S_codes - F)
+                lo0_dev = min(st.base - frolled_snap, S_codes - F)
                 pcm = self._solo_pcm(
-                    device_codes, np.int32(i), np.int32(lo0), total32,
-                    np.int32(bound),
+                    device_codes, np.int32(i), np.int32(lo0_dev), total32,
+                    np.int32(bound - frolled_snap),
                 )
-                solos.append((i, lo0, hi, pcm))
+                solos.append((i, lo0_dev + frolled_snap, hi, pcm))
 
             # PLAN shipping synchronously (span arithmetic + emitted
             # bookkeeping stay on this thread, so the next boundary's
@@ -790,7 +830,7 @@ class ContinuousEngine:
                     # the kill lands one boundary late — the slot decodes
                     # junk past its budget for ≤1 segment, none of which
                     # ships (slot_bound caps at `cap`).
-                    carry = kill(carry, jnp.int32(i), jnp.int32(st.need + 2))
+                    carry = kill(carry, jnp.int32(i), jnp.int32(st.need + 2 - frolled))
                     self._ship_q.put(("finish", st.req))
                     st.active = False
                     n_retired += 1
